@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory + runtime tuning shared by every entry point.
+  *
+  * Mirrors the reference's Spark conf (AQE + coalescePartitions + skewJoin,
+  * Kryo, snappy — ref inventory_transform.py:46-56) and pins UTC so outputs
+  * are oracle-comparable. Designed for cluster scale: nothing here assumes
+  * local mode except the default master.
+  */
+object Engine {
+
+  def session(
+      appName: String = "graft",
+      master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    tune(spark)
+    spark
+  }
+
+  /** Runtime SQL confs that are safe to set on a session we did not build
+    * (e.g. the driver harness's). Idempotent.
+    */
+  def tune(spark: SparkSession): Unit = {
+    // The synthetic events table stores ts as parquet TIMESTAMP(NANOS),
+    // which Spark's vectorized reader rejects; read it as Long nanos and
+    // convert explicitly (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Dynamic partition overwrite: lets Upsert rewrite only touched
+    // partitions instead of the whole table (J4 emulation at scale).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.Exact
+import graft.validate.{Rule, Validators}
+
+/** Cross-table analytics (SURVEY.md §2.6 J1 generalized, §2.9 T1-T2 batch
+  * equivalents, §2.3 file-level validation as queries).
+  *
+  * Scale notes: the dimension sides (supplier, nation, customer) are orders
+  * of magnitude smaller than the fact tables, so both joins here broadcast
+  * the dim side explicitly — no shuffle of the fact table for the join, only
+  * the final aggregation shuffle, which is map-side combined.
+  */
+object Analytics {
+
+  /** Broadcast star join: lineitem ⋈ supplier ⋈ nation → revenue by nation. */
+  def salesByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(nat("n_name").as("nation"))
+      .agg(
+        Exact.moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"))
+  }
+
+  /** Top-k customers by spend: join + agg + global sort + limit (O1/O2). */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(Exact.moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** T1/T2 batch-equivalent of the streaming micro-batch job: tumbling
+    * 1-hour windows per event_type (the streaming form is
+    * stream/MicroBatch.scala; both share this aggregation shape).
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.moneySum(col("value")).as("total_value"))
+      .select(
+        unix_micros(col("hour_ts")).as("hour_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+
+  /** P3/P4/P7/A13 — file-level validation summary over events (K8 shape). */
+  def eventsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      Rule("null_event_id", col("event_id").isNotNull),
+      Rule("null_user", col("user_id").isNotNull),
+      Rule("blank_event_type", Validators.requiredNonBlank(col("event_type"))),
+      Rule("null_ts", col("ts").isNotNull),
+      Rule("negative_value", col("value") >= 0))
+    Validators.fileSummary(Tables.events(spark, dir), rules)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_by_nation" -> (salesByNation _),
+    "top_customers" -> (topCustomers _),
+    "stream_hourly_counts" -> (hourlyCounts _),
+    "val_events_summary" -> (eventsSummary _))
+
+  val oracles: Map[String, String] = Map(
+    "sales_by_nation" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_customers" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY spend DESC, c_custkey LIMIT 10""".stripMargin,
+    "stream_hourly_counts" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "val_events_summary" ->
+      """SELECT COUNT(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_event_id,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(user_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_user,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(event_type IS NOT NULL AND TRIM(event_type) <> '', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_blank_event_type,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(ts IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_ts,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_negative_value
+        |FROM events""".stripMargin)
+}

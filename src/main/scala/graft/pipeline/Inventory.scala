@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.store.Upsert
+import graft.validate.{Rule, Validators}
+
+/** Inventory batch pipeline (SURVEY.md §2 J2/J4/A11/P8; ref
+  * inventory_validate.py, inventory_transform.py).
+  *
+  * Over the synthetic tables: lineitem plays the inventory feed (key ≈
+  * l_partkey, freshness ≈ l_shipdate). The reference-schema validation
+  * rules (stock ≥ 0, threshold ≥ 0 when present, not-future timestamps,
+  * whole-file quarantine) are in `inventoryRules` and unit-tested on
+  * FIXTURES.md-shaped JSONL.
+  *
+  * Scale: latest-per-key dedup is a single window shuffle on the key; the
+  * replace-upsert is an anti join + union on the same key partitioning, so
+  * AQE can co-locate both sides and skew-handle hot keys.
+  */
+object Inventory {
+
+  import org.apache.spark.sql.types._
+
+  /** Ref inventory_validate.py:33-41 — declared JSONL schema. */
+  val inventorySchema: StructType = StructType(Seq(
+    StructField("inventory_id", IntegerType, nullable = false),
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("warehouse_id", IntegerType, nullable = false),
+    StructField("stock_level", IntegerType, nullable = false),
+    StructField("restock_threshold", IntegerType, nullable = true),
+    StructField("last_updated", DoubleType, nullable = false)))
+
+  /** P8 — business rules (ref inventory_validate.py:255-276). `now` is a
+    * parameter, not a wall-clock read, so validation is replayable.
+    */
+  def inventoryRules(nowEpoch: Double): Seq[Rule] = Seq(
+    Rule("negative_stock", col("stock_level") >= 0),
+    Rule("negative_threshold", col("restock_threshold").isNull || col("restock_threshold") >= 0),
+    Rule("future_timestamp", col("last_updated") <= lit(nowEpoch + 24 * 3600)))
+
+  /** File-level gate: reject the whole file iff any rule is violated
+    * (ref inventory_validate.py:238-276).
+    */
+  def fileIsValid(df: DataFrame, nowEpoch: Double): Boolean = {
+    val row = Validators.fileSummary(df, inventoryRules(nowEpoch)).head()
+    (1 until row.length).forall(i => row.getLong(i) == 0L)
+  }
+
+  /** J2 — latest record per key (ref inventory_transform.py:483-484). */
+  def latestPerKey(df: DataFrame, key: String, order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.map(c => col(c).desc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---- registered queries over the synthetic tables -----------------------
+
+  private val UpsertSplit = "1999-01-01"
+
+  private val dedupCols = Seq("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+
+  private def latestLineitem(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(dedupCols.map(col): _*)
+  }
+
+  /** J2/W1 — window dedup, latest per part. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    latestLineitem(Tables.lineitem(spark, dir)).orderBy(col("l_partkey"))
+
+  /** J4 — replace-on-match upsert of a fresh batch into the latest state. */
+  def upsertReplace(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val target = latestLineitem(li.filter(to_date(col("l_shipdate")) < lit(UpsertSplit)))
+    val source = latestLineitem(li.filter(to_date(col("l_shipdate")) >= lit(UpsertSplit)))
+    Upsert.replaceOnMatch(target, source, Seq("l_partkey"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** A11 — duplicate-key report (ref inventory_transform.py:486-493). */
+  def duplicateReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 1)
+      .orderBy(col("l_orderkey"))
+
+  /** P8/A13/P7 — single-row business-rule violation summary. */
+  def validateSummary(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      Rule("neg_quantity", col("l_quantity") >= 0),
+      Rule("bad_discount", col("l_discount") >= 0 && col("l_discount") <= 1),
+      Rule("future_ship", to_date(col("l_shipdate")) <= lit("2030-01-01")),
+      Rule("null_key", col("l_partkey").isNotNull))
+    Validators.fileSummary(Tables.lineitem(spark, dir), rules)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inv_dedup_latest" -> (dedupLatest _),
+    "inv_upsert_replace" -> (upsertReplace _),
+    "inv_duplicate_report" -> (duplicateReport _),
+    "inv_validate_summary" -> (validateSummary _))
+
+  private val latestSql = (pred: String) =>
+    s"""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+       |  SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+       |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+       |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+       |  FROM lineitem $pred) WHERE rn = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "inv_dedup_latest" ->
+      (latestSql("") + "\nORDER BY l_partkey"),
+    "inv_upsert_replace" ->
+      s"""WITH tgt AS (${latestSql(s"WHERE CAST(l_shipdate AS DATE) < DATE '$UpsertSplit'")}),
+         |src AS (${latestSql(s"WHERE CAST(l_shipdate AS DATE) >= DATE '$UpsertSplit'")})
+         |SELECT * FROM (
+         |  SELECT t.* FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.l_partkey = t.l_partkey)
+         |  UNION ALL SELECT * FROM src)
+         |ORDER BY l_partkey""".stripMargin,
+    "inv_duplicate_report" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    "inv_validate_summary" ->
+      """SELECT COUNT(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_neg_quantity,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_bad_discount,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(CAST(l_shipdate AS DATE) <= DATE '2030-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_future_ship,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(l_partkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_key
+        |FROM lineitem""".stripMargin)
+}

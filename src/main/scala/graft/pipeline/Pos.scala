@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.{Cleansing, Exact}
+import graft.store.Upsert
+
+/** POS batch pipeline (SURVEY.md §3.1; ref validate.py, transfom_pos.py).
+  *
+  * Over the synthetic tables: lineitem plays the POS ledger (product ≈
+  * l_partkey, revenue ≈ l_extendedprice, timestamp ≈ l_shipdate). The
+  * reference-schema batch path (CSV with declared schema → validate →
+  * dropDuplicates → KPI agg → additive MERGE) is `runBatch`, unit-tested on
+  * FIXTURES.md-shaped CSVs.
+  *
+  * Scale: the KPI aggregation is a map-side-combinable hash agg keyed by
+  * (product, date); the additive merge is a re-aggregation on the same key,
+  * so merging N daily batches is one shuffle, not N rewrites.
+  */
+object Pos {
+
+  import org.apache.spark.sql.types._
+
+  /** Ref transfom_pos.py:30-38 — declared CSV schema (never inferred). */
+  val posSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType, nullable = false),
+    StructField("store_id", IntegerType, nullable = false),
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("quantity", IntegerType, nullable = false),
+    StructField("revenue", FloatType, nullable = false),
+    StructField("discount_applied", FloatType, nullable = true),
+    StructField("timestamp", DoubleType, nullable = false)))
+
+  /** Ref transform (transfom_pos.py:112-129): epoch→ts+date, dedup, KPI. */
+  def transform(raw: DataFrame): (DataFrame, DataFrame) = {
+    val curated = raw
+      .withColumn("ts", Cleansing.epochToTs(col("timestamp")))
+      .withColumn("date", to_date(col("ts")))
+      .dropDuplicates()
+    val kpi = curated
+      .groupBy(col("product_id"), col("date"))
+      .agg(round(sum(col("revenue")), 2).as("total_sales"))
+    (curated, kpi)
+  }
+
+  /** Ref CSV read (transfom_pos.py:40-47). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(posSchema).option("header", "true").csv(path)
+
+  // ---- registered queries over the synthetic tables -----------------------
+
+  private val MergeSplit = "1999-01-01"
+
+  private val kpiSql =
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)"
+
+  /** A10/E14/E4 — sales-per-product-per-day KPI. */
+  def salesKpi(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("sale_date", to_date(col("l_shipdate")))
+      .groupBy(col("l_partkey").as("product_id"), col("sale_date"))
+      .agg(Exact.moneySum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("product_id"), col("sale_date"))
+
+  /** J3 — full-row dedup + derived date (curated table shape). */
+  def curated(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"),
+        to_date(col("l_shipdate")).as("sale_date"))
+      .dropDuplicates()
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J5 — additive MERGE of two KPI batches (ref transfom_pos.py:140-152). */
+  def mergeAdditive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("sale_date", to_date(col("l_shipdate")))
+    def kpi(df: DataFrame): DataFrame = df
+      .groupBy(col("l_partkey").as("product_id"), col("sale_date"))
+      .agg(Exact.moneySum(col("l_extendedprice")).as("total_sales"))
+    val existing = kpi(li.filter(col("sale_date") < lit(MergeSplit)))
+    val delta = kpi(li.filter(col("sale_date") >= lit(MergeSplit)))
+    Upsert.additive(existing, delta, Seq("product_id", "sale_date"), "total_sales")
+      .orderBy(col("product_id"), col("sale_date"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pos_sales_kpi" -> (salesKpi _),
+    "pos_curated" -> (curated _),
+    "pos_merge_additive" -> (mergeAdditive _))
+
+  val oracles: Map[String, String] = Map(
+    "pos_sales_kpi" ->
+      s"""SELECT l_partkey AS product_id, CAST(l_shipdate AS DATE) AS sale_date,
+         |  $kpiSql AS total_sales
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pos_curated" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, CAST(l_shipdate AS DATE) AS sale_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "pos_merge_additive" ->
+      s"""WITH existing AS (
+         |  SELECT l_partkey AS product_id, CAST(l_shipdate AS DATE) AS sale_date,
+         |    $kpiSql AS total_sales
+         |  FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '$MergeSplit' GROUP BY 1, 2),
+         |delta AS (
+         |  SELECT l_partkey AS product_id, CAST(l_shipdate AS DATE) AS sale_date,
+         |    $kpiSql AS total_sales
+         |  FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '$MergeSplit' GROUP BY 1, 2)
+         |SELECT product_id, sale_date, SUM(total_sales) AS total_sales
+         |FROM (SELECT * FROM existing UNION ALL SELECT * FROM delta)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.Cleansing
+
+/** Zoned lake storage (SURVEY.md §2.2 K1–K4, K8, K10).
+  *
+  * Zone discipline mirrors the reference: raw → validated → processed →
+  * rejected/quarantine → archive (inventory_validate.py:24-27). Writes are
+  * hive-partitioned snappy parquet — the same layout the reference
+  * hand-rolls per micro-batch (transformation.py:131-168) but expressed as
+  * `partitionBy`, which Spark turns into a distributed, partition-pruned
+  * layout for free.
+  */
+object Lake {
+
+  object Zones {
+    val Raw = "raw"
+    val Validated = "validated"
+    val Processed = "processed"
+    val Rejected = "rejected"
+    val Dlq = "dlq"
+    val Archive = "archive"
+  }
+
+  def zone(root: String, z: String): String = s"$root/$z"
+
+  /** K1: partitioned parquet append of a (micro)batch keyed by event time:
+    * year/month/day/hour dirs exactly like the reference's layout
+    * (transformation.py:163-165).
+    */
+  def appendPartitioned(df: DataFrame, tsCol: String, dest: String): Unit = {
+    val withParts = Cleansing.partitionCols(col(tsCol)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    withParts.write
+      .partitionBy("year", "month", "day", "hour")
+      .mode(SaveMode.Append)
+      .parquet(dest)
+  }
+
+  /** K2: date-partitioned parquet write (ref inventory_transform.py:279-283). */
+  def writeDatePartitioned(df: DataFrame, dateCol: String, dest: String,
+                           mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.partitionBy(dateCol).mode(mode).parquet(dest)
+
+  /** K4: quarantine sink — rejected records with reasons as JSON lines
+    * (ref transformation.py:170-176 writes one JSON per failure; at scale a
+    * JSONL directory is the same contract without the per-object overhead).
+    */
+  def quarantine(rejected: DataFrame, dest: String): Unit =
+    rejected.write.mode(SaveMode.Append).json(dest)
+
+  /** K6: DLQ sink — failed record + error, append-only JSON directory
+    * (ref lambda_function.py:120-156).
+    */
+  def dlq(failed: DataFrame, dest: String): Unit =
+    failed.write.mode(SaveMode.Append).json(dest)
+
+  /** K8: validation summary (one small JSON, drives the downstream branch
+    * — ref validate.py:107-132).
+    */
+  def writeSummary(summary: DataFrame, dest: String): Unit =
+    summary.coalesce(1).write.mode(SaveMode.Overwrite).json(dest)
+
+  /** J4 at rest: atomic table swap — write the merged result to a temp dir,
+    * then move it over the target. The parquet analogue of the reference's
+    * Delta MERGE transaction boundary (single writer).
+    */
+  def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit = {
+    val tmp = dest + ".staging"
+    result.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val destPath = Paths.get(dest)
+    val bak = Paths.get(dest + ".old")
+    deleteRecursive(bak)
+    if (Files.exists(destPath)) Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(bak)
+  }
+
+  /** K10: archive — move processed input files under archive/<date>/, date
+    * parsed from the filename (ref transfom_pos.py:56-110's
+    * `pos_YYYYMMDD_HHMMSS.csv` regex).
+    */
+  private val PosName = raw".*pos_(\d{4})(\d{2})(\d{2})_\d{6}\.csv".r
+
+  def archiveByFilenameDate(files: Seq[String], archiveRoot: String): Seq[String] =
+    files.flatMap { f =>
+      f match {
+        case PosName(y, m, d) =>
+          val target = Paths.get(s"$archiveRoot/$y-$m-$d/${Paths.get(f).getFileName}")
+          Files.createDirectories(target.getParent)
+          Files.move(Paths.get(f), target, StandardCopyOption.REPLACE_EXISTING)
+          Some(target.toString)
+        case _ => None
+      }
+    }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,38 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-upsert emulation over plain parquet (SURVEY.md §2.6 J4/J5).
+  *
+  * No ACID table format ships in this environment (no Delta jar), so the
+  * two MERGE shapes the reference uses are re-expressed as pure relational
+  * algebra. Both are shuffle-on-key plans that scale linearly: the anti
+  * join and the re-aggregation hash-partition on the merge key, and when the
+  * target is partitioned by a date column only touched partitions need
+  * rewriting (Engine.tune sets dynamic partition overwrite).
+  *
+  * Single-writer assumption documented in the reference's orchestration
+  * (Step Functions MaxConcurrentRuns 1) carries over.
+  */
+object Upsert {
+
+  /** J4: replace-on-match (ref inventory_transform.py:265-277,
+    * whenMatchedUpdateAll / whenNotMatchedInsertAll):
+    * rows of `existing` whose key appears in `updates` are replaced.
+    * `updates` must already be deduplicated per key (latest-wins — J2).
+    */
+  def replaceOnMatch(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+
+  /** J5: additive merge (ref transfom_pos.py:140-152,
+    * total_sales = target.total_sales + source.total_sales):
+    * valid as a re-aggregation precisely because the update rule is
+    * additive — union then sum per key.
+    */
+  def additive(existing: DataFrame, delta: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    existing.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+}

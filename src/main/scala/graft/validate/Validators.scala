@@ -1,0 +1,60 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A named validation rule: `pass` is true for rows that satisfy it. */
+final case class Rule(name: String, pass: Column)
+
+/** Record- and file-level validation (SURVEY.md §2.3, P1–P13).
+  *
+  * The reference validates per record for the streaming pipelines
+  * (producer.py:48-56, lambda_function.py:70-85) and per *file* for the
+  * batch ones — any violation quarantines the whole file
+  * (inventory_validate.py:238-276, validate.py:62-81). Both modes are
+  * single-pass column expressions: the split is two filters over one scan
+  * (Catalyst reuses the cached plan), the file summary is one aggregate.
+  */
+object Validators {
+
+  /** Record-level split: (valid, rejected-with-reason).
+    * The reason is the first failing rule, matching the reference's
+    * short-circuit per-record checks (lambda_function.py:70-85).
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val allPass = rules.map(_.pass).reduce(_ && _)
+    val reason = rules.foldRight(lit(null: String)) { (r, rest) =>
+      when(!coalesce(r.pass, lit(false)), lit(r.name)).otherwise(rest)
+    }
+    val valid = df.filter(coalesce(allPass, lit(false)))
+    val rejected = df.filter(!coalesce(allPass, lit(false)))
+      .withColumn("reject_reason", reason)
+    (valid, rejected)
+  }
+
+  /** P3: required string present and non-blank (ref transformation.py:61-74). */
+  def requiredNonBlank(c: Column): Column = c.isNotNull && trim(c) =!= ""
+
+  /** P4: required non-null. */
+  def requiredNonNull(c: Column): Column = c.isNotNull
+
+  /** File-level summary: one row with total count and a violation count per
+    * rule (ref inventory_validate.py:238-276 does this with pandas sums).
+    * A file is quarantined iff any violation count > 0.
+    */
+  def fileSummary(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = count(lit(1)).as("total_rows") +:
+      rules.map(r => sum(when(!coalesce(r.pass, lit(false)), 1).otherwise(0)).as(s"viol_${r.name}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P6: file-level required-column presence. Returns missing column names. */
+  def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
+    required.filterNot(df.columns.map(_.toLowerCase).contains)
+
+  /** P2: extra-column detection (ref api.py:125-135): columns beyond the
+    * declared set, to be routed aside rather than dropped silently.
+    */
+  def extraColumns(df: DataFrame, declared: Seq[String]): Seq[String] =
+    df.columns.filterNot(declared.contains).toSeq
+}

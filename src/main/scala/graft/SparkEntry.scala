@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +18,11 @@ object SparkEntry {
       (Crm.queries, Crm.oracles),
       (Pos.queries, Pos.oracles),
       (Inventory.queries, Inventory.oracles),
-      (Analytics.queries, Analytics.oracles))
+      (Analytics.queries, Analytics.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines (builder brief):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here is quadratic. Exact dedup groups on a content
+  * hash (shuffles 8-byte keys, not document text). MinHash signatures are
+  * computed in one scan with built-in array expressions (codegen'd), LSH
+  * candidate generation explodes signatures into (band, bucket) keys and
+  * self-joins per bucket — the classic shuffle-bounded near-dup join.
+  * SimHash pairs use 16-bit chunk pigeonholing: hamming distance ≤ 3 over
+  * 64 bits guarantees an identical chunk, so candidates come from 4
+  * equi-joins, never a cross join.
+  */
+object Dedup {
+
+  // ---- shingling / signatures --------------------------------------------
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: H hash functions = xxhash64 with H salts; one pass
+    * per salt over the shingle array (all inside whole-stage codegen).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** Estimated Jaccard from two signatures: fraction of equal components. */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
+  /** SimHash over token hashes (custom Catalyst expression). */
+  def simhash(text: Column): Column =
+    Fingerprints.simhash64(transform(tokens(text), t => xxhash64(t)))
+
+  // ---- operators ----------------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep the lowest id.
+    * Shuffles only (hash, id) — scale-safe for 100 TB of text.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minJaccard`.
+    * bands × rowsPerBand must equal the signature length.
+    */
+  def minhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sigs = df
+      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for the
+    * 4×16-bit pigeonhole to be exhaustive).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = hashed.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), (shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))).as("piece"))
+      }: _*)).as("cp"))
+      .select(col("id"), col("sh"), col("cp.chunk"), col("cp.piece"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs (verification stage after
+    * LSH; also usable brute-force on a bounded subset as an oracle baseline).
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  /** Exact dedup over documents (hash-groupBy). */
+  def exactQuery(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir), "text", "doc_id")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** MinHash-LSH near-dup candidates over documents. */
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir), "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup candidates over documents. */
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), "text", "doc_id", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact 3-gram Jaccard near-dups ≥ 0.8, found the scale-correct way:
+    * MinHash-LSH candidates first, exact Jaccard verify second. The DuckDB
+    * oracle computes the all-pairs answer — at J ≥ 0.8 with 16 bands × 2
+    * rows, LSH miss probability is (1-J²)^16 ≤ 1.3e-7, so the two agree.
+    */
+  private val NearDupJaccard = 0.8
+
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.0)
+      .select(col("id_a"), col("id_b"))
+    jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= NearDupJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (exactQuery _),
+    "llm_dedup_minhash" -> (minhashQuery _),
+    "llm_dedup_simhash" -> (simhashQuery _),
+    "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "llm_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
+         |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for document fingerprinting (SURVEY.md §7.5).
+  *
+  * Both are deterministic, null-intolerant scalar expressions evaluated
+  * per-row inside the engine (no Scala UDF serialization overhead; the
+  * winnowing loop is a tight primitive loop over the string bytes).
+  */
+
+/** Winnowing fingerprint (Karp-Rabin rolling hash, window `w`, then the
+  * minimum window hash): robust to local edits, constant output size.
+  * Standard winnowing scheme per Schleimer/Wilkerson/Aiken (SIGMOD'03).
+  */
+case class RollingFingerprint(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  private final val Base = 257L
+  private final val Mod = (1L << 61) - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length == 0) return 0L
+    if (bytes.length <= w) return fullHash(bytes)
+    // precompute Base^(w-1) mod Mod
+    var pow = 1L
+    var i = 1
+    while (i < w) { pow = mulMod(pow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = addMod(mulMod(h, Base), bytes(i) & 0xffL); i += 1 }
+    var minH = h
+    while (i < bytes.length) {
+      h = subMod(h, mulMod(bytes(i - w) & 0xffL, pow))
+      h = addMod(mulMod(h, Base), bytes(i) & 0xffL)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  private def fullHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = addMod(mulMod(h, Base), bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // 61-bit modulus: split multiply to avoid overflow
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1
+    val r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
+    if (r >= Mod) r - Mod else r
+  }
+  private def addMod(a: Long, b: Long): Long = { val r = a + b; if (r >= Mod) r - Mod else r }
+  private def subMod(a: Long, b: Long): Long = { val r = a - b; if (r < 0) r + Mod else r }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of token hashes: per bit, sum ±1 across
+  * token hashes and keep the sign. Near-duplicate docs differ in few bits
+  * (compare with hamming distance = bit_count(a ^ b)).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object Fingerprints {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API for the winnowing fingerprint. */
+  def rollingFingerprint(c: Column, window: Int = 16): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c), window))
+
+  /** Column API for simhash over an array<long> of token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}

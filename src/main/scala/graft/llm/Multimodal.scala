@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (builder brief): image/audio/video as opaque
+  * binary columns + typed metadata, with decode / feature-extraction /
+  * resize / frame-sampling stages.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs ship in this
+  * container): `StubCodec` is a deterministic fake that derives "decoded"
+  * attributes from the bytes. Everything around it — the schema contract,
+  * the per-partition batch shape, the partitioning strategy, the typed
+  * Dataset API — is real, tested, and is exactly where a codec (JNI, ONNX
+  * runtime, ffmpeg pipe) would plug in.
+  *
+  * Scale design: media blobs are processed with mapPartitions so a codec
+  * is initialized once per partition, not per record (the Scala analogue
+  * of pandas-UDF batching); `repartitionByModality` bounds partition bytes
+  * before the heavy stage.
+  */
+object Multimodal {
+
+  /** The media row contract: opaque payload + typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      modality: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      checksum: Long,
+      feature: Array[Float])
+
+  /** STUB decode: a real implementation would decode payload via a native
+    * codec. This deterministic fake hashes fixed-stride byte windows into
+    * a feature vector, so the pipeline shape (binary → Array[Float]) and
+    * the tests are real even though the decode is not.
+    */
+  object StubCodec {
+    val FeatureDim = 8
+
+    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      if (payload.isEmpty) return out
+      val stride = math.max(1, payload.length / FeatureDim)
+      var i = 0
+      while (i < FeatureDim) {
+        var h = 1125899906842597L
+        var j = i * stride
+        val end = math.min(payload.length, j + stride)
+        while (j < end) { h = 31 * h + (payload(j) & 0xff); j += 1 }
+        out(i) = ((h % 1000003L).toFloat) / 1000003f
+        i += 1
+      }
+      out
+    }
+
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < payload.length) { h = 31 * h + (payload(j) & 0xff); j += 1 }
+      h
+    }
+  }
+
+  /** Batch feature extraction: one codec per partition, records streamed
+    * through it (iterator-to-iterator, so no partition materialization).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // codec init happens here, once per partition
+      rows.map { r =>
+        MediaFeatures(
+          r.media_id, r.modality, r.payload.length.toLong,
+          StubCodec.checksum(r.payload), StubCodec.decodeFeatures(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size window of the payload
+    * (the video-frame analogue; a real impl would seek keyframes).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(0, r.payload.length / frameBytes)
+      (0 until n by stride).map { f =>
+        val from = f * frameBytes
+        (r.media_id, f, r.payload.slice(from, from + frameBytes))
+      }
+    }.toDF("media_id", "frame_no", "frame_payload")
+  }
+
+  /** Partitioning stage before heavy decode: co-locate by modality and
+    * spread within it (binary payloads must not concentrate on few tasks).
+    */
+  def repartitionByModality(df: DataFrame, partitions: Int): DataFrame =
+    df.repartition(partitions, col("modality"), pmod(xxhash64(col("media_id")), lit(64)))
+
+  // ---- registered query ---------------------------------------------------
+
+  /** Binary-metadata extraction over an opaque binary column (documents.text
+    * cast to binary stands in for a media payload; schema plumbing is what
+    * is exercised — byte length + content digest).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

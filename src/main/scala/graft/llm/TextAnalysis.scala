@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for training-data pipelines (builder brief): language ID,
+  * quality scoring, token counting, document fingerprinting — all as
+  * codegen'd column expressions over the `documents` table, so they run
+  * at full scan speed on any number of executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword unit count: runs of letters, runs of digits, and
+    * single other non-space chars — a cheap proxy for tokenizer load.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword-hit counts per language (the n-gram-free heuristic half of
+    * language ID; word-boundary regexes keep it one scan per language).
+    */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|is|of|to)",
+    "de" -> "(der|die|das|und|ist)",
+    "es" -> "(el|los|las|es|y)",
+    "fr" -> "(le|les|des|est|et)")
+
+  def stopwordHits(text: Column, wordsAlternation: String): Column =
+    regexp_count(lower(text), lit("\\b" + wordsAlternation + "\\b"))
+
+  /** Deterministic argmax over the language scores (ties resolve in
+    * declaration order: en > de > es > fr).
+    */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (lang, c) :: tail if tail.nonEmpty =>
+        when(tail.map(_._2).map(c >= _).reduce(_ && _), lit(lang)).otherwise(pick(tail))
+      case (lang, _) :: Nil => lit(lang)
+      case Nil => lit("und")
+    }
+    pick(scores.toList)
+  }
+
+  /** Quality score ∈ [0,1]: length saturation + stopword density + sane
+    * average word length. Pure double arithmetic (oracle-reproducible).
+    */
+  def qualityScore(tokens: Column, stopHits: Column, avgWordLen: Column): Column =
+    lit(0.4) * least(lit(1.0), tokens / lit(100.0)) +
+      lit(0.3) * least(lit(1.0), stopHits * lit(10.0) / tokens) +
+      lit(0.3) * when(avgWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+
+  // ---- registered queries -------------------------------------------------
+
+  /** Token counting over documents. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeishCount(col("text")).cast("long").as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring over documents. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokenCount(col("text"))
+    val stop = stopwordHits(col("text"), langStopwords.head._2)
+    val punct = regexp_count(col("text"), lit("[.,!?;:]"))
+    val awl = length(col("text")) / t
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        t.cast("long").as("n_tokens"),
+        punct.cast("long").as("punct_count"),
+        stop.cast("long").as("stop_count"),
+        awl.as("avg_word_len"),
+        qualityScore(t, stop, awl).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID over documents (stopword-score heuristic). */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> stopwordHits(col("text"), words)
+    }
+    val scoreCols = scores.map { case (lang, c) => c.cast("long").as(s"score_$lang") }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: scoreCols :+ langPredict(scores).as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprint per document (custom Catalyst expression). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Fingerprints.rollingFingerprint(lower(trim(col("text"))), 16).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_tokens" -> (tokens _),
+    "llm_text_quality" -> (quality _),
+    "llm_text_langid" -> (langid _),
+    "llm_fingerprint" -> (fingerprint _))
+
+  private val stopEn = "\\b(the|and|is|of|to)\\b"
+
+  val oracles: Map[String, String] = Map(
+    "llm_text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars_text,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_text_quality" ->
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
+         |  len(regexp_extract_all(lower(text), '$stopEn')) AS stop_count,
+         |  length(text) / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_word_len,
+         |  0.4 * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0)
+         |  + 0.3 * least(1.0, len(regexp_extract_all(lower(text), '$stopEn')) * 10.0 / len(regexp_split_to_array(trim(text), '\\s+')))
+         |  + 0.3 * (CASE WHEN (length(text) / len(regexp_split_to_array(trim(text), '\\s+'))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_text_langid" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS score_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS score_de,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS score_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) AS score_fr,
+        |  CASE
+        |    WHEN len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+        |     AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b'))
+        |     AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'en'
+        |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b'))
+        |     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'de'
+        |    WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.store.Lake
+
+/** Structured Streaming ingestion (SURVEY.md §2.9 T1–T7).
+  *
+  * The reference's Kinesis→Lambda micro-batch chain collapses into one
+  * Structured Streaming job: a file source (the stand-in for Kinesis; no
+  * connector jar ships here) → the same batch transform functions →
+  * `foreachBatch` writing partitioned parquet + quarantine, exactly the
+  * reference's per-batch layout (transformation.py:131-168). Batch and
+  * streaming share one code path: any `DataFrame => (clean, rejected)`
+  * transform plugs into both.
+  *
+  * Semantics preserved from the reference (T3/T5): no watermark or
+  * event-time state needed for parity (append-only), at-least-once via
+  * checkpointed foreachBatch, malformed records quarantined, never dropped.
+  */
+object MicroBatch {
+
+  /** JSONL directory stream → validate/clean → partitioned append + DLQ.
+    * `transform` returns (clean-with-tsCol, rejected).
+    */
+  def ingest(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      transform: DataFrame => (DataFrame, DataFrame),
+      tsCol: String,
+      processedDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 1000L): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16) // micro-batch sizing (T1)
+      .json(inputDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (clean, rejected) = transform(batch)
+        if (!clean.isEmpty) Lake.appendPartitioned(clean, tsCol, processedDir)
+        if (!rejected.isEmpty) Lake.quarantine(rejected, quarantineDir)
+        ()
+      }
+      .start()
+  }
+
+  /** T6 — the hourly alerting query as a streaming aggregation: counts of
+    * negative interactions per event-time hour, emitted once the watermark
+    * passes (the streaming form of Crm.negativeAlert).
+    */
+  def negativeAlertStream(
+      events: DataFrame, tsCol: String, ratingCol: String,
+      threshold: Int): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .filter(col(ratingCol).between(1, 2))
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("negative_count"))
+      .filter(col("negative_count") >= threshold)
+      .select(col("window.start").as("hour_start"), col("negative_count"))
+
+  /** T2 batch-parity helper: run a bounded stream to completion (used by
+    * tests and backfills — processes whatever is in the directory, then
+    * stops).
+    */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+}

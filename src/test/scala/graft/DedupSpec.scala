@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Fingerprints}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again until done " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one-token edit
+  private val distinct1 = "completely different content about spark query engines and shuffles at scale today"
+  private val distinct2 = "yet another unrelated string of words forming its own little document entirely"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash est-jaccard: high for near-dups, low for distinct docs") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 32).as("sig"))
+    val a = sigs.select($"doc_id".as("ia"), $"sig".as("sa"))
+    val b = sigs.select($"doc_id".as("ib"), $"sig".as("sb"))
+    val est = a.crossJoin(b).filter($"ia" < $"ib")
+      .select($"ia", $"ib", Dedup.estJaccard($"sa", $"sb", 32).as("est"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, e) => (x, y) -> e }.toMap
+    assert(est((0L, 4L)) == 1.0) // identical
+    assert(est((0L, 1L)) > 0.5) // near-dup
+    assert(est((0L, 2L)) < 0.3) // unrelated
+    assert(est((2L, 3L)) < 0.3)
+  }
+
+  test("minhashPairs surfaces the planted near-dup pair via LSH") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts → distance 0; near-dups close; distinct far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(4L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < 16)
+    assert(ham(sh(0L), sh(2L)) > ham(sh(0L), sh(1L)))
+  }
+
+  test("jaccardVerify computes exact n-gram jaccard on candidate pairs") {
+    val pairs = Seq((0L, 4L), (0L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardVerify(pairs, docs, "text", "doc_id", 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((0L, 4L)) == 1.0)
+    assert(got((0L, 2L)) == 0.0)
+  }
+
+  test("rolling fingerprint: deterministic, content-sensitive") {
+    val fp = docs.select($"doc_id", Fingerprints.rollingFingerprint($"text", 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(4L)) // same content → same fingerprint
+    assert(fp(0L) != fp(2L))
+    // re-evaluation is stable
+    val fp2 = docs.select($"doc_id", Fingerprints.rollingFingerprint($"text", 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp == fp2)
+  }
+}

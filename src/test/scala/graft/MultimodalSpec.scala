@@ -1,0 +1,40 @@
+package graft
+
+import graft.llm.Multimodal
+import graft.llm.Multimodal.{MediaRow, StubCodec}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRow(1L, "image", Array.tabulate(256)(_.toByte), 16, 16, 0, 1),
+    MediaRow(2L, "audio", Array.tabulate(1024)(i => (i * 7).toByte), 0, 0, 16000, 0),
+    MediaRow(3L, "video", Array.tabulate(4096)(i => (i * 3).toByte), 64, 64, 0, 16),
+    MediaRow(4L, "image", Array.emptyByteArray, 0, 0, 0, 0)
+  ).toDS()
+
+  test("feature extraction: fixed dim, deterministic, empty-payload safe") {
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 4)
+    assert(feats.values.forall(_.feature.length == StubCodec.FeatureDim))
+    assert(feats(1L).n_bytes == 256)
+    assert(feats(4L).n_bytes == 0)
+    // deterministic across evaluations
+    val again = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f.checksum).toMap
+    assert(feats.view.mapValues(_.checksum).toMap == again)
+  }
+
+  test("frame sampling: every stride-th fixed-size window") {
+    val frames = Multimodal.sampleFrames(media.filter(_.media_id == 3L), frameBytes = 256, stride = 4)
+      .collect()
+    // 4096 / 256 = 16 frames, stride 4 → frames 0,4,8,12
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 4, 8, 12))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 256))
+  }
+
+  test("modality repartitioning spreads rows across partitions") {
+    val df = Multimodal.repartitionByModality(media.toDF(), partitions = 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 4)
+  }
+}

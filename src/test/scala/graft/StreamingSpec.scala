@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.Web
+import graft.stream.MicroBatch
+
+/** End-to-end micro-batch ingestion (T1–T5): JSONL landing dir → validate/
+  * clean → hive-partitioned parquet + quarantine, via Structured Streaming.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val webSchema = StructType(Seq(
+    StructField("session_id", StringType), StructField("user_id", StringType),
+    StructField("page", StringType), StructField("device_type", StringType),
+    StructField("browser", StringType), StructField("event_type", StringType),
+    StructField("timestamp", DoubleType)))
+
+  test("file-source stream: partitioned append + quarantine, batch/stream parity") {
+    val root = Files.createTempDirectory("stream").toString
+    val in = s"$root/landing"; Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/batch1.jsonl"),
+      """{"session_id":"s-1","user_id":"42","page":"/a","device_type":"m","browser":"C","event_type":"Click","timestamp":1721033100.0}
+        |{"session_id":"s-2","user_id":null,"page":"/b","device_type":"d","browser":"F","event_type":"View","timestamp":1721033100123.0}
+        |{"session_id":null,"user_id":"9","page":"/c","device_type":"d","browser":"F","event_type":"Click","timestamp":1721033100.0}
+        |""".stripMargin)
+    val q = MicroBatch.ingest(
+      spark, in, webSchema, Web.ingest(_), "event_time",
+      s"$root/processed", s"$root/quarantine", s"$root/ckpt")
+    MicroBatch.runToCompletion(q)
+
+    val processed = spark.read.parquet(s"$root/processed")
+    assert(processed.count() == 2)
+    // hive partition layout from event_time (2024-07-15 08:45 UTC)
+    assert(processed.select("year", "month", "day", "hour").distinct().head() ===
+      org.apache.spark.sql.Row(2024, 7, 15, 8))
+    val quarantined = spark.read.json(s"$root/quarantine")
+    assert(quarantined.count() == 1)
+    assert(quarantined.select("reject_reason").as[String].head() == "missing_session_id")
+
+    // T5: re-delivering the same file through a NEW checkpoint (replay)
+    // appends again — at-least-once, as documented in the reference
+    val q2 = MicroBatch.ingest(
+      spark, in, webSchema, Web.ingest(_), "event_time",
+      s"$root/processed", s"$root/quarantine", s"$root/ckpt2")
+    MicroBatch.runToCompletion(q2)
+    assert(spark.read.parquet(s"$root/processed").count() == 4)
+  }
+
+  test("streaming negative-interaction alert fires at the threshold (T6)") {
+    val root = Files.createTempDirectory("alert").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    // 5 negative (rating 1-2) in hour A, 2 in hour B, threshold 5
+    val rows = (1 to 5).map(i => s"""{"customer_id":$i,"rating":1,"ts":"2024-07-15T10:0$i:00.000Z"}""") ++
+      Seq("""{"customer_id":6,"rating":2,"ts":"2024-07-15T11:01:00.000Z"}""",
+        """{"customer_id":7,"rating":1,"ts":"2024-07-15T11:02:00.000Z"}""",
+        """{"customer_id":8,"rating":5,"ts":"2024-07-15T10:30:00.000Z"}""")
+    Files.writeString(Paths.get(s"$in/i.jsonl"), rows.mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("customer_id", IntegerType), StructField("rating", IntegerType),
+      StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema).json(in)
+    val alerts = MicroBatch.negativeAlertStream(src, "ts", "rating", threshold = 5)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; with a single batch
+    // the 10:00 window closes via the max event time (11:02 - 2h watermark
+    // keeps it open) — so check the complete-mode equivalent instead
+    val q2 = MicroBatch.negativeAlertStream(
+      spark.readStream.schema(schema).json(in), "ts", "rating", threshold = 5)
+      .writeStream.outputMode("complete").format("memory").queryName("alerts_all").start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("alerts_all")
+      .select(date_format($"hour_start", "HH").as("h"), $"negative_count")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("10", 5L))) // hour 11 has only 2 → below threshold
+  }
+}

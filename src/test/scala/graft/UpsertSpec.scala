@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.store.Upsert
+
+class UpsertSpec extends SparkSpec with PropertyCheck {
+  import spark.implicits._
+
+  test("J4: replace-on-match replaces matched keys, inserts new ones") {
+    val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val updates = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
+    val got = Upsert.replaceOnMatch(existing, updates, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")))
+  }
+
+  test("property: J4 is idempotent — applying the same update twice = once") {
+    val kv = Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 8), Gen.alphaStr.map(_.take(4))))
+    forAll(kv, kv) { (ex, up) =>
+      val existing = ex.toDF("k", "v").dropDuplicates("k")
+      val updates = up.toDF("k", "v").dropDuplicates("k")
+      val once = Upsert.replaceOnMatch(existing, updates, Seq("k"))
+      val twice = Upsert.replaceOnMatch(once, updates, Seq("k"))
+      assert(once.as[(Int, String)].collect().toSet == twice.as[(Int, String)].collect().toSet)
+    }
+  }
+
+  test("J5: additive merge adds on match, inserts on no-match") {
+    val existing = Seq((1, 10.0), (2, 20.0)).toDF("k", "total")
+    val delta = Seq((2, 5.0), (3, 7.0)).toDF("k", "total")
+    val got = Upsert.additive(existing, delta, Seq("k"), "total")
+      .as[(Int, Double)].collect().toSet
+    assert(got == Set((1, 10.0), (2, 25.0), (3, 7.0)))
+  }
+
+  test("property: J5 ≡ groupBy-sum over concatenated batches (additivity)") {
+    val batchGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(1, 100)))
+    forAll(batchGen, batchGen) { (b1, b2) =>
+      def kpi(b: List[(Int, Int)]) =
+        b.toDF("k", "v").groupBy("k").agg(sum($"v".cast("double")).as("total"))
+      val merged = Upsert.additive(kpi(b1), kpi(b2), Seq("k"), "total")
+        .as[(Int, Double)].collect().toMap
+      val direct = kpi(b1 ++ b2).as[(Int, Double)].collect().toMap
+      assert(merged == direct)
+    }
+  }
+
+  test("T5 documented semantics: additive merge double-counts on replay (at-least-once)") {
+    val existing = Seq((1, 10.0)).toDF("k", "total")
+    val delta = Seq((1, 5.0)).toDF("k", "total")
+    val replayed = Upsert.additive(Upsert.additive(existing, delta, Seq("k"), "total"),
+      delta, Seq("k"), "total")
+    // the reference's MERGE has the same at-least-once caveat — replicated, not fixed
+    assert(replayed.as[(Int, Double)].head() == ((1, 20.0)))
+  }
+}

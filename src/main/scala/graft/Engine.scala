@@ -43,5 +43,12 @@ object Engine {
     // Dynamic partition overwrite: lets Upsert rewrite only touched
     // partitions instead of the whole table (J4 emulation at scale).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Small input splits: the test tables are single small parquet files,
+    // which the default 128 MB split turns into one-task scans — CPU-heavy
+    // expression work (hashing, shingling, vector math) then runs on one
+    // core. 4 MB splits parallelize those scans; on a real cluster the
+    // inputs are many files/row-groups and this knob is neutral.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
   }
 }

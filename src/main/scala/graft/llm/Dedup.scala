@@ -23,22 +23,20 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
-
-  /** MinHash signature: H hash functions = xxhash64 with H salts; one pass
-    * per salt over the shingle array (all inside whole-stage codegen).
+  /** Distinct word n-gram shingles (custom one-pass expression; the
+    * composable transform/concat_ws form costs ~2 ms/row).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
-    }: _*)
+  def shingles(text: Column, n: Int): Column =
+    VectorExprs.shingleArray(tokens(text), n)
+
+  /** MinHash signature: H lanes computed in ONE pass over the token array
+    * (custom expression; shingling happens inside — the composable
+    * 32×array_min(transform(…)) form re-evaluates the shingle array per
+    * lane and measured 40× slower, and a transform-built shingle child
+    * would be re-interpreted per row under Generate).
+    */
+  def minhashSignature(tokensCol: Column, shingleN: Int, numHashes: Int): Column =
+    VectorExprs.minhashSig(tokensCol, shingleN, numHashes)
 
   /** Estimated Jaccard from two signatures: fraction of equal components. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -47,9 +45,11 @@ object Dedup {
       lit(0),
       (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
 
-  /** SimHash over token hashes (custom Catalyst expression). */
+  /** SimHash over tokens (custom Catalyst expression; tokens are hashed
+    * inside the expression to keep the interpreted child subtree trivial).
+    */
   def simhash(text: Column): Column =
-    Fingerprints.simhash64(transform(tokens(text), t => xxhash64(t)))
+    Fingerprints.simhash64(tokens(text))
 
   // ---- operators ----------------------------------------------------------
 
@@ -66,39 +66,67 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      minJaccard: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
+      minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = df
-      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+      .select(col(idCol).as("id"),
+        minhashSignature(tokens(col(textCol)), shingleN, numHashes).as("sig"))
+    // candidate generation shuffles only (id, band, bucket) — signatures are
+    // re-attached per unique pair afterwards, so the self-join never moves
+    // the 32-long signature arrays and est-jaccard runs once per pair, not
+    // once per shared band. Band buckets come from one custom-expression
+    // pass (MinHashBands) — composing slice/hash over a signature column
+    // would re-evaluate the signature per band (no CSE for fallback exprs).
+    val bandedAll = df
+      .select(col(idCol).as("id"),
+        posexplode(VectorExprs.minhashBands(tokens(col(textCol)), shingleN, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    // Degenerate-bucket cap: corpora with globally-common min-shingles put
+    // thousands of docs into one (band, bucket), making the self-join
+    // quadratic in that bucket for pure false-positive mass. Oversized
+    // buckets carry no near-dup signal (a true pair still collides in its
+    // other bands), so they are dropped; singleton buckets produce no pairs.
+    val usefulBuckets = bandedAll
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val banded = bandedAll.join(usefulBuckets, Seq("band", "bucket"), "left_semi")
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for the
     * 4×16-bit pigeonhole to be exhaustive).
     */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = 256): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val chunked = hashed.select(
+    val chunkedAll = hashed.select(
       col("id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), (shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))).as("piece"))
       }: _*)).as("cp"))
       .select(col("id"), col("sh"), col("cp.chunk"), col("cp.piece"))
+    // same degenerate-bucket cap as minhashPairs (NB: a dropped chunk
+    // weakens the ≤3-hamming pigeonhole guarantee for pairs whose only
+    // equal chunk was the oversized one — acceptable for near-dup mining,
+    // where giant chunks are vocabulary artifacts, not duplicate signal)
+    val useful = chunkedAll.groupBy(col("chunk"), col("piece"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucket)
+      .select(col("chunk"), col("piece"))
+    val chunked = chunkedAll.join(useful, Seq("chunk", "piece"), "left_semi")
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
@@ -152,8 +180,11 @@ object Dedup {
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // est-jaccard ≥ 0.5 prefilter: for a true J ≥ 0.8 pair the estimate is
+    // Binom(32, J)/32, so P(est < 0.5) ≤ 1e-5 — the exact-verify stage then
+    // sees hundreds of pairs, not the full candidate set
     val candidates = minhashPairs(docs, "text", "doc_id",
-      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.0)
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
       .select(col("id_a"), col("id_b"))
     jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
       .filter(col("jaccard") >= NearDupJaccard)

@@ -70,14 +70,21 @@ case class RollingFingerprint(child: Expression, w: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over an array of token hashes: per bit, sum ±1 across
-  * token hashes and keep the sign. Near-duplicate docs differ in few bits
-  * (compare with hamming distance = bit_count(a ^ b)).
+/** 64-bit SimHash over an array of tokens: per bit, sum ±1 across token
+  * hashes and keep the sign. Near-duplicate docs differ in few bits
+  * (compare with hamming distance = bit_count(a ^ b)). Accepts either an
+  * array<string> (tokens hashed internally with xxh64 — preferred, keeps
+  * the interpreted child subtree trivial) or a precomputed array<long>.
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  // lazy: child.dataType is only resolvable after analysis
+  @transient private lazy val elementIsString =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.StringType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -85,7 +92,12 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
+        val h =
+          if (elementIsString) {
+            val s = arr.getUTF8String(i)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          } else arr.getLong(i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -17,15 +17,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in double
-    * (one zip_with + three aggregates, all codegen'd).
+  /** Cosine similarity between two numeric-array columns, computed in
+    * double in a single pass (custom expression; bit-identical to the
+    * composable aggregate(zip_with(…)) form but ~10× cheaper per pair).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
   /** Brute-force exact top-k neighbors for each query vector. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -23,7 +23,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash est-jaccard: high for near-dups, low for distinct docs") {
     val sigs = docs.select($"doc_id",
-      Dedup.minhashSignature(Dedup.shingles($"text", 3), 32).as("sig"))
+      Dedup.minhashSignature(Dedup.tokens($"text"), 3, 32).as("sig"))
     val a = sigs.select($"doc_id".as("ia"), $"sig".as("sa"))
     val b = sigs.select($"doc_id".as("ib"), $"sig".as("sb"))
     val est = a.crossJoin(b).filter($"ia" < $"ib")

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Analytics, Pos, Web}
+
+/** Prints formatted physical plans for representative queries so the scan
+  * pushdown / pruning / join strategy can be audited (run manually).
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("audit", "local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      df.explain("formatted")
+    }
+
+    show("web_engagement")(Web.engagement(spark, dir))
+    show("pos_sales_kpi")(Pos.salesKpi(spark, dir))
+    show("sales_by_nation")(Analytics.salesByNation(spark, dir))
+    show("top_customers")(Analytics.topCustomers(spark, dir))
+
+    // timing repeats to separate plan cost from variance
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    (1 to 3).foreach { i =>
+      time(s"top_customers#$i")(Analytics.topCustomers(spark, dir).count())
+      time(s"sales_by_nation#$i")(Analytics.salesByNation(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

@@ -33,4 +33,20 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** events filtered to [startDate, endDateInclusive] BEFORE the ns→µs
+    * conversion: the predicate lands on the raw bigint column, so it pushes
+    * into the parquet scan (a filter over the converted timestamp cannot).
+    * On lake-written tables the same role is played by partition pruning
+    * over the year/month/day/hour layout.
+    */
+  def eventsInRange(spark: SparkSession, sfDir: String,
+                    startDate: String, endDateInclusive: String): DataFrame = {
+    def nanos(d: String): Long =
+      java.time.LocalDate.parse(d).toEpochDay * 86400L * 1000000000L
+    read(spark, sfDir, "events")
+      .filter(col("ts") >= nanos(startDate) &&
+        col("ts") < nanos(java.time.LocalDate.parse(endDateInclusive).plusDays(1).toString))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -46,10 +46,12 @@ object Web {
   private val RangeEnd = "2024-01-20"
   private val LoyaltySplit = "2024-01-15"
 
-  /** script.sql:1-17 — engagement metrics per session (A1-A5, E12, P11, O1). */
+  /** script.sql:1-17 — engagement metrics per session (A1-A5, E12, P11, O1).
+    * The date-range predicate (P11) is applied as a raw-epoch range before
+    * the ns→µs conversion so it pushes into the parquet scan.
+    */
   def engagement(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(to_date(col("ts")).between(lit(RangeStart), lit(RangeEnd)))
+    Tables.eventsInRange(spark, dir, RangeStart, RangeEnd)
       .groupBy(col("user_id"))
       .agg(
         unix_micros(min(col("ts"))).as("session_start_us"),

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.store.{Lake, Upsert}
+import graft.pipeline.Pos
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("K2: date-partitioned write produces hive layout") {
+    val root = Files.createTempDirectory("lake").toString
+    val df = Seq((1, "2024-07-15"), (2, "2024-07-16"))
+      .toDF("id", "d").withColumn("d", to_date($"d"))
+    Lake.writeDatePartitioned(df, "d", s"$root/t")
+    val dirs = new java.io.File(s"$root/t").listFiles().map(_.getName).filter(_.startsWith("d="))
+    assert(dirs.toSet == Set("d=2024-07-15", "d=2024-07-16"))
+    assert(spark.read.parquet(s"$root/t").count() == 2)
+  }
+
+  test("J4 at rest: atomicOverwrite swaps the table in place") {
+    val root = Files.createTempDirectory("lake").toString
+    val dest = s"$root/state"
+    Lake.atomicOverwrite(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dest)
+    assert(spark.read.parquet(dest).count() == 2)
+    val merged = Upsert.replaceOnMatch(
+      spark.read.parquet(dest), Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k"))
+    Lake.atomicOverwrite(spark, merged, dest)
+    val got = spark.read.parquet(dest).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b2"), (3, "c")))
+    assert(!Files.exists(Paths.get(dest + ".staging")))
+    assert(!Files.exists(Paths.get(dest + ".old")))
+  }
+
+  test("K10/E15: archive moves files into date dirs parsed from filename") {
+    val root = Files.createTempDirectory("lake").toString
+    val f1 = s"$root/pos_20240715_120000.csv"
+    val f2 = s"$root/not_a_pos_file.txt"
+    Files.writeString(Paths.get(f1), "x")
+    Files.writeString(Paths.get(f2), "y")
+    val moved = Lake.archiveByFilenameDate(Seq(f1, f2), s"$root/archive")
+    assert(moved == Seq(s"$root/archive/2024-07-15/pos_20240715_120000.csv"))
+    assert(!Files.exists(Paths.get(f1)))
+    assert(Files.exists(Paths.get(f2))) // non-matching files left alone
+  }
+
+  test("K8: validation summary JSON drives the downstream branch") {
+    val root = Files.createTempDirectory("lake").toString
+    val summary = Seq((2L, 1L)).toDF("processed_files", "quarantined_files")
+    Lake.writeSummary(summary, s"$root/summary")
+    val back = spark.read.json(s"$root/summary")
+    assert(back.select("processed_files").as[Long].head() == 2L)
+  }
+
+  test("POS batch end-to-end through zones: csv -> validate -> transform -> KPI merge -> archive") {
+    val root = Files.createTempDirectory("pos_e2e").toString
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    Files.writeString(Paths.get(s"$landing/pos_20240715_120000.csv"),
+      "transaction_id,store_id,product_id,quantity,revenue,discount_applied,timestamp\n" +
+        "T1,101,2001,2,50.5,0.1,1721033100.0\nT2,102,2001,3,75.0,,1721033200.0\n")
+    // validate (P4/P7 record-level gate on the file)
+    val raw = Pos.readCsv(spark, landing)
+    val required = Seq("transaction_id", "store_id", "product_id", "quantity", "revenue", "timestamp")
+    val nullViolations = raw.select(
+      required.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*).head()
+    assert((0 until nullViolations.length).forall(i => nullViolations.getLong(i) == 0L))
+    // transform + KPI
+    val (curated, kpi) = Pos.transform(raw)
+    Lake.writeDatePartitioned(curated, "date", s"$root/curated")
+    Lake.atomicOverwrite(spark, kpi, s"$root/kpi")
+    // next-day batch merges additively
+    val kpi2 = kpi.withColumn("total_sales", lit(10.0))
+    val merged = Upsert.additive(spark.read.parquet(s"$root/kpi"), kpi2,
+      Seq("product_id", "date"), "total_sales")
+    Lake.atomicOverwrite(spark, merged, s"$root/kpi")
+    val total = spark.read.parquet(s"$root/kpi").select("total_sales").as[Double].head()
+    assert(math.abs(total - 135.5) < 1e-9) // 125.5 + 10
+    // archive
+    val moved = Lake.archiveByFilenameDate(
+      Seq(s"$landing/pos_20240715_120000.csv"), s"$root/archive")
+    assert(moved.size == 1 && Files.exists(Paths.get(moved.head)))
+  }
+}

@@ -22,16 +22,10 @@ import graft.validate.{Rule, Validators}
   */
 object Inventory {
 
-  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.types.StructType
 
   /** Ref inventory_validate.py:33-41 — declared JSONL schema. */
-  val inventorySchema: StructType = StructType(Seq(
-    StructField("inventory_id", IntegerType, nullable = false),
-    StructField("product_id", IntegerType, nullable = false),
-    StructField("warehouse_id", IntegerType, nullable = false),
-    StructField("stock_level", IntegerType, nullable = false),
-    StructField("restock_threshold", IntegerType, nullable = true),
-    StructField("last_updated", DoubleType, nullable = false)))
+  val inventorySchema: StructType = graft.schema.Schemas.inventory
 
   /** P8 — business rules (ref inventory_validate.py:255-276). `now` is a
     * parameter, not a wall-clock read, so validation is replayable.

@@ -20,17 +20,10 @@ import graft.store.Upsert
   */
 object Pos {
 
-  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.types.StructType
 
   /** Ref transfom_pos.py:30-38 — declared CSV schema (never inferred). */
-  val posSchema: StructType = StructType(Seq(
-    StructField("transaction_id", StringType, nullable = false),
-    StructField("store_id", IntegerType, nullable = false),
-    StructField("product_id", IntegerType, nullable = false),
-    StructField("quantity", IntegerType, nullable = false),
-    StructField("revenue", FloatType, nullable = false),
-    StructField("discount_applied", FloatType, nullable = true),
-    StructField("timestamp", DoubleType, nullable = false)))
+  val posSchema: StructType = graft.schema.Schemas.pos
 
   /** Ref transform (transfom_pos.py:112-129): epoch→ts+date, dedup, KPI. */
   def transform(raw: DataFrame): (DataFrame, DataFrame) = {
@@ -47,6 +40,9 @@ object Pos {
   /** Ref CSV read (transfom_pos.py:40-47). */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(posSchema).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(posSchema).option("header", "true").csv(paths: _*)
 
   // ---- registered queries over the synthetic tables -----------------------
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.{Orchestrate, Pos, SqlSurface, Web}
+
+/** The spark.sql surface returns exactly what the DataFrame API returns. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map(_.toSeq).toSeq
+  }
+
+  test("SQL engagement ≡ DataFrame engagement") {
+    assert(rows(SqlSurface.engagement(spark, dir)) == rows(Web.engagement(spark, dir)))
+  }
+
+  test("SQL sessions ≡ DataFrame sessions") {
+    assert(rows(SqlSurface.sessions(spark, dir)) == rows(Web.sessions(spark, dir)))
+  }
+
+  test("SQL sales KPI ≡ DataFrame sales KPI") {
+    assert(rows(SqlSurface.salesKpi(spark, dir)) == rows(Pos.salesKpi(spark, dir)))
+  }
+
+  test("typed Dataset surface round-trips the record types") {
+    import spark.implicits._
+    import graft.schema.Records._
+    val ds = Seq(
+      PosTransaction("T1", 1, 2, 3, 9.5f, Some(0.1f), 1721033100.0),
+      PosTransaction("T2", 1, 2, 1, 2.5f, None, 1721033200.0)).toDS()
+    assert(ds.filter(_.discount_applied.isEmpty).count() == 1)
+    assert(ds.map(_.revenue).collect().sum == 12.0f)
+  }
+}
+
+/** Step-function-style orchestration as plain control flow (§3.1). */
+class OrchestrateSpec extends SparkSpec {
+  import java.nio.file.{Files, Paths}
+
+  test("POS run: validate → choice → transform → merge → archive, with notify") {
+    val root = Files.createTempDirectory("orch").toString
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    Files.writeString(Paths.get(s"$landing/pos_20240715_120000.csv"),
+      "transaction_id,store_id,product_id,quantity,revenue,discount_applied,timestamp\n" +
+        "T1,101,2001,2,50.5,0.1,1721033100.0\n")
+    Files.writeString(Paths.get(s"$landing/pos_20240716_120000.csv"),
+      "transaction_id,store_id,product_id,quantity,revenue,discount_applied,timestamp\n" +
+        ",101,2001,2,50.5,0.1,1721033100.0\n") // null transaction_id → file quarantined
+    var notes = List.empty[String]
+    val report = Orchestrate.runPosBatch(spark, landing, s"$root/lake", n => notes ::= n)
+    assert(report.processedFiles == 1 && report.quarantinedFiles == 1 && report.transformed)
+    assert(spark.read.parquet(s"$root/lake/kpi").count() == 1)
+    assert(Files.exists(Paths.get(s"$root/lake/archive/2024-07-15/pos_20240715_120000.csv")))
+    assert(Files.exists(Paths.get(s"$root/lake/rejected/2024-07-16/pos_20240716_120000.csv")))
+    // second run: empty landing → choice short-circuits with a notification
+    val report2 = Orchestrate.runPosBatch(spark, landing, s"$root/lake", n => notes ::= n)
+    assert(!report2.transformed && notes.contains("no input files"))
+  }
+
+  test("withRetry: retries then succeeds; exhausts then throws") {
+    var n = 0
+    val got = Orchestrate.withRetry(attempts = 3, baseDelayMs = 1) { n += 1; if (n < 3) sys.error("boom"); 42 }
+    assert(got == 42 && n == 3)
+    intercept[RuntimeException] {
+      Orchestrate.withRetry(attempts = 2, baseDelayMs = 1) { sys.error("always") }
+    }
+  }
+}

@@ -103,6 +103,24 @@ object Crm {
           col("ts") < to_timestamp(lit(WindowEnd)) && rating.between(1, 2))
       .agg(count(lit(1)).as("negative_count"))
 
+  /** The hourly alerting lambda as a function (ref alerting_lambda.py:
+    * 24,47-57,96-109): count negative interactions in [windowStart,
+    * windowStart+1h) over a processed table; at/above threshold → alert
+    * message for the notification sink (K7).
+    */
+  def evaluateAlert(
+      processed: DataFrame, tsCol: String, ratingCol: String,
+      windowStart: java.time.Instant, threshold: Int = 10): Option[String] = {
+    val start = java.sql.Timestamp.from(windowStart)
+    val end = java.sql.Timestamp.from(windowStart.plusSeconds(3600))
+    val n = processed
+      .filter(col(tsCol) >= lit(start) && col(tsCol) < lit(end) && col(ratingCol).between(1, 2))
+      .count()
+    if (n >= threshold)
+      Some(s"ALERT: $n negative interactions in hour starting $windowStart (threshold $threshold)")
+    else None
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crm_clean" -> (clean _),
     "crm_dlq" -> (dlq _),

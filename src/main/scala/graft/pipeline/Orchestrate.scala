@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.store.{Lake, Upsert}
 import graft.validate.Validators
 
+// (Inventory/Pos provide the per-pipeline transforms; this module owns the
+// control flow between them.)
+
 /** The reference's Step-Function orchestration (SURVEY.md §3.1: validate →
   * Choice on processed_files > 0 → transform → merge → notify/archive, with
   * Retry/Catch) collapsed into ordinary control flow around Spark actions.
@@ -91,6 +94,55 @@ object Orchestrate {
       RunReport(valid.size, quarantined.size, transformed = true, None)
     } catch {
       case NonFatal(e) => // Catch state → SNS fail (ASL :183-191)
+        notify(s"transformation_error: ${e.getMessage}")
+        RunReport(0, 0, transformed = false, Some(e.getMessage))
+    }
+  }
+
+  /** Inventory batch run (SURVEY.md §2 P8/J2/J4; ref inventory ASL):
+    * whole-file business-rule gate → latest-per-key dedup → replace-on-match
+    * upsert into the state table → archive. `nowEpoch` is injected so the
+    * not-too-future rule is replayable.
+    */
+  def runInventoryBatch(
+      spark: SparkSession,
+      landingDir: String,
+      lakeRoot: String,
+      nowEpoch: Double,
+      notify: String => Unit = _ => ()): RunReport = {
+    try {
+      val files = Option(new java.io.File(landingDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".jsonl")).map(_.getPath).toSeq
+      if (files.isEmpty) { notify("no input files"); return RunReport(0, 0, transformed = false, None) }
+      val (valid, quarantined) = files.partition { f =>
+        val df = spark.read.schema(graft.schema.Schemas.inventory).json(f)
+        Validators.missingColumns(df, Seq("inventory_id", "product_id", "warehouse_id", "stock_level", "last_updated")).isEmpty &&
+          Inventory.fileIsValid(df, nowEpoch)
+      }
+      quarantined.foreach { f =>
+        val target = java.nio.file.Paths.get(
+          Lake.zone(lakeRoot, Lake.Zones.Rejected), java.nio.file.Paths.get(f).getFileName.toString)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
+      }
+      if (valid.isEmpty) { notify("all files quarantined"); return RunReport(0, quarantined.size, transformed = false, None) }
+      val raw = spark.read.schema(graft.schema.Schemas.inventory).json(valid: _*)
+      val deduped = Inventory.latestPerKey(raw, "inventory_id", Seq("last_updated"))
+      val statePath = s"$lakeRoot/inventory_state"
+      val merged =
+        if (new java.io.File(statePath).exists())
+          Upsert.replaceOnMatch(spark.read.parquet(statePath), deduped, Seq("inventory_id"))
+        else deduped
+      withRetry() { Lake.atomicOverwrite(spark, merged, statePath) }
+      valid.foreach { f =>
+        val target = java.nio.file.Paths.get(
+          Lake.zone(lakeRoot, Lake.Zones.Archive), java.nio.file.Paths.get(f).getFileName.toString)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
+      }
+      RunReport(valid.size, quarantined.size, transformed = true, None)
+    } catch {
+      case NonFatal(e) =>
         notify(s"transformation_error: ${e.getMessage}")
         RunReport(0, 0, transformed = false, Some(e.getMessage))
     }

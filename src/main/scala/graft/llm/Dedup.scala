@@ -192,13 +192,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fuzzy-exact dedup: canonicalize (lowercase, trim, collapse whitespace)
+    * before content-hashing — the standard first pass of an LLM data
+    * pipeline, catching formatting-only duplicates.
+    */
+  def normalizedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .groupBy(sha2(norm, 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_normalized" -> (normalizedQuery _),
     "llm_dedup_exact" -> (exactQuery _),
     "llm_dedup_minhash" -> (minhashQuery _),
     "llm_dedup_simhash" -> (simhashQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _))
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_normalized" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

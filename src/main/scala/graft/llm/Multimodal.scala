@@ -120,7 +120,29 @@ object Multimodal {
         sha2(col("text").cast("binary"), 256).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** The full media pipeline shape over real data: documents.text cast to
+    * a binary payload, routed through repartitionByModality and the
+    * per-partition stub codec (mapPartitions) — the exact plumbing a real
+    * decoder plugs into. Deterministic, so verify/bench can run it.
+    */
+  def stubFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("text").as("modality"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"), lit(0).as("n_frames"))
+    val partitioned = repartitionByModality(media, 8)
+    extractFeatures(partitioned.as[MediaRow])
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_stub_features" -> (stubFeatures _),
     "mm_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(

@@ -102,7 +102,29 @@ object TextAnalysis {
         Fingerprints.rollingFingerprint(lower(trim(col("text"))), 16).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Token-length histogram: docs bucketed by token count (curation view). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((floor(tokenCount(col("text")) / 16) * 16).cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket_lo"))
+
+  /** Exact token-length quantiles (percentile is exact-interpolated, so it
+    * reproduces DuckDB's quantile_cont bit-for-bit on the same input).
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokenCount(col("text")).cast("double").as("n"))
+      .agg(
+        expr("percentile(n, 0.25)").as("p25"),
+        expr("percentile(n, 0.5)").as("p50"),
+        expr("percentile(n, 0.75)").as("p75"),
+        expr("percentile(n, 0.95)").as("p95"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_length_histogram" -> (lengthHistogram _),
+    "llm_length_quantiles" -> (lengthQuantiles _),
     "llm_text_tokens" -> (tokens _),
     "llm_text_quality" -> (quality _),
     "llm_text_langid" -> (langid _),
@@ -111,6 +133,17 @@ object TextAnalysis {
   private val stopEn = "\\b(the|and|is|of|to)\\b"
 
   val oracles: Map[String, String] = Map(
+    "llm_length_histogram" ->
+      """SELECT CAST(FLOOR(len(regexp_split_to_array(trim(text), '\s+')) / 16) * 16 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_length_quantiles" ->
+      """SELECT
+        |  quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.75) AS p75,
+        |  quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.95) AS p95
+        |FROM documents""".stripMargin,
     "llm_text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars_text,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

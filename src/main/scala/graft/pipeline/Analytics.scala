@@ -67,13 +67,39 @@ object Analytics {
     Validators.fileSummary(Tables.events(spark, dir), rules)
   }
 
+  /** ROLLUP aggregate (beyond the reference's flat GROUP BYs): order spend
+    * by nation × year with subtotal and grand-total rows.
+    */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("yr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_rollup" -> (salesRollup _),
     "sales_by_nation" -> (salesByNation _),
     "top_customers" -> (topCustomers _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "val_events_summary" -> (eventsSummary _))
 
   val oracles: Map[String, String] = Map(
+    "sales_rollup" ->
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))
+        |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
     "sales_by_nation" ->
       """SELECT n.n_name AS nation,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,

@@ -134,7 +134,30 @@ object Web {
       .orderBy(col("value").desc, col("event_id"))
       .limit(10)
 
+  /** True event-time sessionization (beyond the reference, which groups by
+    * a pre-existing session key — SURVEY.md §2.8 note): a new session
+    * starts after a 30-minute inactivity gap. One window shuffle per user.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(byTime)))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_sessionize" -> (sessionize _),
     "web_engagement" -> (engagement _),
     "web_sessions" -> (sessions _),
     "web_loyalty" -> (loyalty _),
@@ -143,6 +166,22 @@ object Web {
     "web_top_events" -> (topEvents _))
 
   val oracles: Map[String, String] = Map(
+    "web_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |y AS (
+        |  SELECT user_id, tsx,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  epoch_us(MIN(tsx)) AS session_start_us, epoch_us(MAX(tsx)) AS session_end_us
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "web_engagement" ->
       s"""SELECT user_id,
          |  epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS session_start_us,

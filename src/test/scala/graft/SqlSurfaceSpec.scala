@@ -35,6 +35,30 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 }
 
+/** Event-time sessionization gap semantics. */
+class SessionizeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("a gap of exactly 30min does NOT split; 30min+1us does") {
+    val base = 1704067200000000L // 2024-01-01T00:00Z in micros
+    val gap = 30L * 60 * 1000000
+    val rows = Seq(
+      (0L, 7L, base),
+      (1L, 7L, base + gap), // exactly 30min later → same session
+      (2L, 7L, base + 2 * gap + 1), // 30min + 1us after previous → new session
+      (3L, 8L, base)) // other user → own session
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    rows.toDF("event_id", "user_id", "us")
+      .select($"event_id", ($"us" * 1000).as("ts"), $"user_id",
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("p").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = pipeline.Web.sessionize(spark, dir)
+      .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}
+
 /** Step-function-style orchestration as plain control flow (§3.1). */
 class OrchestrateSpec extends SparkSpec {
   import java.nio.file.{Files, Paths}

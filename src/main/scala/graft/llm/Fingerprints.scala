@@ -2,16 +2,15 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for document fingerprinting (SURVEY.md §7.5).
   *
-  * Both are deterministic, null-intolerant scalar expressions evaluated
-  * per-row inside the engine (no Scala UDF serialization overhead; the
-  * winnowing loop is a tight primitive loop over the string bytes).
+  * Deterministic scalar expressions with doGenCode (children stay inside
+  * whole-stage codegen; the per-row work is one primitive loop).
   */
 
 /** Winnowing fingerprint (Karp-Rabin rolling hash, window `w`, then the
@@ -19,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Standard winnowing scheme per Schleimer/Wilkerson/Aiken (SIGMOD'03).
   */
 case class RollingFingerprint(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
@@ -27,11 +26,10 @@ case class RollingFingerprint(child: Expression, w: Int)
   private final val Base = 257L
   private final val Mod = (1L << 61) - 1
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def compute(input: UTF8String): Long = {
+    val bytes = input.getBytes
     if (bytes.length == 0) return 0L
     if (bytes.length <= w) return fullHash(bytes)
-    // precompute Base^(w-1) mod Mod
     var pow = 1L
     var i = 1
     while (i < w) { pow = mulMod(pow, Base); i += 1 }
@@ -48,6 +46,14 @@ case class RollingFingerprint(child: Expression, w: Int)
     minH
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("rollingFp", this, classOf[RollingFingerprint].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
   private def fullHash(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
@@ -56,10 +62,9 @@ case class RollingFingerprint(child: Expression, w: Int)
   }
 
   private def mulMod(a: Long, b: Long): Long = {
-    // 61-bit modulus: split multiply to avoid overflow
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
-    // fold 128-bit product mod 2^61-1
+    // fold the 128-bit product mod 2^61-1
     val r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
     if (r >= Mod) r - Mod else r
   }
@@ -74,9 +79,9 @@ case class RollingFingerprint(child: Expression, w: Int)
   * hashes and keep the sign. Near-duplicate docs differ in few bits
   * (compare with hamming distance = bit_count(a ^ b)). Accepts either an
   * array<string> (tokens hashed internally with xxh64 — preferred, keeps
-  * the interpreted child subtree trivial) or a precomputed array<long>.
+  * the child subtree trivial) or a precomputed array<long>.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -86,8 +91,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.StringType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -112,6 +116,14 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -123,7 +135,7 @@ object Fingerprints {
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c), window))
 
-  /** Column API for simhash over an array<long> of token hashes. */
-  def simhash64(tokenHashes: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+  /** Column API for simhash over an array of tokens (or token hashes). */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 }

@@ -2,21 +2,22 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** One-pass vector/signature expressions.
+/** One-pass vector/signature expressions with whole-stage codegen support.
   *
   * Why custom expressions: the composable built-in forms (32 ×
   * array_min(transform(…)) for MinHash, 3 × aggregate(zip_with(…)) for
   * cosine) re-evaluate their array inputs per lane — measured 50-200 s at
-  * sf0.1. And any CodegenFallback expression evaluates its whole child
-  * subtree *interpreted*, so the child must be cheap: these expressions
-  * take a plain token/embedding array (one split per row) and do all
-  * shingling/hashing/accumulation in a single primitive loop.
+  * sf0.1. Each expression here does its work in a single primitive loop
+  * (`compute`), and implements doGenCode so its children (splits, scans)
+  * stay inside whole-stage codegen rather than falling back to interpreted
+  * evaluation (a CodegenFallback expression re-interprets its whole child
+  * subtree per row — measured ~2 ms/row for a transform-built child).
   */
-private object MinHashCore {
+private[llm] object MinHashCore {
   final val Golden = 0x9e3779b97f4a7c15L
 
   def fmix64(x0: Long): Long = {
@@ -71,14 +72,21 @@ private object MinHashCore {
   * `shingleN`-gram shingles of a token array.
   */
 case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      MinHashCore.signature(input.asInstanceOf[ArrayData], shingleN, numHashes))
+  def compute(tokens: ArrayData): ArrayData =
+    new GenericArrayData(MinHashCore.signature(tokens, shingleN, numHashes))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -89,7 +97,7 @@ case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int)
   * one bucket value — all in the same single pass.
   */
 case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes % bands == 0, "bands must divide numHashes")
   private val rows = numHashes / bands
@@ -97,8 +105,8 @@ case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int, bands:
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
-  override def nullSafeEval(input: Any): Any = {
-    val mins = MinHashCore.signature(input.asInstanceOf[ArrayData], shingleN, numHashes)
+  def compute(tokens: ArrayData): ArrayData = {
+    val mins = MinHashCore.signature(tokens, shingleN, numHashes)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -114,6 +122,14 @@ case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int, bands:
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashBands", this, classOf[MinHashBands].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
@@ -121,17 +137,14 @@ case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int, bands:
 /** Distinct word n-gram shingles of a token array, joined with single
   * spaces — string-identical to the SQL form
   * `toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]` over distinct i.
-  * One primitive loop; the transform/concat_ws composition measured ~2 ms
-  * per row (heavy allocation + interpreted fallback under Generate).
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): ArrayData = {
     val nTok = toks.numElements()
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
@@ -151,6 +164,14 @@ case class Shingles(child: Expression, n: Int)
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[Shingles].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
@@ -161,27 +182,35 @@ case class Shingles(child: Expression, n: Int)
   * the DuckDB oracle's list_cosine_similarity over DOUBLE[]).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val elemX = left.dataType.asInstanceOf[ArrayType].elementType
-    val elemY = right.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val elemX = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val elemY = right.dataType.asInstanceOf[ArrayType].elementType
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = num(x, i, elemX)
-      val yi = num(y, i, elemY)
+      val xi = num(a, i, elemX)
+      val yi = num(b, i, elemY)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
 
   private def num(a: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => a.getFloat(i).toDouble

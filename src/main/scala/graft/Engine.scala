@@ -14,11 +14,13 @@ object Engine {
   def session(
       appName: String = "graft",
       master: String = "local[32]",
-      shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+      shufflePartitions: Int = 32,
+      warehouseDir: Option[String] = None): SparkSession = {
+    val builder0 = SparkSession
       .builder()
       .master(master)
       .appName(appName)
+    val spark = warehouseDir.fold(builder0)(d => builder0.config("spark.sql.warehouse.dir", d))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -84,7 +84,21 @@ object Analytics {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
   }
 
+  /** Approximate distinct counts (HLL sketch) next to the exact answer —
+    * the 100 TB substitute for countDistinct when exactness isn't needed.
+    * Rows-only (sketch estimates are engine-specific by design).
+    */
+  def approxUniques(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("props")).as("approx_pages"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_approx_uniques" -> (approxUniques _),
     "sales_rollup" -> (salesRollup _),
     "sales_by_nation" -> (salesByNation _),
     "top_customers" -> (topCustomers _),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.store.Skew
+
+/** Skew salting and bucketed co-located joins (builder brief scale tools). */
+class SkewBucketSpec extends SparkSpec with PropertyCheck {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // hot key: 90% of big side is key 1
+    val big = ((1 to 900).map(i => (1, s"v$i")) ++ (1 to 100).map(i => (i % 7 + 2, s"w$i")))
+      .toDF("k", "payload")
+    val small = (1 to 10).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+      .as[(Int, String, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 8)
+      .select("k", "payload", "dim").as[(Int, String, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("property: salted join ≡ plain join for any factor") {
+    val rows = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 4), Gen.alphaStr.map(_.take(3))))
+    val factors = Gen.chooseNum(1, 6)
+    forAll(rows, factors) { (bigRows, factor) =>
+      val big = bigRows.toDF("k", "payload")
+      val small = (0 to 4).map(i => (i, s"d$i")).toDF("k", "dim")
+      val plain = big.join(small, Seq("k")).collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      val salted = Skew.saltedJoin(big, small, Seq("k"), factor).collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      assert(salted == plain) // multiset equality: no row lost or duplicated
+    }
+  }
+
+  test("keyHistogram surfaces the hot key first") {
+    val df = ((1 to 50).map(_ => Tuple1(7)) ++ (1 to 5).map(Tuple1(_))).toDF("k")
+    val top = Skew.keyHistogram(df, Seq("k"), topN = 1).as[(Int, Long)].head()
+    assert(top == ((7, 50L)))
+  }
+
+  test("approx_count_distinct tracks the exact count within its error bound") {
+    val got = pipeline.Analytics.approxUniques(spark, "/root/testdata/sf0.001")
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.1).toLong),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val n = 1000
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.count() // materialize
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: the join runs with zero shuffle exchanges
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
+    assert(joined.count() > 0)
+  }
+}

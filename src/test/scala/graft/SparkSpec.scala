@@ -10,5 +10,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = Engine.session(
-    appName = "graft-test", master = "local[4]", shufflePartitions = 4)
+    appName = "graft-test", master = "local[4]", shufflePartitions = 4,
+    warehouseDir = Some(
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
 }

@@ -21,11 +21,20 @@ object Bench {
     // JVM/codegen warmup so the first timed query doesn't absorb startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min over `passes` full sweeps: single-shot timings on a shared box
+    // showed ±35% noise plus occasional ~10s external stalls. Sweeps are
+    // interleaved (all queries pass 1, then pass 2) so one stall cannot
+    // cover both measurements of the same query; the min is steady state.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = ordered.map { case (name, _) => name -> sweeps.map(_(name)).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

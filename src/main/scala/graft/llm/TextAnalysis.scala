@@ -122,7 +122,32 @@ object TextAnalysis {
         expr("percentile(n, 0.75)").as("p75"),
         expr("percentile(n, 0.95)").as("p95"))
 
+  /** TF-IDF-style top terms per document. The ranking weight is
+    * tf·(N+1)/(df+1) — the same ordering as smoothed log-idf but computed
+    * with exact integer-derived doubles, so the ranking (and the oracle
+    * compare) is engine-deterministic; ln differs in the last ulp between
+    * libm implementations.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf_top_terms" -> (topTerms _),
     "llm_length_histogram" -> (lengthHistogram _),
     "llm_length_quantiles" -> (lengthQuantiles _),
     "llm_text_tokens" -> (tokens _),
@@ -133,6 +158,22 @@ object TextAnalysis {
   private val stopEn = "\\b(the|and|is|of|to)\\b"
 
   val oracles: Map[String, String] = Map(
+    "llm_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "llm_length_histogram" ->
       """SELECT CAST(FLOOR(len(regexp_split_to_array(trim(text), '\s+')) / 16) * 16 AS BIGINT) AS bucket_lo,
         |  COUNT(*) AS n_docs

@@ -75,4 +75,31 @@ object MicroBatch {
     q.stop()
     q.awaitTermination()
   }
+
+  /** T4 — custom keyed state across micro-batches: a running per-customer
+    * interaction count + negative streak, via mapGroupsWithState (the
+    * engine-managed-state alternative to the storage-level upserts the
+    * reference relies on).
+    */
+  final case class CustomerState(total: Long, negativeStreak: Int)
+  final case class Interaction(customer_id: Int, rating: Option[Int])
+  final case class CustomerUpdate(customer_id: Int, total: Long, negativeStreak: Int)
+
+  def customerRunningState(
+      interactions: org.apache.spark.sql.Dataset[Interaction]): org.apache.spark.sql.Dataset[CustomerUpdate] = {
+    import interactions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    interactions
+      .groupByKey(_.customer_id)
+      .mapGroupsWithState[CustomerState, CustomerUpdate] {
+        (id: Int, rows: Iterator[Interaction], state: GroupState[CustomerState]) =>
+          var s = state.getOption.getOrElse(CustomerState(0L, 0))
+          rows.foreach { r =>
+            val negative = r.rating.exists(_ <= 2)
+            s = CustomerState(s.total + 1, if (negative) s.negativeStreak + 1 else 0)
+          }
+          state.update(s)
+          CustomerUpdate(id, s.total, s.negativeStreak)
+      }
+  }
 }

@@ -49,6 +49,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/processed").count() == 4)
   }
 
+  test("mapGroupsWithState keeps per-customer state across micro-batches (T4)") {
+    import MicroBatch.{CustomerUpdate, Interaction}
+    val root = Files.createTempDirectory("state").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("customer_id", IntegerType), StructField("rating", IntegerType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[Interaction]
+    val q = MicroBatch.customerRunningState(src)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("cust_state").start()
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      """{"customer_id":1,"rating":1}
+        |{"customer_id":1,"rating":2}
+        |{"customer_id":2,"rating":5}""".stripMargin)
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      """{"customer_id":1,"rating":5}
+        |{"customer_id":2,"rating":1}""".stripMargin)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val last = spark.table("cust_state").as[CustomerUpdate].collect()
+      .groupBy(_.customer_id).view.mapValues(_.maxBy(_.total)).toMap
+    // customer 1: 3 interactions, streak reset by the rating-5 batch
+    assert(last(1).total == 3 && last(1).negativeStreak == 0)
+    // customer 2: 2 interactions, currently on a 1-negative streak
+    assert(last(2).total == 2 && last(2).negativeStreak == 1)
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -35,4 +35,26 @@ object Upsert {
     existing.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as(valueCol))
+
+  /** Exactly-once upgrade of the additive merge: the reference's MERGE
+    * double-counts on replay (T5, at-least-once). Tagging each delta with
+    * its batch id and keeping the applied-batch ledger alongside the state
+    * makes replays no-ops — `apply` returns the unchanged state when the
+    * batch was already applied. State layout: (keys..., valueCol) rows plus
+    * a `_applied_batches` single-column ledger DataFrame.
+    */
+  final case class LedgeredState(state: DataFrame, appliedBatches: DataFrame)
+
+  def additiveIdempotent(
+      current: LedgeredState, delta: DataFrame, batchId: String,
+      keys: Seq[String], valueCol: String): LedgeredState = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val already = current.appliedBatches
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (already) current
+    else LedgeredState(
+      additive(current.state, delta, keys, valueCol),
+      current.appliedBatches.unionByName(Seq(batchId).toDF("batch_id")))
+  }
 }

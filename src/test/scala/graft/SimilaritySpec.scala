@@ -41,6 +41,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfFull == brute)
   }
 
+  test("embedding near-dups: identical vectors are always found (same LSH bucket)") {
+    val emb = Seq(
+      (0L, Array(0.3f, -0.2f, 0.9f, 0.1f)),
+      (1L, Array(0.3f, -0.2f, 0.9f, 0.1f)), // exact duplicate of 0
+      (2L, Array(-0.5f, 0.8f, 0.0f, -0.3f)),
+      (3L, Array(0.31f, -0.19f, 0.89f, 0.11f)) // near-dup of 0
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(emb, dim = 4, nbits = 4, minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → identical sign bits → same bucket
+    assert(pairs.contains((0L, 3L)) == pairs.contains((1L, 3L))) // symmetry w.r.t. dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("IVF with partial probing achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 8)

@@ -156,7 +156,24 @@ object Web {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** S3/JSON surface: parse the nested JSON props payload with a declared
+    * schema (from_json — the engine-side form of the reference's per-record
+    * json.loads) and aggregate on the extracted field.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy((floor(col("k") / 10) * 10).cast("int").as("k_decade"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k_decade"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_props_extract" -> (propsExtract _),
     "web_sessionize" -> (sessionize _),
     "web_engagement" -> (engagement _),
     "web_sessions" -> (sessions _),
@@ -166,6 +183,10 @@ object Web {
     "web_top_events" -> (topEvents _))
 
   val oracles: Map[String, String] = Map(
+    "web_props_extract" ->
+      """SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS INTEGER) / 10) * 10 AS INTEGER) AS k_decade,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "web_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,

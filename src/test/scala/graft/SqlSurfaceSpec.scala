@@ -33,6 +33,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ds.filter(_.discount_applied.isEmpty).count() == 1)
     assert(ds.map(_.revenue).collect().sum == 12.0f)
   }
+
+  test("typed Aggregator surface: revenue sum per store via groupByKey") {
+    import spark.implicits._
+    import graft.schema.Records._
+    val ds = Seq(
+      PosTransaction("T1", 1, 2, 3, 10.0f, None, 1.0),
+      PosTransaction("T2", 1, 3, 1, 2.5f, None, 2.0),
+      PosTransaction("T3", 2, 2, 1, 7.0f, None, 3.0)).toDS()
+    val got = ds.groupByKey(_.store_id).agg(RevenueSum.toColumn.name("rev"))
+      .collect().toMap
+    assert(got == Map(1 -> 12.5, 2 -> 7.0))
+  }
+}
+
+/** Typed Aggregator (top-level: must not capture the suite for serialization). */
+object RevenueSum extends org.apache.spark.sql.expressions.Aggregator[
+    graft.schema.Records.PosTransaction, Double, Double] {
+  def zero = 0.0
+  def reduce(acc: Double, t: graft.schema.Records.PosTransaction) = acc + t.revenue
+  def merge(a: Double, b: Double) = a + b
+  def finish(acc: Double) = acc
+  def bufferEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
 
 /** Event-time sessionization gap semantics. */

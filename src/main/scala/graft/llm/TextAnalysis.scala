@@ -146,7 +146,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Language-ID evaluation: confusion counts of labeled vs predicted
+    * language (the eval half of the langid workflow).
+    */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> stopwordHits(col("text"), words)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("pred_lang", langPredict(scores))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_langid_eval" -> (langidEval _),
     "llm_tfidf_top_terms" -> (topTerms _),
     "llm_length_histogram" -> (lengthHistogram _),
     "llm_length_quantiles" -> (lengthQuantiles _),
@@ -157,7 +172,20 @@ object TextAnalysis {
 
   private val stopEn = "\\b(the|and|is|of|to)\\b"
 
+  private val predLangSql =
+    """CASE
+      |    WHEN len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+      |     AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b'))
+      |     AND len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'en'
+      |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b'))
+      |     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'de'
+      |    WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'es'
+      |    ELSE 'fr' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "llm_langid_eval" ->
+      s"""SELECT lang, $predLangSql AS pred_lang, COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

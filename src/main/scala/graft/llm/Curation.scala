@@ -1,14 +1,14 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** End-to-end training-data curation: the llm operators composed into the
-  * pipeline an LLM data team actually runs, with a per-stage attrition
-  * report. Every stage is a DataFrame transform — the whole pipeline is
-  * one lazy plan per stage boundary, nothing quadratic, nothing on the
-  * driver except the stage row counts in the report.
+  * pipeline an LLM data team actually runs. Fully lazy: every document is
+  * annotated with the stage that eliminated it (or "kept") in ONE composed
+  * plan — no eager per-stage counts, no recompute cascade; the attrition
+  * report is a single aggregation over the same plan.
   *
   * Stages: normalize → language allowlist → quality floor → exact dedup
   * (normalized-hash, keep lowest id) → MinHash-LSH near-dup removal
@@ -23,76 +23,75 @@ object Curation {
       minQuality: Double = 0.5,
       nearDupJaccard: Double = 0.8)
 
-  final case class Result(curated: DataFrame, report: DataFrame)
+  val Stages: Seq[String] =
+    Seq("language_filter", "quality_filter", "exact_dedup", "near_dedup", "kept")
 
-  def curate(docs: DataFrame, config: Config = Config()): Result = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    val n0 = docs.count()
-
-    // 1. normalize
-    val normalized = docs.withColumn("norm_text",
-      regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-
-    // 2. language allowlist (stopword-score heuristic)
+  /** Each input doc + `status`: which stage eliminated it, or "kept". */
+  def annotate(docs: DataFrame, config: Config = Config()): DataFrame = {
+    val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val scores = TextAnalysis.langStopwords.map { case (lang, words) =>
       lang -> TextAnalysis.stopwordHits(col("norm_text"), words)
     }
-    val withLang = normalized.withColumn("pred_lang", TextAnalysis.langPredict(scores))
-    val langKept = withLang.filter(col("pred_lang").isin(config.allowedLangs.toSeq: _*))
-    val n1 = langKept.count()
-
-    // 3. quality floor
     val t = TextAnalysis.tokenCount(col("norm_text"))
     val stop = TextAnalysis.stopwordHits(col("norm_text"), TextAnalysis.langStopwords.head._2)
     val awl = length(col("norm_text")) / t
-    val qualKept = langKept
-      .withColumn("quality", TextAnalysis.qualityScore(t, stop, awl))
-      .filter(col("quality") >= config.minQuality)
-    val n2 = qualKept.count()
 
-    // 4. exact dedup on the normalized content hash, keep lowest id
-    val keepIds = qualKept
+    val base = docs
+      .withColumn("norm_text", normText)
+      .withColumn("lang_ok",
+        TextAnalysis.langPredict(scores).isin(config.allowedLangs.toSeq: _*))
+      .withColumn("quality_ok", TextAnalysis.qualityScore(t, stop, awl) >= config.minQuality)
+
+    val survivors = base.filter(col("lang_ok") && col("quality_ok"))
+    // exact dedup: lowest id per normalized-content hash survives
+    val exactKeep = survivors
       .groupBy(sha2(col("norm_text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactKept = qualKept.join(keepIds, "doc_id")
-    val n3 = exactKept.count()
-
-    // 5. near-dup removal: LSH candidates → exact n-gram verify → drop the
-    // higher id of each surviving pair
-    val pairs = Dedup.jaccardVerify(
-        Dedup.minhashPairs(exactKept, "norm_text", "doc_id", minJaccard = 0.5)
+      .select(col("doc_id"), lit(true).as("exact_keep"))
+    // near-dup: LSH candidates over exact survivors → exact verify → drop high ids
+    val exactSurvivors = survivors.join(exactKeep.drop("exact_keep"), "doc_id")
+    val nearDrop = Dedup.jaccardVerify(
+        Dedup.minhashPairs(exactSurvivors, "norm_text", "doc_id", minJaccard = 0.5)
           .select(col("id_a"), col("id_b")),
-        exactKept, "norm_text", "doc_id", n = 3)
+        exactSurvivors, "norm_text", "doc_id", n = 3)
       .filter(col("jaccard") >= config.nearDupJaccard)
-    val dropIds = pairs.select(col("id_b").as("doc_id")).distinct()
-    val curated = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
-      .select(docs.columns.map(col): _*)
-    val n4 = curated.count()
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("near_drop", lit(true))
 
-    val report = Seq(
-      ("input", n0, n0),
-      ("language_filter", n0, n1),
-      ("quality_filter", n1, n2),
-      ("exact_dedup", n2, n3),
-      ("near_dedup", n3, n4))
-      .toDF("stage", "rows_in", "rows_out")
-    Result(curated, report)
+    base
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(!col("lang_ok"), "language_filter")
+          .when(!col("quality_ok"), "quality_filter")
+          .when(col("exact_keep").isNull, "exact_dedup")
+          .when(col("near_drop").isNotNull, "near_dedup")
+          .otherwise("kept"))
+      .drop("norm_text", "lang_ok", "quality_ok", "exact_keep", "near_drop")
   }
+
+  /** The curated corpus (original columns only). */
+  def curate(docs: DataFrame, config: Config = Config()): DataFrame =
+    annotate(docs, config).filter(col("status") === "kept")
+      .select(docs.columns.map(col): _*)
+
+  /** Attrition report: docs eliminated per stage + kept, one aggregation. */
+  def report(docs: DataFrame, config: Config = Config()): DataFrame =
+    annotate(docs, config)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
 
   // ---- registered queries -------------------------------------------------
 
   /** The curated corpus ids (rows-only: the near-dup stage is LSH-based). */
   def curatedQuery(spark: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(spark, dir)).curated
+    curate(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
   /** Per-stage attrition (rows-only; deterministic). */
   def reportQuery(spark: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(spark, dir)).report
+    report(Tables.documents(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_curation" -> (curatedQuery _),

@@ -12,7 +12,7 @@ class CurationSpec extends SparkSpec {
   private val goodNear = good.replace("winding river", "winding ocean") // J ≈ 0.9
   private val junk = "zz qq xx yy ww vv" // no stopwords, tiny → fails quality floor
 
-  test("curation drops near-dups, format-dups and low-quality docs; keeps attrition") {
+  test("curation drops near-dups, format-dups and low-quality docs; attrition per stage") {
     val docs = Seq(
       (0L, good, "en", "s", good.length.toLong),
       (1L, good.toUpperCase, "en", "s", good.length.toLong), // format-dup → exact dedup
@@ -20,22 +20,18 @@ class CurationSpec extends SparkSpec {
       (3L, junk, "en", "s", junk.length.toLong), // quality reject
       (4L, ("der die das und ist immer wieder hier und der hund ist gut und das haus ist alt " * 4).trim, "de", "s", 100L) // language reject
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val res = Curation.curate(docs)
-    val kept = res.curated.select("doc_id").as[Long].collect().toSet
+    val kept = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L))
-    val report = res.report.as[(String, Long, Long)].collect()
-      .map { case (s, i, o) => s -> (i, o) }.toMap
-    assert(report("input") == ((5L, 5L)))
-    assert(report("language_filter") == ((5L, 4L)))
-    assert(report("quality_filter") == ((4L, 3L)))
-    assert(report("exact_dedup") == ((3L, 2L)))
-    assert(report("near_dedup") == ((2L, 1L)))
+    val report = Curation.report(docs).as[(String, Long)].collect().toMap
+    assert(report == Map(
+      "kept" -> 1L, "language_filter" -> 1L, "quality_filter" -> 1L,
+      "exact_dedup" -> 1L, "near_dedup" -> 1L))
   }
 
   test("curation is idempotent: curating the curated corpus is a no-op") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val once = Curation.curate(docs).curated
-    val twice = Curation.curate(once).curated
+    val once = Curation.curate(docs)
+    val twice = Curation.curate(once)
     assert(once.count() == twice.count())
   }
 }

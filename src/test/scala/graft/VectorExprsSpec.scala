@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Fingerprints, VectorExprs}
+
+/** Direct kernel-level checks of the custom Catalyst expressions. */
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash signature: identical token arrays → identical signatures; est ∈ [0,1]") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("id", "text")
+    val sigs = df.select($"id", Dedup.minhashSignature(Dedup.tokens($"text"), 3, 32).as("sig"))
+    val bySig = sigs.as[(Long, Array[Long])].collect().toMap
+    assert(bySig(1L).toSeq == bySig(2L).toSeq)
+    assert(bySig(1L).toSeq != bySig(3L).toSeq)
+    assert(bySig(1L).length == 32)
+  }
+
+  test("minhash signature handles degenerate inputs (fewer tokens than shingle size)") {
+    val df = Seq((1L, "one"), (2L, "one two"), (3L, "")).toDF("id", "text")
+    val got = df.select($"id", Dedup.minhashSignature(Dedup.tokens($"text"), 3, 16).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got.values.forall(_.length == 16))
+    assert(got(1L).toSeq != got(2L).toSeq)
+  }
+
+  test("cosine kernel: self-similarity is 1, works under explode contexts") {
+    val df = Seq((1L, Array(0.5f, 0.5f, 0.1f))).toDF("id", "v")
+    val got = df.select(VectorExprs.cosineSim($"v", $"v")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+    // inside a generated (exploded) projection — the path that used to
+    // fall back to interpreted evaluation
+    val exploded = df
+      .select($"id", explode(array(lit(0), lit(1))).as("copy"), $"v")
+      .select(VectorExprs.cosineSim($"v", $"v").as("sim"))
+      .as[Double].collect()
+    assert(exploded.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("rolling fingerprint edges: empty, shorter-than-window, window-boundary") {
+    val df = Seq((1L, ""), (2L, "short"), (3L, "x" * 16), (4L, "x" * 17)).toDF("id", "t")
+    val got = df.select($"id", Fingerprints.rollingFingerprint($"t", 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L) // empty → 0
+    assert(got(2L) != 0L)
+    // all-equal bytes: every window hash equal, min == full-window hash
+    assert(got(3L) == got(4L))
+  }
+
+  test("shingles expression matches the SQL shingle strings") {
+    val got = Seq(Tuple1("the quick brown fox jumps"))
+      .toDF("text")
+      .select(Dedup.shingles($"text", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("simhash of a permuted token multiset is identical (order-insensitive)") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha")).toDF("id", "t")
+    val got = df.select($"id", Dedup.simhash($"t").as("sh")).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+  }
+}

@@ -93,7 +93,31 @@ object Inventory {
     Validators.fileSummary(Tables.lineitem(spark, dir), rules)
   }
 
+  /** Athena KPI parity (ref README.md:286-289 "turnover, stockouts"):
+    * stockouts = parts whose LATEST quantity is below threshold.
+    */
+  private val StockoutThreshold = 5
+
+  def stockouts(spark: SparkSession, dir: String): DataFrame =
+    latestLineitem(Tables.lineitem(spark, dir))
+      .filter(col("l_quantity") < StockoutThreshold)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("l_quantity"))
+      .orderBy(col("l_partkey"))
+
+  /** Turnover KPI: quantity moved per part per year. */
+  def turnover(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("yr", year(col("l_shipdate")))
+      .groupBy(col("l_partkey"), col("yr"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("qty_moved"),
+        count(lit(1)).as("n_shipments"))
+      .orderBy(col("l_partkey"), col("yr"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inv_stockouts" -> (stockouts _),
+    "inv_turnover" -> (turnover _),
     "inv_dedup_latest" -> (dedupLatest _),
     "inv_upsert_replace" -> (upsertReplace _),
     "inv_duplicate_report" -> (duplicateReport _),
@@ -107,6 +131,17 @@ object Inventory {
        |  FROM lineitem $pred) WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "inv_stockouts" ->
+      s"""WITH latest AS (${latestSql("")})
+         |SELECT l.l_partkey, p.p_name, l.l_quantity
+         |FROM latest l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_quantity < $StockoutThreshold
+         |ORDER BY l.l_partkey""".stripMargin,
+    "inv_turnover" ->
+      """SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_moved,
+        |  COUNT(*) AS n_shipments
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "inv_dedup_latest" ->
       (latestSql("") + "\nORDER BY l_partkey"),
     "inv_upsert_replace" ->

@@ -172,7 +172,26 @@ object Web {
       .orderBy(col("k_decade"))
   }
 
+  /** Funnel conversion: of users who signed up, how many purchased AFTER
+    * their first signup (temporal conditional aggregation).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+      max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+    perUser
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_signup").isNotNull, 1).otherwise(0)).as("n_signed_up"),
+        sum(when(col("first_signup").isNotNull && col("last_purchase") > col("first_signup"), 1)
+          .otherwise(0)).as("n_converted"))
+      .withColumn("conversion_pct",
+        Cleansing.guardedPct(col("n_converted"), col("n_signed_up")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_funnel" -> (funnel _),
     "web_props_extract" -> (propsExtract _),
     "web_sessionize" -> (sessionize _),
     "web_engagement" -> (engagement _),
@@ -183,6 +202,20 @@ object Web {
     "web_top_events" -> (topEvents _))
 
   val oracles: Map[String, String] = Map(
+    "web_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS last_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+        |  CAST(SUM(CASE WHEN first_signup IS NOT NULL AND last_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CASE WHEN CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+        |       THEN 100.0 * CAST(SUM(CASE WHEN first_signup IS NOT NULL AND last_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT)
+        |            / CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |       ELSE 0.0 END AS conversion_pct
+        |FROM per_user""".stripMargin,
     "web_props_extract" ->
       """SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS INTEGER) / 10) * 10 AS INTEGER) AS k_decade,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users

@@ -25,7 +25,7 @@ object Bench {
     // showed ±35% noise plus occasional ~10s external stalls. Sweeps are
     // interleaved (all queries pass 1, then pass 2) so one stall cannot
     // cover both measurements of the same query; the min is steady state.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val sweeps = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>

@@ -97,7 +97,46 @@ object Analytics {
         approx_count_distinct(col("props")).as("approx_pages"))
       .orderBy(col("event_type"))
 
+  /** Four-table broadcast star: revenue by region (region → nation →
+    * supplier → lineitem; completes coverage of every synthetic table).
+    */
+  def salesByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(reg("r_name").as("region"))
+      .agg(
+        Exact.moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("region"))
+  }
+
+  /** J6-style semi/anti joins as first-class queries: customers with and
+    * without any order (EXISTS / NOT EXISTS).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers_with_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_by_region" -> (salesByRegion _),
+    "customers_without_orders" -> (customersWithoutOrders _),
+    "customers_with_orders" -> (customersWithOrders _),
     "stream_approx_uniques" -> (approxUniques _),
     "sales_rollup" -> (salesRollup _),
     "sales_by_nation" -> (salesByNation _),
@@ -106,6 +145,22 @@ object Analytics {
     "val_events_summary" -> (eventsSummary _))
 
   val oracles: Map[String, String] = Map(
+    "sales_by_region" ->
+      """SELECT r.r_name AS region,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "customers_with_orders" ->
+      """SELECT COUNT(*) AS n_customers_with_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "sales_rollup" ->
       """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend

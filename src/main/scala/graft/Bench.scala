@@ -27,18 +27,40 @@ object Bench {
     // cover both measurements of the same query; the min is steady state.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // a sweep records Right(sec) on success, Left(error) on failure — a
+    // query that starts throwing must NOT silently improve the total
     val sweeps = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        name -> r
       }.toMap
     }
-    val results = ordered.map { case (name, _) => name -> sweeps.map(_(name)).min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed = any sweep errored; reported as value -1 plus an errors map,
+    // and excluded from the total (a partial total plus explicit errors is
+    // machine-detectable; a silently shrunken one is not)
+    val results = ordered.map { case (name, _) =>
+      val rs = sweeps.map(_(name))
+      val errs = rs.collect { case Left(e) => e }
+      name -> (if (errs.nonEmpty) Left(errs.head) else Right(rs.collect { case Right(t) => t }.min))
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1", _.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // print FIRST and also persist: the driver reads only the sbt tail, so a
+    // post-run log line can push the JSON out of its window (BENCH_r01's
+    // `parsed` was null for exactly that reason)
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () } // the printed line remains the contract
     spark.stop()
   }
 }

@@ -12,8 +12,8 @@ import graft.Tables
   * computed in one scan with built-in array expressions (codegen'd), LSH
   * candidate generation explodes signatures into (band, bucket) keys and
   * self-joins per bucket — the classic shuffle-bounded near-dup join.
-  * SimHash pairs use 16-bit chunk pigeonholing: hamming distance ≤ 3 over
-  * 64 bits guarantees an identical chunk, so candidates come from 4
+  * SimHash pairs use chunk pigeonholing: hamming distance ≤ chunks-1 over
+  * 64 bits guarantees an identical chunk, so candidates come from `chunks`
   * equi-joins, never a cross join.
   */
 object Dedup {
@@ -106,16 +106,24 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for the
-    * 4×16-bit pigeonhole to be exhaustive).
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Pigeonhole:
+    * with `chunks` equal slices of the 64-bit hash, any pair at hamming
+    * ≤ chunks-1 shares at least one identical chunk, so candidate
+    * generation is `chunks` equi-joins and exhaustive up to that distance.
+    * Default 8×8-bit chunks → exhaustive for maxHamming ≤ 7.
     */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
-                   maxBucket: Int = 256): DataFrame = {
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 7,
+                   maxBucket: Int = 256, chunks: Int = 8): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming <= chunks - 1,
+      s"pigeonhole with $chunks chunks is exhaustive only for hamming <= ${chunks - 1}")
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunkedAll = hashed.select(
       col("id"), col("sh"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), (shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))).as("piece"))
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"), (shiftright(col("sh"), c * bitsPer).bitwiseAND(lit(mask))).as("piece"))
       }: _*)).as("cp"))
       .select(col("id"), col("sh"), col("cp.chunk"), col("cp.piece"))
     // same degenerate-bucket cap as minhashPairs (NB: a dropped chunk
@@ -166,9 +174,12 @@ object Dedup {
       shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.25)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup candidates over documents. */
+  /** SimHash near-dup candidates over documents (8×8-bit pigeonhole →
+    * exhaustive at hamming ≤ 7, so the result is the EXACT ≤-7 pair set,
+    * not a recall-limited sample).
+    */
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir), "text", "doc_id", maxHamming = 8)
+    simhashPairs(Tables.documents(spark, dir), "text", "doc_id", maxHamming = 7)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact 3-gram Jaccard near-dups ≥ 0.8, found the scale-correct way:

@@ -180,6 +180,10 @@ case class Shingles(child: Expression, n: Int)
   * double with the same left-to-right order as the composable
   * aggregate(zip_with(...)) form — results are bit-identical to it (and to
   * the DuckDB oracle's list_cosine_similarity over DOUBLE[]).
+  *
+  * Degenerate inputs are defined, not undefined: a null element counts as
+  * 0.0 (it contributes nothing to dot or norm), and a zero-norm side yields
+  * 0.0 rather than 0/0 = NaN — NaN would poison downstream top-k ordering.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -195,12 +199,13 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = num(a, i, elemX)
-      val yi = num(b, i, elemY)
+      val xi = if (a.isNullAt(i)) 0.0 else num(a, i, elemX)
+      val yi = if (b.isNullAt(i)) 0.0 else num(b, i, elemY)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) > ham(sh(0L), sh(1L)))
   }
 
+  test("simhashPairs (8×8-bit pigeonhole) is exhaustive vs brute force at hamming ≤ 7") {
+    val variants = (0 until 12).map { i =>
+      (i.toLong, base.split(" ").updated(i % 8, s"tok$i").mkString(" "))
+    }
+    val df = (variants :+ (100L, base)).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"pigeonhole missed ${brute.diff(got)} / extra ${got.diff(brute)}")
+    assert(brute.nonEmpty) // the planted single-token edits must yield close pairs
+  }
+
   test("jaccardVerify computes exact n-gram jaccard on candidate pairs") {
     val pairs = Seq((0L, 4L), (0L, 2L)).toDF("id_a", "id_b")
     val got = Dedup.jaccardVerify(pairs, docs, "text", "doc_id", 3)

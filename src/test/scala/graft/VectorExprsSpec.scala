@@ -40,6 +40,17 @@ class VectorExprsSpec extends SparkSpec {
     assert(exploded.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("cosine kernel degenerate inputs: zero norm → 0.0 (not NaN), null elements count as 0") {
+    val zero = Seq((1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+    val gotZero = zero.select(VectorExprs.cosineSim($"a", $"b")).as[Double].head()
+    assert(gotZero == 0.0 && !gotZero.isNaN)
+    val withNull = Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(0.0)), Seq[Option[Double]](Some(1.0), Some(5.0), Some(0.0))))
+      .toDF("id", "a", "b")
+    val gotNull = withNull.select(VectorExprs.cosineSim($"a", $"b")).as[Double].head()
+    // null in a counts as 0 → dot = 1, |a| = 1, |b| = sqrt(26)
+    assert(math.abs(gotNull - 1.0 / math.sqrt(26.0)) < 1e-12)
+  }
+
   test("rolling fingerprint edges: empty, shorter-than-window, window-boundary") {
     val df = Seq((1L, ""), (2L, "short"), (3L, "x" * 16), (4L, "x" * 17)).toDF("id", "t")
     val got = df.select($"id", Fingerprints.rollingFingerprint($"t", 16).as("fp"))

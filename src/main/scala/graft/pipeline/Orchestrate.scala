@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.store.{Lake, Upsert}
-import graft.validate.Validators
+import graft.validate.{Rule, Validators}
 
 // (Inventory/Pos provide the per-pipeline transforms; this module owns the
 // control flow between them.)
@@ -43,6 +43,23 @@ object Orchestrate {
     throw last
   }
 
+  private def baseName(p: String): String =
+    java.nio.file.Paths.get(p).getFileName.toString
+
+  /** One-job file gate: per-file rule verdicts from a single aggregate over
+    * the combined scan, grouped by input filename. Returns the basenames of
+    * violating files. Zero-row files produce no group — and no violations —
+    * so a header-only CSV / empty JSONL is valid-but-empty instead of the
+    * former NPE (null global sum) that aborted the whole batch.
+    */
+  private def violatingFiles(df: DataFrame, rules: Seq[Rule]): Set[String] = {
+    val fileCol = substring_index(input_file_name(), "/", -1)
+    Validators.fileSummaries(df, fileCol, rules)
+      .collect()
+      .filter(row => (2 until row.length).exists(i => row.getLong(i) > 0L))
+      .map(_.getString(0)).toSet
+  }
+
   /** POS batch run (§3.1): file-level validate (whole file quarantined on
     * any violation), Choice on surviving files, transform + KPI additive
     * merge, archive, notify on failure — single-writer, replayable.
@@ -59,23 +76,27 @@ object Orchestrate {
         notify("no input files")
         return RunReport(0, 0, transformed = false, None)
       }
-      // validate per file: required columns present + no nulls in not-null cols
-      val required = Seq("transaction_id", "store_id", "product_id", "quantity", "revenue", "timestamp")
-      val (valid, quarantined) = files.partition { f =>
-        val df = Pos.readCsv(spark, f)
-        Validators.missingColumns(df, required).isEmpty && {
-          val row = df.select(
-            required.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*).head()
-          (0 until row.length).forall(i => row.getLong(i) == 0L)
-        }
+      // Reject un-archivable names at discovery: a processed file that
+      // archiveByFilenameDate cannot move stays in landing and double-counts
+      // through the additive KPI merge on the next run.
+      val (named, badName) = files.partition(Lake.matchesPosName)
+      Lake.moveFiles(badName, Lake.zone(lakeRoot, Lake.Zones.Rejected))
+      if (named.isEmpty) {
+        notify("all files quarantined")
+        return RunReport(0, badName.size, transformed = false, None)
       }
+      // file gate (ONE job over all files): required fields non-null per row
+      val required = Seq("transaction_id", "store_id", "product_id", "quantity", "revenue", "timestamp")
+      val rules = required.map(c => Rule(c, col(c).isNotNull))
+      val bad = violatingFiles(Pos.readCsv(spark, named), rules)
+      val (valid, quarantined) = named.partition(f => !bad(baseName(f)))
       quarantined.foreach { f =>
         Lake.archiveByFilenameDate(Seq(f), Lake.zone(lakeRoot, Lake.Zones.Rejected))
       }
       // Choice state: zero processed files → notify and stop (ASL :63-73)
       if (valid.isEmpty) {
         notify("all files quarantined")
-        return RunReport(0, quarantined.size, transformed = false, None)
+        return RunReport(0, quarantined.size + badName.size, transformed = false, None)
       }
       val raw = Pos.readCsv(spark, valid)
       val (curated, kpi) = Pos.transform(raw)
@@ -91,7 +112,7 @@ object Orchestrate {
       valid.foreach { f =>
         Lake.archiveByFilenameDate(Seq(f), Lake.zone(lakeRoot, Lake.Zones.Archive))
       }
-      RunReport(valid.size, quarantined.size, transformed = true, None)
+      RunReport(valid.size, quarantined.size + badName.size, transformed = true, None)
     } catch {
       case NonFatal(e) => // Catch state → SNS fail (ASL :183-191)
         notify(s"transformation_error: ${e.getMessage}")
@@ -114,11 +135,15 @@ object Orchestrate {
       val files = Option(new java.io.File(landingDir).listFiles())
         .getOrElse(Array.empty).filter(_.getName.endsWith(".jsonl")).map(_.getPath).toSeq
       if (files.isEmpty) { notify("no input files"); return RunReport(0, 0, transformed = false, None) }
-      val (valid, quarantined) = files.partition { f =>
-        val df = spark.read.schema(graft.schema.Schemas.inventory).json(f)
-        Validators.missingColumns(df, Seq("inventory_id", "product_id", "warehouse_id", "stock_level", "last_updated")).isEmpty &&
-          Inventory.fileIsValid(df, nowEpoch)
-      }
+      // One job for all file gates. Required-field rules subsume the old
+      // per-file missingColumns check: a schema'd JSON read always exposes
+      // the declared columns, and a record missing a field surfaces as null.
+      val requiredRules = Seq("inventory_id", "product_id", "warehouse_id", "stock_level", "last_updated")
+        .map(c => Rule(s"missing_$c", col(c).isNotNull))
+      val bad = violatingFiles(
+        spark.read.schema(graft.schema.Schemas.inventory).json(files: _*),
+        Inventory.inventoryRules(nowEpoch) ++ requiredRules)
+      val (valid, quarantined) = files.partition(f => !bad(baseName(f)))
       quarantined.foreach { f =>
         val target = java.nio.file.Paths.get(
           Lake.zone(lakeRoot, Lake.Zones.Rejected), java.nio.file.Paths.get(f).getFileName.toString)

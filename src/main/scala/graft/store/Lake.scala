@@ -86,6 +86,22 @@ object Lake {
     */
   private val PosName = raw".*pos_(\d{4})(\d{2})(\d{2})_\d{6}\.csv".r
 
+  /** Whether a path carries the reference's archivable POS name. Files that
+    * don't match must be rejected at discovery: archiveByFilenameDate skips
+    * them, so a processed-but-unarchived file would be reprocessed next run
+    * and the additive KPI merge would double-count its revenue.
+    */
+  def matchesPosName(path: String): Boolean = PosName.matches(path)
+
+  /** Plain file move into a zone (discovery-time rejection, side areas). */
+  def moveFiles(files: Seq[String], destDir: String): Seq[String] =
+    files.map { f =>
+      val target = Paths.get(destDir, Paths.get(f).getFileName.toString)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(f), target, StandardCopyOption.REPLACE_EXISTING)
+      target.toString
+    }
+
   def archiveByFilenameDate(files: Seq[String], archiveRoot: String): Seq[String] =
     files.flatMap { f =>
       f match {

@@ -40,12 +40,27 @@ object Validators {
 
   /** File-level summary: one row with total count and a violation count per
     * rule (ref inventory_validate.py:238-276 does this with pandas sums).
-    * A file is quarantined iff any violation count > 0.
+    * A file is quarantined iff any violation count > 0. Violation sums are
+    * coalesced to 0: on a zero-row input (header-only CSV, empty JSONL)
+    * sum() is null, and a downstream getLong would NPE.
     */
   def fileSummary(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val aggs = count(lit(1)).as("total_rows") +:
-      rules.map(r => sum(when(!coalesce(r.pass, lit(false)), 1).otherwise(0)).as(s"viol_${r.name}"))
+      rules.map(r =>
+        coalesce(sum(when(!coalesce(r.pass, lit(false)), 1).otherwise(0)), lit(0L)).as(s"viol_${r.name}"))
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-file violation summaries in ONE job: grouping the combined scan by
+    * `fileCol` (derived from input_file_name) yields every file's verdict
+    * from a single aggregate. The reference validates file-by-file (pandas
+    * per object); a driver loop issuing one Spark job per file serializes
+    * at thousands of files, so the batch orchestrators use this instead.
+    */
+  def fileSummaries(df: DataFrame, fileCol: Column, rules: Seq[Rule]): DataFrame = {
+    val aggs = count(lit(1)).as("total_rows") +:
+      rules.map(r => sum(when(!coalesce(r.pass, lit(false)), 1).otherwise(0)).as(s"viol_${r.name}"))
+    df.groupBy(fileCol.as("file")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** P6: file-level required-column presence. Returns missing column names. */

@@ -106,6 +106,25 @@ class OrchestrateSpec extends SparkSpec {
     assert(!report2.transformed && notes.contains("no input files"))
   }
 
+  test("POS run: header-only file is valid-but-empty; bad filename rejected at discovery") {
+    val root = Files.createTempDirectory("orch2").toString
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    val header = "transaction_id,store_id,product_id,quantity,revenue,discount_applied,timestamp\n"
+    Files.writeString(Paths.get(s"$landing/pos_20240715_120000.csv"),
+      header + "T1,101,2001,2,50.5,0.1,1721033100.0\n")
+    Files.writeString(Paths.get(s"$landing/pos_20240716_120000.csv"), header) // zero rows
+    Files.writeString(Paths.get(s"$landing/notes.csv"), header) // un-archivable name
+    val report = Orchestrate.runPosBatch(spark, landing, s"$root/lake")
+    // header-only file: no rows → no violations → processed + archived
+    assert(report.processedFiles == 2 && report.quarantinedFiles == 1 && report.transformed)
+    assert(report.error.isEmpty)
+    assert(Files.exists(Paths.get(s"$root/lake/archive/2024-07-16/pos_20240716_120000.csv")))
+    assert(Files.exists(Paths.get(s"$root/lake/rejected/notes.csv")))
+    // landing fully drained → replay is a no-op, the KPI cannot double-count
+    assert(Option(new java.io.File(landing).listFiles()).getOrElse(Array.empty).isEmpty)
+    assert(spark.read.parquet(s"$root/lake/kpi").count() == 1)
+  }
+
   test("withRetry: retries then succeeds; exhausts then throws") {
     var n = 0
     val got = Orchestrate.withRetry(attempts = 3, baseDelayMs = 1) { n += 1; if (n < 3) sys.error("boom"); 42 }

@@ -59,6 +59,27 @@ object Lake {
   def dlq(failed: DataFrame, dest: String): Unit =
     failed.write.mode(SaveMode.Append).json(dest)
 
+  /** P2 side sink: records bearing undeclared keys, verbatim + the key
+    * names, for schema-evolution review (ref api.py:125-135 routes them to
+    * an `extra_columns` area instead of dropping the keys silently).
+    */
+  def writeExtras(extras: DataFrame, dest: String): Unit =
+    extras.write.mode(SaveMode.Append).json(dest)
+
+  /** K5: keyed producer sink (ref api.py:101-116 / producer.py:121-143 put
+    * records onto Kinesis with a partition key). Kinesis semantics — each
+    * key hashes to exactly one shard, a shard preserves arrival order — map
+    * to: hash the key into `shards` buckets, co-locate each bucket with
+    * repartition, write one hive dir per shard. A keyed consumer reads its
+    * shard directory and sees every record for its keys. Hash-sharding (not
+    * partitionBy(key)) keeps the directory count bounded at scale: millions
+    * of session ids must not become millions of directories.
+    */
+  def writeKeyed(df: DataFrame, keyCol: String, dest: String, shards: Int = 8): Unit =
+    df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(shards)))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode(SaveMode.Append).parquet(dest)
+
   /** K8: validation summary (one small JSON, drives the downstream branch
     * — ref validate.py:107-132).
     */

@@ -72,4 +72,22 @@ object Validators {
     */
   def extraColumns(df: DataFrame, declared: Seq[String]): Seq[String] =
     df.columns.filterNot(declared.contains).toSeq
+
+  /** P2 record routing (ref api.py:125-135): each record of a raw-JSON
+    * column whose object carries keys beyond the declared schema goes to
+    * the extras side output — full record preserved plus the offending key
+    * names (`extra_columns`) — instead of having those keys silently
+    * dropped by the schema'd parse. Conforming records pass through
+    * untouched. Records that aren't JSON objects have no keys to judge;
+    * they stay on the conforming side for the corrupt-record path (S3) to
+    * route. One scan, two filters — no shuffle.
+    */
+  def routeExtras(raw: DataFrame, jsonCol: String, declared: Seq[String]): (DataFrame, DataFrame) = {
+    val extraKeys = array_except(
+      json_object_keys(col(jsonCol)), array(declared.map(lit): _*))
+    val conforming = raw.filter(coalesce(size(extraKeys), lit(0)) <= 0)
+    val extras = raw.filter(coalesce(size(extraKeys), lit(0)) > 0)
+      .withColumn("extra_columns", extraKeys)
+    (conforming, extras)
+  }
 }

@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/processed").count() == 4)
   }
 
+  test("keyed sink: every key confined to one shard dir; bounded layout (K5)") {
+    val root = Files.createTempDirectory("keyed").toString
+    val df = (1 to 200).map(i => (s"session-${i % 37}", i)).toDF("session_id", "seq")
+    graft.store.Lake.writeKeyed(df, "session_id", s"$root/keyed", shards = 4)
+    // hive layout: shard=N dirs only, count bounded by `shards` not by keys
+    val dirs = new java.io.File(s"$root/keyed").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.matches("shard=\\d")) && dirs.length <= 4)
+    // Kinesis contract: a key's records never straddle shards
+    val back = spark.read.parquet(s"$root/keyed")
+    val spread = back.groupBy($"session_id")
+      .agg(countDistinct($"shard").as("n_shards"))
+      .filter($"n_shards" > 1).count()
+    assert(spread == 0)
+    assert(back.count() == 200)
+  }
+
   test("mapGroupsWithState keeps per-customer state across micro-batches (T4)") {
     import MicroBatch.{CustomerUpdate, Interaction}
     val root = Files.createTempDirectory("state").toString

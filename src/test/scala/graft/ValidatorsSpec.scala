@@ -44,4 +44,26 @@ class ValidatorsSpec extends SparkSpec with PropertyCheck {
     assert(Validators.missingColumns(df, Seq("id", "name")) == Seq("name"))
     assert(Validators.extraColumns(df, Seq("id")) == Seq("extra1"))
   }
+
+  test("routeExtras routes records with undeclared keys; conforming rows untouched (P2)") {
+    val raw = Seq(
+      """{"id":1,"name":"a"}""",
+      """{"id":2,"name":"b","surprise":true,"debug":"x"}""",
+      """{"id":3}""",
+      """not json at all""").toDF("payload")
+    val (conforming, extras) = Validators.routeExtras(raw, "payload", Seq("id", "name"))
+    // conforming keeps the raw payload byte-for-byte (incl. the non-JSON row,
+    // which the corrupt-record path owns)
+    assert(conforming.as[String].collect().toSet ==
+      Set("""{"id":1,"name":"a"}""", """{"id":3}""", "not json at all"))
+    val e = extras.select($"payload", $"extra_columns").as[(String, Seq[String])].collect()
+    assert(e.length == 1)
+    assert(e.head._1.contains("\"id\":2") && e.head._2.toSet == Set("surprise", "debug"))
+    // side sink round-trip: extras land in the side area with their key names
+    val dest = java.nio.file.Files.createTempDirectory("extras").toString + "/extra_columns"
+    graft.store.Lake.writeExtras(extras, dest)
+    val back = spark.read.json(dest)
+    assert(back.count() == 1)
+    assert(back.select(explode($"extra_columns")).as[String].collect().toSet == Set("surprise", "debug"))
+  }
 }

@@ -7,13 +7,25 @@ import graft.Tables
 
 /** Similarity search over an embedding column (builder brief): brute-force
   * cosine top-k as the exact baseline, an IVF-partitioned variant as the
-  * scale path, and random-hyperplane LSH bucketing for near-dup detection.
+  * scale path, and banded random-hyperplane LSH for near-dup detection.
   *
   * Scale design: queries are broadcast (small side), so brute force is a
   * broadcast nested-loop whose cost is |queries| × |corpus| dot products
-  * with no shuffle of the corpus. IVF cuts that by nprobe/nlist by routing
-  * each query to its nearest inverted lists; the corpus is partitioned by
-  * centroid id, so a probe touches only those partitions.
+  * with no shuffle of the corpus. IVF cuts that by nprobe/nlist: centroid
+  * assignment is a scan-speed expression against a plan-held centroid
+  * matrix (no explode, no shuffle — see NearestCentroids), so a probe
+  * touches only its lists' partitions.
+  *
+  * Near-dup regimes (load-bearing distinction, measured not guessed):
+  * hyperplane LSH collides a pair at cosine c per bit with
+  * p = 1 - acos(c)/π. At high thresholds (c ≥ 0.9, p ≥ 0.86) banding
+  * reaches oracle-grade recall with subquadratic candidate cost — that is
+  * `embeddingNearDupsLsh`. At low thresholds (c ≈ 0.35, p ≈ 0.61) the
+  * required bands·n²/2^bits candidate work provably exceeds the n²/2
+  * brute-force dot products for any (bits, bands) meeting recall (needs
+  * (2p)^bits > 28 ⇒ bits > 16 ⇒ bands ≳ 5·10⁴) — no dense-vector method
+  * known does better, so the exact blocked baseline `bruteForcePairs` IS
+  * the honest plan there, exactly like bruteForceKnn vs ivfKnn.
   */
 object Similarity {
 
@@ -35,28 +47,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), round(col("sim"), 4).as("sim_r"))
   }
 
-  /** IVF assignment: nearest of `nlist` fixed seed centroids (deterministic
-    * "training": the first nlist vectors serve as centroids — at real scale
-    * swap in k-means centroids; the routing/partitioning plumbing is
-    * identical).
+  /** Collect an IVF centroid set to the driver: the index artifact that
+    * rides along with every assignment/probe, like a broadcast-hash-join
+    * build side (real indexes: ~10⁴ k-means centroids × 64 dims ≈ 5 MB).
+    */
+  def collectCentroids(centroids: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = centroids.select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val ids = rows.map(_.getInt(0))
+    val vecs = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+    }.toArray)
+    (ids, vecs)
+  }
+
+  /** IVF assignment: nearest centroid per corpus vector, at scan speed.
+    * (Replaces a crossJoin+row_number argmax that exploded and shuffled the
+    * corpus ×nlist, embeddings included — quadratic-ish at real nlist.)
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("centroid_id"))
-    corpus.crossJoin(broadcast(cent))
-      .withColumn("cdist", cosine(col("embedding"), col("cent_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val (ids, vecs) = collectCentroids(centroids)
+    corpus.select(
+      col("vec_id"), col("embedding"),
+      element_at(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, 1), 1)
+        .as("centroid_id"))
   }
 
   /** IVF search: probe the `nprobe` nearest inverted lists per query, then
-    * exact cosine within them.
+    * exact cosine within them. Deterministic "training": the first nlist
+    * vectors serve as centroids — at real scale swap in k-means centroids;
+    * the routing/partitioning plumbing is identical.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < nlist)
-    val assigned = ivfAssign(corpus, centroids)
-    val qProbes = ivfProbes(queries, centroids, nprobe)
+    val (ids, vecs) = collectCentroids(corpus.filter(col("vec_id") < nlist))
+    val assigned = corpus.select(
+      col("vec_id"), col("embedding"),
+      element_at(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, 1), 1)
+        .as("centroid_id"))
+    val qProbes = queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, nprobe))
+          .as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     assigned
       .join(broadcast(qProbes), Seq("centroid_id"))
@@ -67,50 +102,73 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn").as("rank"), round(col("sim"), 4).as("sim_r"))
   }
 
-  private def ivfProbes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
-    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cdist", cosine(col("q_emb"), col("cent_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
-  }
-
-  /** Random-hyperplane LSH bucket signature: `nbits` sign bits of dot
-    * products with deterministic pseudo-random hyperplanes (hash-derived,
-    * so executors need no shared RNG state).
+  /** (bitsPerBand, bands) sized to the corpus and threshold: expected
+    * bucket occupancy n/2^bits stays O(16) so no bucket can go quadratic,
+    * and bands drives the worst-case (at-threshold) miss probability below
+    * `targetMiss`: miss = (1 - p^bits)^bands with p = 1 - acos(c)/π.
     */
-  def lshBucket(emb: Column, dim: Int, nbits: Int): Column = {
-    val bits = (0 until nbits).map { b =>
-      // hyperplane component h(b, i) in [-1, 1): derived from xxhash64
-      val d = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast("double") * (pmod(xxhash64(lit(b), i), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(d > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def hyperplaneParams(corpusSize: Long, minCosine: Double, targetMiss: Double = 1e-6): (Int, Int) = {
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val bits = math.max(8, math.ceil(math.log(corpusSize / 16.0) / math.log(2.0)).toInt)
+    val pBand = math.pow(p, bits)
+    val bands = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+    (bits, bands)
   }
 
-  /** Embedding near-duplicate pairs: same LSH bucket, exact cosine ≥ τ. */
-  def embeddingNearDups(corpus: DataFrame, dim: Int, nbits: Int, minCosine: Double): DataFrame = {
-    val bucketed = corpus.select(
-      col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, nbits).as("bucket"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+  /** Embedding near-duplicate pairs, the scale path: banded hyperplane LSH
+    * candidates (capped buckets, ids-only self-join) + exact cosine verify.
+    * Same architecture as Dedup.minhashPairs: the self-join shuffles
+    * (id, band-bucket) pairs, never embeddings; oversized buckets are
+    * dropped before they can go quadratic — a true near-dup pair still
+    * collides in its other (non-degenerate) bands, while an identical-
+    * vector mass (which collides oversized in EVERY band) is upstream
+    * exact-dedup's job: group by a hash of the vector, never a pair join.
+    */
+  def embeddingNearDupsLsh(
+      corpus: DataFrame, bitsPerBand: Int, bands: Int,
+      minCosine: Double, maxBucket: Int = 64): DataFrame = {
+    val embs = corpus.select(col("vec_id"), col("embedding"))
+    val bandedAll = corpus.select(
+      col("vec_id"),
+      explode(VectorExprs.hyperplaneBands(col("embedding"), bitsPerBand, bands)).as("bucket"))
+    val useful = bandedAll.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucket)
+      .select(col("bucket"))
+    val banded = bandedAll.join(useful, Seq("bucket"), "left_semi")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= minCosine)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), round(col("sim"), 4).as("sim_r"))
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Exact all-pairs cosine ≥ τ: the baseline for the sub-LSH threshold
+    * regime (see object doc — at c ≈ 0.35 nothing subquadratic exists).
+    * Blocked broadcast nested loop: one side is broadcast block-wise, the
+    * big side never shuffles; cost is the intrinsic n²/2 dot products
+    * spread across all executors.
+    */
+  def bruteForcePairs(corpus: DataFrame, minCosine: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
   // ---- registered queries -------------------------------------------------
 
   private val NumQueries = 8
   private val K = 5
+  private val NList = 16
+  private val NProbe = 4
 
   /** Brute-force cosine top-k (exact ANN baseline). */
   def knnQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -119,33 +177,91 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN (scale path; recall measured against brute force in tests). */
+  /** IVF ANN (scale path; fully deterministic, so it is oracle-checked
+    * end-to-end: assignment, probing and ranking all reproduce in SQL).
+    */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    ivfKnn(emb, emb.filter(col("vec_id") < NumQueries), nlist = 16, nprobe = 4, k = K)
+    ivfKnn(emb, emb.filter(col("vec_id") < NumQueries), nlist = NList, nprobe = NProbe, k = K)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed embedding near-dups (threshold tuned to the synthetic
-    * embedding distribution, whose max pairwise cosine is ≈ 0.51).
+  /** Near-dup threshold for the synthetic embeddings (no planted dups; max
+    * pairwise cosine ≈ 0.5, i.e. the sub-LSH regime — see object doc).
+    */
+  private val PairTau = 0.35
+
+  /** Exact near-dup pairs at the data's threshold regime (oracle: all-pairs
+    * cosine in DuckDB).
     */
   def nearDupQuery(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDups(Tables.embeddings(spark, dir), dim = 64, nbits = 4, minCosine = 0.35)
+    bruteForcePairs(Tables.embeddings(spark, dir), PairTau)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH threshold: the regime the banded detector is FOR (true vector
+    * near-dups, cosine ≥ 0.95). The synthetic corpus plants none, so the
+    * oracle-checked answer is empty here; recall is proven by the planted-
+    * pair spec (SimilaritySpec) and the miss bound in hyperplaneParams.
+    */
+  private val LshTau = 0.95
+  private val LshBits = 8
+  private val LshBands = 25 // hyperplaneParams(500, 0.95) = (8, 25)
+
+  /** Banded-LSH near-dup pairs (scale path for the high-cosine regime). */
+  def nearDupLshQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLsh(Tables.embeddings(spark, dir),
+      bitsPerBand = LshBits, bands = LshBands, minCosine = LshTau)
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_knn_brute" -> (knnQuery _),
     "llm_ann_ivf" -> (ivfQuery _),
-    "llm_embed_neardup" -> (nearDupQuery _))
+    "llm_embed_neardup" -> (nearDupQuery _),
+    "llm_embed_neardup_lsh" -> (nearDupLshQuery _))
+
+  private def cosSql(a: String, b: String) =
+    s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
 
   val oracles: Map[String, String] = Map(
     "llm_knn_brute" ->
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank,
-         |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim_r
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS INTEGER) AS rank,
+         |  ROUND(${cosSql("q", "c")}, 4) AS sim_r
          |FROM embeddings q, embeddings c
          |WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
          |QUALIFY rank <= $K
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < $NList),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent.centroid_id
+         |  FROM embeddings e, cent
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e", "cent")} DESC, cent.centroid_id) = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_embedding, cent.centroid_id
+         |  FROM embeddings q, cent
+         |  WHERE q.vec_id < $NumQueries
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe)
+         |SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |    ORDER BY list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS INTEGER) AS rank,
+         |  ROUND(list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4) AS sim_r
+         |FROM probes p JOIN assign a USING (centroid_id)
+         |WHERE a.vec_id <> p.query_id
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "llm_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $PairTau
+         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_embed_neardup_lsh" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $LshTau
+         |ORDER BY id_a, id_b""".stripMargin)
 }

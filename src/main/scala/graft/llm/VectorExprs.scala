@@ -229,6 +229,174 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `k` nearest centroid ids for a vector, by cosine descending (ties:
+  * lower centroid id), computed in ONE pass per row against a plan-held
+  * centroid matrix — the IVF assignment/probe kernel.
+  *
+  * Why an expression and not a join: the former crossJoin+row_number form
+  * exploded the corpus ×nlist and then shuffled the expanded rows
+  * (embeddings included) just to pick each row's argmax — a scale-killer at
+  * real nlist. Here centroids ride along like a broadcast-hash-join build
+  * side (an IVF index's centroids are small by construction: 10⁴ × 64
+  * doubles ≈ 5 MB), assignment happens at scan speed, and nothing shuffles.
+  *
+  * Cosine accumulation matches CosineSim (and DuckDB's
+  * list_cosine_similarity over DOUBLE[]) term-for-term, so assignments and
+  * probe sets are oracle-reproducible bit-for-bit.
+  */
+case class NearestCentroids(
+    child: Expression, centroidIds: Array[Int], centroids: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+  require(centroidIds.length == centroids.length, "ids/vectors must align")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val centroidNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def compute(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val sims = new Array[Double](centroids.length)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (emb.isNullAt(i)) 0.0 else num(emb, i)
+      nx += xi * xi
+      i += 1
+    }
+    val normX = math.sqrt(nx)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        val xi = if (emb.isNullAt(i)) 0.0 else num(emb, i)
+        dot += xi * cv(i)
+        i += 1
+      }
+      val denom = normX * centroidNorms(c)
+      sims(c) = if (denom == 0.0) 0.0 else dot / denom
+      c += 1
+    }
+    val kk = math.min(k, centroids.length)
+    val out = new Array[Int](kk)
+    val taken = new Array[Boolean](centroids.length)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      c = 0
+      while (c < centroids.length) {
+        if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(r) = centroidIds(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def num(a: ArrayData, i: Int): Double = elem match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case t => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Banded random-hyperplane LSH buckets: `bands` bucket values, each from
+  * `bitsPerBand` sign bits of dot products with deterministic pseudo-random
+  * hyperplanes (hash-derived — executors need no shared RNG state), all in
+  * one pass: bands × bits × dim multiply-adds per row.
+  *
+  * Banding is what makes hyperplane LSH usable for near-dup detection: a
+  * pair at cosine c collides per bit with p = 1 - acos(c)/π, per band with
+  * p^bits, and is missed by ALL bands with (1-p^bits)^bands — so bands can
+  * drive the miss probability to oracle-grade (≤1e-6) at high thresholds.
+  * (At LOW thresholds — c ≲ 0.5, p ≈ 0.6 — no (bits, bands) choice beats
+  * the brute-force quadratic: candidate cost scales as bands·n²/2^bits
+  * while recall needs bands ≥ 14/p^bits, and (2p)^bits > 28 forces bits
+  * so large that bands explodes. That regime belongs to the exact
+  * baseline; see Similarity.bruteForcePairs.)
+  */
+case class HyperplaneBands(child: Expression, bitsPerBand: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(bitsPerBand >= 1 && bitsPerBand <= 63, "bitsPerBand in [1,63]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  def compute(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val bit = b * bitsPerBand + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = if (emb.isNullAt(i)) 0.0 else num(emb, i)
+          // hyperplane component in [-1, 1): fmix64 of (bit, dim) → uniform
+          val h = MinHashCore.fmix64(bit * MinHashCore.Golden + 0x9e3779b9L * i + 1)
+          dot += xi * ((h >>> 11) * 1.1102230246251565e-16 - 1.0) // h/2^53 * 2 - 1
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      // fold the band index in so (band, bucket) keys never collide across bands
+      out(b) = bucket | (b.toLong << bitsPerBand)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def num(a: ArrayData, i: Int): Double = elem match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case t => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hyperplaneBands", this, classOf[HyperplaneBands].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -246,4 +414,13 @@ object VectorExprs {
   /** Distinct word n-gram shingle strings of a token array. */
   def shingleArray(tokens: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(tokens), n))
+
+  /** The k nearest centroid ids (cosine desc, ties by id) per vector. */
+  def nearestCentroids(emb: Column, centroidIds: Array[Int],
+                       centroids: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(emb), centroidIds, centroids, k))
+
+  /** Banded random-hyperplane LSH bucket values for a vector. */
+  def hyperplaneBands(emb: Column, bitsPerBand: Int, bands: Int): Column =
+    ColumnBridge.column(HyperplaneBands(ColumnBridge.expression(emb), bitsPerBand, bands))
 }

@@ -41,18 +41,64 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfFull == brute)
   }
 
-  test("embedding near-dups: identical vectors are always found (same LSH bucket)") {
+  test("embedding near-dups (banded LSH): identical + planted near-dup found; exact verify filters") {
     val emb = Seq(
       (0L, Array(0.3f, -0.2f, 0.9f, 0.1f)),
       (1L, Array(0.3f, -0.2f, 0.9f, 0.1f)), // exact duplicate of 0
       (2L, Array(-0.5f, 0.8f, 0.0f, -0.3f)),
       (3L, Array(0.31f, -0.19f, 0.89f, 0.11f)) // near-dup of 0
     ).toDF("vec_id", "embedding")
-    val pairs = Similarity.embeddingNearDups(emb, dim = 4, nbits = 4, minCosine = 0.99)
+    val pairs = Similarity.embeddingNearDupsLsh(emb, bitsPerBand = 4, bands = 8, minCosine = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L))) // identical → identical sign bits → same bucket
+    assert(pairs.contains((0L, 1L))) // identical → identical sign bits → every band collides
     assert(pairs.contains((0L, 3L)) == pairs.contains((1L, 3L))) // symmetry w.r.t. dup
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("banded LSH at bucket overflow: planted pair survives, degenerate mass is capped") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val background = (0L until 60L).map(i => (i, unit()))
+    val base = unit()
+    val planted = base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 0.02f else -0.02f) }
+    val w = unit()
+    val mass = (200L until 300L).map(i => (i, w.clone())) // 100 identical copies → oversized buckets
+    val emb = (background ++ Seq((100L, base), (101L, planted)) ++ mass).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupsLsh(emb, bitsPerBand = 8, bands = 25,
+        minCosine = 0.95, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted near-identical pair (cosine ≈ 0.999, miss prob ~1e-24) is found
+    assert(pairs.contains((100L, 101L)), s"planted pair missing from $pairs")
+    // the 100-copy mass exceeds maxBucket in every band → capped out (exact
+    // dedup upstream owns identical-vector masses), and nothing quadratic ran
+    assert(!pairs.exists(p => p._1 >= 200L && p._2 >= 200L))
+    // background random pairs at dim 64 stay far below 0.95 → no false pairs
+    assert(pairs.filter(p => p._1 < 100L && p._2 < 100L).isEmpty)
+  }
+
+  test("hyperplaneParams sizes bits to corpus and bands to the miss target") {
+    val (bits, bands) = Similarity.hyperplaneParams(500, 0.95)
+    assert(bits == 8 && bands == 25)
+    val (bitsBig, bandsBig) = Similarity.hyperplaneParams(1000000000L, 0.95)
+    assert(bitsBig == 26) // E[bucket] ≈ 16 even at 1e9 vectors
+    assert(bandsBig > 0)
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    val miss = math.pow(1.0 - math.pow(p, bitsBig), bandsBig)
+    assert(miss <= 1e-6)
+  }
+
+  test("IVF assignment plan has no shuffle and no corpus explosion") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 8))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected explode in:\n$plan")
+    assert(assigned.count() == emb.count()) // one row per corpus vector, not ×nlist
   }
 
   test("IVF with partial probing achieves reasonable recall vs brute force") {

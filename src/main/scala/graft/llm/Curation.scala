@@ -88,13 +88,17 @@ object Curation {
 
   // ---- registered queries -------------------------------------------------
 
-  /** The curated corpus ids (rows-only: the near-dup stage is LSH-based). */
+  /** The curated corpus ids. Oracle-checked: every stage is ANSI-
+    * expressible, and the LSH near-dup stage agrees with the oracle's
+    * all-pairs form deterministically (at J ≥ 0.8 with est ≥ 0.5 prefilter
+    * the per-pair miss probability is ≤ 1.3e-7 — Dedup.ngramJaccardQuery).
+    */
   def curatedQuery(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** Per-stage attrition (rows-only; deterministic). */
+  /** Per-stage attrition (oracle-checked, same argument). */
   def reportQuery(spark: SparkSession, dir: String): DataFrame =
     report(Tables.documents(spark, dir))
 
@@ -102,5 +106,66 @@ object Curation {
     "llm_curation" -> (curatedQuery _),
     "llm_curation_report" -> (reportQuery _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** The full pipeline in DuckDB SQL: normalize → langid (stopword argmax,
+    * en-first ties) → quality floor → exact dedup per normalized hash →
+    * all-pairs 3-gram Jaccard near-dup drop (higher id) → status CASE with
+    * the same stage precedence as annotate().
+    */
+  private val statusSql =
+    """WITH n AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, lang, n_chars, nt,
+      |    len(regexp_extract_all(nt, '\b(the|and|is|of|to)\b')) AS s_en,
+      |    len(regexp_extract_all(nt, '\b(der|die|das|und|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(nt, '\b(el|los|las|es|y)\b')) AS s_es,
+      |    len(regexp_extract_all(nt, '\b(le|les|des|est|et)\b')) AS s_fr,
+      |    len(regexp_split_to_array(nt, '\s+')) AS t
+      |  FROM n),
+      |flags AS (
+      |  SELECT *,
+      |    (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en' AS lang_ok,
+      |    (0.4 * least(1.0, t / 100.0)
+      |     + 0.3 * least(1.0, s_en * 10.0 / t)
+      |     + 0.3 * (CASE WHEN (length(nt) / t) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) >= 0.5 AS quality_ok
+      |  FROM feat),
+      |exact_keep AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM flags WHERE lang_ok AND quality_ok
+      |  GROUP BY sha256(nt)),
+      |sh AS (
+      |  SELECT f.doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split_regex(f.nt, '\s+')) - 2, 1)),
+      |    i -> string_split_regex(f.nt, '\s+')[i] || ' ' ||
+      |         string_split_regex(f.nt, '\s+')[i+1] || ' ' ||
+      |         string_split_regex(f.nt, '\s+')[i+2])) AS s
+      |  FROM flags f JOIN exact_keep k USING (doc_id)),
+      |near_drop AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      |status AS (
+      |  SELECT f.doc_id, f.lang, f.n_chars,
+      |    CASE WHEN NOT f.lang_ok THEN 'language_filter'
+      |         WHEN NOT f.quality_ok THEN 'quality_filter'
+      |         WHEN k.doc_id IS NULL THEN 'exact_dedup'
+      |         WHEN d.doc_id IS NOT NULL THEN 'near_dedup'
+      |         ELSE 'kept' END AS status
+      |  FROM flags f
+      |  LEFT JOIN exact_keep k USING (doc_id)
+      |  LEFT JOIN near_drop d USING (doc_id))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "llm_curation" ->
+      s"""$statusSql
+         |SELECT doc_id, lang, n_chars FROM status
+         |WHERE status = 'kept' ORDER BY doc_id""".stripMargin,
+    "llm_curation_report" ->
+      s"""$statusSql
+         |SELECT status, COUNT(*) AS n_docs FROM status
+         |GROUP BY status ORDER BY status""".stripMargin)
 }

@@ -168,11 +168,23 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** MinHash-LSH near-dup candidates over documents. */
-  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(spark, dir), "text", "doc_id",
-      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.25)
-      .orderBy(col("id_a"), col("id_b"))
+  /** MinHash-LSH dedup decisions: the docs a near-dup pass drops (greedy,
+    * deterministic: the higher id of each verified pair). LSH candidates at
+    * est ≥ 0.5, exact 3-gram Jaccard verify at ≥ 0.8 — the same bounds that
+    * make the all-pairs DuckDB oracle agree deterministically (miss
+    * probability ≤ 1.3e-7 per pair; argument at ngramJaccardQuery).
+    * The est-ranked candidate view itself stays available via minhashPairs.
+    */
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= NearDupJaccard)
+      .select(col("id_b").as("drop_id")).distinct()
+      .orderBy(col("drop_id"))
+  }
 
   /** SimHash near-dup candidates over documents (8×8-bit pigeonhole →
     * exhaustive at hamming ≤ 7, so the result is the EXACT ≤-7 pair set,
@@ -244,5 +256,17 @@ object Dedup {
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents)
+         |SELECT DISTINCT b.doc_id AS drop_id
+         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
+         |ORDER BY drop_id""".stripMargin)
 }

@@ -40,35 +40,56 @@ object Multimodal {
       feature: Array[Float])
 
   /** STUB decode: a real implementation would decode payload via a native
-    * codec. This deterministic fake hashes fixed-stride byte windows into
-    * a feature vector, so the pipeline shape (binary → Array[Float]) and
-    * the tests are real even though the decode is not.
+    * codec. This deterministic fake derives "decoded" attributes from
+    * SHA-256 digests of fixed-stride byte windows, so the pipeline shape
+    * (binary → Array[Float]) and the tests are real even though the decode
+    * is not — and, being digest-based, the whole stub reproduces in ANSI
+    * SQL, so the end-to-end plumbing is oracle-checked, not just smoked.
     */
   object StubCodec {
     val FeatureDim = 8
 
-    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatureDim)
-      if (payload.isEmpty) return out
-      val stride = math.max(1, payload.length / FeatureDim)
-      var i = 0
-      while (i < FeatureDim) {
-        var h = 1125899906842597L
-        var j = i * stride
-        val end = math.min(payload.length, j + stride)
-        while (j < end) { h = 31 * h + (payload(j) & 0xff); j += 1 }
-        out(i) = ((h % 1000003L).toFloat) / 1000003f
-        i += 1
+    /** Per-partition decoder state — the seam where a real implementation
+      * holds codec/ONNX/ffmpeg handles. MessageDigest is stateful and not
+      * thread-safe, which is exactly why init-per-partition (not per row,
+      * not JVM-shared) is the right shape.
+      */
+    final class Codec {
+      private val md = java.security.MessageDigest.getInstance("SHA-256")
+
+      private def digestHex(payload: Array[Byte], from: Int, len: Int): String = {
+        md.reset()
+        md.update(payload, from, len)
+        md.digest().map(b => f"$b%02x").mkString
       }
-      out
+
+      /** First 15 hex chars (60 bits) of the payload digest, as a long. */
+      def checksum(payload: Array[Byte]): Long =
+        java.lang.Long.parseLong(digestHex(payload, 0, payload.length).substring(0, 15), 16)
+
+      /** Feature i ∈ [0,1): 24 digest bits of the i-th stride window / 2²⁴
+        * (exact in Float — no rounding divergence between engines).
+        */
+      def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+        val out = new Array[Float](FeatureDim)
+        if (payload.isEmpty) return out
+        val stride = math.max(1, payload.length / FeatureDim)
+        var i = 0
+        while (i < FeatureDim) {
+          val from = math.min(i * stride, payload.length)
+          val len = math.min(payload.length - from, stride)
+          out(i) = java.lang.Long.parseLong(digestHex(payload, from, len).substring(0, 6), 16)
+            .toFloat / (1 << 24)
+          i += 1
+        }
+        out
+      }
     }
 
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var j = 0
-      while (j < payload.length) { h = 31 * h + (payload(j) & 0xff); j += 1 }
-      h
-    }
+    // per-call convenience (tests, driver-side checks) — executors use a
+    // per-partition Codec instance
+    def checksum(payload: Array[Byte]): Long = new Codec().checksum(payload)
+    def decodeFeatures(payload: Array[Byte]): Array[Float] = new Codec().decodeFeatures(payload)
   }
 
   /** Batch feature extraction: one codec per partition, records streamed
@@ -78,10 +99,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // codec init happens here, once per partition
+      val codec = new StubCodec.Codec
       rows.map { r =>
         MediaFeatures(
           r.media_id, r.modality, r.payload.length.toLong,
-          StubCodec.checksum(r.payload), StubCodec.decodeFeatures(r.payload))
+          codec.checksum(r.payload), codec.decodeFeatures(r.payload))
       }
     }
   }
@@ -123,7 +145,9 @@ object Multimodal {
   /** The full media pipeline shape over real data: documents.text cast to
     * a binary payload, routed through repartitionByModality and the
     * per-partition stub codec (mapPartitions) — the exact plumbing a real
-    * decoder plugs into. Deterministic, so verify/bench can run it.
+    * decoder plugs into. Digest-based and deterministic, so the DuckDB
+    * oracle checks the mapPartitions path end-to-end (schema, batching,
+    * partitioning) — not just that it ran.
     */
   def stubFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -137,7 +161,7 @@ object Multimodal {
     val partitioned = repartitionByModality(media, 8)
     extractFeatures(partitioned.as[MediaRow])
       .select(col("media_id"), col("n_bytes"), col("checksum"),
-        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+        element_at(col("feature"), 1).cast("double").as("f0"))
       .orderBy(col("media_id"))
   }
 
@@ -148,5 +172,13 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // documents.text is ASCII (asserted in MultimodalSpec), so VARCHAR
+    // substr/sha256 see exactly the payload's bytes
+    "mm_stub_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(CONCAT('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS checksum,
+        |  CAST(CAST(CONCAT('0x', substr(sha256(substr(text, 1, GREATEST(length(text) // 8, 1))), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0 AS f0
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

@@ -69,15 +69,24 @@ object Pos {
       .dropDuplicates()
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** J5 — additive MERGE of two KPI batches (ref transfom_pos.py:140-152). */
+  /** J5 — additive MERGE of two KPI batches (ref transfom_pos.py:140-152).
+    *
+    * Shared-scan form: ONE scan and one wide aggregate keyed by (product,
+    * date, side-flag); the two merge inputs are filters over the same
+    * aggregated subtree, whose shuffle Spark de-duplicates (ReusedExchange)
+    * — instead of two full scans + two aggregations. The sides are
+    * date-disjoint by construction, so the additive re-agg semantics are
+    * byte-identical to merging two independently-built batches.
+    */
   def mergeAdditive(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("sale_date", to_date(col("l_shipdate")))
-    def kpi(df: DataFrame): DataFrame = df
-      .groupBy(col("l_partkey").as("product_id"), col("sale_date"))
+    val sides = li
+      .groupBy(col("l_partkey").as("product_id"), col("sale_date"),
+        (col("sale_date") < lit(MergeSplit)).as("is_existing"))
       .agg(Exact.moneySum(col("l_extendedprice")).as("total_sales"))
-    val existing = kpi(li.filter(col("sale_date") < lit(MergeSplit)))
-    val delta = kpi(li.filter(col("sale_date") >= lit(MergeSplit)))
+    val existing = sides.filter(col("is_existing")).drop("is_existing")
+    val delta = sides.filter(!col("is_existing")).drop("is_existing")
     Upsert.additive(existing, delta, Seq("product_id", "sale_date"), "total_sales")
       .orderBy(col("product_id"), col("sale_date"))
   }

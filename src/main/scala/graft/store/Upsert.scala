@@ -39,22 +39,37 @@ object Upsert {
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with
     * its batch id and keeping the applied-batch ledger alongside the state
-    * makes replays no-ops — `apply` returns the unchanged state when the
-    * batch was already applied. State layout: (keys..., valueCol) rows plus
-    * a `_applied_batches` single-column ledger DataFrame.
+    * makes replays no-ops.
+    *
+    * The ledger is a driver-held manifest (Set of batch ids — one tiny id
+    * per micro-batch, the same cardinality as a streaming commit log),
+    * loaded ONCE next to the state: membership is a Set lookup, where the
+    * former DataFrame ledger cost a filter+count Spark job — a driver
+    * round-trip per micro-batch — at high trigger rates.
     */
-  final case class LedgeredState(state: DataFrame, appliedBatches: DataFrame)
+  final case class LedgeredState(state: DataFrame, appliedBatches: Set[String]) {
+    /** The manifest as a single-column DataFrame, to persist with the state. */
+    def ledger: DataFrame = {
+      val spark = state.sparkSession
+      import spark.implicits._
+      appliedBatches.toSeq.toDF("batch_id")
+    }
+  }
+
+  object LedgeredState {
+    /** Rehydrate from a persisted state + ledger (one collect at startup,
+      * not one per merge).
+      */
+    def load(state: DataFrame, ledger: DataFrame): LedgeredState =
+      LedgeredState(state,
+        ledger.select(col("batch_id")).collect().map(_.getString(0)).toSet)
+  }
 
   def additiveIdempotent(
       current: LedgeredState, delta: DataFrame, batchId: String,
-      keys: Seq[String], valueCol: String): LedgeredState = {
-    val spark = delta.sparkSession
-    import spark.implicits._
-    val already = current.appliedBatches
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (already) current
+      keys: Seq[String], valueCol: String): LedgeredState =
+    if (current.appliedBatches(batchId)) current
     else LedgeredState(
       additive(current.state, delta, keys, valueCol),
-      current.appliedBatches.unionByName(Seq(batchId).toDF("batch_id")))
-  }
+      current.appliedBatches + batchId)
 }

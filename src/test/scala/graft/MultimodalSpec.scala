@@ -24,6 +24,22 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.view.mapValues(_.checksum).toMap == again)
   }
 
+  test("stub codec honors its SQL contract: sha256-prefix values, ASCII corpus") {
+    // sha256("abc") = ba7816bf8f01cfea...; checksum = first 15 hex chars
+    assert(StubCodec.checksum("abc".getBytes("UTF-8")) ==
+      java.lang.Long.parseLong("ba7816bf8f01cfe", 16))
+    // feature 0 of a 1-byte payload: stride 1 → window = whole payload;
+    // sha256("a") = ca978112ca1bbdca... → 0xca9781 / 2^24
+    val f = StubCodec.decodeFeatures("a".getBytes("UTF-8"))
+    assert(f.length == StubCodec.FeatureDim)
+    assert(f(0) == java.lang.Long.parseLong("ca9781", 16).toFloat / (1 << 24))
+    // the oracle equates VARCHAR substr with byte windows — valid iff the
+    // documents corpus is pure ASCII
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(docs.filter(octet_length(col("text").cast("binary")) =!= length(col("text"))).count() == 0)
+  }
+
   test("frame sampling: every stride-th fixed-size window") {
     val frames = Multimodal.sampleFrames(media.filter(_.media_id == 3L), frameBytes = 256, stride = 4)
       .collect()

@@ -47,15 +47,19 @@ class UpsertSpec extends SparkSpec with PropertyCheck {
   }
 
   test("exactly-once variant: ledgered additive merge ignores replayed batches") {
-    val s0 = Upsert.LedgeredState(
-      Seq((1, 10.0)).toDF("k", "total"),
-      spark.emptyDataset[String].toDF("batch_id"))
+    val s0 = Upsert.LedgeredState(Seq((1, 10.0)).toDF("k", "total"), Set.empty)
     val delta = Seq((1, 5.0), (2, 1.0)).toDF("k", "total")
     val s1 = Upsert.additiveIdempotent(s0, delta, "batch-001", Seq("k"), "total")
     val s2 = Upsert.additiveIdempotent(s1, delta, "batch-001", Seq("k"), "total") // replay
     assert(s2.state.as[(Int, Double)].collect().toSet == Set((1, 15.0), (2, 1.0)))
     val s3 = Upsert.additiveIdempotent(s2, delta, "batch-002", Seq("k"), "total") // new batch
     assert(s3.state.as[(Int, Double)].collect().toSet == Set((1, 20.0), (2, 2.0)))
+    // manifest round-trips through its persisted DataFrame form, and a
+    // rehydrated state still rejects the replay
+    val reloaded = Upsert.LedgeredState.load(s3.state, s3.ledger)
+    assert(reloaded.appliedBatches == Set("batch-001", "batch-002"))
+    val s4 = Upsert.additiveIdempotent(reloaded, delta, "batch-002", Seq("k"), "total")
+    assert(s4.state.as[(Int, Double)].collect().toSet == Set((1, 20.0), (2, 2.0)))
   }
 
   test("T5 documented semantics: additive merge double-counts on replay (at-least-once)") {

@@ -51,6 +51,19 @@ object Dedup {
   def simhash(text: Column): Column =
     Fingerprints.simhash64(tokens(text))
 
+  /** SimHash over SQL-reproducible token hashes: the first 60 bits (15 hex
+    * chars — sign-safe as BIGINT in both engines) of each token's SHA-256.
+    * The xxh64 string path above stays the throughput default; this
+    * variant makes the signature an exact cross-engine function, so the
+    * whole pigeonhole pipeline (signature, chunking, bucket cap, pair
+    * join) is DuckDB-oracle-checked end to end. Signature bits 60-63 are
+    * always 0 (every vote is -1), which costs chunk-7 entropy only, not
+    * correctness of the ≤chunks-1 pigeonhole.
+    */
+  def simhashSql(text: Column): Column =
+    Fingerprints.simhash64(transform(tokens(text),
+      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")))
+
   // ---- operators ----------------------------------------------------------
 
   /** Exact dedup: group by content hash, keep the lowest id.
@@ -113,13 +126,14 @@ object Dedup {
     * Default 8×8-bit chunks → exhaustive for maxHamming ≤ 7.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 7,
-                   maxBucket: Int = 256, chunks: Int = 8): DataFrame = {
+                   maxBucket: Int = 256, chunks: Int = 8,
+                   sig: Column => Column = simhash): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     require(maxHamming <= chunks - 1,
       s"pigeonhole with $chunks chunks is exhaustive only for hamming <= ${chunks - 1}")
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val hashed = df.select(col(idCol).as("id"), sig(col(textCol)).as("sh"))
     val chunkedAll = hashed.select(
       col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
@@ -187,11 +201,16 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates over documents (8×8-bit pigeonhole →
-    * exhaustive at hamming ≤ 7, so the result is the EXACT ≤-7 pair set,
-    * not a recall-limited sample).
+    * exhaustive at hamming ≤ 7 up to the degenerate-bucket cap, so the
+    * result is the exact ≤-7 pair set wherever no bucket overflows).
+    * Uses the SQL-reproducible signature: the DuckDB oracle replays the
+    * FULL pipeline — signature bit votes, chunk bucketing, the 256 cap,
+    * in-bucket pairing — so the agreement is by construction at any SF,
+    * not a property of the test corpus.
     */
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir), "text", "doc_id", maxHamming = 7)
+    simhashPairs(Tables.documents(spark, dir), "text", "doc_id", maxHamming = 7,
+      sig = simhashSql)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact 3-gram Jaccard near-dups ≥ 0.8, found the scale-correct way:
@@ -268,5 +287,30 @@ object Dedup {
          |SELECT DISTINCT b.doc_id AS drop_id
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
-         |ORDER BY drop_id""".stripMargin)
+         |ORDER BY drop_id""".stripMargin,
+    // full replica of simhashQuery: sha256-prefix token hashes (60 bits),
+    // per-bit ±1 votes, 8×8-bit chunk buckets, the >1 ∧ ≤256 bucket
+    // filter, in-bucket pairing, hamming ≤ 7 — so Spark and DuckDB agree
+    // by construction at any SF, capped buckets included
+    "llm_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST(CONCAT('0x', substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+        |       FROM toks),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+        |       FROM bits GROUP BY doc_id),
+        |cp AS (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece
+        |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c)),
+        |useful AS (SELECT c, piece FROM cp GROUP BY c, piece
+        |           HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+        |          FROM (SELECT cp.* FROM cp JOIN useful USING (c, piece)) a
+        |          JOIN (SELECT cp.* FROM cp JOIN useful USING (c, piece)) b
+        |            ON a.c = b.c AND a.piece = b.piece AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sha, shb)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin)
 }

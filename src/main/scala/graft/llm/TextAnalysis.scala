@@ -182,7 +182,31 @@ object TextAnalysis {
       |    WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) >= len(regexp_extract_all(lower(text), '\b(le|les|des|est|et)\b')) THEN 'es'
       |    ELSE 'fr' END""".stripMargin
 
+  // 257^k mod 2^61-1 for k=0..15: the power table of RollingFingerprint's
+  // Karp-Rabin hash, embedded as HUGEINT literals so DuckDB replays the
+  // rolling-window minimum bit-for-bit (each window hash is a 16-term
+  // polynomial; terms < 2^69 and their sum < 2^73 fit HUGEINT exactly, so
+  // one final % equals the expression's stepwise modular arithmetic)
+  private val fpPows: String = (0 until 16)
+    .map(k => BigInt(257).modPow(BigInt(k), (BigInt(1) << 61) - 1))
+    .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
+
   val oracles: Map[String, String] = Map(
+    // exact replica of RollingFingerprint(lower(trim(text)), 16): windows
+    // of we = min(len, 16) bytes (ASCII corpus — asserted in
+    // MultimodalSpec — so chars == bytes), hash = sum byte*257^(we-1-j)
+    // mod 2^61-1, fingerprint = min over windows; empty text -> 0
+    "llm_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         |base AS (SELECT doc_id, s, least(greatest(length(s), 1), 16) AS we FROM t),
+         |pos AS (SELECT doc_id, s, we, unnest(range(1, length(s) - we + 2)) AS p
+         |        FROM base WHERE length(s) > 0),
+         |h AS (SELECT doc_id, list_sum(list_transform(range(0, we), j ->
+         |        CAST(ascii(substr(s, CAST(p + j AS INTEGER), 1)) AS HUGEINT) * ($fpPows)[we - j]))
+         |        % 2305843009213693951 AS hh FROM pos),
+         |fp AS (SELECT doc_id, CAST(min(hh) AS BIGINT) AS fingerprint FROM h GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(fp.fingerprint, 0) AS fingerprint
+         |FROM t LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "llm_langid_eval" ->
       s"""SELECT lang, $predLangSql AS pred_lang, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.llm.Similarity
 import graft.pipeline.{Analytics, Pos, Web}
 
 /** Prints formatted physical plans for representative queries so the scan
@@ -21,6 +22,12 @@ object ExplainAudit {
     show("pos_sales_kpi")(Pos.salesKpi(spark, dir))
     show("sales_by_nation")(Analytics.salesByNation(spark, dir))
     show("top_customers")(Analytics.topCustomers(spark, dir))
+    // round-2 reworks: shared-scan merge (expect ReusedExchange, one
+    // lineitem scan), scan-speed IVF assignment (expect no Exchange
+    // between the corpus scan and the centroid argmax)
+    show("pos_merge_additive")(Pos.mergeAdditive(spark, dir))
+    show("llm_ann_ivf")(Similarity.ivfQuery(spark, dir))
+    show("llm_embed_neardup_lsh")(Similarity.nearDupLshQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

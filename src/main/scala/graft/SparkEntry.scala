@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Curation.queries, Curation.oracles))
+      (Curation.queries, Curation.oracles),
+      (Corpus.queries, Corpus.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * curation: reproducible splits, stratified sampling, chunking, and
+  * token-budget sequence packing. (Beyond the reference's surface — the
+  * builder brief's training-pipeline layer; ref has no analogue.)
+  *
+  * Everything here is deterministic by construction — assignment comes
+  * from SHA-256 of the document id plus a versioned salt, never from
+  * `rand()` — so a re-run (or a different engine: see the DuckDB oracles)
+  * reproduces the same split/sample/pack bit-for-bit. That property is
+  * what makes 100 TB experiments comparable: the val set never silently
+  * drifts when the corpus is re-partitioned or the job is re-executed.
+  *
+  * Scale notes: split/sample/chunk are scan-speed column maps (no
+  * shuffle; chunking explodes by at most len/stride). Packing needs a
+  * running token total, which would be a single-partition window if done
+  * over a global order — instead it packs independently inside hash
+  * shards (each shard is a window partition), which is both scale-safe
+  * and how multi-worker training actually consumes packed shards.
+  */
+object Corpus {
+
+  /** 0..999 assignment bucket: first 60 bits of sha256(id || salt) mod
+    * 1000. The salt versions the split — bump it to draw a fresh one.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(sha2(concat(id.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long") % 1000
+
+  /** Reproducible train/val/test split: 90/5/5 by hash bucket. */
+  def splitAssign(docs: DataFrame, idCol: String, salt: String = ":split:v1"): DataFrame =
+    docs.withColumn("bucket", hashBucket(col(idCol), salt))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+
+  /** Stratified sampling: per-stratum keep-rates (permille), applied via
+    * an independent hash draw — e.g. downsample over-represented
+    * languages. Rows of strata absent from `ratesPermille` are dropped.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       ratesPermille: Map[String, Int],
+                       salt: String = ":sample:v1"): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), salt) < rate)
+  }
+
+  /** Overlapping token windows: chunk i covers tokens [i*stride,
+    * i*stride + width); starts every `stride` tokens while inside the
+    * doc, so a doc of n tokens yields 1 + floor((n-1)/stride) chunks.
+    * Explode factor is bounded by len/stride — linear in corpus size.
+    */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+            width: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .withColumn("toks", toks)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((size(col("toks")) - 1) / stride).cast("int"))))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * lit(stride) + 1, lit(width)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("chunk_id") * stride, lit(width))
+          .as("n_chunk_tokens"))
+  }
+
+  /** Token-budget sequence packing: documents are laid head-to-tail in
+    * hash order inside each of `shards` hash shards, and a doc's pack is
+    * the `budget`-token block its first token lands in — the standard
+    * concat-then-cut pretraining layout. The running total is a window
+    * over one shard, never the whole corpus.
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    budget: Int = 2048, shards: Int = 8,
+                    salt: String = ":pack:v1"): DataFrame = {
+    val nTokens = size(split(trim(col(textCol)), "\\s+"))
+    val order = hashBucket(col(idCol), salt) * 1000000 + col(idCol) // unique, deterministic
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"))
+    docs
+      .select(col(idCol), nTokens.as("n_tokens"),
+        (hashBucket(col(idCol), salt + ":shard") % shards).as("shard"),
+        order.as("ord"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("start_tok") / budget).cast("long").as("pack_id"))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  def splitQuery(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def sampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 1000, "de" -> 500, "es" -> 250, "fr" -> 125))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def chunkQuery(spark: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_split" -> (splitQuery _),
+    "llm_sample_stratified" -> (sampleQuery _),
+    "llm_chunks" -> (chunkQuery _),
+    "llm_pack" -> (packQuery _))
+
+  // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
+  // so the string concat matches byte-for-byte)
+  private def bucketSql(salt: String) =
+    s"CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS BIGINT) % 1000"
+
+  val oracles: Map[String, String] = Map(
+    "llm_split" ->
+      s"""SELECT doc_id, ${bucketSql(":split:v1")} AS bucket,
+         |  CASE WHEN ${bucketSql(":split:v1")} < 900 THEN 'train'
+         |       WHEN ${bucketSql(":split:v1")} < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${bucketSql(":sample:v1")} <
+         |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500
+         |            WHEN 'es' THEN 250 WHEN 'fr' THEN 125 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+    "llm_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range((len(toks) - 1) // 48 + 1)) AS INTEGER) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+        |  CAST(least(len(toks) - chunk_id * 48, 64) AS INTEGER) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |    CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':pack:v1:shard'), 1, 15)) AS BIGINT) % 1000 % 8 AS shard,
+         |    ${bucketSql(":pack:v1")} * 1000000 + doc_id AS ord
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord), 0) - n_tokens AS start_tok
+         |  FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
+         |FROM cum ORDER BY doc_id""".stripMargin)
+}

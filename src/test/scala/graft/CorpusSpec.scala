@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 400L).map { i =>
+    (i, (s"w$i " * (1 + (i % 150).toInt)).trim, if (i % 4 == 0) "de" else "en")
+  }.toDF("doc_id", "text", "lang")
+
+  test("hash split: deterministic, exhaustive, disjoint, ~90/5/5") {
+    val s1 = Corpus.splitAssign(docs, "doc_id").select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Corpus.splitAssign(docs, "doc_id").select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)                       // re-run reproduces the split
+    assert(s1.size == 400)                 // exhaustive, one assignment each
+    val bySplit = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 320 && bySplit("train") < 390) // ~360 ± binomial noise
+    // a different salt draws a genuinely different split
+    val v2 = Corpus.splitAssign(docs, "doc_id", ":split:v2")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(v2 != s1)
+  }
+
+  test("stratified sample: per-stratum hash rates, full-rate stratum untouched") {
+    val kept = Corpus.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 1000, "de" -> 250))
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "en") == 300)          // rate 1000‰ keeps all en
+    val de = kept.count(_._2 == "de")
+    assert(de > 8 && de < 45, s"de kept $de of 100 at 250‰") // ~25 ± noise
+    // absent stratum is dropped entirely
+    val none = Corpus.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1000))
+    assert(none.filter($"lang" === "de").count() == 0)
+  }
+
+  test("chunking: count formula, width bound, stride starts, reconstruction") {
+    val d = Seq((7L, (1 to 200).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(d, "text", "doc_id", width = 64, stride = 48)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"chunk_text", $"n_chunk_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(chunks.length == 1 + (200 - 1) / 48)      // 5 chunks
+    chunks.foreach { case (cid, text, n) =>
+      val toks = text.split(" ")
+      assert(toks.length == n && n <= 64)
+      assert(toks.head == s"t${cid * 48 + 1}")        // starts every stride tokens
+    }
+    // every token appears in at least one chunk, in order
+    val covered = chunks.flatMap { case (cid, text, _) =>
+      text.split(" ").zipWithIndex.map { case (t, j) => (cid * 48 + j, t) }
+    }.toMap
+    assert((0 until 200).forall(i => covered(i) == s"t${i + 1}"))
+    // short doc: exactly one chunk, equal to the trimmed text
+    val one = Corpus.chunk(Seq((1L, "a b c")).toDF("doc_id", "text"), "text", "doc_id")
+      .select($"chunk_text").as[String].collect()
+    assert(one.toSeq == Seq("a b c"))
+  }
+
+  test("packing: per-shard running total, budget blocks, deterministic") {
+    val packed = Corpus.packSequences(docs, "text", "doc_id", budget = 512, shards = 4)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(packed.length == 400 && packed.map(_._2).distinct.sorted.toSeq.forall(_ < 4))
+    // recompute the expected layout shard-by-shard from first principles
+    // (window order is (hash-bucket, doc_id); fetch all buckets in one job)
+    val bucket = docs.select($"doc_id",
+        Corpus.hashBucket(col("doc_id"), ":pack:v1").as("b"))
+      .as[(Long, Long)].collect().toMap
+    packed.groupBy(_._2).values.foreach { rows =>
+      val ordered = rows.sortBy(r => bucket(r._1) * 1000000L + r._1)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, packId) =>
+        assert(packId == cum / 512, s"pack mismatch at cum=$cum")
+        cum += n
+      }
+    }
+  }
+}

@@ -79,4 +79,22 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("scale shape: split/sample/chunk plan with zero exchanges; packing never single-partition") {
+    // the scan-speed ops must not shuffle at all
+    Seq(
+      Corpus.splitAssign(docs, "doc_id"),
+      Corpus.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 500)),
+      Corpus.chunk(docs, "text", "doc_id")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    }
+    // packing shuffles by shard (bounded partitions), never into ONE
+    // partition — the failure mode of a global-order window
+    val packPlan = Corpus.packSequences(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("Exchange hashpartitioning"), packPlan)
+    assert(!packPlan.contains("SinglePartition"), s"global window in:\n$packPlan")
+  }
 }

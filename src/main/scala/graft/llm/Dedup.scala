@@ -160,6 +160,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair list — the union-find
+    * pass that turns verified near-dup PAIRS into CLUSTERS, so canonical
+    * selection (keep min id per cluster) is transitive: A~B~C drops B and
+    * C even when A~C was never a candidate.
+    *
+    * Iterative min-label propagation: each round is one shuffle (edge
+    * join + min-agg) and rounds = component diameter — near-dup clusters
+    * are shallow (duplicates of a common source), so this converges in
+    * 2-4 rounds where a Pregel framework would be overkill. The per-round
+    * driver-side convergence check aggregates only changed-label counts
+    * (tiny next to the corpus); `maxIter` bounds pathological chains.
+    * Labels are localCheckpoint'd per round to cut lineage growth.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nbr_label")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.drop("changed")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs (verification stage after
     * LSH; also usable brute-force on a bounded subset as an oracle baseline).
     */
@@ -234,6 +274,25 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup clusters: connected components over the verified near-dup
+    * pair graph (LSH candidates → exact 3-gram J ≥ 0.8 verify), cluster
+    * id = min member id. The same LSH-completeness argument as
+    * ngramJaccardQuery applies edge-wise, so the Spark graph equals the
+    * oracle's all-pairs graph and the components match deterministically.
+    */
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val verified = jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= NearDupJaccard)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(verified)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy-exact dedup: canonicalize (lowercase, trim, collapse whitespace)
     * before content-hashing — the standard first pass of an LLM data
     * pipeline, catching formatting-only duplicates.
@@ -252,7 +311,8 @@ object Dedup {
     "llm_dedup_exact" -> (exactQuery _),
     "llm_dedup_minhash" -> (minhashQuery _),
     "llm_dedup_simhash" -> (simhashQuery _),
-    "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _))
+    "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
+    "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_normalized" ->
@@ -288,6 +348,27 @@ object Dedup {
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY drop_id""".stripMargin,
+    // transitive closure over the all-pairs >=0.8 graph: cluster id = min
+    // reachable id (same shingle CTE as the pair oracles)
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+         |SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     // full replica of simhashQuery: sha256-prefix token hashes (60 bits),
     // per-bit ±1 votes, 8×8-bit chunk buckets, the >1 ∧ ≤256 bucket
     // filter, in-bucket pairing, hamming ≤ 7 — so Spark and DuckDB agree

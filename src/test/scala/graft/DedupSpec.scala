@@ -89,4 +89,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fp == fp2)
   }
+
+  test("connected components: transitive clusters, min-id labels, multi-round chains") {
+    // chain 20-21-22-23-24 needs several propagation rounds; 1-2-3 is a
+    // transitive triangle-free cluster; (10,11) an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (23L, 24L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // maxIter caps propagation: one round labels direct neighbors only
+    val capped = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+      maxIter = 1).as[(Long, Long)].collect().toMap
+    assert(capped(2L) == 1L && capped(4L) == 3L)
+  }
 }

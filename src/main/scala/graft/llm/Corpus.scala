@@ -98,6 +98,39 @@ object Corpus {
         (col("start_tok") / budget).cast("long").as("pack_id"))
   }
 
+  /** Train/test decontamination: flag train-split docs sharing any word
+    * n-gram with a benchmark (here: the corpus's own test split, so the
+    * op composes with splitAssign). Both sides explode to (shingle, id)
+    * and meet in an equi-join — never a cross join; the benchmark side
+    * is a distinct shingle set, tiny next to train, so Spark broadcasts
+    * it. Lowercased shingles match Dedup's (n-gram parity is already
+    * oracle-proven there).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val trainShingles = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    trainShingles
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_ngrams"))
+  }
+
+  /** PII redaction: scrub emails, SSN-shaped and phone-shaped numbers to
+    * typed placeholders. One codegen'd regexp_replace chain — scan-speed,
+    * and the patterns are deliberately POSIX-portable (the DuckDB oracle
+    * runs the identical regexes).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>")
+    regexp_replace(ssn, "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+  }
+
   // ---- registered queries -------------------------------------------------
 
   def splitQuery(spark: SparkSession, dir: String): DataFrame =
@@ -119,16 +152,39 @@ object Corpus {
     packSequences(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Train docs contaminated by the test split (shared 8-grams). */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = splitAssign(Tables.documents(spark, dir), "doc_id")
+    decontaminate(
+      assigned.filter(col("split") === "train"), "doc_id", "text",
+      assigned.filter(col("split") === "test"))
+      .orderBy(col("doc_id"))
+  }
+
+  def redactQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_split" -> (splitQuery _),
     "llm_sample_stratified" -> (sampleQuery _),
     "llm_chunks" -> (chunkQuery _),
-    "llm_pack" -> (packQuery _))
+    "llm_pack" -> (packQuery _),
+    "llm_decontaminate" -> (decontaminateQuery _),
+    "llm_pii_redact" -> (redactQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
   private def bucketSql(salt: String) =
     s"CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS BIGINT) % 1000"
+
+  // 8-gram shingles, same construction the 3-gram dedup oracles proved
+  private val shingle8Sql: String = {
+    val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    val terms = (0 until 8).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - 7, 1)), i -> $terms))"
+  }
 
   val oracles: Map[String, String] = Map(
     "llm_split" ->
@@ -168,5 +224,23 @@ object Corpus {
          |  FROM base)
          |SELECT doc_id, shard, n_tokens,
          |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
-         |FROM cum ORDER BY doc_id""".stripMargin)
+         |FROM cum ORDER BY doc_id""".stripMargin,
+    "llm_decontaminate" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${bucketSql(":split:v1")} < 900 THEN 'train'
+         |         WHEN ${bucketSql(":split:v1")} < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT doc_id, unnest($shingle8Sql) AS shingle FROM sp WHERE split = 'train'),
+         |te AS (SELECT DISTINCT unnest($shingle8Sql) AS shingle FROM sp WHERE split = 'test')
+         |SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared_ngrams
+         |FROM tr JOIN te USING (shingle)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "llm_pii_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -80,6 +80,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: flags exactly the train docs sharing an 8-gram with the benchmark") {
+    val shared = "one two three four five six seven eight nine ten"
+    val train = Seq(
+      (1L, s"prefix words here $shared suffix tail"),        // contains the shared 10-gram
+      (2L, "totally different content with no overlap at all whatsoever in any window"),
+      (3L, shared)                                           // exact benchmark text
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, shared)).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(train, "doc_id", "text", bench)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    // the 10-token benchmark has three distinct 8-grams; both docs embed
+    // the full run, so all three windows match in each
+    assert(got(3L) == 3L && got(1L) == 3L)
+  }
+
+  test("pii redaction: typed placeholders, clean text untouched") {
+    val redacted = Corpus.redactPii(lit(
+      "mail me at jane.doe+x@corp.example.org or call 555-123-4567; ssn 123-45-6789 stays out"))
+    val out = spark.range(1).select(redacted.as("t")).as[String].head()
+    assert(out == "mail me at <EMAIL> or call <PHONE>; ssn <SSN> stays out")
+    val clean = "no personal data in this perfectly ordinary sentence"
+    assert(spark.range(1).select(Corpus.redactPii(lit(clean)).as("t")).as[String].head() == clean)
+  }
+
   test("scale shape: split/sample/chunk plan with zero exchanges; packing never single-partition") {
     // the scan-speed ops must not shuffle at all
     Seq(

@@ -51,18 +51,17 @@ object Dedup {
   def simhash(text: Column): Column =
     Fingerprints.simhash64(tokens(text))
 
-  /** SimHash over SQL-reproducible token hashes: the first 60 bits (15 hex
-    * chars — sign-safe as BIGINT in both engines) of each token's SHA-256.
-    * The xxh64 string path above stays the throughput default; this
-    * variant makes the signature an exact cross-engine function, so the
-    * whole pigeonhole pipeline (signature, chunking, bucket cap, pair
-    * join) is DuckDB-oracle-checked end to end. Signature bits 60-63 are
-    * always 0 (every vote is -1), which costs chunk-7 entropy only, not
+  /** SimHash over SQL-reproducible token hashes: each token hashed with
+    * the base-257 mod-2^61-1 polynomial inside the expression's primitive
+    * loop (~xxh64-class throughput, unlike a sha-per-token detour). This
+    * makes the signature an exact cross-engine function, so the whole
+    * pigeonhole pipeline (signature, chunking, bucket cap, pair join) is
+    * DuckDB-oracle-checked end to end. Signature bits 61-63 are always 0
+    * (every vote is -1), which costs chunk-7 entropy only, not
     * correctness of the ≤chunks-1 pigeonhole.
     */
   def simhashSql(text: Column): Column =
-    Fingerprints.simhash64(transform(tokens(text),
-      t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")))
+    Fingerprints.simhash64(tokens(text), poly = true)
 
   // ---- operators ----------------------------------------------------------
 
@@ -369,18 +368,26 @@ object Dedup {
          |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
          |SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
-    // full replica of simhashQuery: sha256-prefix token hashes (60 bits),
-    // per-bit ±1 votes, 8×8-bit chunk buckets, the >1 ∧ ≤256 bucket
-    // filter, in-bucket pairing, hamming ≤ 7 — so Spark and DuckDB agree
-    // by construction at any SF, capped buckets included
+    // full replica of simhashQuery: poly-mod-2^61-1 token hashes (the
+    // list_reduce in HUGEINT replays Mod61.polyHash exactly), per-bit ±1
+    // votes, 8×8-bit chunk buckets, the >1 ∧ ≤256 bucket filter,
+    // in-bucket pairing, hamming ≤ 7 — so Spark and DuckDB agree by
+    // construction at any SF, capped buckets included
     "llm_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
-        |th AS (SELECT doc_id, CAST(CONCAT('0x', substr(sha256(tok), 1, 15)) AS BIGINT) AS h
-        |       FROM toks),
+        |th0 AS (SELECT doc_id,
+        |         CASE WHEN length(tok) = 0 THEN CAST(0 AS HUGEINT) ELSE
+        |           list_reduce(list_transform(range(length(tok)),
+        |             i -> CAST(ascii(substr(tok, CAST(i + 1 AS INTEGER), 1)) AS HUGEINT)),
+        |             (acc, c) -> (acc * 257 + c) % 2305843009213693951) END AS h0
+        |        FROM toks),
+        |th1 AS (SELECT doc_id, (h0 * h0 + 2177342782468422681) % 2305843009213693951 AS h1 FROM th0),
+        |th2 AS (SELECT doc_id, (h1 * h1 + 194409311614856021) % 2305843009213693951 AS h2 FROM th1),
+        |th AS (SELECT doc_id, CAST((h2 * h2 + 1609587929392839161) % 2305843009213693951 AS BIGINT) AS h FROM th2),
         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        |         FROM th CROSS JOIN (SELECT unnest(range(61)) AS b) GROUP BY doc_id, b),
         |sh AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
         |       FROM bits GROUP BY doc_id),
         |cp AS (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece

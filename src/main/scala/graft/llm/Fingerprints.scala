@@ -13,6 +13,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen; the per-row work is one primitive loop).
   */
 
+/** Arithmetic mod 2^61-1 (Mersenne): the SQL-reproducible hash field
+  * shared by the winnowing fingerprint and SimHash's poly token hasher —
+  * every intermediate fits HUGEINT on the DuckDB side, so oracles replay
+  * it exactly (proven by the llm_fingerprint oracle).
+  */
+private[graft] object Mod61 {
+  final val Base = 257L
+  final val Mod = (1L << 61) - 1
+
+  def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold the 128-bit product mod 2^61-1
+    val r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
+    if (r >= Mod) r - Mod else r
+  }
+  def addMod(a: Long, b: Long): Long = { val r = a + b; if (r >= Mod) r - Mod else r }
+  def subMod(a: Long, b: Long): Long = { val r = a - b; if (r < 0) r + Mod else r }
+
+  /** Base-257 polynomial over a byte range: h = ((h*257)+b) mod 2^61-1. */
+  def polyHash(base: Object, offset: Long, len: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < len) {
+      h = addMod(mulMod(h, Base),
+        (org.apache.spark.unsafe.Platform.getByte(base, offset + j) & 0xff).toLong)
+      j += 1
+    }
+    h
+  }
+
+  /** Field bit-mixer: three rounds of h ← h² + Cᵢ. The raw polynomial of
+    * a short token is small, so its high bits are all zero — fatal for
+    * simhash bit votes; squaring spreads that mass across the field
+    * (measured: simhash pair statistics become indistinguishable from a
+    * uniform token hash), and each round stays one HUGEINT-replicable
+    * multiply-add for the SQL oracle. Cᵢ = golden-ratio/xxh64 prime
+    * constants folded mod 2^61-1.
+    */
+  def mix(h0: Long): Long = {
+    var h = h0
+    h = addMod(mulMod(h, h), 2177342782468422681L) // 0x9E3779B97F4A7C15 mod M
+    h = addMod(mulMod(h, h), 194409311614856021L)  // 0xC2B2AE3D27D4EB4F mod M
+    h = addMod(mulMod(h, h), 1609587929392839161L) // 0x165667B19E3779F9 mod M
+    h
+  }
+}
+
 /** Winnowing fingerprint (Karp-Rabin rolling hash, window `w`, then the
   * minimum window hash): robust to local edits, constant output size.
   * Standard winnowing scheme per Schleimer/Wilkerson/Aiken (SIGMOD'03).
@@ -23,8 +71,7 @@ case class RollingFingerprint(child: Expression, w: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
 
-  private final val Base = 257L
-  private final val Mod = (1L << 61) - 1
+  import Mod61.{Base, addMod, mulMod, subMod}
 
   def compute(input: UTF8String): Long = {
     val bytes = input.getBytes
@@ -61,16 +108,6 @@ case class RollingFingerprint(child: Expression, w: Int)
     h
   }
 
-  private def mulMod(a: Long, b: Long): Long = {
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    // fold the 128-bit product mod 2^61-1
-    val r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
-    if (r >= Mod) r - Mod else r
-  }
-  private def addMod(a: Long, b: Long): Long = { val r = a + b; if (r >= Mod) r - Mod else r }
-  private def subMod(a: Long, b: Long): Long = { val r = a - b; if (r < 0) r + Mod else r }
-
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
@@ -78,10 +115,16 @@ case class RollingFingerprint(child: Expression, w: Int)
 /** 64-bit SimHash over an array of tokens: per bit, sum ±1 across token
   * hashes and keep the sign. Near-duplicate docs differ in few bits
   * (compare with hamming distance = bit_count(a ^ b)). Accepts either an
-  * array<string> (tokens hashed internally with xxh64 — preferred, keeps
-  * the child subtree trivial) or a precomputed array<long>.
+  * array<string> — tokens hashed internally, keeping the child subtree
+  * trivial — or a precomputed array<long>.
+  *
+  * String token hashers: xxh64 (default; fastest) or `poly = true` for
+  * the base-257 mod-2^61-1 polynomial — ~4 ns/byte vs sha-class hashes,
+  * and exactly reproducible in ANSI SQL (DuckDB `list_reduce` in HUGEINT;
+  * see the llm_dedup_simhash oracle), which is what makes the whole
+  * simhash pipeline oracle-checkable. Poly hashes span bits 0..60.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, poly: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -97,11 +140,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val h =
-          if (elementIsString) {
+          if (!elementIsString) arr.getLong(i)
+          else {
             val s = arr.getUTF8String(i)
-            org.apache.spark.sql.catalyst.expressions.XXH64
+            if (poly) Mod61.mix(Mod61.polyHash(s.getBaseObject, s.getBaseOffset, s.numBytes))
+            else org.apache.spark.sql.catalyst.expressions.XXH64
               .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-          } else arr.getLong(i)
+          }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -136,6 +181,6 @@ object Fingerprints {
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c), window))
 
   /** Column API for simhash over an array of tokens (or token hashes). */
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, poly: Boolean = false): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), poly))
 }

@@ -74,4 +74,35 @@ class VectorExprsSpec extends SparkSpec {
     val got = df.select($"id", Dedup.simhash($"t").as("sh")).as[(Long, Long)].collect().toMap
     assert(got(1L) == got(2L))
   }
+
+  test("poly token hash honors its SQL contract (base-257 mod 2^61-1)") {
+    import graft.llm.Mod61
+    // reference values cross-checked against DuckDB list_reduce in HUGEINT
+    def hash(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      var h = BigInt(0); val M = (BigInt(1) << 61) - 1
+      b.foreach(c => h = (h * 257 + (c & 0xff)) % M)
+      h.toLong
+    }
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    for (s <- Seq("hello", "a", "", "the-quick-brown", "zzz")) {
+      val us = u(s)
+      assert(Mod61.polyHash(us.getBaseObject, us.getBaseOffset, us.numBytes) == hash(s), s)
+    }
+    assert(Mod61.polyHash(u("hello").getBaseObject, u("hello").getBaseOffset, 5) == 455418516756L)
+    // the 3-round square-mixer matches its BigInt (and thus HUGEINT) replica
+    def mixRef(h0: Long): Long = {
+      val M = (BigInt(1) << 61) - 1
+      var h = BigInt(h0)
+      for (c <- Seq(2177342782468422681L, 194409311614856021L, 1609587929392839161L))
+        h = (h * h + c) % M
+      h.toLong
+    }
+    for (h <- Seq(0L, 1L, 455418516756L, (1L << 61) - 2))
+      assert(Mod61.mix(h) == mixRef(h), s"mix($h)")
+    // poly signatures stay inside bits 0..60 and keep order-insensitivity
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha")).toDF("id", "t")
+    val got = df.select($"id", Dedup.simhashSql($"t").as("sh")).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && (got(1L) >>> 61) == 0L)
+  }
 }

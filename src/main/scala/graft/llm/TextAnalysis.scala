@@ -54,6 +54,32 @@ object TextAnalysis {
       lit(0.3) * least(lit(1.0), stopHits * lit(10.0) / tokens) +
       lit(0.3) * when(avgWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
 
+  /** Gopher-style intra-document repetition metrics (Rae et al. 2021,
+    * §A1.1 analogues for single-line docs): duplicate-token fraction and
+    * the share of all bigrams taken by the single most frequent bigram —
+    * high values mark boilerplate/keyword-stuffed spam for the quality
+    * floor. Bigrams explode into a doc-keyed aggregation (the TF-IDF
+    * shuffle shape): linear in corpus size, never quadratic.
+    */
+  def repetition(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+    val bigrams = base.select(col(idCol),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val top = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
+        (col("top_c").cast("double") / col("n_bg")).as("top_bigram_frac"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Token counting over documents. */
@@ -168,7 +194,9 @@ object TextAnalysis {
     "llm_text_tokens" -> (tokens _),
     "llm_text_quality" -> (quality _),
     "llm_text_langid" -> (langid _),
-    "llm_fingerprint" -> (fingerprint _))
+    "llm_fingerprint" -> (fingerprint _),
+    "llm_repetition" -> ((s: SparkSession, dir: String) =>
+      repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
   private val stopEn = "\\b(the|and|is|of|to)\\b"
 
@@ -192,6 +220,18 @@ object TextAnalysis {
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "llm_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+        |tb AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+        |  CAST(tb.top_c AS DOUBLE) / tb.n_bg AS top_bigram_frac
+        |FROM t JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin,
     // exact replica of RollingFingerprint(lower(trim(text)), 16): windows
     // of we = min(len, 16) bytes (ASCII corpus — asserted in
     // MultimodalSpec — so chars == bytes), hash = sum byte*257^(we-1-j)

@@ -1,0 +1,23 @@
+package graft
+
+import graft.llm.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics: spam scores high, varied text low, values exact") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),       // 10 tokens, 2 distinct
+      (2L, "a genuinely varied sentence with unique words throughout it all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "text", "doc_id")
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (n1, dup1, big1) = got(1L)
+    assert(n1 == 10 && dup1 == 1.0 - 2.0 / 10)
+    // 9 bigrams: "buy now" x5, "now buy" x4 -> top share 5/9
+    assert(big1 == 5.0 / 9)
+    val (n2, dup2, big2) = got(2L)
+    assert(n2 == 10 && dup2 == 0.0 && big2 == 1.0 / 9)
+  }
+}

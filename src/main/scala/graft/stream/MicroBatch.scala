@@ -66,6 +66,20 @@ object MicroBatch {
       .filter(col("negative_count") >= threshold)
       .select(col("window.start").as("hour_start"), col("negative_count"))
 
+  /** Streaming exact dedup — the in-flight counterpart of the batch dedup
+    * family: duplicate keys arriving within the watermark horizon are
+    * dropped across micro-batches, and the engine evicts per-key state
+    * once the watermark passes, so state is bounded by (arrival rate ×
+    * horizon), not by stream history. At 100 TB/day that bound is what
+    * makes streaming dedup feasible at all; duplicates farther apart than
+    * the horizon are left to the batch near-dup pass.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** T2 batch-parity helper: run a bounded stream to completion (used by
     * tests and backfills — processes whatever is in the directory, then
     * stops).

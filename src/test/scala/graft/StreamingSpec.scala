@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     assert(last(2).total == 2 && last(2).negativeStreak == 1)
   }
 
+  test("streaming exact dedup drops duplicate keys across micro-batches, bounded state") {
+    val root = Files.createTempDirectory("sdedup").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("event_time", TimestampType)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+    val q = MicroBatch.dedupStream(src, Seq("id"), "event_time")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("sdedup").start()
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      """{"id":1,"event_time":"2024-01-01T00:00:00Z"}
+        |{"id":1,"event_time":"2024-01-01T00:01:00Z"}
+        |{"id":2,"event_time":"2024-01-01T00:02:00Z"}""".stripMargin)
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      """{"id":2,"event_time":"2024-01-01T00:30:00Z"}
+        |{"id":3,"event_time":"2024-01-01T00:31:00Z"}""".stripMargin)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    // id 1's same-batch dup and id 2's cross-batch dup both dropped
+    val ids = spark.table("sdedup").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -163,6 +163,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Embedding ingestion quality gate — the checks an ANN index build
+    * runs before trusting a corpus: dimension consistency, NaN elements,
+    * zero-norm vectors (undefined cosine). One scan, map-side combinable
+    * aggregate; every output is integer-exact (counts, not norms), so the
+    * oracle hash-matches despite float inputs — the ==0 and isnan
+    * predicates are order-independent where a summed norm would not be.
+    */
+  def embeddingQuality(corpus: DataFrame): DataFrame =
+    corpus.agg(
+      count(lit(1)).as("n_vectors"),
+      countDistinct(size(col("embedding"))).as("n_dims_distinct"),
+      count(when(exists(col("embedding"), x => isnan(x)), 1)).as("n_with_nan"),
+      count(when(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x) === 0.0d, 1)).as("n_zero_norm"))
+
   // ---- registered queries -------------------------------------------------
 
   private val NumQueries = 8
@@ -217,7 +232,9 @@ object Similarity {
     "llm_knn_brute" -> (knnQuery _),
     "llm_ann_ivf" -> (ivfQuery _),
     "llm_embed_neardup" -> (nearDupQuery _),
-    "llm_embed_neardup_lsh" -> (nearDupLshQuery _))
+    "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
+    "llm_embed_quality" -> ((s: SparkSession, dir: String) =>
+      embeddingQuality(Tables.embeddings(s, dir))))
 
   private def cosSql(a: String, b: String) =
     s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
@@ -263,5 +280,13 @@ object Similarity {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $LshTau
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // integer-exact gate (counts only): the isnan and ==0 predicates are
+    // order-independent, unlike any summed norm
+    "llm_embed_quality" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_dims_distinct,
+        |  CAST(COUNT(*) FILTER (len(list_filter(embedding, x -> isnan(x))) > 0) AS BIGINT) AS n_with_nan,
+        |  CAST(COUNT(*) FILTER (list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) = 0.0) AS BIGINT) AS n_zero_norm
+        |FROM embeddings""".stripMargin)
 }

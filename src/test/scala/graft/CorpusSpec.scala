@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.Corpus
 
-class CorpusSpec extends SparkSpec {
+class CorpusSpec extends SparkSpec with PropertyCheck {
+  import org.scalacheck.Gen
   import spark.implicits._
 
   private def docs = (0L until 400L).map { i =>
@@ -77,6 +78,28 @@ class CorpusSpec extends SparkSpec {
         assert(packId == cum / 512, s"pack mismatch at cum=$cum")
         cum += n
       }
+    }
+  }
+
+  test("chunking property: full in-order coverage at any (n, width, stride)") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      stride <- Gen.choose(1, 80)
+      extra <- Gen.choose(0, 40)
+    } yield (n, stride + extra, stride) // width >= stride
+    forAll(gen) { case (n, width, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Corpus.chunk(Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          width = width, stride = stride)
+        .select($"chunk_id", $"chunk_text", $"n_chunk_tokens")
+        .as[(Int, String, Int)].collect().sortBy(_._1)
+      assert(chunks.length == 1 + (n - 1) / stride)
+      val rebuilt = chunks.flatMap { case (cid, t, len) =>
+        val toks = t.split(" ")
+        assert(toks.length == len && len <= width)
+        toks.zipWithIndex.map { case (tok, j) => (cid * stride + j) -> tok }
+      }.toMap
+      assert(rebuilt.size == n && (0 until n).forall(i => rebuilt(i) == s"t${i + 1}"))
     }
   }
 

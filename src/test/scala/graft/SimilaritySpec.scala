@@ -111,4 +111,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("embedding quality gate counts NaN, zero-norm and dimension drift exactly") {
+    val bad = Seq(
+      (10L, Array(1.0f, 2.0f, 3.0f, 4.0f)),            // clean
+      (11L, Array(0.0f, 0.0f, 0.0f, 0.0f)),            // zero norm
+      (12L, Array(1.0f, Float.NaN, 0.0f, 0.0f)),       // NaN element
+      (13L, Array(1.0f, 2.0f))                         // dimension drift
+    ).toDF("vec_id", "embedding")
+    val row = Similarity.embeddingQuality(bad)
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((4L, 2L, 1L, 1L)))
+    // the real corpus is clean: one dim, no NaN, no zero vectors
+    val real = Similarity.embeddingQuality(Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(real._2 == 1L && real._3 == 0L && real._4 == 0L)
+  }
 }

@@ -10,21 +10,24 @@ import graft.Tables
   * plan — no eager per-stage counts, no recompute cascade; the attrition
   * report is a single aggregation over the same plan.
   *
-  * Stages: normalize → language allowlist → quality floor → exact dedup
-  * (normalized-hash, keep lowest id) → MinHash-LSH near-dup removal
-  * (greedy: for each verified pair, the higher id is dropped — cheap and
-  * order-deterministic; a union-find pass can replace it when cluster-level
-  * canonicalization matters).
+  * Stages: normalize → language allowlist → quality floor → repetition
+  * filter (Gopher-style duplicate-token fraction — scan-speed, no join)
+  * → exact dedup (normalized-hash, keep lowest id) → MinHash-LSH
+  * near-dup removal (greedy: for each verified pair, the higher id is
+  * dropped — cheap and order-deterministic; `Dedup.connectedComponents`
+  * can replace it when cluster-level canonicalization matters).
   */
 object Curation {
 
   final case class Config(
       allowedLangs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
+      maxDupTokenFrac: Double = 0.7,
       nearDupJaccard: Double = 0.8)
 
   val Stages: Seq[String] =
-    Seq("language_filter", "quality_filter", "exact_dedup", "near_dedup", "kept")
+    Seq("language_filter", "quality_filter", "repetition_filter",
+      "exact_dedup", "near_dedup", "kept")
 
   /** Each input doc + `status`: which stage eliminated it, or "kept". */
   def annotate(docs: DataFrame, config: Config = Config()): DataFrame = {
@@ -36,17 +39,21 @@ object Curation {
     val stop = TextAnalysis.stopwordHits(col("norm_text"), TextAnalysis.langStopwords.head._2)
     val awl = length(col("norm_text")) / t
 
+    val toksN = split(col("norm_text"), "\\s+")
+    val dupFrac = lit(1.0) - size(array_distinct(toksN)).cast("double") / size(toksN)
+
     val base = docs
       .withColumn("norm_text", normText)
       .withColumn("lang_ok",
         TextAnalysis.langPredict(scores).isin(config.allowedLangs.toSeq: _*))
       .withColumn("quality_ok", TextAnalysis.qualityScore(t, stop, awl) >= config.minQuality)
+      .withColumn("rep_ok", dupFrac <= config.maxDupTokenFrac)
 
     // NB: the survivors subtree feeds four downstream branches and is
     // recomputed per branch — measured cheaper than materializing it
     // (localCheckpoint variant benchmarked 20% slower; codegen'd regex
     // scoring recomputes faster than block-store round-trips)
-    val survivors = base.filter(col("lang_ok") && col("quality_ok"))
+    val survivors = base.filter(col("lang_ok") && col("quality_ok") && col("rep_ok"))
       .select(col("doc_id"), col("norm_text"))
     // exact dedup: lowest id per normalized-content hash survives
     val exactKeep = survivors
@@ -69,10 +76,11 @@ object Curation {
       .withColumn("status",
         when(!col("lang_ok"), "language_filter")
           .when(!col("quality_ok"), "quality_filter")
+          .when(!col("rep_ok"), "repetition_filter")
           .when(col("exact_keep").isNull, "exact_dedup")
           .when(col("near_drop").isNotNull, "near_dedup")
           .otherwise("kept"))
-      .drop("norm_text", "lang_ok", "quality_ok", "exact_keep", "near_drop")
+      .drop("norm_text", "lang_ok", "quality_ok", "rep_ok", "exact_keep", "near_drop")
   }
 
   /** The curated corpus (original columns only). */
@@ -107,9 +115,10 @@ object Curation {
     "llm_curation_report" -> (reportQuery _))
 
   /** The full pipeline in DuckDB SQL: normalize → langid (stopword argmax,
-    * en-first ties) → quality floor → exact dedup per normalized hash →
-    * all-pairs 3-gram Jaccard near-dup drop (higher id) → status CASE with
-    * the same stage precedence as annotate().
+    * en-first ties) → quality floor → repetition floor (duplicate-token
+    * fraction) → exact dedup per normalized hash → all-pairs 3-gram
+    * Jaccard near-dup drop (higher id) → status CASE with the same stage
+    * precedence as annotate().
     */
   private val statusSql =
     """WITH n AS (
@@ -131,11 +140,13 @@ object Curation {
       |          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en' AS lang_ok,
       |    (0.4 * least(1.0, t / 100.0)
       |     + 0.3 * least(1.0, s_en * 10.0 / t)
-      |     + 0.3 * (CASE WHEN (length(nt) / t) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) >= 0.5 AS quality_ok
+      |     + 0.3 * (CASE WHEN (length(nt) / t) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) >= 0.5 AS quality_ok,
+      |    (1.0 - CAST(len(list_distinct(regexp_split_to_array(nt, '\s+'))) AS DOUBLE)
+      |     / len(regexp_split_to_array(nt, '\s+'))) <= 0.7 AS rep_ok
       |  FROM feat),
       |exact_keep AS (
       |  SELECT MIN(doc_id) AS doc_id
-      |  FROM flags WHERE lang_ok AND quality_ok
+      |  FROM flags WHERE lang_ok AND quality_ok AND rep_ok
       |  GROUP BY sha256(nt)),
       |sh AS (
       |  SELECT f.doc_id, list_distinct(list_transform(
@@ -152,6 +163,7 @@ object Curation {
       |  SELECT f.doc_id, f.lang, f.n_chars,
       |    CASE WHEN NOT f.lang_ok THEN 'language_filter'
       |         WHEN NOT f.quality_ok THEN 'quality_filter'
+      |         WHEN NOT f.rep_ok THEN 'repetition_filter'
       |         WHEN k.doc_id IS NULL THEN 'exact_dedup'
       |         WHEN d.doc_id IS NOT NULL THEN 'near_dedup'
       |         ELSE 'kept' END AS status

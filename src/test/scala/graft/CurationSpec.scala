@@ -18,14 +18,15 @@ class CurationSpec extends SparkSpec {
       (1L, good.toUpperCase, "en", "s", good.length.toLong), // format-dup → exact dedup
       (2L, goodNear, "en", "s", goodNear.length.toLong), // near-dup → LSH stage
       (3L, junk, "en", "s", junk.length.toLong), // quality reject
-      (4L, ("der die das und ist immer wieder hier und der hund ist gut und das haus ist alt " * 4).trim, "de", "s", 100L) // language reject
+      (4L, ("der die das und ist immer wieder hier und der hund ist gut und das haus ist alt " * 4).trim, "de", "s", 100L), // language reject
+      (5L, ("spam " * 100).trim, "en", "s", 499L) // dup-token frac 0.99 → repetition reject
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val kept = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L))
     val report = Curation.report(docs).as[(String, Long)].collect().toMap
     assert(report == Map(
       "kept" -> 1L, "language_filter" -> 1L, "quality_filter" -> 1L,
-      "exact_dedup" -> 1L, "near_dedup" -> 1L))
+      "repetition_filter" -> 1L, "exact_dedup" -> 1L, "near_dedup" -> 1L))
   }
 
   test("curation is idempotent: curating the curated corpus is a no-op") {

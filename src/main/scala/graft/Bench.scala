@@ -26,7 +26,10 @@ object Bench {
     // interleaved (all queries pass 1, then pass 2) so one stall cannot
     // cover both measurements of the same query; the min is steady state.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // optional focus list for targeted experiments: "q1,q2"
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // a sweep records Right(sec) on success, Left(error) on failure — a
     // query that starts throwing must NOT silently improve the total
     val sweeps = (1 to passes).map { _ =>

@@ -39,8 +39,9 @@ object Curation {
     val stop = TextAnalysis.stopwordHits(col("norm_text"), TextAnalysis.langStopwords.head._2)
     val awl = length(col("norm_text")) / t
 
-    val toksN = split(col("norm_text"), "\\s+")
-    val dupFrac = lit(1.0) - size(array_distinct(toksN)).cast("double") / size(toksN)
+    // one-pass expression (kernel-tested ≡ the split/array_distinct form):
+    // this subtree is recomputed per branch, so no token arrays per branch
+    val dupFrac = Fingerprints.dupTokenFrac(col("norm_text"))
 
     val base = docs
       .withColumn("norm_text", normText)

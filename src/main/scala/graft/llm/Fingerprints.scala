@@ -173,6 +173,53 @@ case class SimHash64(child: Expression, poly: Boolean = false) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Duplicate-token fraction 1 - distinct/total in ONE pass — semantics
+  * identical to `1 - size(array_distinct(split(s, "\\s+"))) / size(split
+  * (s, "\\s+"))` (leading-empty-token and empty-input cases included),
+  * but with no token-array materialization per evaluation. Matters in the
+  * curation pipeline, whose filter subtree is deliberately recomputed per
+  * branch (see Curation.annotate): the composable form re-splits the text
+  * at every branch evaluation.
+  */
+case class DupTokenFrac(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "dup_token_frac"
+
+  private def isSpace(b: Byte): Boolean = // java regex \s
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(input: UTF8String): Double = {
+    // replicates Pattern.split(s, -1) on \s+ (Spark's split): segments
+    // between maximal whitespace runs, keeping boundary empties
+    val bytes = input.getBytes
+    val seen = new java.util.HashSet[UTF8String]()
+    var total = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      val start = i
+      while (i < bytes.length && !isSpace(bytes(i))) i += 1
+      seen.add(UTF8String.fromBytes(bytes, start, i - start))
+      total += 1
+      if (i == bytes.length) done = true
+      else while (i < bytes.length && isSpace(bytes(i))) i += 1
+    }
+    1.0 - seen.size.toDouble / total
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("dupFrac", this, classOf[DupTokenFrac].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DupTokenFrac =
+    copy(child = newChild)
+}
+
 object Fingerprints {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -183,4 +230,8 @@ object Fingerprints {
   /** Column API for simhash over an array of tokens (or token hashes). */
   def simhash64(tokens: Column, poly: Boolean = false): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), poly))
+
+  /** Column API for the one-pass duplicate-token fraction. */
+  def dupTokenFrac(text: Column): Column =
+    ColumnBridge.column(DupTokenFrac(ColumnBridge.expression(text)))
 }

@@ -75,6 +75,20 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("dup_token_frac kernel ≡ split/array_distinct composable form") {
+    val cases = Seq(
+      "", " ", "a", "a a", "a b a", "  leading", "trailing  ",
+      "tab\tand\nnewline a a", "ünïcode tökens ünïcode", "x " * 50)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val toks = split($"s", "\\s+")
+    val composable = lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+    val rows = df.select($"id", Fingerprints.dupTokenFrac($"s").as("fast"),
+      composable.as("slow")).as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, fast, slow) =>
+      assert(fast == slow, s"case ${cases(id.toInt)}: $fast != $slow")
+    }
+  }
+
   test("poly token hash honors its SQL contract (base-257 mod 2^61-1)") {
     import graft.llm.Mod61
     // reference values cross-checked against DuckDB list_reduce in HUGEINT

@@ -49,7 +49,15 @@ object Bench {
       val errs = rs.collect { case Left(e) => e }
       name -> (if (errs.nonEmpty) Left(errs.head) else Right(rs.collect { case Right(t) => t }.min))
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    // escape ALL control chars — an exception message with a tab or \r
+    // would otherwise emit invalid JSON, the exact machine-unreadable
+    // failure this line exists to prevent
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1", _.toString) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }

@@ -86,12 +86,14 @@ object Corpus {
                     budget: Int = 2048, shards: Int = 8,
                     salt: String = ":pack:v1"): DataFrame = {
     val nTokens = size(split(trim(col(textCol)), "\\s+"))
-    val order = hashBucket(col(idCol), salt) * 1000000 + col(idCol) // unique, deterministic
-    val w = Window.partitionBy(col("shard")).orderBy(col("ord"))
+    // two-column order (hash bucket, then id): unique and deterministic at
+    // ANY id range — a composite bucket*K+id key collides once ids reach K,
+    // and window RANGE-frame peers would then double-count token spans
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord_bucket"), col(idCol))
     docs
       .select(col(idCol), nTokens.as("n_tokens"),
         (hashBucket(col(idCol), salt + ":shard") % shards).as("shard"),
-        order.as("ord"))
+        hashBucket(col(idCol), salt).as("ord_bucket"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .select(col(idCol), col("shard"), col("n_tokens"),
@@ -216,11 +218,11 @@ object Corpus {
          |  SELECT doc_id,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
          |    CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':pack:v1:shard'), 1, 15)) AS BIGINT) % 1000 % 8 AS shard,
-         |    ${bucketSql(":pack:v1")} * 1000000 + doc_id AS ord
+         |    ${bucketSql(":pack:v1")} AS ord_bucket
          |  FROM documents),
          |cum AS (
          |  SELECT doc_id, shard, n_tokens,
-         |    coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord), 0) - n_tokens AS start_tok
+         |    coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_bucket, doc_id), 0) - n_tokens AS start_tok
          |  FROM base)
          |SELECT doc_id, shard, n_tokens,
          |  CAST(start_tok // 2048 AS BIGINT) AS pack_id

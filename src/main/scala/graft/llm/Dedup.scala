@@ -171,8 +171,14 @@ object Dedup {
     * driver-side convergence check aggregates only changed-label counts
     * (tiny next to the corpus); `maxIter` bounds pathological chains.
     * Labels are localCheckpoint'd per round to cut lineage growth.
+    *
+    * By default (`strict`), hitting `maxIter` without converging THROWS:
+    * truncated labels are silently-wrong clusters (and would diverge from
+    * the transitive-closure oracle). Pass strict = false to accept
+    * bounded-radius labels deliberately.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          strict: Boolean = true): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -196,6 +202,10 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter or pass strict = false")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

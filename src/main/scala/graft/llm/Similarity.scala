@@ -52,7 +52,10 @@ object Similarity {
     * build side (real indexes: ~10⁴ k-means centroids × 64 dims ≈ 5 MB).
     */
   def collectCentroids(centroids: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    // null vec_id rows can't index an inverted list; null elements map to
+    // 0.0, matching the row-side kernels (CosineSim / NearestCentroids)
     val rows = centroids.select(col("vec_id").cast("int"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .collect()
       .sortBy(_.getInt(0))
     val ids = rows.map(_.getInt(0))
@@ -61,6 +64,7 @@ object Similarity {
       case d: Double => d
       case l: Long => l.toDouble
       case i: Int => i.toDouble
+      case null => 0.0
     }.toArray)
     (ids, vecs)
   }
@@ -150,9 +154,12 @@ object Similarity {
 
   /** Exact all-pairs cosine ≥ τ: the baseline for the sub-LSH threshold
     * regime (see object doc — at c ≈ 0.35 nothing subquadratic exists).
-    * Blocked broadcast nested loop: one side is broadcast block-wise, the
-    * big side never shuffles; cost is the intrinsic n²/2 dot products
-    * spread across all executors.
+    * One full side is broadcast, so this is bounded by the broadcast
+    * limit (~corpora that fit an executor, i.e. up to low millions of
+    * short vectors) — the honest constraint of any EXACT all-pairs
+    * baseline. Beyond that, use the banded-LSH path for the high-cosine
+    * regime, or block the corpus into broadcastable slices and union the
+    * per-slice pair scans.
     */
   def bruteForcePairs(corpus: DataFrame, minCosine: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))

@@ -75,7 +75,9 @@ object TextAnalysis {
     val top = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
-    base.join(top, Seq(idCol))
+    // LEFT join: a one-token doc has no bigrams — it must still get a row
+    // (null bigram share), not silently vanish from the metric table
+    base.join(top, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
         (col("top_c").cast("double") / col("n_bg")).as("top_bigram_frac"))
   }
@@ -231,7 +233,7 @@ object TextAnalysis {
         |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
         |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
         |  CAST(tb.top_c AS DOUBLE) / tb.n_bg AS top_bigram_frac
-        |FROM t JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM t LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin,
     // exact replica of RollingFingerprint(lower(trim(text)), 16): windows
     // of we = min(len, 16) bytes (ASCII corpus — asserted in
     // MultimodalSpec — so chars == bytes), hash = sum byte*257^(we-1-j)

@@ -364,7 +364,11 @@ case class HyperplaneBands(child: Expression, bitsPerBand: Int, bands: Int)
           val xi = if (emb.isNullAt(i)) 0.0 else num(emb, i)
           // hyperplane component in [-1, 1): fmix64 of (bit, dim) → uniform
           val h = MinHashCore.fmix64(bit * MinHashCore.Golden + 0x9e3779b9L * i + 1)
-          dot += xi * ((h >>> 11) * 1.1102230246251565e-16 - 1.0) // h/2^53 * 2 - 1
+          // (h >>> 11) is 53 bits; × 2^-52 − 1 spans [-1, 2-2^-52) ≈ [-1, 1)
+          // (a 2^-53 multiplier here once made every component negative —
+          // all normals in one orthant, sign bits correlated, buckets
+          // collapsed; HyperplaneSignSpec pins the component distribution)
+          dot += xi * ((h >>> 11) * 2.220446049250313e-16 - 1.0)
           i += 1
         }
         if (dot > 0) bucket |= (1L << j)

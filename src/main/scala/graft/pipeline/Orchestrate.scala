@@ -52,12 +52,31 @@ object Orchestrate {
     * so a header-only CSV / empty JSONL is valid-but-empty instead of the
     * former NPE (null global sum) that aborted the whole batch.
     */
+  /** input_file_name() returns a URI-encoded path ("my data" →
+    * "my%20data"); decode percent escapes only (NOT URLDecoder, which
+    * also corrupts legitimate '+' into spaces) so names compare equal to
+    * java.nio basenames and an encodable character can't dodge quarantine.
+    */
+  private def percentDecode(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val out = new java.io.ByteArrayOutputStream(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(c.toInt); i += 1 }
+      }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
   private def violatingFiles(df: DataFrame, rules: Seq[Rule]): Set[String] = {
     val fileCol = substring_index(input_file_name(), "/", -1)
     Validators.fileSummaries(df, fileCol, rules)
       .collect()
       .filter(row => (2 until row.length).exists(i => row.getLong(i) > 0L))
-      .map(_.getString(0)).toSet
+      .map(row => percentDecode(row.getString(0))).toSet
   }
 
   /** POS batch run (§3.1): file-level validate (whole file quarantined on

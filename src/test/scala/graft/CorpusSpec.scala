@@ -72,7 +72,7 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
         Corpus.hashBucket(col("doc_id"), ":pack:v1").as("b"))
       .as[(Long, Long)].collect().toMap
     packed.groupBy(_._2).values.foreach { rows =>
-      val ordered = rows.sortBy(r => bucket(r._1) * 1000000L + r._1)
+      val ordered = rows.sortBy(r => (bucket(r._1), r._1))
       var cum = 0L
       ordered.foreach { case (_, _, n, packId) =>
         assert(packId == cum / 512, s"pack mismatch at cum=$cum")

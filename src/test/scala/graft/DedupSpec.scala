@@ -101,9 +101,14 @@ class DedupSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
-    // maxIter caps propagation: one round labels direct neighbors only
-    val capped = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
-      maxIter = 1).as[(Long, Long)].collect().toMap
+    // maxIter caps propagation; strict mode refuses truncated labels,
+    // non-strict yields direct-neighbor labels only
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+    val capped = Dedup.connectedComponents(chain, maxIter = 1, strict = false)
+      .as[(Long, Long)].collect().toMap
     assert(capped(2L) == 1L && capped(4L) == 3L)
   }
 }

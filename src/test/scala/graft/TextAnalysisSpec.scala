@@ -20,4 +20,11 @@ class TextAnalysisSpec extends SparkSpec {
     val (n2, dup2, big2) = got(2L)
     assert(n2 == 10 && dup2 == 0.0 && big2 == 1.0 / 9)
   }
+
+  test("repetition keeps single-token docs with a null bigram share") {
+    val solo = TextAnalysis.repetition(
+        Seq((9L, "alone")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("n_tokens", "top_bigram_frac").collect().head
+    assert(solo.getInt(0) == 1 && solo.isNullAt(1))
+  }
 }

@@ -75,6 +75,24 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("hyperplane components are sign-balanced (regression: 2^-53 scale left all negative)") {
+    // with components uniform in [-1, 1), sign(w · 1⃗) is a fair coin per
+    // bit; the buggy scale made every component negative → all 64 sign
+    // bits of the all-ones vector came out 0
+    val ones = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("embedding")
+    val sig = ones.select(VectorExprs.hyperplaneBands($"embedding", 8, 8).as("s"))
+      .as[Seq[Long]].head()
+    val setBits = sig.zipWithIndex.map { case (s, b) =>
+      java.lang.Long.bitCount(s & 0xffL) // low 8 bits = bucket; high bits fold the band index
+    }.sum
+    assert(setBits >= 10 && setBits <= 54, s"sign bits heavily skewed: $setBits/64")
+    // and the negated vector flips every sign bit
+    val neg = Seq(Tuple1(Array.fill(64)(-1.0f))).toDF("embedding")
+    val sigN = neg.select(VectorExprs.hyperplaneBands($"embedding", 8, 8).as("s"))
+      .as[Seq[Long]].head()
+    sig.zip(sigN).foreach { case (a, b) => assert((a & 0xffL) == (~b & 0xffL)) }
+  }
+
   test("dup_token_frac kernel ≡ split/array_distinct composable form") {
     val cases = Seq(
       "", " ", "a", "a a", "a b a", "  leading", "trailing  ",

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.Joins
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +25,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Curation.queries, Curation.oracles),
-      (Corpus.queries, Corpus.oracles))
+      (Corpus.queries, Corpus.oracles),
+      (Joins.queries, Joins.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -100,6 +100,37 @@ object Corpus {
         (col("start_tok") / budget).cast("long").as("pack_id"))
   }
 
+  /** Domain-mixture reweighting: resample so strata approach target
+    * weight proportions under a total budget. Keep-rate per stratum s is
+    * min(1, budgetFrac·N·w_s / (ΣW·N_s)) — i.e. the rate that hits the
+    * target mixture exactly wherever it doesn't require upsampling —
+    * applied through the same deterministic hash draw as the other
+    * samplers. Strata without a weight are dropped. All rate arithmetic
+    * is plain double products of exact counts, so assignments reproduce
+    * cross-engine (no pow/ln).
+    *
+    * Scale shape: counts are one map-side-combined aggregate; the rate
+    * table is stratum-cardinality rows, broadcast onto the corpus; the
+    * draw is scan-speed. Nothing shuffles the corpus.
+    */
+  def targetMixture(docs: DataFrame, idCol: String, stratumCol: String,
+                    weights: Map[String, Double], budgetFrac: Double,
+                    salt: String = ":mix:v1"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
+    val wSum = weights.values.sum
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(total)
+      .withColumn("keep_rate",
+        least(lit(1.0), lit(budgetFrac) * col("n_total") * wCol / (lit(wSum) * col("n_s"))))
+      .select(col(stratumCol), col("keep_rate"))
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), salt).cast("double") < col("keep_rate") * 1000.0)
+  }
+
   /** Train/test decontamination: flag train-split docs sharing any word
     * n-gram with a benchmark (here: the corpus's own test split, so the
     * op composes with splitAssign). Both sides explode to (shingle, id)
@@ -163,12 +194,26 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The 20 synthetic sources reweighted into 4 weight tiers under a
+    * half-size budget (sf-invariant: rates derive from counts).
+    */
+  val MixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4)))
+  private val MixBudgetFrac = 0.5
+
+  def mixQuery(spark: SparkSession, dir: String): DataFrame =
+    targetMixture(Tables.documents(spark, dir), "doc_id", "source",
+      MixWeights.toMap, MixBudgetFrac)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   def redactQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mix_target" -> (mixQuery _),
     "llm_split" -> (splitQuery _),
     "llm_sample_stratified" -> (sampleQuery _),
     "llm_chunks" -> (chunkQuery _),
@@ -188,7 +233,26 @@ object Corpus {
     s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - 7, 1)), i -> $terms))"
   }
 
+  // mixQuery's weight CASE and ΣW as SQL literals (sum of small integers
+  // in double is exact, so the literal equals the Scala fold exactly)
+  private val mixWeightSql: String =
+    "(CASE " + MixWeights.map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+      .mkString(" ") + " ELSE 0.0 END)::DOUBLE"
+  private val mixWSum: Double = MixWeights.map(_._2).sum
+
   val oracles: Map[String, String] = Map(
+    "llm_mix_target" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+         |n AS (SELECT COUNT(*) AS n_total FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    least(1.0::DOUBLE,
+         |      0.5::DOUBLE * n_total * $mixWeightSql / ($mixWSum::DOUBLE * n_s)) AS keep_rate
+         |  FROM c, n)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN r USING (source)
+         |WHERE CAST(${bucketSql(":mix:v1")} AS DOUBLE) < keep_rate * 1000.0
+         |ORDER BY d.doc_id""".stripMargin,
     "llm_split" ->
       s"""SELECT doc_id, ${bucketSql(":split:v1")} AS bucket,
          |  CASE WHEN ${bucketSql(":split:v1")} < 900 THEN 'train'

@@ -1,7 +1,11 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 import graft.Tables
 
 /** Deduplication operators for training-data pipelines (builder brief):
@@ -157,6 +161,65 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Normalized content hash (the fuzzy-exact key every snapshot keeps). */
+  def normHash(textCol: Column): Column =
+    sha2(regexp_replace(trim(lower(textCol)), "\\s+", " "), 256)
+
+  /** Incremental (cross-snapshot) dedup: of the new batch, keep only
+    * content absent from the already-ingested corpus, then exact-dedup
+    * within the batch (lowest id per hash). The anti-join shuffles
+    * 32-byte hashes, never text — the standard "dedup today's crawl
+    * against the corpus" operator.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame,
+                  textCol: String, idCol: String): DataFrame =
+    batch.select(col(idCol), normHash(col(textCol)).as("content_hash"))
+      .join(corpus.select(normHash(col(textCol)).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Build a corpus-hash Bloom filter (one aggregate job; the returned
+    * bytes are a driver-held index artifact like an IVF centroid set —
+    * at 1e9 corpus docs and 1% fpp it is ~1.2 GB, the broadcast-side
+    * budget of a runtime filter, not row data).
+    */
+  def contentBloom(corpus: DataFrame, textCol: String,
+                   expectedItems: Long, numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(normHash(col(textCol)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    corpus.select(ColumnBridge.column(agg).as("bloom")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom membership probe against `contentBloom` bytes (codegen'd
+    * Catalyst predicate — no UDF).
+    */
+  def mightContain(bloom: Array[Byte], hashCol: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnBridge.expression(xxhash64(hashCol))))
+
+  /** `incremental`, with a Bloom prefilter: rows whose hash the filter
+    * has never seen are DEFINITELY new and skip the anti-join shuffle
+    * entirely; only the maybe-duplicate sliver (true dups + fpp of the
+    * new mass) is joined. Identical result to `incremental` — Bloom
+    * filters have no false negatives (DedupSpec asserts equality).
+    */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       expectedItems: Long = 1000000L,
+                       numBits: Long = 8000000L): DataFrame = {
+    val bloom = contentBloom(corpus, textCol, expectedItems, numBits)
+    val b = batch.select(col(idCol), normHash(col(textCol)).as("content_hash"))
+    val definitelyNew = b.filter(!mightContain(bloom, col("content_hash")))
+    val maybeDup = b.filter(mightContain(bloom, col("content_hash")))
+      .join(corpus.select(normHash(col(textCol)).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(maybeDup)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
   /** Connected components over an undirected pair list — the union-find
@@ -315,7 +378,24 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Incremental dedup of the odd-id half (today's batch) against the
+    * even-id half (the ingested corpus) — a scale-invariant split. Runs
+    * the Bloom-prefilter path, so the oracle (an independent NOT IN
+    * formulation) checks the whole bloom → probe → anti-join pipeline.
+    */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalBloom(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id",
+        expectedItems = 100000L, numBits = 800000L)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_incremental" -> (incrementalQuery _),
     "llm_dedup_normalized" -> (normalizedQuery _),
     "llm_dedup_exact" -> (exactQuery _),
     "llm_dedup_minhash" -> (minhashQuery _),
@@ -324,6 +404,16 @@ object Dedup {
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ch
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM h
+        |WHERE doc_id % 2 <> 0
+        |  AND ch NOT IN (SELECT ch FROM h WHERE doc_id % 2 = 0)
+        |GROUP BY ch ORDER BY keep_id""".stripMargin,
     "llm_dedup_normalized" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

@@ -185,6 +185,32 @@ object Similarity {
       count(when(aggregate(col("embedding"), lit(0.0d),
         (acc, x) => acc + x.cast("double") * x) === 0.0d, 1)).as("n_zero_norm"))
 
+  /** Scalar uint8 quantization of the embedding column: per-dimension
+    * min/max over the corpus → code = round((x-mn)·255/(mx-mn)) — the
+    * 4× compression an ANN index applies before distance scans. Two
+    * passes, both scale-safe: the stats pass is a skinny posexplode with
+    * map-side-combining min/max (shuffles at most partitions×dims rows,
+    * never embeddings), folded into ONE broadcastable row of per-dim
+    * structs; the encode pass is a zip_with at scan speed. All arithmetic
+    * is forced to double (float→double is exact), so codes are integers
+    * that reproduce bit-for-bit on any engine and any partitioning.
+    */
+  def quantizeUint8(corpus: DataFrame): DataFrame = {
+    val dims = corpus.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("pos"), col("col").cast("double").as("x"))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val statsRow = stats.agg(
+      array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("dim_stats"))
+    corpus.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("dim_stats"), (x, s) =>
+          when(s("mx") === s("mn"), lit(0))
+            .otherwise(round((x.cast("double") - s("mn")) * lit(255.0) / (s("mx") - s("mn")))
+              .cast("int")))
+          .as("codes"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   private val NumQueries = 8
@@ -235,7 +261,13 @@ object Similarity {
       bitsPerBand = LshBits, bands = LshBands, minCosine = LshTau)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Uint8 quantization codes per vector. */
+  def quantizeQuery(spark: SparkSession, dir: String): DataFrame =
+    quantizeUint8(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
     "llm_ann_ivf" -> (ivfQuery _),
     "llm_embed_neardup" -> (nearDupQuery _),
@@ -247,6 +279,24 @@ object Similarity {
     s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
 
   val oracles: Map[String, String] = Map(
+    // all arithmetic forced to DOUBLE (float inputs promote exactly);
+    // round() is half-up on positives in both engines
+    "llm_embed_quantize" ->
+      """WITH d AS (
+        |  SELECT i,
+        |    MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1,
+        |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+        |  GROUP BY i),
+        |s AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY i) AS st FROM d)
+        |SELECT vec_id,
+        |  list_transform(generate_series(1, len(embedding)),
+        |    i -> CASE WHEN st[i].mx = st[i].mn THEN 0
+        |         ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - st[i].mn) * 255.0
+        |                    / (st[i].mx - st[i].mn)) AS INTEGER) END) AS codes
+        |FROM embeddings, s ORDER BY vec_id""".stripMargin,
     "llm_knn_brute" ->
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -82,6 +82,34 @@ object TextAnalysis {
         (col("top_c").cast("double") / col("n_bg")).as("top_bigram_frac"))
   }
 
+  /** Corpus-frequency commonness score: the mean document frequency of a
+    * doc's token occurrences, normalized by corpus size — the integer-exact
+    * stand-in for unigram-LM log-probability (ln differs in the last ulp
+    * across libm implementations; df ratios do not, so the score is
+    * engine-deterministic). Low scores mark rare-vocabulary docs the same
+    * way high perplexity does.
+    *
+    * Scale shape: tf aggregation per (doc, token) FIRST (shrinks the
+    * explode before any join), then a join against the vocabulary on
+    * token — stopwords are hot keys, which AQE skew-split handles; when
+    * the vocabulary fits the broadcast budget Spark broadcasts it and the
+    * corpus never shuffles for the join.
+    */
+  def unigramCommonness(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("df")).as("sum_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("n_tokens"), col("sum_df"),
+        (col("sum_df").cast("double") / (col("n_tokens") * col("n_docs")).cast("double"))
+          .as("commonness"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Token counting over documents. */
@@ -188,7 +216,13 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Unigram commonness over documents. */
+  def unigramQuery(spark: SparkSession, dir: String): DataFrame =
+    unigramCommonness(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_unigram_common" -> (unigramQuery _),
     "llm_langid_eval" -> (langidEval _),
     "llm_tfidf_top_terms" -> (topTerms _),
     "llm_length_histogram" -> (lengthHistogram _),
@@ -222,6 +256,22 @@ object TextAnalysis {
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // integer-exact until the single final division (deterministic): tf
+    // and df are counts, sum(tf*df) stays in BIGINT range
+    "llm_unigram_common" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf.tf * dfreq.df) AS BIGINT) AS sum_df,
+        |  CAST(SUM(tf.tf * dfreq.df) AS DOUBLE)
+        |    / CAST(SUM(tf.tf) * (SELECT n_docs FROM n) AS DOUBLE) AS commonness
+        |FROM tf JOIN dfreq USING (tok)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -145,4 +145,25 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(packPlan.contains("Exchange hashpartitioning"), packPlan)
     assert(!packPlan.contains("SinglePartition"), s"global window in:\n$packPlan")
   }
+
+  test("target mixture: rates follow weights, cap at 1, absent stratum dropped, deterministic") {
+    // skewed fixture: 300 en / 100 de; weights pull toward de
+    val kept = Corpus.targetMixture(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 3.0), budgetFrac = 0.5)
+    val byLang = kept.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    // N=400, ΣW=4: rate_en = .5*400*1/(4*300) = 1/6 → ~50 of 300
+    // rate_de = .5*400*3/(4*100) = 1.5 → capped at 1 → all 100
+    assert(byLang("de") == 100L)
+    assert(byLang("en") > 25 && byLang("en") < 80, s"en kept ${byLang("en")}")
+    // deterministic re-run
+    val again = Corpus.targetMixture(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 3.0), budgetFrac = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.select($"doc_id").as[Long].collect().toSet)
+    // stratum without a weight is dropped entirely
+    val enOnly = Corpus.targetMixture(docs, "doc_id", "lang",
+      Map("en" -> 1.0), budgetFrac = 0.5)
+    assert(enOnly.filter($"lang" === "de").count() == 0)
+  }
 }

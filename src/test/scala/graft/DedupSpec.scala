@@ -111,4 +111,31 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(capped(2L) == 1L && capped(4L) == 3L)
   }
+
+  test("incremental dedup: drops corpus dups (incl. normalized), dedups within batch; bloom path identical") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (4L, "unique corpus text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma"),        // exact corpus dup -> dropped
+      (3L, "  Delta   epsilon ZETA "), // normalized corpus dup -> dropped
+      (5L, "fresh content one"),
+      (7L, "fresh content one"),       // within-batch dup of 5
+      (9L, "fresh content two")).toDF("doc_id", "text")
+    val expected = Map(5L -> 2L, 9L -> 1L)
+    val plain = Dedup.incremental(batch, corpus, "text", "doc_id")
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(plain == expected)
+    val bloomed = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+      expectedItems = 100L, numBits = 1024L)
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(bloomed == expected) // bloom prefilter: no false negatives, same answer
+    // tiny bloom (high fpp): result must STILL be exact — fpp only costs
+    // anti-join traffic, never correctness
+    val tiny = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+      expectedItems = 2L, numBits = 8L)
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(tiny == expected)
+  }
 }

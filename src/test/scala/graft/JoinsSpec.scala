@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // left: observations; right: state changes for the same key
+  private def obs = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+    (2L, 10L, ts("2024-01-01 10:05:00"), 2.0),
+    (3L, 10L, ts("2024-01-01 09:00:00"), 3.0), // before any state row
+    (4L, 20L, ts("2024-01-01 12:00:00"), 4.0)  // key with no state rows
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  private def state = Seq(
+    (10L, ts("2024-01-01 10:00:00"), 100.0, 50L), // simultaneous with obs 1
+    (10L, ts("2024-01-01 10:03:00"), 103.0, 51L),
+    (10L, ts("2024-01-01 10:03:00"), 104.0, 52L)  // equal-ts tie: higher id wins
+  ).toDF("user_id", "ts", "value", "event_id")
+
+  test("asOf: at-or-before, equal-ts inclusion, tie on tieCol, null when none") {
+    val out = Joins.asOf(obs, state, "user_id", "ts", "event_id")
+      .select($"event_id", $"asof.value".as[Option[Double]])
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(100.0)) // state at the same instant counts
+    assert(out(2L) == Some(104.0)) // latest ts wins; tie broken by higher event_id
+    assert(out(3L) == None)        // nothing precedes
+    assert(out(4L) == None)        // key isolation
+  }
+
+  test("asOf: matched struct is atomic (fields come from one right row)") {
+    // right rows with nulls in different attrs: a per-attr last() would mix
+    val r = Seq(
+      (10L, ts("2024-01-01 09:30:00"), Option(1.0), Option.empty[Long]),
+      (10L, ts("2024-01-01 09:40:00"), Option.empty[Double], Option(7L))
+    ).toDF("user_id", "ts", "a", "b")
+      .withColumn("tie", monotonically_increasing_id())
+    val out = Joins.asOf(
+        obs.filter($"event_id" === 1L).withColumn("tie", lit(0L)),
+        r, "user_id", "ts", "tie")
+      .select($"asof.a", $"asof.b").collect().head
+    assert(out.isNullAt(0) && out.getLong(1) == 7L) // both from the later row
+  }
+
+  test("rangeJoin: boundary flags, bin-straddling points, key isolation") {
+    val iv = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))
+    ).toDF("iv_id", "user_id", "t0", "t1")
+    val pts = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),  // == start
+      (10L, ts("2024-01-01 10:09:59"), 2.0),  // inside, later bin than t0
+      (10L, ts("2024-01-01 10:10:00"), 3.0),  // == end
+      (10L, ts("2024-01-01 10:10:01"), 4.0),  // past end
+      (20L, ts("2024-01-01 10:05:00"), 5.0)   // other key
+    ).toDF("user_id", "ts", "value")
+
+    def vals(incStart: Boolean, incEnd: Boolean): Set[Double] =
+      Joins.rangeJoin(iv, pts, "user_id", "t0", "t1", "user_id", "ts",
+          binSeconds = 600, includeStart = incStart, includeEnd = incEnd)
+        .filter($"iv_id" === 1L).select($"pt_value").as[Double].collect().toSet
+
+    assert(vals(true, true) == Set(1.0, 2.0, 3.0))
+    assert(vals(false, true) == Set(2.0, 3.0))
+    assert(vals(false, false) == Set(2.0))
+    // key isolation: interval 2 sees only its key's point
+    val k2 = Joins.rangeJoin(iv, pts, "user_id", "t0", "t1", "user_id", "ts", 600)
+      .filter($"iv_id" === 2L).select($"pt_value").as[Double].collect().toSet
+    assert(k2 == Set(5.0))
+  }
+
+  test("rangeJoin: equals naive theta-join on a random-ish fixture, no dup pairs") {
+    val iv = (0 until 40).map { i =>
+      val start = ts(f"2024-01-01 ${10 + i % 4}%02d:${(i * 7) % 60}%02d:00")
+      (i.toLong, (i % 3).toLong, start,
+        new Timestamp(start.getTime + ((i % 5) + 1) * 240 * 1000L))
+    }.toDF("iv_id", "k", "t0", "t1")
+    val pts = (0 until 200).map { j =>
+      (((j * 13) % 3).toLong,
+        new Timestamp(ts("2024-01-01 10:00:00").getTime + ((j * 37) % 18000) * 1000L),
+        j.toDouble)
+    }.toDF("k", "ts", "value")
+    val fast = Joins.rangeJoin(iv, pts, "k", "t0", "t1", "k", "ts", binSeconds = 300)
+      .select($"iv_id", $"pt_value").as[(Long, Double)].collect().sorted.toSeq
+    val naive = iv.join(pts.select($"k".as("pk"), $"ts", $"value"),
+        $"k" === $"pk" && $"ts" >= $"t0" && $"ts" <= $"t1")
+      .select($"iv_id", $"value").as[(Long, Double)].collect().sorted.toSeq
+    assert(fast == naive)
+    assert(fast.size == fast.distinct.size)
+  }
+}

@@ -127,4 +127,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(real._2 == 1L && real._3 == 0L && real._4 == 0L)
   }
+
+  test("uint8 quantization: endpoints hit 0/255, order preserved, constant dim -> 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 10.0f, 7.0f)),
+      (1L, Array(4.0f, 30.0f, 7.0f)),
+      (2L, Array(8.0f, 20.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeUint8(vecs)
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect().map(_._2)
+    // dim0 spans [0,8]: endpoints 0 and 255, midpoint ~ 4/8*255 ≈ 128 (half-up)
+    assert(codes(0)(0) == 0 && codes(2)(0) == 255 && codes(1)(0) == 128)
+    // dim1 spans [10,30]: min->0, max->255, 20 -> 128 (half-up on 127.5)
+    assert(codes(0)(1) == 0 && codes(1)(1) == 255 && codes(2)(1) == 128)
+    // constant dimension quantizes to 0 everywhere (no 0/0)
+    assert(codes.forall(_(2) == 0))
+    // order within a dimension is preserved
+    assert(codes(0)(0) < codes(1)(0) && codes(1)(0) < codes(2)(0))
+  }
 }

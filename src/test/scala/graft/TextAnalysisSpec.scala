@@ -27,4 +27,24 @@ class TextAnalysisSpec extends SparkSpec {
       .select("n_tokens", "top_bigram_frac").collect().head
     assert(solo.getInt(0) == 1 && solo.isNullAt(1))
   }
+
+  test("unigram commonness: df math exact, rare-vocab docs score lowest") {
+    val corpus = Seq(
+      (0L, "the cat sat"),            // the:df3 cat:df2 sat:df1
+      (1L, "the cat ran ran"),        // ran:df1 (tf 2)
+      (2L, "the xylophone quetzal")   // two df-1 rarities
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramCommonness(corpus, "text", "doc_id")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc0: tokens 3, sum_df = 3+2+1 = 6, commonness = 6/(3*3)
+    assert(rows(0) == ((0L, 3L, 6L, 6.0 / 9)))
+    // doc1: tokens 4, sum_df = 3+2+1+1 = 7 (ran tf=2 counts twice)
+    assert(rows(1) == ((1L, 4L, 7L, 7.0 / 12)))
+    // doc2: tokens 3, sum_df = 3+1+1 = 5
+    assert(rows(2) == ((2L, 3L, 5L, 5.0 / 9)))
+    // rare-vocabulary docs score lowest
+    val scores = rows.map(_._4)
+    assert(scores(2) < scores(1) && scores(1) < scores(0))
+  }
 }

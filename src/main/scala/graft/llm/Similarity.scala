@@ -211,6 +211,50 @@ object Similarity {
           .as("codes"))
   }
 
+  /** Symmetric int8 quantization: code = round(x·127/S) with one global
+    * scale S = max|component| — zero maps to zero, so integer code dot
+    * products are monotone in the true dot product (up to quantization
+    * error). This is the encoding an int8 ADC scan needs; the affine
+    * per-dim `quantizeUint8` is the storage encoding (its offsets would
+    * add spurious Σbᵢ(xᵢ+yᵢ) terms to a dot product).
+    */
+  def quantizeInt8Sym(corpus: DataFrame): DataFrame = {
+    val scale = corpus
+      .select(posexplode(col("embedding")))
+      .agg(max(abs(col("col").cast("double"))).as("s"))
+    corpus.crossJoin(broadcast(scale))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("s") === 0.0d, lit(0))
+            .otherwise(round(x.cast("double") * lit(127.0) / col("s")).cast("int")))
+          .as("codes"))
+  }
+
+  /** kNN over symmetric int8 codes: the integer asymmetric-distance scan
+    * an int8 index runs after quantization. Integer dot products are
+    * exact, so ranking (ties broken by id) reproduces cross-engine —
+    * unlike float scores, the whole retrieval is oracle-checkable. The
+    * query side is broadcast; the corpus scans its codes in place (4×
+    * less data than the float embeddings — the point of quantizing). The
+    * zip_with dot product is fine at 64 dims; at production dims swap in
+    * a CosineSim-style one-pass expression (VectorExprs pattern).
+    */
+  def knnQuantized(corpus: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val coded = quantizeInt8Sym(corpus)
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+    val c = coded.select(col("vec_id").as("neighbor_id"), col("codes").as("c_codes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        aggregate(
+          zip_with(col("q_codes"), col("c_codes"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), col("score"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   private val NumQueries = 8
@@ -266,7 +310,13 @@ object Similarity {
     quantizeUint8(Tables.embeddings(spark, dir))
       .orderBy(col("vec_id"))
 
+  /** Quantized-code kNN (integer ADC scan). */
+  def knnQuantizedQuery(spark: SparkSession, dir: String): DataFrame =
+    knnQuantized(Tables.embeddings(spark, dir), NumQueries, K)
+      .orderBy(col("query_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_knn_quantized" -> (knnQuantizedQuery _),
     "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
     "llm_ann_ivf" -> (ivfQuery _),
@@ -278,25 +328,56 @@ object Similarity {
   private def cosSql(a: String, b: String) =
     s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
 
+  // shared CTE: the quantization replica (used by both quantize oracles)
+  private val codesCte =
+    """WITH d AS (
+      |  SELECT i,
+      |    MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      |  FROM embeddings CROSS JOIN
+      |    (SELECT unnest(generate_series(1,
+      |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+      |  GROUP BY i),
+      |s AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY i) AS st FROM d),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> CASE WHEN st[i].mx = st[i].mn THEN 0
+      |           ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - st[i].mn) * 255.0
+      |                      / (st[i].mx - st[i].mn)) AS INTEGER) END) AS codes
+      |  FROM embeddings, s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // integer ADC ranking replica over the symmetric-int8 encoding
+    "llm_knn_quantized" ->
+      s"""WITH sc AS (
+         |  SELECT MAX(list_max(list_transform(embedding,
+         |    v -> abs(CAST(v AS DOUBLE))))) AS s
+         |  FROM embeddings),
+         |qc AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      v -> CASE WHEN s = 0 THEN 0
+         |           ELSE CAST(round(CAST(v AS DOUBLE) * 127.0 / s) AS INTEGER) END) AS codes
+         |  FROM embeddings, sc),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(len(q.codes)),
+         |      i -> CAST(q.codes[i+1] AS BIGINT) * c.codes[i+1])) AS BIGINT) AS score
+         |  FROM qc q, qc c
+         |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+         |  score
+         |FROM scored
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     // all arithmetic forced to DOUBLE (float inputs promote exactly);
     // round() is half-up on positives in both engines
     "llm_embed_quantize" ->
-      """WITH d AS (
-        |  SELECT i,
-        |    MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM embeddings CROSS JOIN
-        |    (SELECT unnest(generate_series(1,
-        |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
-        |  GROUP BY i),
-        |s AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY i) AS st FROM d)
-        |SELECT vec_id,
-        |  list_transform(generate_series(1, len(embedding)),
-        |    i -> CASE WHEN st[i].mx = st[i].mn THEN 0
-        |         ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - st[i].mn) * 255.0
-        |                    / (st[i].mx - st[i].mn)) AS INTEGER) END) AS codes
-        |FROM embeddings, s ORDER BY vec_id""".stripMargin,
+      s"""$codesCte
+         |SELECT vec_id, codes FROM codes ORDER BY vec_id""".stripMargin,
     "llm_knn_brute" ->
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -93,4 +93,19 @@ class JoinsSpec extends SparkSpec {
     assert(fast == naive)
     assert(fast.size == fast.distinct.size)
   }
+
+  test("scale shape: asOf is one shuffle and no join node; rangeJoin never cartesian") {
+    val asofPlan = Joins.asOf(obs, state, "user_id", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(asofPlan).size == 1,
+      s"asOf should shuffle exactly once:\n$asofPlan")
+    assert(!asofPlan.contains("Join"), s"asOf must not plan a join:\n$asofPlan")
+    val iv = Seq((1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iv_id", "user_id", "t0", "t1")
+    val pts = Seq((10L, ts("2024-01-01 10:05:00"), 1.0)).toDF("user_id", "ts", "value")
+    val rjPlan = Joins.rangeJoin(iv, pts, "user_id", "t0", "t1", "user_id", "ts", 600)
+      .queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("CartesianProduct") && !rjPlan.contains("NestedLoop"),
+      s"rangeJoin must stay an equi-join:\n$rjPlan")
+  }
 }

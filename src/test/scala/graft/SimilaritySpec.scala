@@ -145,4 +145,28 @@ class SimilaritySpec extends SparkSpec {
     // order within a dimension is preserved
     assert(codes(0)(0) < codes(1)(0) && codes(1)(0) < codes(2)(0))
   }
+
+  test("quantized kNN: top-1 agrees with the exact dot-product ranking it approximates") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exact dot-product kNN in double (same metric the ADC scan targets)
+    val q = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val exact = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      .join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", aggregate(
+        zip_with($"q_emb", $"c_emb", (a, b) => a.cast("double") * b),
+        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rn" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val quant = Similarity.knnQuantized(emb, nQueries = 4, k = 3)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // uint8 error is tiny relative to neighbor gaps; demand at least 3/4
+    // top-1 agreement (close competitors may legitimately swap)
+    val agree = exact.keySet.count(k => exact(k) == quant(k))
+    assert(agree >= 3, s"top-1 agreement $agree/4: exact=$exact quant=$quant")
+  }
 }

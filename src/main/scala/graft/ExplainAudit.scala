@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.llm.Similarity
+import graft.ops.Joins
 import graft.pipeline.{Analytics, Pos, Web}
 
 /** Prints formatted physical plans for representative queries so the scan
@@ -28,6 +29,12 @@ object ExplainAudit {
     show("pos_merge_additive")(Pos.mergeAdditive(spark, dir))
     show("llm_ann_ivf")(Similarity.ivfQuery(spark, dir))
     show("llm_embed_neardup_lsh")(Similarity.nearDupLshQuery(spark, dir))
+    // round-3 additions: as-of via union-tag-window (expect ONE Exchange,
+    // no join node), bin-blocked range join (equi-join, no nested loop),
+    // integer ADC scan over broadcast query codes
+    show("events_asof_last_error")(Joins.asofQuery(spark, dir))
+    show("events_error_impact")(Joins.errorImpactQuery(spark, dir))
+    show("llm_knn_quantized")(Similarity.knnQuantizedQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

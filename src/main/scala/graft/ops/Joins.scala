@@ -44,9 +44,14 @@ object Joins {
     * The matched row is carried as ONE struct through a single
     * `last(ignoreNulls)` window, so its fields can never mix rows (a
     * per-attribute last() would, whenever a right attribute is null).
+    *
+    * `tolerance` (an SQL interval body, e.g. "10 MINUTES") nulls the
+    * match when the right row is older than left.ts − tolerance — the
+    * feature-store staleness bound.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           tieCol: String, outCol: String = "asof"): DataFrame = {
+           tieCol: String, outCol: String = "asof",
+           tolerance: Option[String] = None): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lNorm = left.select(
@@ -62,8 +67,13 @@ object Joins {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lNorm.unionByName(rNorm)
+    val matched = lNorm.unionByName(rNorm)
       .withColumn(outCol, last(col("_r"), ignoreNulls = true).over(w))
+    val bounded = tolerance.fold(matched) { t =>
+      matched.withColumn(outCol,
+        when(col(s"$outCol.$tsCol") >= col("_t") - expr(s"INTERVAL $t"), col(outCol)))
+    }
+    bounded
       .filter(col("_side") === 1)
       .select(col("_l.*"), col(outCol))
   }

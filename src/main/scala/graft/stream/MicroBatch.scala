@@ -80,6 +80,18 @@ object MicroBatch {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: attach dimension attributes to an event
+    * stream. The static side is broadcast, so stream micro-batches are
+    * never shuffled for the join, and Spark re-resolves the static
+    * relation per micro-batch — a dimension refresh on disk is picked up
+    * without restarting the stream. Left join keeps events whose key has
+    * no dimension row yet (they arrive with null attributes, the
+    * standard late-dimension posture; use "inner" to hold them back).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** T2 batch-parity helper: run a bounded stream to completion (used by
     * tests and backfills — processes whatever is in the directory, then
     * stops).

@@ -47,6 +47,21 @@ class JoinsSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.getLong(1) == 7L) // both from the later row
   }
 
+  test("asOf tolerance: stale matches null out, fresh ones survive") {
+    val out = Joins.asOf(obs, state, "user_id", "ts", "event_id",
+        tolerance = Some("3 MINUTES"))
+      .select($"event_id", $"asof.value".as[Option[Double]])
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(100.0)) // age 0 — inside tolerance
+    assert(out(2L) == Some(104.0)) // age 2 min — inside
+    val tight = Joins.asOf(obs, state, "user_id", "ts", "event_id",
+        tolerance = Some("1 MINUTES"))
+      .select($"event_id", $"asof.value".as[Option[Double]])
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tight(2L) == None) // 2-min-old state is stale at 1-min bound
+    assert(tight(1L) == Some(100.0))
+  }
+
   test("rangeJoin: boundary flags, bin-straddling points, key isolation") {
     val iv = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),

@@ -120,6 +120,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment: broadcast dim attrs attached per micro-batch, unmatched keys kept") {
+    val root = Files.createTempDirectory("enrich").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("customer_id", LongType), StructField("amount", LongType)))
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("customer_id", "tier")
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+    val q = MicroBatch.enrichStream(src, dim, Seq("customer_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("enriched").start()
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      """{"customer_id":1,"amount":10}
+        |{"customer_id":9,"amount":20}""".stripMargin)
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      """{"customer_id":2,"amount":30}""".stripMargin)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("enriched")
+      .select($"customer_id", $"amount", $"tier")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 10L, Some("gold")),
+      (2L, 30L, Some("basic")),
+      (9L, 20L, None))) // late-dimension key kept with null attrs
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -129,6 +129,7 @@ object Corpus {
       .select(col(stratumCol), col("keep_rate"))
     docs.join(broadcast(rates), Seq(stratumCol))
       .filter(hashBucket(col(idCol), salt).cast("double") < col("keep_rate") * 1000.0)
+      .select(docs.columns.map(col): _*) // original schema, like the sibling samplers
   }
 
   /** Train/test decontamination: flag train-split docs sharing any word
@@ -247,7 +248,7 @@ object Corpus {
          |r AS (
          |  SELECT source,
          |    least(1.0::DOUBLE,
-         |      0.5::DOUBLE * n_total * $mixWeightSql / ($mixWSum::DOUBLE * n_s)) AS keep_rate
+         |      $MixBudgetFrac::DOUBLE * n_total * $mixWeightSql / ($mixWSum::DOUBLE * n_s)) AS keep_rate
          |  FROM c, n)
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN r USING (source)

@@ -42,7 +42,7 @@ object Curation {
 
   /** Each input doc + `status`: which stage eliminated it, or "kept". */
   def annotate(docs: DataFrame, config: Config = Config()): DataFrame = {
-    val normText = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val normText = Dedup.normText(col("text"))
     val scores = TextAnalysis.langStopwords.map { case (lang, words) =>
       lang -> TextAnalysis.stopwordHits(col("norm_text"), words)
     }

@@ -163,9 +163,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Whitespace-collapsed lowercase canonical text — THE normalization
+    * every fuzzy-exact key in the engine derives from (in-corpus
+    * normalized dedup, cross-snapshot incremental dedup, curation's
+    * exact-dedup stage). One definition so the keys can never drift
+    * apart.
+    */
+  def normText(textCol: Column): Column =
+    regexp_replace(trim(lower(textCol)), "\\s+", " ")
+
   /** Normalized content hash (the fuzzy-exact key every snapshot keeps). */
   def normHash(textCol: Column): Column =
-    sha2(regexp_replace(trim(lower(textCol)), "\\s+", " "), 256)
+    sha2(normText(textCol), 256)
 
   /** Incremental (cross-snapshot) dedup: of the new batch, keep only
     * content absent from the already-ingested corpus, then exact-dedup
@@ -184,14 +193,34 @@ object Dedup {
   /** Build a corpus-hash Bloom filter (one aggregate job; the returned
     * bytes are a driver-held index artifact like an IVF centroid set —
     * at 1e9 corpus docs and 1% fpp it is ~1.2 GB, the broadcast-side
-    * budget of a runtime filter, not row data).
+    * budget of a runtime filter, not row data). Returns None for an
+    * empty corpus (BloomFilterAggregate yields null then).
+    *
+    * NB: BloomFilterAggregate clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4e6 items / 8 MB — sized for AQE runtime filters, not
+    * index artifacts); a silently clamped filter would degrade the
+    * prefilter to ~100% fpp at claimed-1e9 scale, so the caps are raised
+    * to the requested size for the build and restored after.
     */
   def contentBloom(corpus: DataFrame, textCol: String,
-                   expectedItems: Long, numBits: Long): Array[Byte] = {
+                   expectedItems: Long, numBits: Long): Option[Array[Byte]] = {
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(normHash(col(textCol)))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    corpus.select(ColumnBridge.column(agg).as("bloom")).head.getAs[Array[Byte]](0)
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (conf.getOption(itemsKey), conf.getOption(bitsKey))
+    try {
+      conf.set(itemsKey, math.max(expectedItems, 4000000L))
+      conf.set(bitsKey, math.max(numBits, 67108864L))
+      Option(corpus.select(ColumnBridge.column(agg).as("bloom"))
+        .head.getAs[Array[Byte]](0))
+    } finally {
+      items0.fold(conf.unset(itemsKey))(conf.set(itemsKey, _))
+      bits0.fold(conf.unset(bitsKey))(conf.set(bitsKey, _))
+    }
   }
 
   /** Bloom membership probe against `contentBloom` bytes (codegen'd
@@ -210,17 +239,21 @@ object Dedup {
   def incrementalBloom(batch: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String,
                        expectedItems: Long = 1000000L,
-                       numBits: Long = 8000000L): DataFrame = {
-    val bloom = contentBloom(corpus, textCol, expectedItems, numBits)
-    val b = batch.select(col(idCol), normHash(col(textCol)).as("content_hash"))
-    val definitelyNew = b.filter(!mightContain(bloom, col("content_hash")))
-    val maybeDup = b.filter(mightContain(bloom, col("content_hash")))
-      .join(corpus.select(normHash(col(textCol)).as("content_hash")),
-        Seq("content_hash"), "left_anti")
-    definitelyNew.unionByName(maybeDup)
-      .groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-  }
+                       numBits: Long = 8000000L): DataFrame =
+    contentBloom(corpus, textCol, expectedItems, numBits) match {
+      // empty corpus → no bloom exists; everything is new (bootstrap
+      // ingest must NOT silently drop the first batch)
+      case None => incremental(batch, corpus, textCol, idCol)
+      case Some(bloom) =>
+        val b = batch.select(col(idCol), normHash(col(textCol)).as("content_hash"))
+        val definitelyNew = b.filter(!mightContain(bloom, col("content_hash")))
+        val maybeDup = b.filter(mightContain(bloom, col("content_hash")))
+          .join(corpus.select(normHash(col(textCol)).as("content_hash")),
+            Seq("content_hash"), "left_anti")
+        definitelyNew.unionByName(maybeDup)
+          .groupBy(col("content_hash"))
+          .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    }
 
   /** Connected components over an undirected pair list — the union-find
     * pass that turns verified near-dup PAIRS into CLUSTERS, so canonical
@@ -370,9 +403,8 @@ object Dedup {
     * pipeline, catching formatting-only duplicates.
     */
   def normalizedQuery(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     Tables.documents(spark, dir)
-      .groupBy(sha2(norm, 256).as("content_hash"))
+      .groupBy(normHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))

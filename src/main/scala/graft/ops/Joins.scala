@@ -59,11 +59,17 @@ object Joins {
       col(tieCol).as("_tie"),
       struct(left.columns.map(col): _*).as("_l"),
       lit(null).cast(rType).as("_r"))
-    val rNorm = right.select(
-      col(keyCol).as("_k"), col(tsCol).as("_t"), lit(0).as("_side"),
-      col(tieCol).as("_tie"),
-      lit(null).cast(lType).as("_l"),
-      struct(right.columns.map(col): _*).as("_r"))
+    // a right row with null key or null ts cannot be ordered — it must
+    // never surface as a "latest state" (NULLS FIRST would otherwise
+    // slot it before every real row and let left rows match it); left
+    // rows with null ts sort first and correctly match nothing
+    val rNorm = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(keyCol).as("_k"), col(tsCol).as("_t"), lit(0).as("_side"),
+        col(tieCol).as("_tie"),
+        lit(null).cast(lType).as("_l"),
+        struct(right.columns.map(col): _*).as("_r"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -81,8 +87,11 @@ object Joins {
   /** Interval/range join: pairs each interval row with every point row
     * sharing its key whose timestamp falls inside [startCol, endCol]
     * (boundary inclusion per the flags). Point columns come back
-    * prefixed with `ptPrefix`. Intervals must satisfy start <= end
-    * (enforced: a reversed interval would silently bin backwards).
+    * prefixed with `ptPrefix`. Intervals must satisfy start <= end: a
+    * reversed interval THROWS under `strict` (default — corrupted
+    * interval data should fail loudly, not vanish); `strict = false`
+    * drops reversed intervals instead, documented for callers that
+    * construct intervals defensively.
     *
     * Each point lands in exactly one bin, so a matched pair appears
     * exactly once — no post-join distinct needed.
@@ -92,14 +101,23 @@ object Joins {
                 ptKeyCol: String, ptTsCol: String,
                 binSeconds: Long,
                 includeStart: Boolean = true, includeEnd: Boolean = true,
-                ptPrefix: String = "pt_"): DataFrame = {
+                ptPrefix: String = "pt_", strict: Boolean = true): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val binUs = binSeconds * 1000000L
     val pts = points.select(
       (points.columns.map(c => col(c).as(ptPrefix + c)) :+
         floor(unix_micros(col(ptTsCol)) / binUs).as("_pbin")): _*)
-    val ivs = intervals
-      .filter(col(endCol) >= col(startCol))
+    // a Filter node is never pruned away, so the strict check always runs
+    val wellFormed =
+      if (strict)
+        intervals.filter(
+          when(col(endCol) < col(startCol),
+            raise_error(concat(lit(s"rangeJoin: reversed interval ($startCol > $endCol): "),
+              col(startCol).cast("string"), lit(" > "), col(endCol).cast("string")))
+              .cast("boolean"))
+            .otherwise(lit(true)))
+      else intervals.filter(col(endCol) >= col(startCol))
+    val ivs = wellFormed
       .withColumn("_bin",
         explode(sequence(floor(unix_micros(col(startCol)) / binUs),
           floor(unix_micros(col(endCol)) / binUs))))

@@ -82,10 +82,13 @@ object MicroBatch {
 
   /** Stream-static enrichment: attach dimension attributes to an event
     * stream. The static side is broadcast, so stream micro-batches are
-    * never shuffled for the join, and Spark re-resolves the static
-    * relation per micro-batch — a dimension refresh on disk is picked up
-    * without restarting the stream. Left join keeps events whose key has
-    * no dimension row yet (they arrive with null attributes, the
+    * never shuffled for the join; the static PLAN re-executes per
+    * micro-batch, but a plain file-backed DataFrame's listing is frozen
+    * at creation — to pick up dimension refreshes without restarting,
+    * pass a catalog-table read (`spark.table`) and refresh it
+    * (`spark.catalog.refreshTable`) on update; overwriting the files
+    * under a frozen listing instead fails the stream. Left join keeps
+    * events whose key has no dimension row yet (null attributes, the
     * standard late-dimension posture; use "inner" to hold them back).
     */
   def enrichStream(stream: DataFrame, dim: DataFrame,

@@ -165,5 +165,7 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     val enOnly = Corpus.targetMixture(docs, "doc_id", "lang",
       Map("en" -> 1.0), budgetFrac = 0.5)
     assert(enOnly.filter($"lang" === "de").count() == 0)
+    // output schema is the input schema (no internal rate column, same order)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
   }
 }

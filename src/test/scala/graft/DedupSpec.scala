@@ -137,5 +137,10 @@ class DedupSpec extends SparkSpec {
       expectedItems = 2L, numBits = 8L)
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
     assert(tiny == expected)
+    // bootstrap ingest: EMPTY corpus must keep the whole batch (the
+    // bloom aggregate yields null there — must not drop everything)
+    val boot = Dedup.incrementalBloom(batch, corpus.limit(0), "text", "doc_id")
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(boot == Map(1L -> 1L, 3L -> 1L, 5L -> 2L, 9L -> 1L))
   }
 }

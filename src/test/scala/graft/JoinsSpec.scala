@@ -62,6 +62,25 @@ class JoinsSpec extends SparkSpec {
     assert(tight(1L) == Some(100.0))
   }
 
+  test("asOf null semantics: null-ts/key state never matches; null-ts observation matches nothing") {
+    val r = Seq(
+      (Option(10L), Option(ts("2024-01-01 09:00:00")), 1.0, 1L),
+      (Option(10L), Option.empty[Timestamp], 666.0, 2L),   // unordered state
+      (Option.empty[Long], Option(ts("2024-01-01 09:30:00")), 667.0, 3L) // keyless state
+    ).toDF("user_id", "ts", "value", "event_id")
+    val l = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 10:00:00")), 0.0),
+      (2L, Option(10L), Option.empty[Timestamp], 0.0),     // null-ts observation
+      (3L, Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 0.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Joins.asOf(l, r, "user_id", "ts", "event_id")
+      .select($"event_id", $"asof.value".as[Option[Double]])
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(out(1L) == Some(1.0))  // only the real state row matches
+    assert(out(2L) == None)       // unordered observation matches nothing
+    assert(out(3L) == None)       // keyless observation matches nothing
+  }
+
   test("rangeJoin: boundary flags, bin-straddling points, key isolation") {
     val iv = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
@@ -107,6 +126,23 @@ class JoinsSpec extends SparkSpec {
       .select($"iv_id", $"value").as[(Long, Double)].collect().sorted.toSeq
     assert(fast == naive)
     assert(fast.size == fast.distinct.size)
+  }
+
+  test("rangeJoin: reversed interval throws under strict, drops under strict=false") {
+    val iv = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:00:00")), // reversed
+      (2L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))
+    ).toDF("iv_id", "user_id", "t0", "t1")
+    val pts = Seq((10L, ts("2024-01-01 10:05:00"), 1.0)).toDF("user_id", "ts", "value")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(iv, pts, "user_id", "t0", "t1", "user_id", "ts", 600).count()
+    }
+    assert(ex.getMessage != null && ex.toString.contains("reversed interval")
+      || Option(ex.getCause).exists(_.toString.contains("reversed interval")))
+    val lax = Joins.rangeJoin(iv, pts, "user_id", "t0", "t1", "user_id", "ts", 600,
+        strict = false)
+      .select($"iv_id").as[Long].collect().toSeq
+    assert(lax == Seq(2L)) // reversed interval dropped, valid one matches
   }
 
   test("scale shape: asOf is one shuffle and no join node; rangeJoin never cartesian") {

@@ -115,6 +115,24 @@ object Analytics {
       .orderBy(col("region"))
   }
 
+  /** Pivot: per-user event counts spread across event-type columns, with
+    * EXPLICIT pivot values — the two-pass infer-values form adds a
+    * distinct-scan job and makes the output schema data-dependent, both
+    * wrong at 100 TB. With declared values this is one ordinary
+    * map-side-combined aggregation whose oracle is plain conditional
+    * SUMs. Decimal-routed value sums keep the wide columns exact.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), EventTypes)
+      .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("v"))
+      .na.fill(0L, EventTypes.map(t => s"${t}_n"))
+      .na.fill(0.0, EventTypes.map(t => s"${t}_v"))
+      .orderBy(col("user_id"))
+
   /** J6-style semi/anti joins as first-class queries: customers with and
     * without any order (EXISTS / NOT EXISTS).
     */
@@ -134,6 +152,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot" -> (eventsPivot _),
     "sales_by_region" -> (salesByRegion _),
     "customers_without_orders" -> (customersWithoutOrders _),
     "customers_with_orders" -> (customersWithOrders _),
@@ -144,7 +163,17 @@ object Analytics {
     "stream_hourly_counts" -> (hourlyCounts _),
     "val_events_summary" -> (eventsSummary _))
 
+  // pivot replica: conditional count/decimal-sum per declared event type
+  private val pivotColsSql: String = EventTypes.map { t =>
+    s"""  COUNT(*) FILTER (event_type = '$t') AS ${t}_n,
+       |  COALESCE(CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = '$t'), 2) AS DOUBLE), 0.0) AS ${t}_v""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "events_pivot" ->
+      s"""SELECT user_id,
+         |$pivotColsSql
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sales_by_region" ->
       """SELECT r.r_name AS region,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,

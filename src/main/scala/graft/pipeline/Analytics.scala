@@ -84,6 +84,29 @@ object Analytics {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
   }
 
+  /** CUBE: all grouping-set combinations of (nation, year) — the rollup's
+    * sibling for dashboards that slice both ways; one expand + one
+    * shuffle, decimal-routed sums. Distinguishing a real null dimension
+    * from a subtotal row is what `grouping()` flags are for (exported so
+    * the oracle compare is unambiguous where n_name itself could be null).
+    */
+  def salesCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube(col("n_name"), col("yr"))
+      .agg(
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        count(lit(1)).as("n_orders"),
+        Exact.moneySum(col("o_totalprice")).as("spend"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"),
+        col("g_nation"), col("g_yr"))
+  }
+
   /** Approximate distinct counts (HLL sketch) next to the exact answer —
     * the 100 TB substitute for countDistinct when exactness isn't needed.
     * Rows-only (sketch estimates are engine-specific by design).
@@ -153,6 +176,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> (eventsPivot _),
+    "sales_cube" -> (salesCube _),
     "sales_by_region" -> (salesByRegion _),
     "customers_without_orders" -> (customersWithoutOrders _),
     "customers_with_orders" -> (customersWithOrders _),
@@ -190,6 +214,17 @@ object Analytics {
     "customers_with_orders" ->
       """SELECT COUNT(*) AS n_customers_with_orders FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "sales_cube" ->
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+        |  CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+        |  CAST(GROUPING(year(o.o_orderdate)) AS INTEGER) AS g_yr,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
+        |ORDER BY n_name NULLS FIRST, yr NULLS FIRST, g_nation, g_yr""".stripMargin,
     "sales_rollup" ->
       """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend

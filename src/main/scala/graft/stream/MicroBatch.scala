@@ -95,6 +95,26 @@ object MicroBatch {
                    keys: Seq[String], joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-stream interval join (attribution shape: right events within
+    * `within` AFTER the left event, same key — impressions→clicks). Both
+    * sides carry watermarks and the join has an event-time bound, so
+    * Spark evicts per-key state once the watermark passes: state is
+    * bounded by (rate × (horizon + within)), never by stream history —
+    * the property that makes stream-stream joins feasible at all. The
+    * batch counterpart of the same semantics is `ops.Joins.rangeJoin`.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          leftTs: String, rightTs: String,
+                          horizon: String = "1 hour",
+                          within: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon).alias("l")
+    val r = right.withWatermark(rightTs, horizon).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+         |r.$rightTs > l.$leftTs AND
+         |r.$rightTs <= l.$leftTs + INTERVAL $within""".stripMargin))
+  }
+
   /** T2 batch-parity helper: run a bounded stream to completion (used by
     * tests and backfills — processes whatever is in the directory, then
     * stops).

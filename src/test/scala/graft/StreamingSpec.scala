@@ -148,6 +148,36 @@ class StreamingSpec extends SparkSpec {
       (9L, 20L, None))) // late-dimension key kept with null attrs
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the window") {
+    val root = Files.createTempDirectory("ssjoin").toString
+    val impDir = s"$root/imp"; val clkDir = s"$root/clk"
+    Files.createDirectories(Paths.get(impDir)); Files.createDirectories(Paths.get(clkDir))
+    val impSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("imp_time", TimestampType)))
+    val clkSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("click_time", TimestampType)))
+    val imps = spark.readStream.schema(impSchema).option("maxFilesPerTrigger", 1).json(impDir)
+    val clks = spark.readStream.schema(clkSchema).option("maxFilesPerTrigger", 1).json(clkDir)
+    val q = MicroBatch.intervalJoinStreams(imps, clks, "ad_id", "imp_time", "click_time")
+      .select($"l.ad_id".as("ad_id"), $"imp_time", $"click_time")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("attributed").start()
+    Files.writeString(Paths.get(s"$impDir/i1.jsonl"),
+      """{"ad_id":1,"imp_time":"2024-01-01T00:00:00Z"}
+        |{"ad_id":2,"imp_time":"2024-01-01T00:00:00Z"}""".stripMargin)
+    Files.writeString(Paths.get(s"$clkDir/c1.jsonl"),
+      """{"ad_id":1,"click_time":"2024-01-01T00:05:00Z"}
+        |{"ad_id":2,"click_time":"2024-01-01T00:20:00Z"}
+        |{"ad_id":3,"click_time":"2024-01-01T00:02:00Z"}""".stripMargin)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table("attributed").select($"ad_id").as[Long].collect().toSeq
+    // ad 1 clicks inside 10 min -> attributed; ad 2 at +20 min -> outside;
+    // ad 3 has no impression -> no match
+    assert(rows == Seq(1L))
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -107,6 +107,51 @@ object Analytics {
         col("g_nation"), col("g_yr"))
   }
 
+  /** Range-framed moving window: per event, the same user's event count
+    * and exact value sum over the trailing hour — the W-family member
+    * (frame specs) nothing else exercises. The frame is numeric over
+    * epoch micros so the Spark and DuckDB frames are definitionally
+    * identical; the sum is decimal-routed (frames hit peers in
+    * nondeterministic order under range ties). Partitioned by user —
+    * never a global-order window.
+    */
+  def eventsMovingHour(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-HourUs, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("v_trailing_1h",
+        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 6))).over(w), 2).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_trailing_1h"), col("v_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** NTILE deciles of customer spend WITHIN each nation — ntile needs a
+    * total order over its partition, so the partition must be a real key
+    * (a global-order ntile would plan SinglePartition — the window
+    * anti-pattern at scale). Tie-broken by custkey: deterministic.
+    */
+  def nationSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(Exact.moneySum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.withColumn("decile", ntile(10).over(w))
+      .orderBy(col("nation"), col("decile"), col("c_custkey"))
+  }
+
   /** Approximate distinct counts (HLL sketch) next to the exact answer —
     * the 100 TB substitute for countDistinct when exactness isn't needed.
     * Rows-only (sketch estimates are engine-specific by design).
@@ -175,6 +220,8 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_moving_1h" -> (eventsMovingHour _),
+    "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
     "sales_cube" -> (salesCube _),
     "sales_by_region" -> (salesByRegion _),
@@ -194,6 +241,30 @@ object Analytics {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "events_moving_1h" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 2) AS DOUBLE) AS v_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "nation_spend_deciles" ->
+      """WITH spend AS (
+        |  SELECT n.n_name AS nation, c.c_custkey,
+        |    CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, c_custkey, spend,
+        |  CAST(NTILE(10) OVER (PARTITION BY nation
+        |    ORDER BY spend DESC, c_custkey) AS INTEGER) AS decile
+        |FROM spend
+        |ORDER BY nation, decile, c_custkey""".stripMargin,
     "events_pivot" ->
       s"""SELECT user_id,
          |$pivotColsSql

@@ -128,6 +128,29 @@ class JoinsSpec extends SparkSpec {
     assert(fast.size == fast.distinct.size)
   }
 
+  test("asOf equals the naive greatest-prior-row join on a random-ish fixture") {
+    val rights = (0 until 120).map { i =>
+      ((i % 5).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + ((i * 37) % 7200) * 1000L),
+        i.toDouble, (1000 + i).toLong)
+    }.toDF("user_id", "ts", "value", "event_id")
+    val lefts = (0 until 80).map { j =>
+      (j.toLong, ((j * 13) % 5).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + ((j * 91) % 7200) * 1000L))
+    }.toDF("event_id", "user_id", "ts")
+    val fast = Joins.asOf(lefts, rights, "user_id", "ts", "event_id")
+      .select($"event_id", $"asof.event_id".as[Option[Long]])
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // naive: per left row, max-(ts, event_id) right row at-or-before
+    val naive = lefts.as("l").join(rights.as("r"),
+        $"l.user_id" === $"r.user_id" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"l.event_id")
+      .agg(max_by(struct($"r.ts", $"r.event_id"), struct($"r.ts", $"r.event_id")).as("m"))
+      .select($"event_id", $"m.event_id".as[Option[Long]])
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast == naive)
+  }
+
   test("rangeJoin: reversed interval throws under strict, drops under strict=false") {
     val iv = Seq(
       (1L, 10L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:00:00")), // reversed

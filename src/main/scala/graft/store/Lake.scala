@@ -101,6 +101,40 @@ object Lake {
     deleteRecursive(bak)
   }
 
+  /** Small-file compaction: streaming appends write one file per
+    * micro-batch per partition dir, and a day of 1-minute triggers turns
+    * every partition into ~1440 tiny files — the classic lake pathology
+    * (scan task per file, NameNode/listing pressure). Rewrite the table
+    * to ~`targetRowsPerFile` rows per file and swap atomically; the data
+    * (and the hive partition layout, via the partition columns in the
+    * frame) is byte-identical, only the file count changes. Runs as one
+    * job; at cluster scale, run it per partition predicate instead
+    * (`where`) so only cold partitions rewrite.
+    */
+  def compact(spark: SparkSession, tableDir: String,
+              targetRowsPerFile: Long = 1000000L,
+              partitionCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tableDir)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val out =
+      if (partitionCols.nonEmpty)
+        // repartition by partition cols: each output task holds whole
+        // partition dirs, so files-per-partition-dir stays ~1
+        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val tmp = tableDir + ".compacting"
+    val writer = out.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    val destPath = Paths.get(tableDir)
+    val bak = Paths.get(tableDir + ".old")
+    deleteRecursive(bak)
+    Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(bak)
+  }
+
   /** K10: archive — move processed input files under archive/<date>/, date
     * parsed from the filename (ref transfom_pos.py:56-110's
     * `pos_YYYYMMDD_HHMMSS.csv` regex).

@@ -115,6 +115,24 @@ object MicroBatch {
          |r.$rightTs <= l.$leftTs + INTERVAL $within""".stripMargin))
   }
 
+  /** Streaming event-time sessionization: per-user sessions closed by a
+    * `gap` of inactivity, emitted once the watermark passes the session
+    * end (`session_window` merges windows as late rows arrive; state per
+    * open session, evicted on close — the streaming twin of the batch
+    * `Web.sessionize` lag+cumsum form).
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       gap: String = "30 minutes",
+                       horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** T2 batch-parity helper: run a bounded stream to completion (used by
     * tests and backfills — processes whatever is in the directory, then
     * stops).

@@ -90,4 +90,20 @@ object Validators {
       .withColumn("extra_columns", extraKeys)
     (conforming, extras)
   }
+
+  /** Schema conformance on read — the dual of extra-column routing:
+    * project a frame (e.g. an older snapshot written before a column
+    * existed) onto the CURRENT declared schema. Missing columns
+    * materialize as typed nulls, present ones cast to the declared type,
+    * undeclared ones drop, order follows the declaration — so batch jobs
+    * can union snapshots across schema versions without per-version
+    * branches. Scan-speed projection, no shuffle.
+    */
+  def conformTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
 }

@@ -32,6 +32,33 @@ class LakeSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dest + ".old")))
   }
 
+  test("compaction: many small files become few, data and partition layout identical") {
+    val root = Files.createTempDirectory("compact").toString
+    val t = s"$root/t"
+    // simulate 12 micro-batch appends -> 12+ files per partition dir
+    (0 until 12).foreach { i =>
+      Seq((i, s"2024-07-${15 + i % 2}"))
+        .toDF("id", "d").withColumn("d", to_date($"d"))
+        .write.mode("append").partitionBy("d").parquet(t)
+    }
+    def parquetFiles(dir: String): Seq[String] = {
+      val b = java.nio.file.Files.walk(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        b.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+      } finally b.close()
+    }
+    val before = spark.read.parquet(t).orderBy($"id").collect().toSeq
+    assert(parquetFiles(t).size >= 12)
+    Lake.compact(spark, t, targetRowsPerFile = 1000000L, partitionCols = Seq("d"))
+    val afterFiles = parquetFiles(t)
+    assert(afterFiles.size <= 4, s"still ${afterFiles.size} files") // ~1 per partition dir
+    val after = spark.read.parquet(t).orderBy($"id").collect().toSeq
+    assert(after == before) // byte-identical data, hive layout preserved
+    val dirs = new java.io.File(t).listFiles().map(_.getName).filter(_.startsWith("d=")).toSet
+    assert(dirs == Set("d=2024-07-15", "d=2024-07-16"))
+  }
+
   test("K10/E15: archive moves files into date dirs parsed from filename") {
     val root = Files.createTempDirectory("lake").toString
     val f1 = s"$root/pos_20240715_120000.csv"

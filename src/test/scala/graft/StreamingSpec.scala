@@ -178,6 +178,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L))
   }
 
+  test("streaming sessionization: gap closes sessions, late-but-in-gap rows merge") {
+    val root = Files.createTempDirectory("ssess").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+    val q = MicroBatch.sessionizeStream(src, "user_id", "ts", gap = "10 minutes")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("sessions").start()
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      """{"user_id":1,"ts":"2024-01-01T00:00:00Z"}
+        |{"user_id":1,"ts":"2024-01-01T00:05:00Z"}
+        |{"user_id":1,"ts":"2024-01-01T00:30:00Z"}
+        |{"user_id":2,"ts":"2024-01-01T00:00:00Z"}""".stripMargin)
+    q.processAllAvailable()
+    // a late row inside user 1's first session gap extends/merges it
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      """{"user_id":1,"ts":"2024-01-01T00:08:00Z"}""".stripMargin)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val sess = spark.table("sessions")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted.toSeq
+    // user 1: session {00:00,00:05,00:08} (3 events) + session {00:30};
+    // user 2: one singleton session
+    assert(sess == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -66,4 +66,22 @@ class ValidatorsSpec extends SparkSpec with PropertyCheck {
     assert(back.count() == 1)
     assert(back.select(explode($"extra_columns")).as[String].collect().toSet == Set("surprise", "debug"))
   }
+
+  test("conformTo: missing columns null-typed, casts applied, extras dropped, declared order") {
+    import org.apache.spark.sql.types._
+    val declared = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))   // new column absent in old data
+    val old = Seq(("7", "a", "junk")).toDF("id", "name", "legacy_col")
+    val out = graft.validate.Validators.conformTo(old, declared)
+    assert(out.columns.toSeq == Seq("id", "name", "score"))
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.schema("score").dataType == DoubleType)
+    val row = out.collect().head
+    assert(row.getInt(0) == 7 && row.getString(1) == "a" && row.isNullAt(2))
+    // union across schema versions now works without branches
+    val neu = Seq((8, "b", 0.5)).toDF("id", "name", "score")
+    assert(out.unionByName(graft.validate.Validators.conformTo(neu, declared)).count() == 2)
+  }
 }

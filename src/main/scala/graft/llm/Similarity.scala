@@ -236,8 +236,10 @@ object Similarity {
     * unlike float scores, the whole retrieval is oracle-checkable. The
     * query side is broadcast; the corpus scans its codes in place (4×
     * less data than the float embeddings — the point of quantizing). The
-    * zip_with dot product is fine at 64 dims; at production dims swap in
-    * a CosineSim-style one-pass expression (VectorExprs pattern).
+    * dot product is a one-pass codegen'd expression (IntDotProduct) —
+    * the higher-order aggregate(zip_with(…)) form is CodegenFallback and
+    * re-interprets per scanned pair, exactly what an ADC scan can't
+    * afford.
     */
   def knnQuantized(corpus: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val coded = quantizeInt8Sym(corpus)
@@ -246,10 +248,7 @@ object Similarity {
     val c = coded.select(col("vec_id").as("neighbor_id"), col("codes").as("c_codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        aggregate(
-          zip_with(col("q_codes"), col("c_codes"), (a, b) => (a * b).cast("long")),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("score", VectorExprs.intDot(col("q_codes"), col("c_codes")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), col("score"))

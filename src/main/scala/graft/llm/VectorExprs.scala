@@ -229,6 +229,57 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over two int-array columns — the quantized
+  * ADC scan kernel. Higher-order `aggregate(zip_with(…))` is
+  * CodegenFallback and re-interprets per row; this is one primitive loop
+  * with real codegen, and integer accumulation means the score (and any
+  * ranking over it) is exact on every engine. Null elements count as 0,
+  * matching the double kernels; length mismatch uses the common prefix.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val xi = if (a.isNullAt(i)) 0L else a.getInt(i).toLong
+      val yi = if (b.isNullAt(i)) 0L else b.getInt(i).toLong
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("intDot", this, classOf[IntDotProduct].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<int> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The `k` nearest centroid ids for a vector, by cosine descending (ties:
   * lower centroid id), computed in ONE pass per row against a plan-held
   * centroid matrix — the IVF assignment/probe kernel.
@@ -411,6 +462,10 @@ object VectorExprs {
   /** LSH band buckets over word n-gram shingles of `tokens`. */
   def minhashBands(tokens: Column, shingleN: Int, numHashes: Int, bands: Int): Column =
     ColumnBridge.column(MinHashBands(ColumnBridge.expression(tokens), shingleN, numHashes, bands))
+
+  /** Exact integer dot product of two int-array columns (the ADC scan). */
+  def intDot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

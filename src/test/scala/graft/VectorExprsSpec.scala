@@ -137,4 +137,22 @@ class VectorExprsSpec extends SparkSpec {
     val got = df.select($"id", Dedup.simhashSql($"t").as("sh")).as[(Long, Long)].collect().toMap
     assert(got(1L) == got(2L) && (got(1L) >>> 61) == 0L)
   }
+
+  test("IntDotProduct ≡ aggregate(zip_with) composable form; nulls as 0; prefix on mismatch") {
+    val df = Seq(
+      (1L, Seq[Integer](1, 2, 3), Seq[Integer](4, 5, 6)),          // 4+10+18 = 32
+      (2L, Seq[Integer](127, -127), Seq[Integer](127, 127)),       // 16129-16129 = 0
+      (3L, Seq[Integer](1, null, 3), Seq[Integer](7, 9, null)),    // 7+0+0 = 7
+      (4L, Seq[Integer](2, 2, 2), Seq[Integer](5))                 // prefix: 10
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", VectorExprs.intDot($"a", $"b").as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 32L, 2L -> 0L, 3L -> 7L, 4L -> 10L))
+    // equivalence with the higher-order composable form on non-null rows
+    val composable = df.filter($"id" <= 2L).select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(composable == got.view.filterKeys(_ <= 2L).toMap)
+  }
 }

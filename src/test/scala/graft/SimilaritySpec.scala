@@ -128,6 +128,105 @@ class SimilaritySpec extends SparkSpec {
     assert(real._2 == 1L && real._3 == 0L && real._4 == 0L)
   }
 
+  test("k-means trainer: deterministic, input-order-invariant, and SSE-reducing") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Similarity.trainCentroidCodes(emb, nlist = 8, sampleSize = 100, iters = 3)
+    val reordered = Similarity.trainCentroidCodes(
+      emb.orderBy($"vec_id".desc), nlist = 8, sampleSize = 100, iters = 3)
+    assert(trained.map(_.toSeq).toSeq == reordered.map(_.toSeq).toSeq,
+      "training must not depend on input row order")
+    // Lloyd's monotonicity over the training sample (init = iters 0)
+    val init = Similarity.trainCentroidCodes(emb, nlist = 8, sampleSize = 100, iters = 0)
+    val sample = emb
+      .select($"vec_id".cast("long").as("vid"), $"embedding")
+      .withColumn("h", ($"vid" * lit(2654435761L)) % lit(1L << 32))
+      .orderBy($"h", $"vid").limit(100)
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 65536)).toArray)
+    def sse(cents: Array[Array[Long]]): Double =
+      sample.map { q =>
+        cents.map(c => q.indices.map(i => { val t = (q(i) - c(i)).toDouble; t * t }).sum).min
+      }.sum
+    assert(sse(trained) < sse(init),
+      s"3 Lloyd rounds should cut sample SSE: ${sse(trained)} vs ${sse(init)}")
+  }
+
+  test("trained centroids: same recall at a fraction of the scan when data order is adversarial") {
+    // 4 well-separated clusters in R^16; the FIRST 16 ids all sit in
+    // cluster 0, so first-nlist centroids cover one cluster. Bad
+    // centroids then CONCENTRATE each far cluster into ~one list —
+    // recall survives by accident, but a probe scans whole clusters,
+    // which at scale is brute force wearing an index costume. The
+    // trained index must match recall while scanning a fraction of the
+    // candidates (and be independent of data order, the r3 weakness).
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def point(cluster: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(cluster * 4) = 1.0f
+      (0 until dim).foreach(i => v(i) += (rnd.nextGaussian() * 0.05).toFloat)
+      v
+    }
+    val pts = (0L until 16L).map(i => (i, point(0))) ++
+      (16L until 100L).map(i => (i, point(1 + (i % 3).toInt)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id".isin(20L, 21L, 50L, 80L))
+    val truth = Similarity.bruteForceKnn(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // recall, total candidates scanned (Σ probed-list sizes), max list size
+    def evalIndex(ids: Array[Int], vecs: Array[Array[Double]], nprobe: Int): (Double, Long, Long) = {
+      val res = Similarity.ivfKnnWith(emb, queries, ids, vecs, nprobe, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = res.intersect(truth).size.toDouble / truth.size
+      val sizes = emb.select(
+          element_at(graft.llm.VectorExprs.nearestCentroids($"embedding", ids, vecs, 1), 1).as("cid"))
+        .groupBy("cid").count().as[(Int, Long)].collect().toMap
+      val scanned = queries.select(
+          explode(graft.llm.VectorExprs.nearestCentroids($"embedding", ids, vecs, nprobe)).as("cid"))
+        .as[Int].collect().map(sizes.getOrElse(_, 0L)).sum
+      (recall, scanned, sizes.values.max)
+    }
+    val (fIds, fVecs) = Similarity.collectCentroids(emb.filter($"vec_id" < 16))
+    val (firstRecall, firstScanned, firstMaxList) = evalIndex(fIds, fVecs, nprobe = 4)
+    val vecs = Similarity.trainCentroidsKMeans(emb, nlist = 16, sampleSize = 100, iters = 3)
+    val (trainedRecall, trainedScanned, trainedMaxList) = evalIndex(vecs.indices.toArray, vecs, nprobe = 4)
+    assert(trainedRecall >= 0.9 && trainedRecall >= firstRecall - 0.05,
+      s"trained recall $trainedRecall vs first-nlist $firstRecall")
+    assert(trainedScanned < firstScanned,
+      s"trained index should scan fewer candidates: $trainedScanned vs $firstScanned")
+    // the scale pathology: bad centroids swallow a whole cluster into one
+    // list (probe = cluster scan, one straggler task owns it at 100 TB)
+    assert(trainedMaxList * 2 <= firstMaxList,
+      s"trained max list $trainedMaxList vs first-nlist $firstMaxList")
+  }
+
+  test("blocked all-pairs equals the single-broadcast baseline, each pair exactly once") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Similarity.bruteForcePairs(emb, 0.35)
+      .select("id_a", "id_b", "sim_r").as[(Long, Long, Double)].collect().toSet
+    assert(base.nonEmpty, "fixture must produce pairs for the equality to mean anything")
+    for (nBlocks <- Seq(1, 3, 7)) {
+      val rows = Similarity.bruteForcePairsBlocked(emb, 0.35, nBlocks)
+        .select("id_a", "id_b", "sim_r").as[(Long, Long, Double)].collect()
+      // exactly once: hash slices partition the id space, and a pair lands
+      // only in the scan whose slice holds its larger id
+      assert(rows.length == rows.toSet.size, s"duplicate pairs at nBlocks=$nBlocks")
+      assert(rows.toSet == base, s"blocked($nBlocks) diverges from baseline")
+    }
+  }
+
+  test("blocked all-pairs broadcasts a slice, never the full corpus") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)
+      .queryExecution.executedPlan.toString
+    // every broadcast build side must sit above the slice filter (pmod of
+    // the id hash), proving peak broadcast memory is O(n/nBlocks)
+    val builds = plan.split("BroadcastExchange").length - 1
+    assert(builds == 4, s"expected 4 slice broadcasts, got $builds in:\n$plan")
+    assert(plan.contains("pmod"), s"broadcast sides are not slice-filtered:\n$plan")
+  }
+
   test("uint8 quantization: endpoints hit 0/255, order preserved, constant dim -> 0") {
     val vecs = Seq(
       (0L, Array(0.0f, 10.0f, 7.0f)),

@@ -20,13 +20,20 @@ import graft.Tables
   * The survivor frame (doc_id, norm_text, exact_keep — narrow: ids +
   * normalized text, no feature columns) feeds five downstream branches
   * (signatures, bands, two verify sides, the status join) and is
-  * persisted MEMORY_AND_DISK: one feature scan serves all branches
+  * lazily localCheckpoint'd: one feature scan serves all branches
   * (round-3 measurement: 2× faster than recompute-per-branch even after
   * the window-dedup restructure halved the recomputed passes; the r1/r2
   * "recompute wins" result was for checkpointing the pre-dedup subtree,
-  * which still left the LSH branches recomputing). Long-lived sessions
-  * issuing many curations should `spark.catalog.clearCache()`
-  * periodically — each call caches one survivor frame.
+  * which still left the LSH branches recomputing). localCheckpoint
+  * rather than persist: cached frames live until an explicit unpersist
+  * (annotate has no post-materialization hook to call one — the r3
+  * version leaked one frame per call for the session lifetime), while
+  * checkpoint blocks are freed by the ContextCleaner as soon as the
+  * result frame is garbage-collected. Block storage is executor-local,
+  * so on a real cluster an executor loss during one annotate costs that
+  * job — acceptable for a bounded pipeline stage (same trade as
+  * Dedup.connectedComponents' default; no reliable-dir variant needed
+  * here because the frame never outlives the single composed query).
   */
 object Curation {
 
@@ -71,7 +78,7 @@ object Curation {
       .select(col("doc_id"), col("norm_text"))
       .withColumn("h", sha2(col("norm_text"), 256))
       .withColumn("exact_keep", row_number().over(hW) === 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val exactSurvivors = sv.filter(col("exact_keep"))
       .select(col("doc_id"), col("norm_text"))
     // near-dup: LSH candidates over exact survivors → exact verify → drop high ids

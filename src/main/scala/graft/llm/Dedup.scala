@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
@@ -194,32 +193,25 @@ object Dedup {
     * bytes are a driver-held index artifact like an IVF centroid set —
     * at 1e9 corpus docs and 1% fpp it is ~1.2 GB, the broadcast-side
     * budget of a runtime filter, not row data). Returns None for an
-    * empty corpus (BloomFilterAggregate yields null then).
+    * empty corpus (a 0-item filter carries no information; callers fall
+    * back to the plain anti-join bootstrap).
     *
-    * NB: BloomFilterAggregate clamps its arguments to
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
-    * (defaults 4e6 items / 8 MB — sized for AQE runtime filters, not
-    * index artifacts); a silently clamped filter would degrade the
-    * prefilter to ~100% fpp at claimed-1e9 scale, so the caps are raised
-    * to the requested size for the build and restored after.
+    * Built via `DataFrameStatFunctions.bloomFilter`, which honors the
+    * requested size directly — the previous BloomFilterAggregate route
+    * clamped to the AQE runtime-filter caps and needed session-global
+    * conf toggling around the build (a race for concurrent queries on
+    * the same session, and raised caps could leak into unrelated AQE
+    * runtime filters mid-build).
     */
   def contentBloom(corpus: DataFrame, textCol: String,
                    expectedItems: Long, numBits: Long): Option[Array[Byte]] = {
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(normHash(col(textCol)))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val conf = corpus.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (items0, bits0) = (conf.getOption(itemsKey), conf.getOption(bitsKey))
-    try {
-      conf.set(itemsKey, math.max(expectedItems, 4000000L))
-      conf.set(bitsKey, math.max(numBits, 67108864L))
-      Option(corpus.select(ColumnBridge.column(agg).as("bloom"))
-        .head.getAs[Array[Byte]](0))
-    } finally {
-      items0.fold(conf.unset(itemsKey))(conf.set(itemsKey, _))
-      bits0.fold(conf.unset(bitsKey))(conf.set(bitsKey, _))
+    val hashed = corpus.select(xxhash64(normHash(col(textCol))).as("h"))
+    if (hashed.isEmpty) None
+    else {
+      val bf = hashed.stat.bloomFilter(col("h"), expectedItems, numBits)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      Some(out.toByteArray)
     }
   }
 
@@ -266,7 +258,12 @@ object Dedup {
     * 2-4 rounds where a Pregel framework would be overkill. The per-round
     * driver-side convergence check aggregates only changed-label counts
     * (tiny next to the corpus); `maxIter` bounds pathological chains.
-    * Labels are localCheckpoint'd per round to cut lineage growth.
+    * Labels are checkpointed per round to cut lineage growth:
+    * `localCheckpoint` (executor block storage) by default — pass
+    * `checkpointDir` for RELIABLE checkpointing at cluster scale, where
+    * an executor loss mid-iteration would otherwise kill the job
+    * (localCheckpoint truncates lineage, so lost blocks cannot be
+    * recomputed). Identical results either way (DedupSpec runs both).
     *
     * By default (`strict`), hitting `maxIter` without converging THROWS:
     * truncated labels are silently-wrong clusters (and would diverge from
@@ -274,15 +271,22 @@ object Dedup {
     * bounded-radius labels deliberately.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          strict: Boolean = true): DataFrame = {
-    val edges = pairs
+                          strict: Boolean = true,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        // context-global setting, like spark.sparkContext.setJobGroup —
+        // callers running concurrent checkpointed jobs share the dir
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = ckpt(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -290,10 +294,9 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("label").as("nbr_label")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("changed"))
-        .localCheckpoint()
+          (col("nbr_min") < col("label")).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.drop("changed")
       iter += 1
@@ -436,6 +439,9 @@ object Dedup {
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
+    // NOT EXISTS, not NOT IN: NOT IN's three-valued logic would silently
+    // drop (or empty) the result if any text were NULL, where Spark's
+    // left_anti keeps null-hash batch rows — NOT EXISTS matches that
     "llm_dedup_incremental" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -444,7 +450,7 @@ object Dedup {
         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM h
         |WHERE doc_id % 2 <> 0
-        |  AND ch NOT IN (SELECT ch FROM h WHERE doc_id % 2 = 0)
+        |  AND NOT EXISTS (SELECT 1 FROM h h2 WHERE h2.doc_id % 2 = 0 AND h2.ch = h.ch)
         |GROUP BY ch ORDER BY keep_id""".stripMargin,
     "llm_dedup_normalized" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -30,6 +30,28 @@ object Analytics {
       .orderBy(col("nation"))
   }
 
+  /** Customer spend by nation via `Skew.saltedJoin` when `saltFactor` is
+    * set, else the plain equi-join — the pair exists so the salted plan
+    * is exercised end-to-end against the oracle AND benched side by side
+    * with its unsalted twin (salting's overhead: the small side is
+    * replicated factor×, the big side's shuffle keys widen by the salt).
+    * On uniform keys the salted plan only costs; it pays when one hot key
+    * would otherwise pin a straggler task — the knob is per-pipeline.
+    */
+  def spendByNation(spark: SparkSession, dir: String, saltFactor: Option[Int]): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val cn = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("o_custkey"), col("n_name"))
+    val joined = saltFactor match {
+      case Some(f) => graft.store.Skew.saltedJoin(o, cn, Seq("o_custkey"), f)
+      case None => o.join(cn, Seq("o_custkey"))
+    }
+    joined.groupBy(col("n_name").as("nation"))
+      .agg(Exact.moneySum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("nation"))
+  }
+
   /** Top-k customers by spend: join + agg + global sort + limit (O1/O2). */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -152,17 +174,29 @@ object Analytics {
       .orderBy(col("nation"), col("decile"), col("c_custkey"))
   }
 
-  /** Approximate distinct counts (HLL sketch) next to the exact answer —
-    * the 100 TB substitute for countDistinct when exactness isn't needed.
-    * Rows-only (sketch estimates are engine-specific by design).
+  /** Approximate distinct counts (HLL sketch) — the 100 TB substitute for
+    * countDistinct when exactness isn't needed. Rows-only BY DESIGN
+    * (sketch estimates are engine-specific); the exact counterpart lives
+    * in `exactUniques` so only the sketch columns escape the oracle.
     */
   def approxUniques(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("props")).as("approx_pages"))
+      .orderBy(col("event_type"))
+
+  /** The exact distinct counts the sketches approximate — split out of
+    * `approxUniques` so they ARE oracle-checked (a mixed query forced the
+    * whole row to rows-only, hiding the exact half from the gate).
+    */
+  def exactUniques(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("props")).as("exact_pages"))
       .orderBy(col("event_type"))
 
   /** Four-table broadcast star: revenue by region (region → nation →
@@ -228,11 +262,23 @@ object Analytics {
     "customers_without_orders" -> (customersWithoutOrders _),
     "customers_with_orders" -> (customersWithOrders _),
     "stream_approx_uniques" -> (approxUniques _),
+    "stream_exact_uniques" -> (exactUniques _),
+    "skew_spend_salted" -> ((s: SparkSession, d: String) => spendByNation(s, d, Some(8))),
+    "skew_spend_unsalted" -> ((s: SparkSession, d: String) => spendByNation(s, d, None)),
     "sales_rollup" -> (salesRollup _),
     "sales_by_nation" -> (salesByNation _),
     "top_customers" -> (topCustomers _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "val_events_summary" -> (eventsSummary _))
+
+  private val SpendByNationSql =
+    """SELECT n.n_name AS nation,
+      |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend,
+      |  COUNT(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // pivot replica: conditional count/decimal-sum per declared event type
   private val pivotColsSql: String = EventTypes.map { t =>
@@ -317,6 +363,15 @@ object Analytics {
         |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS spend
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY spend DESC, c_custkey LIMIT 10""".stripMargin,
+    // one SQL, two plans: the salted join must be result-identical to the
+    // plain equi-join it protects (salt is plumbing, never semantics)
+    "skew_spend_salted" -> SpendByNationSql,
+    "skew_spend_unsalted" -> SpendByNationSql,
+    "stream_exact_uniques" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(DISTINCT props) AS BIGINT) AS exact_pages
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_hourly_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
         |  event_type, COUNT(*) AS n_events,

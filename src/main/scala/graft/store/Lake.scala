@@ -86,11 +86,30 @@ object Lake {
   def writeSummary(summary: DataFrame, dest: String): Unit =
     summary.coalesce(1).write.mode(SaveMode.Overwrite).json(dest)
 
-  /** J4 at rest: atomic table swap — write the merged result to a temp dir,
-    * then move it over the target. The parquet analogue of the reference's
-    * Delta MERGE transaction boundary (single writer).
+  /** Crash recovery for the two-move swap `atomicOverwrite`/`compact`
+    * perform: a crash between "table → .old" and "staged → table" leaves
+    * the canonical path missing with the data stranded at `<dir>.old`.
+    * Called at the start of every swap (and usable standalone on
+    * startup): if exactly that state is found, the backup is restored,
+    * so the swap windows are self-healing across restarts.
+    */
+  def recoverSwap(dir: String): Unit = {
+    val dest = Paths.get(dir)
+    val bak = Paths.get(dir + ".old")
+    if (!Files.exists(dest) && Files.exists(bak))
+      Files.move(bak, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** J4 at rest: table swap — write the merged result to a temp dir, then
+    * move it over the target. The parquet analogue of the reference's
+    * Delta MERGE transaction boundary. SINGLE-WRITER, NO-CONCURRENT-
+    * READER contract: the two moves are each atomic but the pair is not —
+    * between them the table path does not exist, so a concurrent reader
+    * can fail with path-not-found. A crash in that window is recovered by
+    * `recoverSwap` on the next swap (or at startup).
     */
   def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit = {
+    recoverSwap(dest)
     val tmp = dest + ".staging"
     result.write.mode(SaveMode.Overwrite).parquet(tmp)
     val destPath = Paths.get(dest)
@@ -110,10 +129,15 @@ object Lake {
     * frame) is byte-identical, only the file count changes. Runs as one
     * job; at cluster scale, run it per partition predicate instead
     * (`where`) so only cold partitions rewrite.
+    *
+    * Same SINGLE-WRITER, NO-CONCURRENT-READER swap contract as
+    * `atomicOverwrite` (each move is atomic, the pair is not); a crash
+    * between the moves is healed by `recoverSwap` on the next call.
     */
   def compact(spark: SparkSession, tableDir: String,
               targetRowsPerFile: Long = 1000000L,
               partitionCols: Seq[String] = Nil): Unit = {
+    recoverSwap(tableDir)
     val df = spark.read.parquet(tableDir)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)

@@ -110,6 +110,11 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.connectedComponents(chain, maxIter = 1, strict = false)
       .as[(Long, Long)].collect().toMap
     assert(capped(2L) == 1L && capped(4L) == 3L)
+    // reliable-checkpoint mode (cluster-scale lineage cut) is label-identical
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(ckptDir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == got)
   }
 
   test("incremental dedup: drops corpus dups (incl. normalized), dedups within batch; bloom path identical") {

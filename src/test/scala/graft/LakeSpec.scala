@@ -59,6 +59,19 @@ class LakeSpec extends SparkSpec {
     assert(dirs == Set("d=2024-07-15", "d=2024-07-16"))
   }
 
+  test("swap crash window: stranded .old backup is restored on the next call") {
+    val root = Files.createTempDirectory("swapcrash").toString
+    val t = s"$root/t"
+    Seq((1, "a"), (2, "b")).toDF("id", "s").write.parquet(t)
+    val before = spark.read.parquet(t).orderBy($"id").collect().toSeq
+    // simulate a crash between the two moves: table at .old, canonical gone
+    Files.move(Paths.get(t), Paths.get(t + ".old"))
+    assert(!Files.exists(Paths.get(t)))
+    Lake.compact(spark, t) // heals, then compacts
+    assert(spark.read.parquet(t).orderBy($"id").collect().toSeq == before)
+    assert(!Files.exists(Paths.get(t + ".old")))
+  }
+
   test("K10/E15: archive moves files into date dirs parsed from filename") {
     val root = Files.createTempDirectory("lake").toString
     val f1 = s"$root/pos_20240715_120000.csv"

@@ -39,7 +39,10 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
   }
 
   test("approx_count_distinct tracks the exact count within its error bound") {
+    // sketch and exact live in separate queries (only the sketch escapes
+    // the oracle); the bound ties them back together here
     val got = pipeline.Analytics.approxUniques(spark, "/root/testdata/sf0.001")
+      .join(pipeline.Analytics.exactUniques(spark, "/root/testdata/sf0.001"), "event_type")
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
     assert(got.nonEmpty)
     got.foreach { case (approx, exact) =>

@@ -35,6 +35,13 @@ object ExplainAudit {
     show("events_asof_last_error")(Joins.asofQuery(spark, dir))
     show("events_error_impact")(Joins.errorImpactQuery(spark, dir))
     show("llm_knn_quantized")(Similarity.knnQuantizedQuery(spark, dir))
+    // round-4 additions: blocked all-pairs (expect nBlocks broadcast
+    // builds, EACH above a pmod slice filter — never the whole corpus),
+    // trained-centroid IVF (same no-shuffle assignment as llm_ann_ivf),
+    // salted star join (salt widens the shuffle key; result ≡ unsalted)
+    show("llm_embed_neardup")(Similarity.nearDupQuery(spark, dir))
+    show("llm_ann_ivf_kmeans")(Similarity.ivfKmeansQuery(spark, dir))
+    show("skew_spend_salted")(Analytics.spendByNation(spark, dir, Some(8)))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

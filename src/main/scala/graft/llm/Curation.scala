@@ -20,20 +20,19 @@ import graft.Tables
   * The survivor frame (doc_id, norm_text, exact_keep — narrow: ids +
   * normalized text, no feature columns) feeds five downstream branches
   * (signatures, bands, two verify sides, the status join) and is
-  * lazily localCheckpoint'd: one feature scan serves all branches
+  * persisted MEMORY_AND_DISK: one feature scan serves all branches
   * (round-3 measurement: 2× faster than recompute-per-branch even after
   * the window-dedup restructure halved the recomputed passes; the r1/r2
   * "recompute wins" result was for checkpointing the pre-dedup subtree,
-  * which still left the LSH branches recomputing). localCheckpoint
-  * rather than persist: cached frames live until an explicit unpersist
-  * (annotate has no post-materialization hook to call one — the r3
-  * version leaked one frame per call for the session lifetime), while
-  * checkpoint blocks are freed by the ContextCleaner as soon as the
-  * result frame is garbage-collected. Block storage is executor-local,
-  * so on a real cluster an executor loss during one annotate costs that
-  * job — acceptable for a bounded pipeline stage (same trade as
-  * Dedup.connectedComponents' default; no reliable-dir variant needed
-  * here because the frame never outlives the single composed query).
+  * which still left the LSH branches recomputing; a lazy localCheckpoint
+  * variant measured ~1 s/query slower — raw row blocks lose the columnar
+  * compression and pruning of the cached relation). annotate has no
+  * post-materialization hook to unpersist, so each call releases the
+  * PREVIOUS call's frame instead: the cache footprint is bounded at one
+  * survivor frame per session (the r3 version leaked one per call).
+  * Consequence: materialize one annotate's branches before starting the
+  * next — interleaving two un-materialized annotates demotes the older
+  * one to recompute (correct, just uncached).
   */
 object Curation {
 
@@ -46,6 +45,10 @@ object Curation {
   val Stages: Seq[String] =
     Seq("language_filter", "quality_filter", "repetition_filter",
       "exact_dedup", "near_dedup", "kept")
+
+  // last survivor frame; swapped (and the old one released) per annotate
+  private val lastSurvivor =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Each input doc + `status`: which stage eliminated it, or "kept". */
   def annotate(docs: DataFrame, config: Config = Config()): DataFrame = {
@@ -78,7 +81,18 @@ object Curation {
       .select(col("doc_id"), col("norm_text"))
       .withColumn("h", sha2(col("norm_text"), 256))
       .withColumn("exact_keep", row_number().over(hW) === 1)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release the previous call's frame — UNLESS it is plan-identical to
+    // this one: the CacheManager dedupes by sameResult, so "previous" and
+    // "current" would share ONE cache entry and unpersisting the old
+    // handle would evict the entry just registered (measured: every call
+    // cold, worse than the leak). Same-input repeats stay warm on the
+    // shared entry; different inputs release the old frame → footprint
+    // bounded at one survivor frame per session.
+    val prev = lastSurvivor.getAndSet(sv)
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(sv.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     val exactSurvivors = sv.filter(col("exact_keep"))
       .select(col("doc_id"), col("norm_text"))
     // near-dup: LSH candidates over exact survivors → exact verify → drop high ids

@@ -35,4 +35,17 @@ class CurationSpec extends SparkSpec {
     val twice = Curation.curate(once)
     assert(once.count() == twice.count())
   }
+
+  test("annotate bounds its cache footprint to one survivor frame") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // DIFFERENT inputs per call — each produces a distinct survivor plan,
+    // so the old frame must actually be released (the r3 version leaked
+    // one persisted frame per call, session-lifetime); same-input repeats
+    // share one CacheManager entry and are covered by the final repeat
+    (1 to 2).foreach(i => Curation.curate(docs.filter($"doc_id" % 7 === i)).count())
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    (3 to 5).foreach(i => Curation.curate(docs.filter($"doc_id" % 7 === i)).count())
+    Curation.curate(docs.filter($"doc_id" % 7 === 5)).count() // same-input repeat
+    assert(spark.sparkContext.getPersistentRDDs.size <= cached)
+  }
 }

@@ -32,6 +32,26 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("salted join shuffles on (key, salt) when neither side broadcasts") {
+    // at bench SF the big side fits the broadcast threshold, so the
+    // registered query's plan hides the scale shape; force the shuffle
+    // path and prove the join key actually widens with the salt — the
+    // mechanism that spreads one hot key across `factor` tasks
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val big = (1 to 500).map(i => (1, s"v$i")).toDF("k", "payload")
+      val small = (1 to 10).map(i => (i, s"d$i")).toDF("k", "dim")
+      val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 8)
+      salted.count()
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), s"salt column absent from plan:\n$plan")
+      assert(Seq("SortMergeJoin", "ShuffledHashJoin").exists(plan.contains),
+        s"expected a shuffled join:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val df = ((1 to 50).map(_ => Tuple1(7)) ++ (1 to 5).map(Tuple1(_))).toDF("k")
     val top = Skew.keyHistogram(df, Seq("k"), topN = 1).as[(Int, Long)].head()

@@ -308,6 +308,52 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Asymmetric shingle containment: ordered pairs (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `minContainment` —
+    * quote/subset detection, the near-dup regime Jaccard methods are
+    * BLIND to (a 50-shingle doc fully quoted inside a 1000-shingle doc
+    * has containment 1.0 but Jaccard ≈ 0.05, below any LSH band's reach;
+    * MinHash is similarity-sensitive, not containment-sensitive).
+    *
+    * Scale shape: an inverted index over shingles, df-capped. Candidates
+    * are pairs sharing ≥ 1 shingle whose document frequency is ≤ `maxDf`
+    * — the posting-list self-join is Σ df² over retained shingles, never
+    * n². A τ-contained doc shares ⌈τ·|A|⌉ of its shingles with its
+    * container, so it is missed only if EVERY shared shingle is more
+    * common than the cap — corpus-vocabulary mass, not quote signal (the
+    * same argument as the LSH degenerate-bucket caps; at the gate's SF
+    * no shingle approaches the cap, so the oracle agreement is exact).
+    * Exact containment is then verified per unique candidate pair, ids
+    * only through the join, shingle arrays attached once per pair.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, minContainment: Double = 0.9,
+                       maxDf: Int = 64): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
+    val posting = sh.select(col("jid").as("id"), explode(col("sh")).as("g"))
+    val rare = posting.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(col("g"))
+    val indexed = posting.join(rare, Seq("g"), "left_semi")
+    // candidate generation is symmetric; containment is verified per
+    // DIRECTION, so each unordered candidate expands to both orderings
+    val unordered = indexed.as("a").join(indexed.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val candidates = unordered.unionByName(
+      unordered.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    candidates
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs (verification stage after
     * LSH; also usable brute-force on a bounded subset as an oracle baseline).
     */
@@ -401,6 +447,17 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment threshold for the registered query (quote detection). */
+  private val MinContainment = 0.9
+
+  /** Ordered quote/subset pairs at containment ≥ 0.9 (oracle: all ordered
+    * pairs in DuckDB — exhaustiveness argument at `containmentPairs`).
+    */
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, minContainment = MinContainment)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Fuzzy-exact dedup: canonicalize (lowercase, trim, collapse whitespace)
     * before content-hashing — the standard first pass of an LLM data
     * pipeline, catching formatting-only duplicates.
@@ -436,6 +493,7 @@ object Dedup {
     "llm_dedup_minhash" -> (minhashQuery _),
     "llm_dedup_simhash" -> (simhashQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
+    "llm_dedup_containment" -> (containmentQuery _),
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
@@ -485,6 +543,21 @@ object Dedup {
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY drop_id""".stripMargin,
+    // all ORDERED pairs (containment is asymmetric: divide by |a|, a ≠ b
+    // in either order) — the quadratic oracle for the inverted-index plan
+    "llm_dedup_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+         |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= $MinContainment
+         |ORDER BY id_a, id_b""".stripMargin,
     // transitive closure over the all-pairs >=0.8 graph: cluster id = min
     // reachable id (same shingle CTE as the pair oracles)
     "llm_dedup_clusters" ->

@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 2L)) == 0.0)
   }
 
+  test("containment finds the quote Jaccard methods are blind to") {
+    val quote = "the sly copper fox vaulted the mossy gate before dawn broke over the silent valley"
+    val filler = (1 to 40).map(i => s"unrelated filler sentence number $i about rivers mountains and weather patterns").mkString(" ")
+    val docs = Seq(
+      (0L, quote), // the small quoted doc
+      (1L, s"$filler $quote"), // big container: quote buried in 10× filler
+      (2L, "completely different text about cooking pasta with garlic and fresh basil leaves tonight")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, minContainment = 0.9)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect()
+    // 0 is fully contained in 1 (containment 1.0); the reverse direction
+    // is far below threshold (asymmetry), and 2 matches nothing
+    assert(got.map(t => (t._1, t._2)).toSet == Set((0L, 1L)), s"got ${got.toSeq}")
+    assert(got.head._3 == 1.0)
+    // the blindness claim is real: this pair's Jaccard is tiny, so the
+    // Jaccard detector at its 0.8 threshold must NOT see it
+    val jacc = Dedup.jaccardVerify(
+        Seq((0L, 1L)).toDF("id_a", "id_b"), docs, "text", "doc_id", n = 3)
+      .select($"jaccard").as[Double].head()
+    assert(jacc < 0.3, s"fixture broken: jaccard $jacc not in the blind zone")
+  }
+
   test("rolling fingerprint: deterministic, content-sensitive") {
     val fp = docs.select($"doc_id", Fingerprints.rollingFingerprint($"text", 16).as("fp"))
       .as[(Long, Long)].collect().toMap

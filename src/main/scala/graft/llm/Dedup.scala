@@ -336,22 +336,49 @@ object Dedup {
       .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("g"))
     val indexed = posting.join(rare, Seq("g"), "left_semi")
-    // candidate generation is symmetric; containment is verified per
-    // DIRECTION, so each unordered candidate expands to both orderings
-    val unordered = indexed.as("a").join(indexed.as("b"),
+    // per-doc totals: |shingles| and how many of them are rare — the
+    // ingredients of the count bound below (scalar per doc, joined to
+    // pairs as two skinny frames, arrays stay out of it)
+    val stats = sh.select(col("jid").as("id"), size(col("sh")).as("sz"))
+      .join(indexed.groupBy(col("id")).agg(count(lit(1)).as("rare_n")), Seq("id"), "left")
+      .na.fill(0L, Seq("rare_n"))
+    // candidate pruning by COUNTING, before any array is touched: if
+    // containment(a→b) ≥ τ then |A\B| ≤ (1-τ)|A|, so the SHARED rare
+    // shingles number ≥ rare(A) - (1-τ)|A|. The shared-rare count per
+    // pair falls out of the same self-join that generates candidates —
+    // group instead of distinct — so random pairs (share 1-2 rare
+    // shingles, need ~0.9·|A|) die here without ever shuffling shingle
+    // arrays. One shingle of slack absorbs fp boundary effects; the
+    // bound is otherwise exact-safe (no true pair pruned).
+    val shared = indexed.as("a").join(indexed.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val candidates = unordered.unionByName(
-      unordered.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+    val slack = 1.0
+    val candidates = shared
+      .join(stats.select(col("id").as("id_a"), col("sz").as("sz_a"), col("rare_n").as("rare_a")), "id_a")
+      .join(stats.select(col("id").as("id_b"), col("sz").as("sz_b"), col("rare_n").as("rare_b")), "id_b")
+      .filter(
+        col("shared_rare").cast("double") >=
+          col("rare_a") - lit(1.0 - minContainment) * col("sz_a") - lit(slack) ||
+        col("shared_rare").cast("double") >=
+          col("rare_b") - lit(1.0 - minContainment) * col("sz_b") - lit(slack))
+      .select(col("id_a"), col("id_b"))
+    // exact verify: ONE intersect per unordered pair (|A∩B| is symmetric),
+    // then both directions emitted from the scalar sizes
     candidates
       .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).cast("double").as("sz_a"),
+        size(col("sh_b")).cast("double").as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst"), (col("inter") / col("sz_a")).as("containment")),
+          struct(col("id_b").as("src"), col("id_a").as("dst"), (col("inter") / col("sz_b")).as("containment")))).as("dir"))
+      .select(col("dir.src").as("id_a"), col("dir.dst").as("id_b"), col("dir.containment"))
       .filter(col("containment") >= minContainment)
-      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /** Exact n-gram Jaccard over candidate pairs (verification stage after

@@ -329,13 +329,20 @@ object Dedup {
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, minContainment: Double = 0.9,
                        maxDf: Int = 64): DataFrame = {
+    // the shingle subtree (regex tokenization + n-gram assembly) feeds SIX
+    // plan branches (self-join sides, per-doc stats, two verify sides);
+    // without a materialization point each branch re-tokenizes the corpus.
+    // Lazy localCheckpoint: computed once on first use, blocks GC-freed
+    // with the frame (no session-lifetime cache entry)
     val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
     val posting = sh.select(col("jid").as("id"), explode(col("sh")).as("g"))
     val rare = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("g"))
     val indexed = posting.join(rare, Seq("g"), "left_semi")
+      .localCheckpoint(false)
     // per-doc totals: |shingles| and how many of them are rare — the
     // ingredients of the count bound below (scalar per doc, joined to
     // pairs as two skinny frames, arrays stay out of it)

@@ -206,6 +206,69 @@ object Similarity {
   private val KnuthMult = 2654435761L // Knuth multiplicative hash constant
   private val QuantScale = 65536.0 // 2^16: exact in double, exact to undo
 
+  // ---- IVF index at rest ---------------------------------------------------
+
+  /** Materialize an IVF index as a TABLE: the corpus with its centroid
+    * assignment, hive-partitioned by `centroid_id`, plus the centroid
+    * codes at `<dir>/centroids`. At 100 TB the corpus is NOT re-assigned
+    * per query — assignment is the one-off index build (one scan-speed
+    * pass, one partitioned write), and every later probe becomes a scan
+    * of only the probed lists' partition directories via partition
+    * PRUNING: nprobe/nlist of the data read, no filter evaluation, no
+    * shuffle (the same storage trick as the lake's y/m/d/h layout).
+    */
+  def buildIvfIndex(corpus: DataFrame, centroidCodes: Array[Array[Long]],
+                    indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = centroidCodes.map(_.map(_ / QuantScale))
+    corpus.select(
+        col("vec_id"), col("embedding"),
+        element_at(VectorExprs.nearestCentroids(
+          col("embedding"), vecs.indices.toArray, vecs, 1), 1).as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/lists")
+    centroidCodes.zipWithIndex
+      .map { case (c, i) => (i, c.mkString(",")) }.toSeq
+      .toDF("centroid_id", "codes_csv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** kNN against a built index: probe lists are resolved on the driver
+    * (queries are an index lookup's small side), the scan carries a
+    * `centroid_id IN (...)` partition filter — only the probed
+    * directories are listed and read — and ranking is the same exact
+    * cosine + row_number as every other kNN here. Results are identical
+    * to `ivfKnnWith` over the same centroids (spec-asserted); what
+    * changes is WHERE the pruning happens: at the storage layout, the
+    * only place that works when the lists don't fit memory.
+    */
+  def ivfKnnIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    nprobe: Int, k: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("centroid_id"), col("codes_csv")).collect()
+      .sortBy(_.getInt(0))
+    val ids = codes.map(_.getInt(0))
+    val vecs = codes.map(_.getString(1).split(',').map(_.toLong / QuantScale))
+    val qProbes = queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, nprobe))
+          .as("centroid_id"))
+    val probedLists = qProbes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("centroid_id").isin(probedLists.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    lists
+      .join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rn").as("rank"), round(col("sim"), 4).as("sim_r"))
+  }
+
   /** (bitsPerBand, bands) sized to the corpus and threshold: expected
     * bucket occupancy n/2^bits stays O(16) so no bucket can go quadratic,
     * and bands drives the worst-case (at-threshold) miss probability below
@@ -431,6 +494,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN through the AT-REST index: build (assign + partitioned
+    * write) into a scratch dir, then probe with partition pruning — the
+    * write-path twin of `llm_ann_ivf_kmeans`, same centroids, same
+    * oracle. Registered so the driver gate covers the index build,
+    * the pruned scan, and the ranking end-to-end.
+    */
+  def ivfIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = trainCentroidCodes(emb, NList, SampleSize, KmIters)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    buildIvfIndex(emb, codes, idx)
+    ivfKnnIndexed(spark, idx, emb.filter(col("vec_id") < NumQueries),
+        nprobe = NProbe, k = K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Near-dup threshold for the synthetic embeddings (no planted dups; max
     * pairwise cosine ≈ 0.5, i.e. the sub-LSH regime — see object doc).
     */
@@ -491,6 +570,7 @@ object Similarity {
     "llm_ann_ivf" -> (ivfQuery _),
     "llm_ivf_centroids" -> (centroidsQuery _),
     "llm_ann_ivf_kmeans" -> (ivfKmeansQuery _),
+    "llm_ann_ivf_indexed" -> (ivfIndexedQuery _),
     "llm_embed_neardup" -> (nearDupQuery _),
     "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
     "llm_embed_quality" -> ((s: SparkSession, dir: String) =>
@@ -536,6 +616,36 @@ object Similarity {
 
   private def cosSql(a: String, b: String) =
     s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
+
+  /** Probe/rank replica over the trained centroid table — shared by
+    * `llm_ann_ivf_kmeans` (in-memory index) and `llm_ann_ivf_indexed`
+    * (at-rest index): same centroids, same answer by construction.
+    */
+  private lazy val IvfKmeansSql: String =
+    s"""WITH ${kmeansCte(NList, SampleSize, KmIters)},
+       |cent AS (
+       |  SELECT cid AS centroid_id,
+       |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
+       |  FROM c$KmIters),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, cent.centroid_id
+       |  FROM embeddings e, cent
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e", "cent")} DESC, cent.centroid_id) = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_embedding, cent.centroid_id
+       |  FROM embeddings q, cent
+       |  WHERE q.vec_id < $NumQueries
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |    ORDER BY list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS INTEGER) AS rank,
+       |  ROUND(list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4) AS sim_r
+       |FROM probes p JOIN assign a USING (centroid_id)
+       |WHERE a.vec_id <> p.query_id
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   // shared CTE: the quantization replica (used by both quantize oracles)
   private val codesCte =
@@ -626,31 +736,10 @@ object Similarity {
     // same probe/rank replica as llm_ann_ivf, over the TRAINED centroid
     // table (codes/2^16 is exact in double, so `cent` is bit-identical
     // to the Scala trainCentroidsKMeans output)
-    "llm_ann_ivf_kmeans" ->
-      s"""WITH ${kmeansCte(NList, SampleSize, KmIters)},
-         |cent AS (
-         |  SELECT cid AS centroid_id,
-         |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
-         |  FROM c$KmIters),
-         |assign AS (
-         |  SELECT e.vec_id, e.embedding, cent.centroid_id
-         |  FROM embeddings e, cent
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cosSql("e", "cent")} DESC, cent.centroid_id) = 1),
-         |probes AS (
-         |  SELECT q.vec_id AS query_id, q.embedding AS q_embedding, cent.centroid_id
-         |  FROM embeddings q, cent
-         |  WHERE q.vec_id < $NumQueries
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe)
-         |SELECT p.query_id, a.vec_id AS neighbor_id,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
-         |    ORDER BY list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS INTEGER) AS rank,
-         |  ROUND(list_cosine_similarity(CAST(p.q_embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4) AS sim_r
-         |FROM probes p JOIN assign a USING (centroid_id)
-         |WHERE a.vec_id <> p.query_id
-         |QUALIFY rank <= $K
-         |ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_ivf_kmeans" -> IvfKmeansSql,
+    // the at-rest index produces IDENTICAL results by construction —
+    // partition pruning changes what is READ, never what is returned
+    "llm_ann_ivf_indexed" -> IvfKmeansSql,
     "llm_embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
          |FROM embeddings a, embeddings b

@@ -201,6 +201,27 @@ class SimilaritySpec extends SparkSpec {
       s"trained max list $trainedMaxList vs first-nlist $firstMaxList")
   }
 
+  test("IVF index at rest: partition-pruned probes return exactly the in-memory answer") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.trainCentroidCodes(emb, nlist = 16, sampleSize = 100, iters = 3)
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(emb, codes, idx)
+    val queries = emb.filter($"vec_id" < 8)
+    val indexed = Similarity.ivfKnnIndexed(spark, idx, queries, nprobe = 4, k = 5)
+    val vecs = codes.map(_.map(_ / 65536.0))
+    val inMem = Similarity.ivfKnnWith(emb, queries, vecs.indices.toArray, vecs, nprobe = 4, k = 5)
+    assert(
+      indexed.select("query_id", "neighbor_id", "rank", "sim_r")
+        .as[(Long, Long, Int, Double)].collect().toSet ==
+      inMem.select("query_id", "neighbor_id", "rank", "sim_r")
+        .as[(Long, Long, Int, Double)].collect().toSet)
+    // pruning is structural: the probe filter lands on the PARTITION
+    // layout (directories skipped at listing), not a post-scan predicate
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe filter did not reach the partition layout:\n$plan")
+  }
+
   test("blocked all-pairs equals the single-broadcast baseline, each pair exactly once") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = Similarity.bruteForcePairs(emb, 0.35)

@@ -247,6 +247,52 @@ object Dedup {
           .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
     }
 
+  /** Incremental NEAR-dup dedup: batch docs whose text near-duplicates
+    * (3-gram Jaccard ≥ `minJaccard`) anything already in the corpus —
+    * "drop today's rewrites of yesterday's pages", the similarity
+    * counterpart of `incremental`'s exact-hash anti-join. A CROSS-frame
+    * LSH join, not a self-join: both sides are banded, candidates are
+    * (batch, corpus) pairs colliding in any band, and only those pairs
+    * see an exact shingle verify. Shuffle volume is (id, band, bucket)
+    * ints per side; oversized CORPUS buckets are capped like every LSH
+    * path here (vocabulary artifacts, not duplicate signal), and the
+    * batch side needs no cap — its buckets are bounded by the batch.
+    * Returns the batch ids to drop.
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                          minJaccard: Double = 0.8,
+                          maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def banded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(side),
+        posexplode(VectorExprs.minhashBands(tokens(col(textCol)), shingleN, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val corpusBanded = banded(corpus, "id_c")
+    val smallCorpusBuckets = corpusBanded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val pairs = banded(batch, "id_b")
+      .join(corpusBanded.join(smallCorpusBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .select(col("id_b"), col("id_c"))
+      .distinct()
+    val shB = batch.select(col(idCol).as("id_b"), shingles(col(textCol), shingleN).as("sh_b"))
+    val shC = corpus.select(col(idCol).as("id_c"), shingles(col(textCol), shingleN).as("sh_c"))
+    pairs
+      .join(shB, "id_b")
+      .join(shC, "id_c")
+      .filter(
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))) >= minJaccard)
+      .select(col("id_b").as("drop_id"))
+      .distinct()
+  }
+
   /** Connected components over an undirected pair list — the union-find
     * pass that turns verified near-dup PAIRS into CLUSTERS, so canonical
     * selection (keep min id per cluster) is transitive: A~B~C drops B and
@@ -481,6 +527,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Batch docs (odd ids) near-duplicating the corpus (even ids) at
+    * 3-gram J ≥ 0.8 — the same scale-invariant split as
+    * `llm_dedup_incremental`, so the two queries together cover exact
+    * AND fuzzy cross-snapshot dedup. Oracle: all batch×corpus pairs in
+    * DuckDB (the ngramJaccardQuery LSH-completeness bound applies
+    * pair-wise: miss ≤ 1.3e-7 at J ≥ 0.8 with 16×2 banding).
+    */
+  def incrementalNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalNearDups(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+      .orderBy(col("drop_id"))
+  }
+
   /** Containment threshold for the registered query (quote detection). */
   private val MinContainment = 0.9
 
@@ -528,6 +590,7 @@ object Dedup {
     "llm_dedup_simhash" -> (simhashQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
     "llm_dedup_containment" -> (containmentQuery _),
+    "llm_neardup_incremental" -> (incrementalNearDupQuery _),
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
@@ -576,6 +639,20 @@ object Dedup {
          |SELECT DISTINCT b.doc_id AS drop_id
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
+         |ORDER BY drop_id""".stripMargin,
+    // batch×corpus all-pairs at J >= 0.8, distinct batch ids
+    "llm_neardup_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents)
+         |SELECT DISTINCT b.doc_id AS drop_id
+         |FROM sh b, sh c
+         |WHERE b.doc_id % 2 <> 0 AND c.doc_id % 2 = 0
+         |  AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / len(list_distinct(list_concat(b.s, c.s))) >= 0.8
          |ORDER BY drop_id""".stripMargin,
     // all ORDERED pairs (containment is asymmetric: divide by |a|, a ≠ b
     // in either order) — the quadratic oracle for the inverted-index plan

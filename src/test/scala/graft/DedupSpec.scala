@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 2L)) == 0.0)
   }
 
+  test("incremental near-dup: drops batch rewrites of corpus docs, keeps batch-internal dups") {
+    val base = "the quick brown fox jumps over the lazy dog while morning light settles across the quiet harbor town"
+    val rewrite = base.replace("quiet harbor town", "quiet harbor village") // J ≈ 0.9 vs base
+    val fresh = "completely novel reporting about deep sea volcanic vents and the strange life that gathers there"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, rewrite), // near-dups the corpus → dropped
+      (3L, fresh), // genuinely new → kept
+      (5L, fresh) // exact dup WITHIN the batch → still kept (in-batch
+      // dedup is exact()/minhashQuery's job, not the cross-snapshot gate)
+    ).toDF("doc_id", "text")
+    val dropped = Dedup.incrementalNearDups(batch, corpus, "text", "doc_id")
+      .as[Long].collect().toSet
+    assert(dropped == Set(1L), s"got $dropped")
+  }
+
   test("containment finds the quote Jaccard methods are blind to") {
     val quote = "the sly copper fox vaulted the mossy gate before dawn broke over the silent valley"
     val filler = (1 to 40).map(i => s"unrelated filler sentence number $i about rivers mountains and weather patterns").mkString(" ")

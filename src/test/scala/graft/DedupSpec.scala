@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Fingerprints}
 
-class DedupSpec extends SparkSpec {
+class DedupSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog again and again until done " * 4
@@ -115,6 +115,36 @@ class DedupSpec extends SparkSpec {
         Seq((0L, 1L)).toDF("id_a", "id_b"), docs, "text", "doc_id", n = 3)
       .select($"jaccard").as[Double].head()
     assert(jacc < 0.3, s"fixture broken: jaccard $jacc not in the blind zone")
+  }
+
+  test("property: containment pairs equal the naive all-ordered-pairs computation") {
+    // small vocabulary forces heavy shingle sharing — the worst case for
+    // the inverted index — and maxDf above corpus size keeps the cap out
+    // of play, so the result must be EXACTLY the quadratic definition
+    import org.scalacheck.Gen
+    val vocab = Vector("red", "blue", "fox", "jumps", "river", "stone", "moon", "dog")
+    val doc = Gen.chooseNum(3, 9).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpora = Gen.chooseNum(5, 10).flatMap(k => Gen.listOfN(k, doc))
+    def naiveShingles(text: String, n: Int): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toIndexedSeq
+      val nSh = math.max(toks.length - n + 1, 1)
+      (0 until nSh).map(i => toks.slice(i, math.min(i + n, toks.length)).mkString(" ")).toSet
+    }
+    forAll(corpora) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, "text", "doc_id",
+          n = 2, minContainment = 0.5, maxDf = 1000)
+        .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)]
+        .collect().map(t => ((t._1, t._2), t._3)).toMap
+      val sh = texts.zipWithIndex.map { case (t, i) => i.toLong -> naiveShingles(t, 2) }.toMap
+      val want = (for {
+        a <- sh.keys; b <- sh.keys if a != b
+        c = sh(a).intersect(sh(b)).size.toDouble / sh(a).size
+        if c >= 0.5
+      } yield (a, b) -> c).toMap
+      assert(got.keySet == want.keySet, s"pairs ${got.keySet} != $want")
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+    }
   }
 
   test("rolling fingerprint: deterministic, content-sensitive") {

@@ -51,6 +51,65 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming corpus ingest with the cross-snapshot dedup gates — the
+    * crawl-ingest loop of a training-data pipeline: each micro-batch is
+    * (1) exact-deduped within itself (lowest id per normalized hash),
+    * (2) exact-anti-joined against the AT-REST corpus, (3) near-dup
+    * gated against it (`Dedup.incrementalNearDups` — LSH batch×corpus
+    * join + Jaccard verify), and only then appended. The corpus is
+    * re-read per batch, so later batches automatically dedup against
+    * everything earlier ones committed. At-least-once like every
+    * foreachBatch sink here: a replayed batch re-appends only rows the
+    * first attempt failed to commit IF its append died mid-write —
+    * the dedup gates themselves make a full replay a no-op, since the
+    * replayed rows now match the corpus exactly.
+    */
+  def corpusIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      textCol: String,
+      idCol: String,
+      corpusDir: String,
+      checkpointDir: String,
+      minJaccard: Double = 0.8,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.llm.Dedup
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_ch")).orderBy(col(idCol))
+          val batch = batch0
+            .withColumn("_ch", Dedup.normHash(col(textCol)))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val fresh =
+            if (!new java.io.File(corpusDir).exists) batch.drop("_ch")
+            else {
+              val corpus = spark.read.parquet(corpusDir)
+              val notExact = batch.join(
+                  corpus.select(Dedup.normHash(col(textCol)).as("_ch")).distinct(),
+                  Seq("_ch"), "left_anti")
+                .drop("_ch")
+              val nearDrop = Dedup.incrementalNearDups(
+                notExact, corpus, textCol, idCol, minJaccard = minJaccard)
+              notExact.join(nearDrop.withColumnRenamed("drop_id", idCol),
+                Seq(idCol), "left_anti")
+            }
+          if (!fresh.isEmpty) fresh.write.mode("append").parquet(corpusDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** T6 — the hourly alerting query as a streaming aggregation: counts of
     * negative interactions per event-time hour, emitted once the watermark
     * passes (the streaming form of Crm.negativeAlert).

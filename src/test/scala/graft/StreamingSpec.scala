@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 200)
   }
 
+  test("streaming corpus ingest: near-dup and exact gates hold across micro-batches") {
+    val root = Files.createTempDirectory("corpus_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "the quick brown fox jumps over the lazy dog while morning light settles across the quiet harbor town"
+    val q = MicroBatch.corpusIngestStream(spark, in, schema, "text", "doc_id",
+      s"$root/corpus", s"$root/ckpt")
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(doc(0, base),
+        doc(1, base), // in-batch exact dup → dropped, lowest id kept
+        doc(2, "totally different first story about glaciers calving into a grey arctic sea")).mkString("\n"))
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(doc(10, base), // cross-batch exact dup → dropped
+        doc(11, base.replace("quiet harbor town", "quiet harbor village")), // near-dup → dropped
+        doc(12, "genuinely new reporting on deep sea vents and the creatures gathered there")).mkString("\n"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val ids = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(0L, 2L, 12L), s"got ${ids.toSeq}")
+  }
+
   test("mapGroupsWithState keeps per-customer state across micro-batches (T4)") {
     import MicroBatch.{CustomerUpdate, Interaction}
     val root = Files.createTempDirectory("state").toString

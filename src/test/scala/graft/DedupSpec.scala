@@ -117,6 +117,47 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(jacc < 0.3, s"fixture broken: jaccard $jacc not in the blind zone")
   }
 
+  test("property: incremental near-dup is sound (verified drops only) and finds planted rewrites") {
+    // LSH candidate generation is probabilistic, so equality with the
+    // naive answer is only guaranteed for CLEARLY-in/CLEARLY-out pairs:
+    // the generator plants rewrites (J ≈ 0.9, miss ≤ 1.3e-7) and fresh
+    // docs (J ≈ 0), and the exact-verify stage makes every reported drop
+    // checkable against the naive Jaccard — soundness is unconditional.
+    import org.scalacheck.Gen
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    val docGen = Gen.pick(10, words).map(_.mkString(" "))
+    val g = for {
+      corpusDocs <- Gen.listOfN(3, docGen)
+      rewriteOf <- Gen.chooseNum(0, 2)
+      freshDoc <- docGen.suchThat(d => !corpusDocs.contains(d))
+    } yield (corpusDocs, rewriteOf, freshDoc)
+    def shingles3(t: String): Set[String] = {
+      val toks = t.split(" ").toIndexedSeq
+      (0 until math.max(toks.length - 2, 1)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    forAll(g) { case (corpusDocs, rewriteOf, freshDoc) =>
+      // rewrite = corpus doc + one appended word → shingle set grows by
+      // exactly one 3-gram: J = 8/9 ≈ 0.89, LSH miss ≈ 2e-11 (a swapped
+      // MIDDLE word would break three 3-grams and land at J ≈ 0.45 —
+      // below threshold, not a valid plant). fresh = a random other doc.
+      val rewrite = corpusDocs(rewriteOf) + " zulu"
+      val corpus = corpusDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = Seq((100L, rewrite), (101L, freshDoc)).toDF("doc_id", "text")
+      val dropped = Dedup.incrementalNearDups(batch, corpus, "text", "doc_id",
+          minJaccard = 0.5)
+        .as[Long].collect().toSet
+      val naive = Map(100L -> rewrite, 101L -> freshDoc).filter { case (_, t) =>
+        corpusDocs.exists { c =>
+          val (a, b) = (shingles3(t), shingles3(c))
+          a.intersect(b).size.toDouble / a.union(b).size >= 0.5
+        }
+      }.keySet
+      assert(dropped.subsetOf(naive), s"unsound drop: $dropped vs $naive") // soundness
+      assert(dropped.contains(100L), "planted rewrite missed") // recall on the clear case
+    }
+  }
+
   test("property: containment pairs equal the naive all-ordered-pairs computation") {
     // small vocabulary forces heavy shingle sharing — the worst case for
     // the inverted index — and maxDf above corpus size keeps the cap out

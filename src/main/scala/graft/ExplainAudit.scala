@@ -42,6 +42,9 @@ object ExplainAudit {
     show("llm_embed_neardup")(Similarity.nearDupQuery(spark, dir))
     show("llm_ann_ivf_kmeans")(Similarity.ivfKmeansQuery(spark, dir))
     show("skew_spend_salted")(Analytics.spendByNation(spark, dir, Some(8)))
+    // containment: expect the shared-rare COUNT aggregation (scalar
+    // shuffle) strictly BEFORE any branch carrying shingle arrays joins in
+    show("llm_dedup_containment")(graft.llm.Dedup.containmentQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

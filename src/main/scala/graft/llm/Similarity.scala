@@ -545,6 +545,19 @@ object Similarity {
       bitsPerBand = LshBits, bands = LshBands, minCosine = LshTau)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Embedding near-dup CLUSTERS: connected components over the exact
+    * pair graph, cluster id = min member — the semantic-dedup decision
+    * view (keep one representative per cluster), completing the same
+    * pairs→clusters step the text side has (`llm_dedup_clusters`).
+    * Same scale shape: blocked pair scan, then one shuffle per CC round.
+    */
+  def embedClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        bruteForcePairsBlocked(Tables.embeddings(spark, dir), PairTau, PairBlocks)
+          .select(col("id_a"), col("id_b")))
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** Uint8 quantization codes per vector, exported as a canonical CSV
     * string: the codes are integers, so "0,17,255,…" is a lossless
     * serialization, and a scalar column is sortable/hashable by any
@@ -573,6 +586,7 @@ object Similarity {
     "llm_ann_ivf_indexed" -> (ivfIndexedQuery _),
     "llm_embed_neardup" -> (nearDupQuery _),
     "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
+    "llm_embed_clusters" -> (embedClustersQuery _),
     "llm_embed_quality" -> ((s: SparkSession, dir: String) =>
       embeddingQuality(Tables.embeddings(s, dir))))
 
@@ -750,6 +764,20 @@ object Similarity {
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $LshTau
          |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure over the all-pairs cosine graph (the same
+    // recursive-CTE shape as llm_dedup_clusters' oracle)
+    "llm_embed_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $PairTau),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+         |SELECT u AS vec_id, least(u, MIN(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     // integer-exact gate (counts only): the isnan and ==0 predicates are
     // order-independent, unlike any summed norm
     "llm_embed_quality" ->

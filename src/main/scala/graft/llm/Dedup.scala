@@ -327,9 +327,13 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
-    val edges = ckpt(pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // materialize the caller's pair plan ONCE before mirroring: the
+    // union references it twice, and without this the upstream (an LSH
+    // candidate join, a blocked all-pairs scan) would compute twice
+    // just to build the edge list
+    val p0 = ckpt(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    val edges = ckpt(p0
+      .union(p0.select(col("v").as("u"), col("u").as("v")))
       .distinct())
     var labels = ckpt(edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")))

@@ -153,6 +153,14 @@ object Similarity {
   def trainCentroidCodes(corpus: DataFrame, nlist: Int, sampleSize: Int,
                          iters: Int): Array[Array[Long]] = {
     require(nlist > 0 && sampleSize >= nlist && iters >= 0)
+    lloydOnCodes(collectQuantizedSample(corpus, sampleSize), nlist, iters)
+  }
+
+  /** The hash-ordered quantized sample `trainCentroidCodes` trains on,
+    * collected once — PQ reuses ONE collected sample across all its
+    * subspace trainings instead of re-scanning per subspace.
+    */
+  def collectQuantizedSample(corpus: DataFrame, sampleSize: Int): Array[Array[Long]] = {
     val rows = corpus
       .select(col("vec_id").cast("long").as("vid"), col("embedding"))
       .withColumn("h", (col("vid") * lit(KnuthMult)) % lit(1L << 32))
@@ -160,13 +168,21 @@ object Similarity {
       .limit(sampleSize)
       .select(col("embedding"))
       .collect()
-    val sample: Array[Array[Long]] = rows.map(_.getSeq[Any](0).map {
+    rows.map(_.getSeq[Any](0).map {
       case f: Float => f.toDouble
       case d: Double => d
       case l: Long => l.toDouble
       case i: Int => i.toDouble
       case null => 0.0
     }.map(x => roundAway(x * QuantScale)).toArray)
+  }
+
+  /** The driver-side Lloyd loop of `trainCentroidCodes`, over an
+    * already-collected integer sample (see that method's doc for the
+    * determinism argument — nothing here depends on data order beyond
+    * the sample's own total order).
+    */
+  def lloydOnCodes(sample: Array[Array[Long]], nlist: Int, iters: Int): Array[Array[Long]] = {
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     val dim = sample.head.length
     require(sample.forall(_.length == dim), "k-means requires uniform vector length")
@@ -205,6 +221,97 @@ object Similarity {
 
   private val KnuthMult = 2654435761L // Knuth multiplicative hash constant
   private val QuantScale = 65536.0 // 2^16: exact in double, exact to undo
+
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** Per-subspace PQ codebooks: the embedding is split into `m`
+    * contiguous subspaces and each gets its own deterministic integer
+    * k-means (same trainer as IVF — ONE collected sample sliced m ways,
+    * not m scans). PQ is the compression half of an IVFPQ index: a
+    * 64-dim float vector (256 B) becomes m code bytes, and the ADC scan
+    * reads only codes — the 100 TB story is that the scan side shrinks
+    * ~64× while ranking quality degrades gracefully with m.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, nlist: Int,
+                       sampleSize: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(m > 0, "m must be positive")
+    val sample = collectQuantizedSample(corpus, sampleSize)
+    require(sample.nonEmpty, "empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      lloydOnCodes(sample.map(v => v.slice(s * sub, (s + 1) * sub)), nlist, iters)
+    }
+  }
+
+  /** Encode each vector as its `m` subspace code ids — one scan-speed
+    * pass (PqCodes expression), integer L2 argmin per subspace, ties to
+    * the lowest code: bit-reproducible on any engine.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Long]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      VectorExprs.pqCodes(col("embedding"), codebooks).as("codes"))
+
+  /** Per-query ADC lookup tables: lut[s][c] = ⟨quantized query slice,
+    * codebook entry⟩ in exact integers. Queries are an index lookup's
+    * small side — the LUTs are built on the driver and broadcast, the
+    * same artifact pattern as `collectCentroids` (m × nlist longs per
+    * query ≈ bytes, not rows).
+    */
+  def pqLuts(queries: DataFrame, codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val rows = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .collect()
+    val data: Seq[(Long, Seq[Seq[Long]])] = rows.toSeq.map { r =>
+      val qz = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case null => 0.0
+      }.map(x => roundAway(x * QuantScale)).toArray
+      val lut: Seq[Seq[Long]] = (0 until m).map { s =>
+        codebooks(s).toSeq.map { cent =>
+          var acc = 0L
+          var i = 0
+          while (i < sub) {
+            val xi = if (s * sub + i < qz.length) qz(s * sub + i) else 0L
+            acc += xi * cent(i)
+            i += 1
+          }
+          acc
+        }
+      }
+      (r.getLong(0), lut)
+    }
+    data.toDF("query_id", "lut")
+  }
+
+  /** PQ ADC top-k: train codebooks, encode the corpus once, broadcast
+    * the per-query LUTs, score Σ_s lut[s][code_s] in exact integers and
+    * rank (ties by neighbor id). The corpus side of the join carries
+    * only (vec_id, m codes) — never embeddings — which is the entire
+    * point of PQ at scale.
+    */
+  def knnPq(corpus: DataFrame, nQueries: Int, m: Int, nlist: Int,
+            sampleSize: Int, iters: Int, k: Int): DataFrame = {
+    val books = trainPqCodebooks(corpus, m, nlist, sampleSize, iters)
+    val coded = pqEncode(corpus, books)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val luts = pqLuts(corpus.filter(col("vec_id") < nQueries), books)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    coded.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorExprs.pqAdc(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), col("score"))
+  }
 
   // ---- IVF index at rest ---------------------------------------------------
 
@@ -576,7 +683,31 @@ object Similarity {
     knnQuantized(Tables.embeddings(spark, dir), NumQueries, K)
       .orderBy(col("query_id"), col("rank"))
 
+  private val PqM = 4 // 64-dim corpus → 4 subspaces × 16 dims
+  private val PqNList = 16
+  private val PqIters = 2
+
+  /** PQ code table (vec_id, canonical CSV of the m subspace codes):
+    * oracle-green here proves subspace training AND encoding replay
+    * exactly, so an `llm_knn_pq` mismatch would isolate to LUT/ranking.
+    */
+  def pqCodesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqEncode(emb, trainPqCodebooks(emb, PqM, PqNList, SampleSize, PqIters))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ ADC top-k over the trained codebooks (integer LUT scan). */
+  def knnPqQuery(spark: SparkSession, dir: String): DataFrame =
+    knnPq(Tables.embeddings(spark, dir), NumQueries,
+        PqM, PqNList, SampleSize, PqIters, K)
+      .orderBy(col("query_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pq_codes" -> (pqCodesQuery _),
+    "llm_knn_pq" -> (knnPqQuery _),
     "llm_knn_quantized" -> (knnQuantizedQuery _),
     "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
@@ -595,37 +726,79 @@ object Similarity {
     * correctly-rounded-IEEE arithmetic, so `c$iters` equals the Scala
     * trainer bit-for-bit. Defines `samp` and `c0..c$iters`.
     */
-  private def kmeansCte(nlist: Int, sampleSize: Int, iters: Int): String = {
+  private def sampCte(sampleSize: Int): String =
+    s"""samp AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q,
+       |    (CAST(vec_id AS BIGINT) * $KnuthMult) % 4294967296 AS h
+       |  FROM embeddings ORDER BY h, vid LIMIT $sampleSize)""".stripMargin
+
+  /** The unrolled Lloyd chain over a (vid, h, q) sample CTE named `src`,
+    * CTE names prefixed with `p` — "" replays IVF training (c0…cN), a
+    * per-subspace prefix replays each PQ subspace training.
+    */
+  private def lloydCtes(p: String, src: String, nlist: Int, iters: Int): String = {
     val sb = new StringBuilder(
-      s"""samp AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS vid,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q,
-         |    (CAST(vec_id AS BIGINT) * $KnuthMult) % 4294967296 AS h
-         |  FROM embeddings ORDER BY h, vid LIMIT $sampleSize),
-         |c0 AS (
+      s"""${p}c0 AS (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vid) AS INTEGER) - 1 AS cid, q AS c
-         |  FROM samp QUALIFY ROW_NUMBER() OVER (ORDER BY h, vid) <= $nlist)""".stripMargin)
+         |  FROM $src QUALIFY ROW_NUMBER() OVER (ORDER BY h, vid) <= $nlist)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
         s""",
-           |a$t AS (
-           |  SELECT s.vid, s.q, c.cid FROM samp s, c${t - 1} c
+           |${p}a$t AS (
+           |  SELECT s.vid, s.q, c.cid FROM $src s, ${p}c${t - 1} c
            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vid ORDER BY
            |    list_sum(list_transform(range(len(s.q)),
            |      i -> (s.q[i+1] - c.c[i+1]) * (s.q[i+1] - c.c[i+1]))), c.cid) = 1),
-           |m$t AS (
+           |${p}m$t AS (
            |  SELECT cid, pos, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
            |  FROM (SELECT cid, unnest(q) AS v,
-           |          unnest(generate_series(1, len(q))) AS pos FROM a$t)
+           |          unnest(generate_series(1, len(q))) AS pos FROM ${p}a$t)
            |  GROUP BY cid, pos),
-           |c$t AS (
+           |${p}c$t AS (
            |  SELECT cid, COALESCE(n.c, p.c) AS c
-           |  FROM c${t - 1} p LEFT JOIN
-           |    (SELECT cid, list(cc ORDER BY pos) AS c FROM m$t GROUP BY cid) n
+           |  FROM ${p}c${t - 1} p LEFT JOIN
+           |    (SELECT cid, list(cc ORDER BY pos) AS c FROM ${p}m$t GROUP BY cid) n
            |  USING (cid))""".stripMargin)
     }
     sb.toString
+  }
+
+  private def kmeansCte(nlist: Int, sampleSize: Int, iters: Int): String =
+    sampCte(sampleSize) + ",\n" + lloydCtes("", "samp", nlist, iters)
+
+  /** The PQ replica: per-subspace Lloyd chains over SLICES of the shared
+    * sample, a `cb` union of the m trained codebooks, quantized document
+    * slices, and the integer-L2 argmin encoding — `enc` holds one
+    * (vec_id, s, cid) row per document per subspace, bit-identical to
+    * the PqCodes expression by the same argument as `kmeansCte`.
+    */
+  private def pqCte(m: Int, nlist: Int, sampleSize: Int, iters: Int): String = {
+    val sub = 64 / m // synthetic embeddings are 64-dim (TESTDATA.md)
+    val perSub = (0 until m).map { s =>
+      s"""s${s}samp AS (
+         |  SELECT vid, h, list_slice(q, ${s * sub + 1}, ${(s + 1) * sub}) AS q FROM samp),
+         |""".stripMargin + lloydCtes(s"s$s", s"s${s}samp", nlist, iters)
+    }.mkString(",\n")
+    val cbUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, c FROM s${s}c$iters")
+      .mkString("\n  UNION ALL ")
+    s"""${sampCte(sampleSize)},
+       |$perSub,
+       |cb AS (
+       |  $cbUnion),
+       |docs AS (
+       |  SELECT vec_id, t.s,
+       |    list_transform(list_slice(embedding, t.s * $sub + 1, (t.s + 1) * $sub),
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS qs
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${m - 1})) AS s) t),
+       |enc AS (
+       |  SELECT d.vec_id, d.s, cb.cid
+       |  FROM docs d JOIN cb ON cb.s = d.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY
+       |    list_sum(list_transform(range($sub),
+       |      i -> (d.qs[i+1] - cb.c[i+1]) * (d.qs[i+1] - cb.c[i+1]))), cb.cid) = 1)""".stripMargin
   }
 
   private def cosSql(a: String, b: String) =
@@ -681,6 +854,35 @@ object Similarity {
       |  FROM embeddings, s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-subspace k-means + integer-L2 encode replica; codes exported
+    // as canonical CSV (comparator-friendly scalar, like llm_embed_quantize)
+    "llm_pq_codes" ->
+      s"""WITH ${pqCte(PqM, PqNList, SampleSize, PqIters)},
+         |codes AS (SELECT vec_id, list(cid ORDER BY s) AS codes FROM enc GROUP BY vec_id)
+         |SELECT vec_id, array_to_string(codes, ',') AS codes_csv
+         |FROM codes ORDER BY vec_id""".stripMargin,
+    // ADC replica: per-query integer LUTs over the trained codebooks,
+    // score = Σ_s lut[s][code], exact integers end to end
+    "llm_knn_pq" ->
+      s"""WITH ${pqCte(PqM, PqNList, SampleSize, PqIters)},
+         |lut AS (
+         |  SELECT d.vec_id AS query_id, d.s, cb.cid,
+         |    CAST(list_sum(list_transform(range(${64 / PqM}),
+         |      i -> d.qs[i+1] * cb.c[i+1])) AS BIGINT) AS v
+         |  FROM docs d JOIN cb ON cb.s = d.s
+         |  WHERE d.vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.v) AS BIGINT) AS score
+         |  FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.cid
+         |  WHERE l.query_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+         |  score
+         |FROM scored
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     // integer ADC ranking replica over the symmetric-int8 encoding
     "llm_knn_quantized" ->
       s"""WITH sc AS (

@@ -452,6 +452,146 @@ case class HyperplaneBands(child: Expression, bitsPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: the `m` subspace code ids for a vector,
+  * in ONE pass against plan-held integer codebooks — the PQ index-build
+  * kernel (reference has no ANN; this is the beyond-reference scale
+  * layer, FAISS-style IVFPQ's storage half).
+  *
+  * Each input element is quantized to round-half-away(x·2¹⁶) — exactly
+  * the integer grid `Similarity.trainCentroidCodes` trains on — and each
+  * subspace picks the codebook entry minimizing integer squared
+  * Euclidean distance (ties: lowest code id). All-integer arithmetic
+  * means the codes (and any ADC ranking built on them) reproduce
+  * bit-for-bit on any engine, so the whole PQ pipeline stays
+  * oracle-checkable despite float inputs. Null elements quantize to 0,
+  * matching the other kernels; vectors shorter than m·subDim treat
+  * missing elements as 0.
+  */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)),
+    "all codebook entries must share the subspace dimension")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def quantized(a: ArrayData, i: Int): Long = {
+    if (i >= a.numElements() || a.isNullAt(i)) return 0L
+    val x = elem match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+    val v = x * 65536.0
+    if (v < 0) -math.round(-v) else math.round(v)
+  }
+
+  def compute(emb: ArrayData): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val base = s * subDim
+      var best = 0
+      var bestDist = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val t = quantized(emb, base + i) - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric-distance (ADC) score: Σ_s lut[s][codes[s]] — the scan
+  * kernel of a PQ search. `left` is a row's code array (one int per
+  * subspace), `right` the query's lookup table (per subspace, the
+  * integer dot product of the quantized query slice with every codebook
+  * entry). The corpus side touches only its m-byte-ish codes — the whole
+  * point of PQ: the scan reads codes, never embeddings. Integer
+  * accumulation keeps ranking exact on every engine. Out-of-range or
+  * null codes contribute 0 (matching the other kernels' null → 0).
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  def compute(codes: ArrayData, lut: ArrayData): Long = {
+    val m = math.min(codes.numElements(), lut.numElements())
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      if (!codes.isNullAt(s) && !lut.isNullAt(s)) {
+        val sub = lut.getArray(s)
+        val c = codes.getInt(s)
+        if (c >= 0 && c < sub.numElements() && !sub.isNullAt(c)) acc += sub.getLong(c)
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (okL && okR)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, array<array<bigint>>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -482,4 +622,12 @@ object VectorExprs {
   /** Banded random-hyperplane LSH bucket values for a vector. */
   def hyperplaneBands(emb: Column, bitsPerBand: Int, bands: Int): Column =
     ColumnBridge.column(HyperplaneBands(ColumnBridge.expression(emb), bitsPerBand, bands))
+
+  /** Per-subspace PQ code ids (integer L2 argmin, ties by code id). */
+  def pqCodes(emb: Column, codebooks: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(emb), codebooks))
+
+  /** PQ ADC score: per-subspace LUT lookups summed in exact integers. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

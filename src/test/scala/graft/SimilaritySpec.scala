@@ -289,4 +289,51 @@ class SimilaritySpec extends SparkSpec {
     val agree = exact.keySet.count(k => exact(k) == quant(k))
     assert(agree >= 3, s"top-1 agreement $agree/4: exact=$exact quant=$quant")
   }
+
+  test("PQ training: codes in range, deterministic, input-order-invariant") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = Similarity.trainPqCodebooks(emb, m = 4, nlist = 8, sampleSize = 40, iters = 2)
+    val again = Similarity.trainPqCodebooks(
+      emb.orderBy($"vec_id".desc), m = 4, nlist = 8, sampleSize = 40, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8))
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "PQ training must not depend on input row order")
+    val codes = Similarity.pqEncode(emb, books).as[(Long, Seq[Int])].collect()
+    assert(codes.forall { case (_, cs) => cs.length == 4 && cs.forall(c => c >= 0 && c < 8) })
+  }
+
+  test("PQ ADC kernel equals the composed LUT-lookup form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = Similarity.trainPqCodebooks(emb, m = 4, nlist = 8, sampleSize = 40, iters = 2)
+    val coded = Similarity.pqEncode(emb, books)
+      .select($"vec_id".as("neighbor_id"), $"codes")
+    val luts = Similarity.pqLuts(emb.filter($"vec_id" < 4), books)
+    val both = coded.join(broadcast(luts), $"query_id" =!= $"neighbor_id")
+      .withColumn("kernel", graft.llm.VectorExprs.pqAdc($"codes", $"lut"))
+      .withColumn("composed", aggregate(
+        zip_with($"codes", $"lut", (c, l) => element_at(l, c + 1)),
+        lit(0L), (acc, v) => acc + v))
+    assert(both.filter($"kernel" =!= $"composed").count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("PQ ADC ranking: cluster members outrank everything else") {
+    // four tight clusters in 8-dim; with m=2 subspaces the trained
+    // codebooks separate them, so a member's ADC top-5 IS its cluster
+    val rnd = new scala.util.Random(7)
+    def point(cluster: Int): Array[Float] = {
+      val base = Array.tabulate(8)(i => if (i % 4 == cluster) 10.0f else 0.0f)
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+    }
+    val pts = (0L until 24L).map(i => (i, point((i % 4).toInt)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Similarity.knnPq(emb, nQueries = 4, m = 2, nlist = 4,
+        sampleSize = 24, iters = 3, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- 0L until 4L)
+      assert(got(q).forall(n => n % 4 == q % 4),
+        s"query $q pulled a foreign-cluster neighbor: ${got(q)}")
+  }
 }

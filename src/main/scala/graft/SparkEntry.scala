@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.Joins
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
+import graft.store.Bucketed
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Curation.queries, Curation.oracles),
       (Corpus.queries, Corpus.oracles),
-      (Joins.queries, Joins.oracles))
+      (Joins.queries, Joins.oracles),
+      (Bucketed.queries, Bucketed.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

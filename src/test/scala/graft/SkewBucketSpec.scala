@@ -71,6 +71,27 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("registered bucketed query: join and aggregation both reuse the bucket layout") {
+    // force the shuffled-join path (the tiny dim would broadcast and hide
+    // the bucket story); the whole query must then plan with zero hash
+    // exchanges: the join reads co-located buckets and the groupBy's
+    // clustering keys contain the bucket key, so the write-time shuffle
+    // is the ONLY one that ever happens
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val df = store.Bucketed.spendBucketedQuery(spark, "/root/testdata/sf0.001")
+      val rows = df.collect()
+      assert(rows.length > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket layout not reused (hash exchange present):\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val n = 1000
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -313,6 +313,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), col("score"))
   }
 
+  // ---- random projection ---------------------------------------------------
+
+  /** Rademacher (±1 sign-hash) random projection of the embedding column
+    * to `outDim` exact-integer components — the JL dimensionality
+    * reduction a 100 TB pipeline runs BEFORE its LSH/clustering passes:
+    * one scan-speed pass (SignProject expression), and every downstream
+    * shuffle moves outDim/dim of the bytes. Deterministic by
+    * construction (hash-derived signs, integer accumulation), so the
+    * projection is oracle-checkable and identical on every engine,
+    * partitioning, and run.
+    */
+  def projectSign(corpus: DataFrame, outDim: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      VectorExprs.signProject(col("embedding"), outDim).as("proj"))
+
   // ---- IVF index at rest ---------------------------------------------------
 
   /** Materialize an IVF index as a TABLE: the corpus with its centroid
@@ -705,7 +720,19 @@ object Similarity {
         PqM, PqNList, SampleSize, PqIters, K)
       .orderBy(col("query_id"), col("rank"))
 
+  private val ProjDim = 32 // 64 → 32: half the bytes, JL variance 1/32
+
+  /** Rademacher projection table (vec_id, canonical CSV of the integer
+    * components) — exported scalar like the other code tables.
+    */
+  def projectQuery(spark: SparkSession, dir: String): DataFrame =
+    projectSign(Tables.embeddings(spark, dir), ProjDim)
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("proj"), _.cast("string"))).as("proj_csv"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
     "llm_knn_quantized" -> (knnQuantizedQuery _),
@@ -854,6 +881,33 @@ object Similarity {
       |  FROM embeddings, s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sign-hash projection replica: the sign matrix is materialized as a
+    // CTE replaying the same multiply-xorshift chain (every intermediate
+    // < 2^63 — the chain was designed for signed-SQL replay), then the
+    // projection is an unnest-join-sum in exact integers
+    "llm_embed_project" ->
+      s"""WITH sgn AS (
+         |  SELECT i, j,
+         |    CASE WHEN ((xor(h2, h2 >> 16) * 1566083941) % 4294967296) < 2147483648
+         |         THEN 1 ELSE -1 END AS s
+         |  FROM (
+         |    SELECT i, j, (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2
+         |    FROM (
+         |      SELECT a.i, b.j, ((a.i * $ProjDim + b.j + 1) * $KnuthMult) % 4294967296 AS h1
+         |      FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+         |           (SELECT unnest(generate_series(0, ${ProjDim - 1})) AS j) b))),
+         |qz AS (
+         |  SELECT vec_id, unnest(q) AS v, unnest(generate_series(0, len(q) - 1)) AS i
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding,
+         |            x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+         |        FROM embeddings)),
+         |proj AS (
+         |  SELECT qz.vec_id, s.j, CAST(SUM(qz.v * s.s) AS BIGINT) AS p
+         |  FROM qz JOIN sgn s USING (i)
+         |  GROUP BY qz.vec_id, s.j)
+         |SELECT vec_id, array_to_string(list(p ORDER BY j), ',') AS proj_csv
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // per-subspace k-means + integer-L2 encode replica; codes exported
     // as canonical CSV (comparator-friendly scalar, like llm_embed_quantize)
     "llm_pq_codes" ->

@@ -318,6 +318,65 @@ class SimilaritySpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("sign projection kernel equals the composed higher-order form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val outDim = 8
+    val qz = transform($"embedding", x => round(x.cast("double") * 65536).cast("long"))
+    def mix(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h1 = (k * 2654435761L) % 4294967296L
+      val h2 = (h1.bitwiseXOR(shiftright(h1, 16)) * 40503L) % 4294967296L
+      (h2.bitwiseXOR(shiftright(h2, 16)) * 1566083941L) % 4294967296L
+    }
+    val composed = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), size($"embedding") - 1), lit(0L), (acc, i) =>
+        acc + when(mix(i.cast("long") * outDim + j + 1) < 2147483648L,
+          element_at(qz, i + 1)).otherwise(-element_at(qz, i + 1))))
+    val both = emb.select(
+      graft.llm.VectorExprs.signProject($"embedding", outDim).as("kernel"),
+      composed.as("composed"))
+    assert(both.filter(to_json($"kernel") =!= to_json($"composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("sign projection preserves norms and neighborhoods (JL), deterministically") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = unit()
+    val nearDup = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val others = (2L until 40L).map(i => (i, unit()))
+    val emb = (Seq((0L, base), (1L, nearDup)) ++ others).toDF("vec_id", "embedding")
+    val proj = Similarity.projectSign(emb, outDim = 32)
+      .select($"vec_id", $"proj".cast("array<double>").as("p"))
+    def cosOf(a: Long, b: Long): Double = proj.filter($"vec_id" === a)
+      .join(proj.filter($"vec_id" === b).select($"p".as("p2")))
+      .select(Similarity.cosine($"p", $"p2")).as[Double].head()
+    // the planted near-identical pair survives projection…
+    assert(cosOf(0L, 1L) > 0.9, s"planted pair lost: ${cosOf(0L, 1L)}")
+    // …while independent vectors stay far ON AVERAGE (E[cos] = 0; a
+    // single pair can spike — var is 1/32 on top of the true cosine's
+    // own 1/64 — so assert the mean |cos| over disjoint pairs)
+    val meanAbs = proj.as("a")
+      .join(proj.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .filter(col("a.vec_id") >= 2 && col("a.vec_id") % 2 === 0)
+      .select(abs(Similarity.cosine(col("a.p"), col("b.p"))).as("c"))
+      .agg(avg($"c")).as[Double].head()
+    assert(meanAbs < 0.35, s"independent pairs too close on average: $meanAbs")
+    // norm preservation: E[||p||²] = outDim · ||qz||², so the mean ratio
+    // over the corpus concentrates near 1
+    val ratio = proj
+      .join(emb.select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 65536).cast("long")).as("qz")), "vec_id")
+      .select(
+        (aggregate($"p", lit(0.0d), (a, x) => a + x * x) / 32.0d /
+         aggregate($"qz".cast("array<double>"), lit(0.0d), (a, x) => a + x * x)).as("r"))
+      .agg(avg($"r")).as[Double].head()
+    assert(ratio > 0.6 && ratio < 1.4, s"norm ratio off: $ratio")
+  }
+
   test("PQ ADC ranking: cluster members outrank everything else") {
     // four tight clusters in 8-dim; with m=2 subspaces the trained
     // codebooks separate them, so a member's ADC top-5 IS its cluster

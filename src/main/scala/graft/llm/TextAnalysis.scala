@@ -110,6 +110,52 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** Vocabulary coverage curve: the top `topN` tokens by corpus frequency
+    * with their cumulative coverage fraction — the analysis a tokenizer
+    * build runs to size its vocab ("how many types cover 95% of
+    * tokens?"). Scale shape: the heavy work is ONE distributed
+    * token-count aggregation; the global ordering then runs on the
+    * (already tiny) type table, and the rank/cumsum windows see only the
+    * `topN` survivors of a distributed TakeOrdered — the curve's prefix
+    * sums are unchanged by dropping lower ranks, so no full-vocab
+    * single-partition window ever exists.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("total"))
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(topN)
+    val ord = Window.orderBy(col("freq").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("cum_freq").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Per-document PII incidence: match counts per type for the same
+    * deliberately-portable patterns `Corpus.redactPii` scrubs — the
+    * measurement half of the PII stage (incidence before, zero after;
+    * TextAnalysisSpec asserts both on planted fixtures).
+    */
+  def piiReport(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col(textCol),
+          lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"), lit(0)))
+          .cast("long").as("n_ssn"),
+        size(regexp_extract_all(col(textCol),
+          lit("\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"), lit(0)))
+          .cast("long").as("n_phone"))
+      .withColumn("n_pii", col("n_email") + col("n_ssn") + col("n_phone"))
+
   // ---- registered queries -------------------------------------------------
 
   /** Token counting over documents. */
@@ -221,7 +267,21 @@ object TextAnalysis {
     unigramCommonness(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  private val VocabTopN = 50
+
+  /** Vocabulary coverage over documents. */
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "text", VocabTopN)
+      .orderBy(col("rank"))
+
+  /** PII incidence over documents. */
+  def piiReportQuery(spark: SparkSession, dir: String): DataFrame =
+    piiReport(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_coverage" -> (vocabQuery _),
+    "llm_pii_report" -> (piiReportQuery _),
     "llm_unigram_common" -> (unigramQuery _),
     "llm_langid_eval" -> (langidEval _),
     "llm_tfidf_top_terms" -> (topTerms _),
@@ -256,6 +316,35 @@ object TextAnalysis {
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // integer counts + prefix sums; the one division happens once per
+    // output row (deterministic), then rounds identically
+    "llm_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |c AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM t WHERE token <> '' GROUP BY token),
+         |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM c),
+         |r AS (
+         |  SELECT token, freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank,
+         |    CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+         |  FROM c)
+         |SELECT rank, token, freq,
+         |  ROUND(CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+         |FROM r, tot WHERE rank <= $VocabTopN ORDER BY rank""".stripMargin,
+    // same portable patterns as llm_pii_redact, counted instead of scrubbed
+    "llm_pii_report" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // integer-exact until the single final division (deterministic): tf
     // and df are counts, sum(tf*df) stays in BIGINT range
     "llm_unigram_common" ->

@@ -47,4 +47,40 @@ class TextAnalysisSpec extends SparkSpec {
     val scores = rows.map(_._4)
     assert(scores(2) < scores(1) && scores(1) < scores(0))
   }
+
+  test("vocab coverage: ranks by frequency, prefix sums reach 1.0") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", topN = 10)
+      .as[(Int, String, Long, Double)].collect().toList
+    assert(got == List(
+      (1, "a", 4L, 0.5), (2, "b", 3L, 0.875), (3, "c", 1L, 1.0)))
+  }
+
+  test("vocab coverage: topN truncation preserves the prefix of the full curve") {
+    val docs = Seq((1L, "x x x y y z w")).toDF("doc_id", "text")
+    val full = TextAnalysis.vocabCoverage(docs, "text", topN = 10)
+      .as[(Int, String, Long, Double)].collect().toList
+    val cut = TextAnalysis.vocabCoverage(docs, "text", topN = 2)
+      .as[(Int, String, Long, Double)].collect().toList
+    assert(cut == full.take(2))
+  }
+
+  test("PII report counts planted PII; redaction zeroes the report") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@example.org or bob@x.io, ssn 123-45-6789"),
+      (2L, "call 555-123-4567 twice: 555-123-4567"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiReport(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 1L, 0L, 3L)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 2L, 2L)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    // measurement after scrubbing: incidence must be exactly zero
+    val scrubbed = docs.select($"doc_id", graft.llm.Corpus.redactPii($"text").as("text"))
+    val after = TextAnalysis.piiReport(scrubbed, "text", "doc_id")
+      .filter($"n_pii" > 0).count()
+    assert(after == 0)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.Joins
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.Bucketed
@@ -28,7 +28,8 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (Corpus.queries, Corpus.oracles),
       (Joins.queries, Joins.oracles),
-      (Bucketed.queries, Bucketed.oracles))
+      (Bucketed.queries, Bucketed.oracles),
+      (Bpe.queries, Bpe.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,293 @@
+package graft.llm
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.Tables
+
+/** Byte-pair-encoding vocabulary training — the tokenizer-construction
+  * step of a training-data pipeline (Sennrich et al. 2016, public
+  * method), built Spark-first and fully oracle-checkable.
+  *
+  * Scale shape: the corpus is touched ONCE (a distributed word-count
+  * aggregation); every merge round then runs on the distinct-word table
+  * — vocabulary-sized, orders of magnitude smaller than the corpus —
+  * as one explode+sum pair count, one 1-row argmax collect (the merge
+  * rule is a driver-held artifact, like a broadcast build side or the
+  * k-means centroids), and one scan-speed merge application
+  * (BpeMergePair expression). Round lineage is cut with localCheckpoint
+  * exactly as in Dedup.connectedComponents. Encoding a corpus with the
+  * trained rules is a single scan-speed expression (BpeApplyMerges) —
+  * no shuffle, no state.
+  *
+  * Determinism: pair counts are exact integers; the argmax breaks ties
+  * by (count desc, left, right) binary string order — so training
+  * replays bit-for-bit on any engine and partitioning, and the DuckDB
+  * oracle unrolls the rounds as a CTE chain (the same construction the
+  * k-means oracle uses). The oracle encodes symbol sequences as
+  * `(sym)(sym)` strings, where a merge application is one literal
+  * `replace` — SQL's leftmost-non-overlapping replace IS BPE's greedy
+  * merge order (valid while symbols contain no parens, true for
+  * whitespace words; the Scala engine works on arrays and has no such
+  * restriction).
+  */
+object Bpe {
+
+  /** One learned merge rule: at `rank`, the adjacent symbol pair
+    * (left, right) — occurring `pairCount` weighted times — fuses into
+    * left+right.
+    */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Greedy left-to-right non-overlapping single-rule application —
+    * shared by the training and encoding expressions, and the semantics
+    * the oracle's `replace` reproduces: "aaa" under (a,a) → ["aa","a"].
+    */
+  private[graft] def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct words with corpus frequencies — the table training
+    * iterates on (the ONLY corpus-sized work in the trainer).
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `nMerges` BPE rules over the documents' word distribution.
+    * Stops early when no adjacent pair remains.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 0)
+    val pairType = "array<struct<a:string,b:string>>"
+    var state = wordCounts(docs, textCol)
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[Merge]
+    var t = 1
+    var exhausted = false
+    while (t <= nMerges && !exhausted) {
+      val best = state
+        .select(col("freq"),
+          explode(when(size(col("syms")) > 1,
+              transform(sequence(lit(0), size(col("syms")) - 2), i =>
+                struct(element_at(col("syms"), i + 1).as("a"),
+                  element_at(col("syms"), i + 2).as("b"))))
+            .otherwise(array().cast(pairType))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(t, a, b, cnt)
+        val prev = state
+        state = state
+          .select(col("freq"), BpeExprs.mergePair(col("syms"), a, b).as("syms"))
+          .localCheckpoint() // vocab-sized: cut the per-round lineage
+        prev.unpersist(blocking = false)
+        t += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Subword segmentation of a word column under trained rules, applied
+    * in rank order — replays the training evolution for corpus words and
+    * generalizes to unseen ones (the actual tokenizer).
+    */
+  def encode(word: Column, merges: Seq[Merge]): Column =
+    BpeExprs.applyMerges(word, merges.map(m => (m.left, m.right)))
+
+  // ---- registered queries -------------------------------------------------
+
+  private val NMerges = 12
+
+  /** The learned merge table itself: oracle-green here proves the whole
+    * iterative trainer (counts, argmax ties, greedy application order)
+    * replays exactly.
+    */
+  def mergesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(Tables.documents(spark, dir), "text", NMerges)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** Per-document token budget under the trained vocabulary: word count
+    * and post-merge subword count — the measurement packing/chunking
+    * budgets run on (tokens, not characters). Exercises the encoder
+    * expression end-to-end over every document word.
+    */
+  def tokensQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = train(docs, "text", NMerges)
+    docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), size(encode(col("word"), merges)).as("n_sub"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_merges" -> (mergesQuery _),
+    "llm_bpe_tokens" -> (tokensQuery _))
+
+  // ---- oracle -------------------------------------------------------------
+
+  /** The unrolled trainer: w0 = word counts with `(s)(y)(m)` states;
+    * each round counts adjacent pairs, picks the (cnt desc, a, b) argmax,
+    * and applies it as one literal replace. LEFT JOIN ON TRUE keeps
+    * states flowing when a round finds no pair (b_t empty), matching the
+    * trainer's early stop.
+    */
+  private def bpeCte(nMerges: Int): String = {
+    val sb = new StringBuilder(
+      """w0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    '(' || array_to_string(string_split(word, ''), ')(') || ')' AS state
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (t <- 1 to nMerges) {
+      sb.append(
+        s""",
+           |p$t AS (
+           |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT freq, unnest(list_transform(range(greatest(len(l) - 1, 0)),
+           |      i -> struct_pack(a := l[i+1], b := l[i+2]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(state, '()'), ')(') AS l FROM w${t - 1}))
+           |  GROUP BY 1, 2),
+           |b$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$t AS (
+           |  SELECT w.word, w.freq,
+           |    CASE WHEN b.a IS NULL THEN w.state
+           |         ELSE replace(w.state, '(' || b.a || ')(' || b.b || ')',
+           |                      '(' || b.a || b.b || ')') END AS state
+           |  FROM w${t - 1} w LEFT JOIN b$t b ON TRUE)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "llm_bpe_merges" ->
+      s"""WITH ${bpeCte(NMerges)}
+         |SELECT rank, left_sym, right_sym, pair_count FROM (
+         |  ${(1 to NMerges).map(t =>
+               s"SELECT CAST($t AS INTEGER) AS rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
+              .mkString("\n  UNION ALL ")})
+         |ORDER BY rank""".stripMargin,
+    // encoding a corpus word replays its training state, so per-word
+    // subword counts come straight from the final state table
+    "llm_bpe_tokens" ->
+      s"""WITH ${bpeCte(NMerges)},
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents),
+         |sw AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(state, '()'), ')(')) AS BIGINT) AS n_sub
+         |  FROM w$NMerges)
+         |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
+         |FROM dw d JOIN sw s USING (word)
+         |WHERE d.word <> ''
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+}
+
+/** Greedy single-rule merge over a symbol array (training inner step). */
+case class BpeMergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  def compute(in: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = in.numElements()
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      syms(i) = if (in.isNullAt(i)) "" else in.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(
+      Bpe.mergeOnce(syms, a, b).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bpeMerge", this, classOf[BpeMergePair].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+}
+
+/** Full-ruleset subword encoder: split a word into characters, apply
+  * every merge in rank order (each greedy left-to-right) — the trained
+  * tokenizer as one scan-speed expression.
+  */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  def compute(word: UTF8String): Any = {
+    var syms = word.toString.toCharArray.map(_.toString)
+    merges.foreach { case (a, b) => syms = Bpe.mergeOnce(syms, a, b) }
+    new GenericArrayData(syms.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bpeApply", this, classOf[BpeApplyMerges].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
+    copy(child = newChild)
+}
+
+private[llm] object BpeExprs {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def mergePair(syms: Column, a: String, b: String): Column =
+    ColumnBridge.column(BpeMergePair(ColumnBridge.expression(syms), a, b))
+
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApplyMerges(ColumnBridge.expression(word), merges))
+}

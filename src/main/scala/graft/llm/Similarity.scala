@@ -313,6 +313,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"), col("score"))
   }
 
+  /** IVF + PQ combined: the full production-index shape. The coarse
+    * k-means partitions the corpus into inverted lists (probes touch
+    * nprobe/nlist of the data — WHERE pruning happens), and PQ codes are
+    * what a probe actually scans (codes, never embeddings — WHAT a scan
+    * reads). One corpus pass computes both the list assignment and the
+    * codes; the candidate join's corpus side carries (vec_id,
+    * centroid_id, m codes) only. This is the flat-code IVFPQ variant:
+    * codes quantize the raw vectors, not the list residuals — residual
+    * coding would need per-list re-centering at encode time; the
+    * partition/scan architecture is identical, and the flat variant
+    * keeps the whole pipeline integer-exact and oracle-checkable.
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame,
+               coarseVecs: Array[Array[Double]],
+               books: Array[Array[Array[Long]]],
+               nprobe: Int, k: Int): DataFrame = {
+    val ids = coarseVecs.indices.toArray
+    val assigned = corpus.select(
+      col("vec_id"),
+      element_at(VectorExprs.nearestCentroids(col("embedding"), ids, coarseVecs, 1), 1)
+        .as("centroid_id"),
+      VectorExprs.pqCodes(col("embedding"), books).as("codes"))
+    val qProbes = queries.select(
+        col("vec_id").as("query_id"),
+        explode(VectorExprs.nearestCentroids(col("embedding"), ids, coarseVecs, nprobe))
+          .as("centroid_id"))
+      .join(pqLuts(queries, books), "query_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", VectorExprs.pqAdc(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rn").as("rank"), col("score"))
+  }
+
   // ---- random projection ---------------------------------------------------
 
   /** Rademacher (±1 sign-hash) random projection of the embedding column
@@ -720,6 +757,20 @@ object Similarity {
         PqM, PqNList, SampleSize, PqIters, K)
       .orderBy(col("query_id"), col("rank"))
 
+  /** IVFPQ top-k: trained coarse lists for pruning, trained PQ codes for
+    * the ADC scan — same centroids as `llm_ann_ivf_kmeans`, same
+    * codebooks as `llm_knn_pq`, so a mismatch isolates to the
+    * composition.
+    */
+  def knnIvfPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnIvfPq(emb, emb.filter(col("vec_id") < NumQueries),
+        trainCentroidsKMeans(emb, NList, SampleSize, KmIters),
+        trainPqCodebooks(emb, PqM, PqNList, SampleSize, PqIters),
+        nprobe = NProbe, k = K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val ProjDim = 32 // 64 → 32: half the bytes, JL variance 1/32
 
   /** Rademacher projection table (vec_id, canonical CSV of the integer
@@ -735,6 +786,7 @@ object Similarity {
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
+    "llm_knn_ivfpq" -> (knnIvfPqQuery _),
     "llm_knn_quantized" -> (knnQuantizedQuery _),
     "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
@@ -801,7 +853,13 @@ object Similarity {
     * (vec_id, s, cid) row per document per subspace, bit-identical to
     * the PqCodes expression by the same argument as `kmeansCte`.
     */
-  private def pqCte(m: Int, nlist: Int, sampleSize: Int, iters: Int): String = {
+  /** The per-subspace half of the PQ replica (everything but `samp`):
+    * subspace Lloyd chains over sample slices, the `cb` codebook union,
+    * quantized document slices `docs`, and the integer-L2 argmin
+    * encoding `enc` — composable with other chains over the same sample
+    * (the IVFPQ oracle adds the coarse-centroid chain alongside).
+    */
+  private def pqChains(m: Int, nlist: Int, iters: Int): String = {
     val sub = 64 / m // synthetic embeddings are 64-dim (TESTDATA.md)
     val perSub = (0 until m).map { s =>
       s"""s${s}samp AS (
@@ -811,8 +869,7 @@ object Similarity {
     val cbUnion = (0 until m)
       .map(s => s"SELECT $s AS s, cid, c FROM s${s}c$iters")
       .mkString("\n  UNION ALL ")
-    s"""${sampCte(sampleSize)},
-       |$perSub,
+    s"""$perSub,
        |cb AS (
        |  $cbUnion),
        |docs AS (
@@ -827,6 +884,9 @@ object Similarity {
        |    list_sum(list_transform(range($sub),
        |      i -> (d.qs[i+1] - cb.c[i+1]) * (d.qs[i+1] - cb.c[i+1]))), cb.cid) = 1)""".stripMargin
   }
+
+  private def pqCte(m: Int, nlist: Int, sampleSize: Int, iters: Int): String =
+    sampCte(sampleSize) + ",\n" + pqChains(m, nlist, iters)
 
   private def cosSql(a: String, b: String) =
     s"list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))"
@@ -860,6 +920,56 @@ object Similarity {
        |WHERE a.vec_id <> p.query_id
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVFPQ replica: the coarse chain (c0..cN → cent/assign/probes, same
+    * construction as IvfKmeansSql) and the PQ chains (cb/docs/enc/lut)
+    * share ONE `samp`; candidates = probes ⋈ assign, scores = the same
+    * per-subspace LUT sum as llm_knn_pq, restricted to candidates.
+    */
+  private lazy val IvfPqSql: String = {
+    val sub = 64 / PqM
+    s"""WITH ${sampCte(SampleSize)},
+       |${lloydCtes("", "samp", NList, KmIters)},
+       |${pqChains(PqM, PqNList, PqIters)},
+       |cent AS (
+       |  SELECT cid AS centroid_id,
+       |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
+       |  FROM c$KmIters),
+       |assign AS (
+       |  SELECT e.vec_id, cent.centroid_id
+       |  FROM embeddings e, cent
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e", "cent")} DESC, cent.centroid_id) = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, cent.centroid_id
+       |  FROM embeddings q, cent
+       |  WHERE q.vec_id < $NumQueries
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe),
+       |lut AS (
+       |  SELECT d.vec_id AS query_id, d.s, cb.cid,
+       |    CAST(list_sum(list_transform(range($sub),
+       |      i -> d.qs[i+1] * cb.c[i+1])) AS BIGINT) AS v
+       |  FROM docs d JOIN cb ON cb.s = d.s
+       |  WHERE d.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.v) AS BIGINT) AS score
+       |  FROM cand c
+       |  JOIN enc e ON e.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.s = e.s AND l.cid = e.cid
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+       |  score
+       |FROM scored
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // shared CTE: the quantization replica (used by both quantize oracles)
   private val codesCte =
@@ -937,6 +1047,8 @@ object Similarity {
          |FROM scored
          |QUALIFY rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // coarse pruning + PQ ADC composition replica
+    "llm_knn_ivfpq" -> IvfPqSql,
     // integer ADC ranking replica over the symmetric-int8 encoding
     "llm_knn_quantized" ->
       s"""WITH sc AS (

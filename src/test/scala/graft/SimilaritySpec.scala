@@ -318,6 +318,36 @@ class SimilaritySpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("IVFPQ: neighbors come only from probed lists, scores are exact LUT sums") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Similarity.trainCentroidsKMeans(emb, nlist = 8, sampleSize = 40, iters = 2)
+    val books = Similarity.trainPqCodebooks(emb, m = 4, nlist = 8, sampleSize = 40, iters = 2)
+    val ids = cents.indices.toArray
+    val got = Similarity.knnIvfPq(emb, queries, cents, books, nprobe = 3, k = 5)
+      .select($"query_id", $"neighbor_id", $"score").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // membership: every neighbor's assigned list is among its query's probes
+    val assigned = emb.select($"vec_id",
+        element_at(graft.llm.VectorExprs.nearestCentroids($"embedding", ids, cents, 1), 1).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    val probes = queries.select($"vec_id",
+        graft.llm.VectorExprs.nearestCentroids($"embedding", ids, cents, 3).as("cids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    got.foreach { case (q, n, _) =>
+      assert(probes(q).contains(assigned(n)), s"neighbor $n of query $q outside probed lists")
+    }
+    // exactness: each score re-derives from the neighbor's codes and the
+    // query's LUT (no float anywhere in the scan)
+    val codes = Similarity.pqEncode(emb, books).as[(Long, Seq[Int])].collect().toMap
+    val luts = Similarity.pqLuts(queries, books)
+      .as[(Long, Seq[Seq[Long]])].collect().toMap
+    got.foreach { case (q, n, score) =>
+      val want = codes(n).zipWithIndex.map { case (c, s) => luts(q)(s)(c) }.sum
+      assert(score == want, s"score mismatch for ($q,$n): $score != $want")
+    }
+  }
+
   test("sign projection kernel equals the composed higher-order form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val outDim = 8

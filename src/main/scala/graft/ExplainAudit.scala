@@ -45,6 +45,16 @@ object ExplainAudit {
     // containment: expect the shared-rare COUNT aggregation (scalar
     // shuffle) strictly BEFORE any branch carrying shingle arrays joins in
     show("llm_dedup_containment")(graft.llm.Dedup.containmentQuery(spark, dir))
+    // round-4 additions: PQ ADC scan (corpus side carries codes only),
+    // IVFPQ composition (probe join on centroid_id, still codes-only),
+    // bucketed join+agg (ZERO hash exchanges anywhere in the plan),
+    // projection/BPE-budget (scan-speed expressions, one aggregation)
+    show("llm_knn_pq")(Similarity.knnPqQuery(spark, dir))
+    show("llm_knn_ivfpq")(Similarity.knnIvfPqQuery(spark, dir))
+    show("bucketed_spend")(graft.store.Bucketed.spendBucketedQuery(spark, dir))
+    show("llm_embed_project")(Similarity.projectQuery(spark, dir))
+    show("llm_vocab_coverage")(graft.llm.TextAnalysis.vocabQuery(spark, dir))
+    show("llm_bpe_tokens")(graft.llm.Bpe.tokensQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

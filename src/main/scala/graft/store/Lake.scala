@@ -159,6 +159,53 @@ object Lake {
     deleteRecursive(bak)
   }
 
+  /** Data skipping on NON-partition columns: a per-file min/max manifest,
+    * the mechanism Delta/Iceberg call file skipping. Hive partitioning
+    * (K1/K2) already prunes directories by the partition key; the
+    * manifest extends that to any clustered column — write sorted or
+    * range-partitioned by the column (compact() with a range
+    * repartition does this), and each file covers a narrow value range,
+    * so a range predicate touches few files. The manifest lives at
+    * `<table>/_manifest` — underscore-prefixed paths are invisible to
+    * Spark's file discovery, so plain readers of the table see only
+    * data.
+    *
+    * Build cost is one aggregation over (file, col) pairs; at cluster
+    * scale this piggybacks on the write (parquet footers already hold
+    * these stats — the manifest lifts them to ONE small table so the
+    * driver prunes without touching any footer, the same listing-cost
+    * argument as partition pruning).
+    */
+  def writeManifest(spark: SparkSession, tableDir: String, statCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(tableDir)
+    val aggs = statCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest")
+  }
+
+  /** Range-pruned read: keep only files whose [min,max] overlaps
+    * [lo, hi] (driver-side manifest filter — the manifest is file-count
+    * sized), then scan just those. Row-exact: the value filter is
+    * re-applied, skipping only changes which FILES are read. Files are
+    * resolved via the manifest; a table written after the manifest
+    * build must rebuild it (single-writer contract, like compact()).
+    */
+  def readSkipping(spark: SparkSession, tableDir: String, statCol: String,
+                   lo: Any, hi: Any): DataFrame = {
+    val manifest = spark.read.parquet(s"$tableDir/_manifest")
+    val files = manifest
+      .filter(col(s"max_$statCol") >= lit(lo) && col(s"min_$statCol") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    pruned.filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+  }
+
   /** K10: archive — move processed input files under archive/<date>/, date
     * parsed from the filename (ref transfom_pos.py:56-110's
     * `pos_YYYYMMDD_HHMMSS.csv` regex).

@@ -72,6 +72,29 @@ class LakeSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(t + ".old")))
   }
 
+  test("data skipping: manifest prunes files for a range read, rows stay exact") {
+    val root = Files.createTempDirectory("skip").toString
+    val table = s"$root/events"
+    // range-partitioned write → each file covers a narrow id band
+    spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+      .write.parquet(table)
+    Lake.writeManifest(spark, table, Seq("id"))
+    // manifest is invisible to plain readers (underscore path)
+    assert(spark.read.parquet(table).count() == 1000)
+    val full = spark.read.parquet(table)
+      .filter(col("id") >= 100 && col("id") <= 140)
+    val pruned = Lake.readSkipping(spark, table, "id", 100L, 140L)
+    assert(pruned.select("id", "v").collect().map(_.toSeq).toSet ==
+      full.select("id", "v").collect().map(_.toSeq).toSet)
+    // the point: the pruned plan touches strictly fewer files
+    assert(pruned.inputFiles.length < spark.read.parquet(table).inputFiles.length,
+      s"no files skipped: ${pruned.inputFiles.length}")
+    // empty overlap reads nothing and returns schema-compatible empty
+    assert(Lake.readSkipping(spark, table, "id", 5000L, 6000L).count() == 0)
+  }
+
   test("K10/E15: archive moves files into date dirs parsed from filename") {
     val root = Files.createTempDirectory("lake").toString
     val f1 = s"$root/pos_20240715_120000.csv"

@@ -122,10 +122,15 @@ object TextAnalysis {
     */
   def vocabCoverage(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the type table feeds two consumers (top-N and the corpus total);
+    // checkpointing it makes the corpus scan+aggregate happen ONCE —
+    // without it Catalyst plans two full scans (same pattern as the
+    // containment query's shingle frame)
     val counts = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("freq")).as("total"))
     val top = counts.orderBy(col("freq").desc, col("token")).limit(topN)
     val ord = Window.orderBy(col("freq").desc, col("token"))

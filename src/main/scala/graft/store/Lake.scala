@@ -195,15 +195,28 @@ object Lake {
     * build must rebuild it (single-writer contract, like compact()).
     */
   def readSkipping(spark: SparkSession, tableDir: String, statCol: String,
-                   lo: Any, hi: Any): DataFrame = {
+                   lo: Any, hi: Any): DataFrame =
+    readSkippingRanges(spark, tableDir, Seq((statCol, lo, hi)))
+
+  /** Multi-column range-pruned read: a file survives only if EVERY
+    * range overlaps its [min,max] — the conjunction is where clustered
+    * layouts earn their keep (a z-ordered table bounds BOTH columns per
+    * file, so a small 2-D box touches few files; see store/ZOrder).
+    */
+  def readSkippingRanges(spark: SparkSession, tableDir: String,
+                         ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one range required")
     val manifest = spark.read.parquet(s"$tableDir/_manifest")
-    val files = manifest
-      .filter(col(s"max_$statCol") >= lit(lo) && col(s"min_$statCol") <= lit(hi))
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val files = manifest.filter(overlap)
       .select(col("file")).collect().map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    pruned.filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+    ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .foldLeft(pruned)((df, p) => df.filter(p))
   }
 
   /** K10: archive — move processed input files under archive/<date>/, date

@@ -95,6 +95,40 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readSkipping(spark, table, "id", 5000L, 6000L).count() == 0)
   }
 
+  test("zvalue: bit interleave matches hand-computed cases, nulls clamp to 0") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 2L), (null, 5L)
+    ).toDF("a", "b")
+    val got = df.select(graft.store.ZOrder.zvalue(col("a"), col("b"), bits = 4))
+      .as[Long].collect().toSeq
+    // z = Σ a_k·2^(2k) + b_k·2^(2k+1); (null,5): b bits 0 and 2 → 2 + 32
+    assert(got == Seq(0L, 1L, 2L, 3L, 14L, 13L, 34L))
+  }
+
+  test("z-order + manifest: a 2-D box prunes files a linear layout cannot") {
+    val root = Files.createTempDirectory("zorder").toString
+    val grid = spark.range(0, 4096).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+    // z-ordered layout: both columns bounded per file
+    graft.store.ZOrder.writeZOrdered(grid, s"$root/z", "x", "y", bits = 6, nFiles = 16)
+    // linear layout: sorted by x only, same manifest machinery
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$root/linear")
+    Lake.writeManifest(spark, s"$root/linear", Seq("x", "y"))
+    // box spanning all of x but a thin y band: linear files all overlap
+    // (each covers every y), z-order files mostly don't
+    val ranges = Seq(("x", 0L, 63L), ("y", 8L, 15L))
+    val zRead = Lake.readSkippingRanges(spark, s"$root/z", ranges)
+    val linRead = Lake.readSkippingRanges(spark, s"$root/linear", ranges)
+    val want = grid.filter(col("y") >= 8 && col("y") <= 15)
+      .select("x", "y").collect().map(_.toSeq).toSet
+    assert(zRead.select("x", "y").collect().map(_.toSeq).toSet == want)
+    assert(linRead.select("x", "y").collect().map(_.toSeq).toSet == want)
+    assert(linRead.inputFiles.length == 16, "linear layout cannot skip on y")
+    assert(zRead.inputFiles.length * 2 <= linRead.inputFiles.length,
+      s"z-order should halve touched files at worst: ${zRead.inputFiles.length} vs ${linRead.inputFiles.length}")
+  }
+
   test("K10/E15: archive moves files into date dirs parsed from filename") {
     val root = Files.createTempDirectory("lake").toString
     val f1 = s"$root/pos_20240715_120000.csv"

@@ -51,6 +51,7 @@ object ExplainAudit {
     // projection/BPE-budget (scan-speed expressions, one aggregation)
     show("llm_knn_pq")(Similarity.knnPqQuery(spark, dir))
     show("llm_knn_ivfpq")(Similarity.knnIvfPqQuery(spark, dir))
+    show("llm_knn_ivfpq_res")(Similarity.knnIvfPqResQuery(spark, dir))
     show("bucketed_spend")(graft.store.Bucketed.spendBucketedQuery(spark, dir))
     show("llm_embed_project")(Similarity.projectQuery(spark, dir))
     show("llm_vocab_coverage")(graft.llm.TextAnalysis.vocabQuery(spark, dir))

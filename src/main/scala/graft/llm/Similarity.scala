@@ -350,6 +350,118 @@ object Similarity {
         col("rn").as("rank"), col("score"))
   }
 
+  // ---- residual IVFPQ ------------------------------------------------------
+
+  /** Cosine between two integer vectors in double — every product and
+    * partial sum here is exactly representable (< 2⁵³), so the value is
+    * identical under ANY accumulation order and in any engine; 0 when a
+    * norm is 0 (the CosineSim convention).
+    */
+  private def intCosine(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** True-IVFPQ training: coarse centroids first, then per-subspace
+    * k-means over the sample's RESIDUALS (quantized vector minus its
+    * assigned coarse centroid) — residual codebooks model what the
+    * coarse index leaves unexplained, the refinement flat PQ lacks.
+    * Sample assignment uses cosine over the integer grid (exactly
+    * replayable — see intCosine); both trainings share ONE collected
+    * sample.
+    */
+  def trainResidualPq(corpus: DataFrame, nlist: Int, kmIters: Int,
+                      m: Int, pqNlist: Int, pqIters: Int, sampleSize: Int)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val sample = collectQuantizedSample(corpus, sampleSize)
+    require(sample.nonEmpty, "empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val coarse = lloydOnCodes(sample, nlist, kmIters)
+    val residuals = sample.map { q =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < coarse.length) {
+        val s = intCosine(q, coarse(c))
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      q.indices.map(i => q(i) - coarse(best)(i)).toArray
+    }
+    val sub = dim / m
+    val books = Array.tabulate(m) { s =>
+      lloydOnCodes(residuals.map(v => v.slice(s * sub, (s + 1) * sub)), pqNlist, pqIters)
+    }
+    (coarse, books)
+  }
+
+  /** Residual-IVFPQ top-k: score(q, x) = ⟨qz(q), cc(x)⟩ + Σ_s
+    * lut[s][code_s] — the coarse term (a per-(query, centroid) integer,
+    * 8×16 values on the driver) plus the residual ADC sum. The corpus
+    * side still carries only (vec_id, centroid_id, codes); residuals
+    * never materialize (the encode expression holds the coarse code
+    * matrix). Exact integers end to end.
+    */
+  def knnIvfPqResidual(corpus: DataFrame, queries: DataFrame,
+                       coarse: Array[Array[Long]],
+                       books: Array[Array[Array[Long]]],
+                       nprobe: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseD = coarse.map(_.map(_ / QuantScale))
+    val ids = coarseD.indices.toArray
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"),
+        element_at(VectorExprs.nearestCentroids(col("embedding"), ids, coarseD, 1), 1)
+          .as("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        VectorExprs.residualPqCodes(col("embedding"), col("centroid_id"), coarse, books)
+          .as("codes"))
+    // driver-held query artifacts: quantized queries → coarse terms
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull).collect()
+    val centTerms: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { r =>
+      val qz = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case null => 0.0
+      }.map(x => roundAway(x * QuantScale)).toArray
+      coarse.indices.map { c =>
+        var acc = 0L
+        var i = 0
+        while (i < math.min(qz.length, coarse(c).length)) { acc += qz(i) * coarse(c)(i); i += 1 }
+        (r.getLong(0), c, acc)
+      }
+    }
+    val centLut = centTerms.toDF("query_id", "centroid_id", "cent_term")
+    val qSide = queries.select(
+        col("vec_id").as("query_id"),
+        explode(VectorExprs.nearestCentroids(col("embedding"), ids, coarseD, nprobe))
+          .as("centroid_id"))
+      .join(centLut, Seq("query_id", "centroid_id"))
+      .join(pqLuts(queries, books), "query_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(qSide), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", col("cent_term") + VectorExprs.pqAdc(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rn").as("rank"), col("score"))
+  }
+
   // ---- random projection ---------------------------------------------------
 
   /** Rademacher (±1 sign-hash) random projection of the embedding column
@@ -771,6 +883,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual-IVFPQ top-k over trained coarse + residual codebooks. */
+  def knnIvfPqResQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (coarse, books) = trainResidualPq(emb, NList, KmIters, PqM, PqNList, PqIters, SampleSize)
+    knnIvfPqResidual(emb, emb.filter(col("vec_id") < NumQueries),
+        coarse, books, nprobe = NProbe, k = K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val ProjDim = 32 // 64 → 32: half the bytes, JL variance 1/32
 
   /** Rademacher projection table (vec_id, canonical CSV of the integer
@@ -787,6 +908,7 @@ object Similarity {
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
     "llm_knn_ivfpq" -> (knnIvfPqQuery _),
+    "llm_knn_ivfpq_res" -> (knnIvfPqResQuery _),
     "llm_knn_quantized" -> (knnQuantizedQuery _),
     "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
@@ -971,6 +1093,110 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Residual-IVFPQ replica. Sample assignment is cosine over the
+    * INTEGER grid (every product/partial sum < 2⁵³ → exactly
+    * representable → order-independent and engine-identical); document
+    * assignment reuses the float-cosine `assign` already proven by the
+    * kmeans oracles; residuals are exact integer subtractions; the
+    * score is cent_term + residual LUT sum, all BIGINT.
+    */
+  private lazy val IvfPqResSql: String = {
+    val sub = 64 / PqM
+    val rsChains = (0 until PqM).map { s =>
+      s"""rs${s}samp AS (
+         |  SELECT vid, h, list_slice(q, ${s * sub + 1}, ${(s + 1) * sub}) AS q FROM rsamp),
+         |""".stripMargin + lloydCtes(s"rs$s", s"rs${s}samp", PqNList, PqIters)
+    }.mkString(",\n")
+    val rcbUnion = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cid, c FROM rs${s}c$PqIters")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${sampCte(SampleSize)},
+       |${lloydCtes("", "samp", NList, KmIters)},
+       |sassign AS (
+       |  SELECT s.vid, s.h, s.q, c.cid FROM samp s, c$KmIters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vid ORDER BY
+       |    list_cosine_similarity(CAST(s.q AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid) = 1),
+       |rsamp AS (
+       |  SELECT a.vid, a.h,
+       |    list_transform(range(len(a.q)), i -> a.q[i+1] - c.c[i+1]) AS q
+       |  FROM sassign a JOIN c$KmIters c ON c.cid = a.cid),
+       |$rsChains,
+       |rcb AS (
+       |  $rcbUnion),
+       |cent AS (
+       |  SELECT cid AS centroid_id,
+       |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
+       |  FROM c$KmIters),
+       |assign AS (
+       |  SELECT e.vec_id, cent.centroid_id
+       |  FROM embeddings e, cent
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e", "cent")} DESC, cent.centroid_id) = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, cent.centroid_id
+       |  FROM embeddings q, cent
+       |  WHERE q.vec_id < $NumQueries
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe),
+       |dq AS (
+       |  SELECT e.vec_id,
+       |    list_transform(e.embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q,
+       |    a.centroid_id
+       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+       |rdq AS (
+       |  SELECT d.vec_id, d.centroid_id,
+       |    list_transform(range(len(d.q)), i -> d.q[i+1] - c.c[i+1]) AS rq
+       |  FROM dq d JOIN c$KmIters c ON c.cid = d.centroid_id),
+       |rsl AS (
+       |  SELECT vec_id, t.s, list_slice(rq, t.s * $sub + 1, (t.s + 1) * $sub) AS qs
+       |  FROM rdq, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) t),
+       |renc AS (
+       |  SELECT d.vec_id, d.s, rcb.cid
+       |  FROM rsl d JOIN rcb ON rcb.s = d.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY
+       |    list_sum(list_transform(range($sub),
+       |      i -> (d.qs[i+1] - rcb.c[i+1]) * (d.qs[i+1] - rcb.c[i+1]))), rcb.cid) = 1),
+       |qsl AS (
+       |  SELECT vec_id AS query_id, t.s, list_slice(q, t.s * $sub + 1, (t.s + 1) * $sub) AS qs
+       |  FROM dq, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) t
+       |  WHERE vec_id < $NumQueries),
+       |rlut AS (
+       |  SELECT q.query_id, q.s, rcb.cid,
+       |    CAST(list_sum(list_transform(range($sub),
+       |      i -> q.qs[i+1] * rcb.c[i+1])) AS BIGINT) AS v
+       |  FROM qsl q JOIN rcb ON rcb.s = q.s),
+       |centlut AS (
+       |  SELECT d.vec_id AS query_id, c.cid AS centroid_id,
+       |    CAST(list_sum(list_transform(range(len(d.q)),
+       |      i -> d.q[i+1] * c.c[i+1])) AS BIGINT) AS cent_term
+       |  FROM dq d, c$KmIters c
+       |  WHERE d.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |resid AS (
+       |  SELECT c.query_id, e.vec_id AS nid, CAST(SUM(l.v) AS BIGINT) AS rsum
+       |  FROM cand c
+       |  JOIN renc e ON e.vec_id = c.vec_id
+       |  JOIN rlut l ON l.query_id = c.query_id AND l.s = e.s AND l.cid = e.cid
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT r.query_id, r.nid AS neighbor_id,
+       |    CAST(cl.cent_term + r.rsum AS BIGINT) AS score
+       |  FROM resid r
+       |  JOIN assign a ON a.vec_id = r.nid
+       |  JOIN centlut cl ON cl.query_id = r.query_id AND cl.centroid_id = a.centroid_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+       |  score
+       |FROM scored
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // shared CTE: the quantization replica (used by both quantize oracles)
   private val codesCte =
     """WITH d AS (
@@ -1049,6 +1275,8 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
     // coarse pruning + PQ ADC composition replica
     "llm_knn_ivfpq" -> IvfPqSql,
+    // coarse term + residual refinement replica
+    "llm_knn_ivfpq_res" -> IvfPqResSql,
     // integer ADC ranking replica over the symmetric-int8 encoding
     "llm_knn_quantized" ->
       s"""WITH sc AS (

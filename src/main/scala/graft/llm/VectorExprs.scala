@@ -672,6 +672,88 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Residual-PQ encoder: codes quantize r = quant(x) − cc(assigned), the
+  * list-relative residual, against per-subspace residual codebooks —
+  * the code half of a true IVFPQ (coarse term + residual refinement).
+  * `left` is the embedding, `right` the row's assigned coarse centroid
+  * id (computed by NearestCentroids in the same plan); the coarse code
+  * matrix rides along so the residual never materializes as a column.
+  * Integer subtraction on the ×2¹⁶ grid is exact, so codes replay
+  * bit-for-bit in SQL. Unknown centroid ids fall back to the zero
+  * centroid (residual = the vector itself).
+  */
+case class ResidualPqCodes(left: Expression, right: Expression,
+    coarseCodes: Array[Array[Long]], books: Array[Array[Array[Long]]])
+    extends BinaryExpression {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebook")
+  private val subDim = books(0)(0).length
+  require(books.forall(_.forall(_.length == subDim)),
+    "all codebook entries must share the subspace dimension")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "residual_pq_codes"
+
+  @transient private lazy val elem = left.dataType.asInstanceOf[ArrayType].elementType
+
+  private def quantized(a: ArrayData, i: Int): Long = {
+    if (i >= a.numElements() || a.isNullAt(i)) return 0L
+    val x = elem match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+    val v = x * 65536.0
+    if (v < 0) -math.round(-v) else math.round(v)
+  }
+
+  def compute(emb: ArrayData, cidAny: Any): ArrayData = {
+    val cid = cidAny.asInstanceOf[Int]
+    val cc: Array[Long] =
+      if (cid >= 0 && cid < coarseCodes.length) coarseCodes(cid) else null
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val base = s * subDim
+      var best = 0
+      var bestDist = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val ccv = if (cc != null && base + i < cc.length) cc(base + i) else 0L
+          val t = quantized(emb, base + i) - ccv - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("residualPq", this, classOf[ResidualPqCodes].getName)
+      s"${ev.value} = $ref.compute($a, (Object) $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ResidualPqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -714,4 +796,11 @@ object VectorExprs {
   /** Deterministic Rademacher projection to outDim integer components. */
   def signProject(emb: Column, outDim: Int): Column =
     ColumnBridge.column(SignProject(ColumnBridge.expression(emb), outDim))
+
+  /** Residual-PQ code ids given the row's assigned coarse centroid. */
+  def residualPqCodes(emb: Column, centroidId: Column,
+                      coarseCodes: Array[Array[Long]],
+                      books: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(ResidualPqCodes(
+      ColumnBridge.expression(emb), ColumnBridge.expression(centroidId), coarseCodes, books))
 }

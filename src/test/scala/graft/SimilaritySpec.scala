@@ -348,6 +348,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual PQ reconstructs clustered data better than flat PQ") {
+    // clustered corpus: coarse centroids absorb the cluster means, so
+    // residual codebooks spend their 16 codes on within-cluster detail
+    // while flat codebooks must span the whole space — the reason real
+    // IVFPQ encodes residuals
+    // 16 cluster means per subspace overwhelm an 8-code flat codebook
+    // (flat error ~ inter-cluster distance for the unrepresented mass)
+    // but not a 16-list coarse index (residual error ~ the 0.5 noise)
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat * 10f))
+    val pts = (0L until 160L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.5f))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val flatBooks = Similarity.trainPqCodebooks(emb, m = 4, nlist = 8, sampleSize = 160, iters = 4)
+    val (coarse, resBooks) = Similarity.trainResidualPq(
+      emb, nlist = 16, kmIters = 4, m = 4, pqNlist = 8, pqIters = 4, sampleSize = 160)
+    val coarseD = coarse.map(_.map(_ / 65536.0))
+    val flat = Similarity.pqEncode(emb, flatBooks).as[(Long, Seq[Int])].collect().toMap
+    val res = emb.select($"vec_id", $"embedding",
+        element_at(graft.llm.VectorExprs.nearestCentroids(
+          $"embedding", coarseD.indices.toArray, coarseD, 1), 1).as("cid"))
+      .select($"vec_id", $"cid",
+        graft.llm.VectorExprs.residualPqCodes($"embedding", $"cid", coarse, resBooks).as("codes"))
+      .as[(Long, Int, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def qz(v: Array[Float]): Array[Long] =
+      v.map(x => if (x < 0) -math.round(-x * 65536.0) else math.round(x * 65536.0))
+    var flatErr = 0.0
+    var resErr = 0.0
+    pts.foreach { case (id, v) =>
+      val q = qz(v)
+      val sub = 16
+      for (s <- 0 until 4; i <- 0 until sub) {
+        val fRec = flatBooks(s)(flat(id)(s))(i)
+        val (cid, rCodes) = res(id)
+        val rRec = coarse(cid)(s * sub + i) + resBooks(s)(rCodes(s))(i)
+        flatErr += math.pow(q(s * sub + i) - fRec, 2)
+        resErr += math.pow(q(s * sub + i) - rRec, 2)
+      }
+    }
+    assert(resErr < flatErr * 0.5,
+      s"residual coding should at least halve reconstruction error: $resErr vs $flatErr")
+  }
+
   test("sign projection kernel equals the composed higher-order form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val outDim = 8

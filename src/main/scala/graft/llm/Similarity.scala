@@ -514,13 +514,20 @@ object Similarity {
     * changes is WHERE the pruning happens: at the storage layout, the
     * only place that works when the lists don't fit memory.
     */
-  def ivfKnnIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
-                    nprobe: Int, k: Int): DataFrame = {
+  /** Load an at-rest index's centroid table back into the driver-held
+    * (ids, double vectors) artifact — shared by probes and the
+    * streaming list-append path.
+    */
+  def loadIndexCentroids(spark: SparkSession, indexDir: String): (Array[Int], Array[Array[Double]]) = {
     val codes = spark.read.parquet(s"$indexDir/centroids")
       .select(col("centroid_id"), col("codes_csv")).collect()
       .sortBy(_.getInt(0))
-    val ids = codes.map(_.getInt(0))
-    val vecs = codes.map(_.getString(1).split(',').map(_.toLong / QuantScale))
+    (codes.map(_.getInt(0)), codes.map(_.getString(1).split(',').map(_.toLong / QuantScale)))
+  }
+
+  def ivfKnnIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    nprobe: Int, k: Int): DataFrame = {
+    val (ids, vecs) = loadIndexCentroids(spark, indexDir)
     val qProbes = queries.select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, nprobe))

@@ -114,6 +114,49 @@ object MicroBatch {
     * negative interactions per event-time hour, emitted once the watermark
     * passes (the streaming form of Crm.negativeAlert).
     */
+  /** Streaming ANN index maintenance: vectors landing as JSON are
+    * assigned to their inverted list (scan-speed NearestCentroids
+    * against the index's own centroid table) and APPENDED to the
+    * at-rest index's partitioned lists — the index stays queryable
+    * throughout, and probes see new vectors after their batch commits.
+    * This is how a production vector index absorbs a corpus that never
+    * stops growing: centroids are retrained offline (rarely), list
+    * membership is maintained online (every batch); the partitioned
+    * append touches only the lists the batch's vectors land in.
+    * Exactly-once per file via the checkpointed file source, same as
+    * `ingest`.
+    */
+  def annIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.llm.{Similarity, VectorExprs}
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (ids, vecs) = Similarity.loadIndexCentroids(spark, indexDir)
+          batch
+            .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding"),
+              element_at(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, 1), 1)
+                .as("centroid_id"))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(s"$indexDir/lists")
+        }
+        ()
+      }
+      .start()
+  }
+
   def negativeAlertStream(
       events: DataFrame, tsCol: String, ratingCol: String,
       threshold: Int): DataFrame =

@@ -65,6 +65,43 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 200)
   }
 
+  test("streaming ANN ingest: appended vectors land in their lists and become searchable") {
+    import graft.llm.Similarity
+    val root = Files.createTempDirectory("ann_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val idx = s"$root/index"
+    // build the at-rest index from an initial corpus
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.trainCentroidCodes(emb, nlist = 8, sampleSize = 40, iters = 2)
+    Similarity.buildIvfIndex(emb, codes, idx)
+    val before = spark.read.parquet(s"$idx/lists").count()
+    // stream in new vectors: a near-copy of query vector 0 plus noise rows
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def row(id: Long, v: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val rnd = new scala.util.Random(3)
+    val stream = MicroBatch.annIngestStream(spark, in, schema, idx, s"$root/ckpt")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1000L, q0.map(x => x + 0.001f)),
+        row(1001L, Array.fill(64)(rnd.nextGaussian().toFloat))).mkString("\n"))
+    stream.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      row(1002L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    stream.processAllAvailable()
+    stream.stop(); stream.awaitTermination()
+    // all streamed vectors are in the lists...
+    assert(spark.read.parquet(s"$idx/lists").count() == before + 3)
+    // ...and the near-copy of vector 0 is now vector 0's top neighbor
+    val top = Similarity.ivfKnnIndexed(spark, idx,
+        emb.filter($"vec_id" === 0), nprobe = 4, k = 3)
+      .filter($"rank" === 1).select($"neighbor_id").as[Long].head()
+    assert(top == 1000L, s"planted near-copy not retrieved first: $top")
+  }
+
   test("streaming corpus ingest: near-dup and exact gates hold across micro-batches") {
     val root = Files.createTempDirectory("corpus_ingest").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

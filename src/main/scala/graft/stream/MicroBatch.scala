@@ -144,13 +144,18 @@ object MicroBatch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val (ids, vecs) = Similarity.loadIndexCentroids(spark, indexDir)
+          // conform to the index's OWN list schema: parquet dirs must stay
+          // homogeneous (a double-element file in a float-element table
+          // fails reads depending on which footer the reader lists first)
+          val lists = s"$indexDir/lists"
+          val targetType = spark.read.parquet(lists).schema("embedding").dataType
           batch
             .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-            .select(col("vec_id"), col("embedding"),
+            .select(col("vec_id"), col("embedding").cast(targetType).as("embedding"),
               element_at(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, 1), 1)
                 .as("centroid_id"))
             .write.mode("append").partitionBy("centroid_id")
-            .parquet(s"$indexDir/lists")
+            .parquet(lists)
         }
         ()
       }

@@ -159,6 +159,30 @@ object Lake {
     deleteRecursive(bak)
   }
 
+  /** The full table-maintenance pass, Delta's `OPTIMIZE ... ZORDER BY`
+    * on plain parquet: rewrite to ~`targetRowsPerFile` rows per file
+    * (compaction), range-clustered by the Morton key of (colA, colB)
+    * (z-order), with the min/max manifest built alongside — after the
+    * atomic swap, `readSkippingRanges` prunes 2-D boxes on the fresh
+    * layout. Same single-writer swap contract and crash recovery as
+    * `compact`; the manifest travels inside the swapped directory, so
+    * readers never see a layout/manifest mismatch.
+    */
+  def optimize(spark: SparkSession, tableDir: String, colA: String, colB: String,
+               targetRowsPerFile: Long = 1000000L, bits: Int = 21): Unit = {
+    recoverSwap(tableDir)
+    val rows = spark.read.parquet(tableDir).count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = tableDir + ".compacting"
+    ZOrder.writeZOrdered(spark.read.parquet(tableDir), tmp, colA, colB, bits, nFiles)
+    val destPath = Paths.get(tableDir)
+    val bak = Paths.get(tableDir + ".old")
+    deleteRecursive(bak)
+    Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(bak)
+  }
+
   /** Data skipping on NON-partition columns: a per-file min/max manifest,
     * the mechanism Delta/Iceberg call file skipping. Hive partitioning
     * (K1/K2) already prunes directories by the partition key; the
@@ -181,7 +205,11 @@ object Lake {
     val aggs = statCols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
       org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
-    df.groupBy(input_file_name().as("file"))
+    // paths are stored RELATIVE to the table dir (everything after the
+    // last "<dirname>/"), so the manifest survives the atomic dir swap
+    // maintenance performs (optimize writes it inside the staging dir)
+    val base = java.util.regex.Pattern.quote(Paths.get(tableDir).getFileName.toString)
+    df.groupBy(regexp_replace(input_file_name(), s"^.*$base/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest")
@@ -211,7 +239,7 @@ object Lake {
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
     val files = manifest.filter(overlap)
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect().map(r => s"$tableDir/${r.getString(0)}")
     val pruned =
       if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)

@@ -129,6 +129,29 @@ class LakeSpec extends SparkSpec {
       s"z-order should halve touched files at worst: ${zRead.inputFiles.length} vs ${linRead.inputFiles.length}")
   }
 
+  test("optimize: small files become few z-clustered files; manifest survives the swap") {
+    val root = Files.createTempDirectory("optimize").toString
+    val table = s"$root/events"
+    // simulate streaming appends: 8 unclustered micro-batch files
+    val grid = spark.range(0, 4096).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+    for (b <- 0 until 8)
+      grid.filter(col("i") % 8 === b).drop("i")
+        .coalesce(1).write.mode("append").parquet(table)
+    val before = spark.read.parquet(table).inputFiles.length
+    Lake.optimize(spark, table, "x", "y", targetRowsPerFile = 1024L, bits = 6)
+    val after = spark.read.parquet(table)
+    assert(after.inputFiles.length < before, s"${after.inputFiles.length} vs $before")
+    assert(after.count() == 4096)
+    // the swapped-in manifest prunes a 2-D box (paths are table-relative,
+    // so they stayed valid across the rename)
+    val pruned = Lake.readSkippingRanges(spark, table,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L)))
+    assert(pruned.count() == 256)
+    assert(pruned.inputFiles.length < after.inputFiles.length,
+      s"no pruning after optimize: ${pruned.inputFiles.length}")
+  }
+
   test("K10/E15: archive moves files into date dirs parsed from filename") {
     val root = Files.createTempDirectory("lake").toString
     val f1 = s"$root/pos_20240715_120000.csv"

@@ -153,9 +153,35 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  private val PackBudget = 512
+  private val PackShards = 8
+  private val PackSalt = ":packbpe:v1"
+
+  /** Sequence packing under the TRAINED tokenizer's budget: per-doc
+    * subword counts (train + encode, as in `tokensQuery`) drive the
+    * same shard/prefix-sum packing as `llm_pack` — the difference is
+    * WHAT a budget unit is (real subwords, not whitespace tokens),
+    * which is the number that actually bounds a training batch.
+    */
+  def packBpeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = train(docs, "text", NMerges)
+    val counted = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), size(encode(col("word"), merges)).as("n"))
+      .groupBy(col("doc_id")).agg(sum(col("n")).cast("int").as("n_sub"))
+    Corpus.packSequencesBy(counted, "doc_id", col("n_sub"),
+        budget = PackBudget, shards = PackShards, salt = PackSalt)
+      .withColumnRenamed("n_tokens", "n_subwords")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bpe_merges" -> (mergesQuery _),
-    "llm_bpe_tokens" -> (tokensQuery _))
+    "llm_bpe_tokens" -> (tokensQuery _),
+    "llm_pack_bpe" -> (packBpeQuery _))
 
   // ---- oracle -------------------------------------------------------------
 
@@ -202,6 +228,36 @@ object Bpe {
                s"SELECT CAST($t AS INTEGER) AS rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
               .mkString("\n  UNION ALL ")})
          |ORDER BY rank""".stripMargin,
+    // subword counts from the final state table feed the same
+    // shard/prefix-sum pack replica as llm_pack
+    "llm_pack_bpe" ->
+      s"""WITH ${bpeCte(NMerges)},
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents),
+         |sw AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(state, '()'), ')(')) AS BIGINT) AS n_sub
+         |  FROM w$NMerges),
+         |cnt AS (
+         |  SELECT d.doc_id, CAST(SUM(s.n_sub) AS INTEGER) AS n_subwords
+         |  FROM dw d JOIN sw s USING (word)
+         |  WHERE d.word <> ''
+         |  GROUP BY d.doc_id),
+         |base AS (
+         |  SELECT doc_id, n_subwords,
+         |    ${Corpus.bucketSql(PackSalt + ":shard")} % $PackShards AS shard,
+         |    ${Corpus.bucketSql(PackSalt)} AS ord_bucket
+         |  FROM cnt),
+         |cum AS (
+         |  SELECT doc_id, shard, n_subwords,
+         |    coalesce(SUM(n_subwords) OVER (PARTITION BY shard
+         |      ORDER BY ord_bucket, doc_id), 0) - n_subwords AS start_tok
+         |  FROM base)
+         |SELECT doc_id, shard, n_subwords,
+         |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id
+         |FROM cum ORDER BY doc_id""".stripMargin,
     // encoding a corpus word replays its training state, so per-word
     // subword counts come straight from the final state table
     "llm_bpe_tokens" ->

@@ -84,8 +84,16 @@ object Corpus {
     */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
                     budget: Int = 2048, shards: Int = 8,
-                    salt: String = ":pack:v1"): DataFrame = {
-    val nTokens = size(split(trim(col(textCol)), "\\s+"))
+                    salt: String = ":pack:v1"): DataFrame =
+    packSequencesBy(docs, idCol, size(split(trim(col(textCol)), "\\s+")),
+      budget, shards, salt)
+
+  /** Packing by an arbitrary per-row token-count column — the budget a
+    * TRAINED tokenizer yields (see Bpe.packBpeQuery) packs with the
+    * same shard/window machinery as whitespace counts.
+    */
+  def packSequencesBy(docs: DataFrame, idCol: String, nTokens: Column,
+                      budget: Int, shards: Int, salt: String): DataFrame = {
     // two-column order (hash bucket, then id): unique and deterministic at
     // ANY id range — a composite bucket*K+id key collides once ids reach K,
     // and window RANGE-frame peers would then double-count token spans
@@ -224,7 +232,7 @@ object Corpus {
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
-  private def bucketSql(salt: String) =
+  private[llm] def bucketSql(salt: String) =
     s"CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS BIGINT) % 1000"
 
   // 8-gram shingles, same construction the 3-gram dedup oracles proved

@@ -90,6 +90,15 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     assert(Bpe.train(docs, "text", nMerges = 5).isEmpty)
   }
 
+  test("BPE packing agrees with the token-budget query on subword counts") {
+    val got = Bpe.queries("llm_pack_bpe")(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_subwords".cast("long")).as[(Long, Long)].collect().toMap
+    val want = Bpe.queries("llm_bpe_tokens")(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_subwords").as[(Long, Long)].collect().toMap
+    assert(got == want, "pack budgets must count the same subwords the token query reports")
+    assert(got.nonEmpty)
+  }
+
   test("property: distributed trainer ≡ naive trainer (ties included)") {
     // tiny alphabet forces heavy pair-count ties, exercising the
     // (count desc, left, right) tie-break end to end

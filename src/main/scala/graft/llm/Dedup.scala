@@ -531,6 +531,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document RANKED near-duplicate retrieval: each doc's top-3
+    * most similar counterparts (3-gram Jaccard, ties by id) over the
+    * verified pair graph — the "show me this page's duplicates" view a
+    * curation UI or dedup audit needs, where the pair list answers a
+    * different question ("which pairs exist"). Same LSH-completeness
+    * regime as ngramJaccardQuery (pairs at J ≥ 0.8, est-prefilter at
+    * 0.5), so the Spark pair set equals the oracle's all-pairs set;
+    * the window runs per doc over ≤ degree rows.
+    */
+  def similarDocsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val verified = jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= NearDupJaccard)
+    val sym = verified
+      .select(col("id_a").as("doc_id"), col("id_b").as("similar_id"), col("jaccard"))
+      .union(verified
+        .select(col("id_b").as("doc_id"), col("id_a").as("similar_id"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("similar_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("similar_id"), col("rank"),
+        round(col("jaccard"), 4).as("jaccard_r"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Batch docs (odd ids) near-duplicating the corpus (even ids) at
     * 3-gram J ≥ 0.8 — the same scale-invariant split as
     * `llm_dedup_incremental`, so the two queries together cover exact
@@ -591,6 +620,7 @@ object Dedup {
     "llm_dedup_normalized" -> (normalizedQuery _),
     "llm_dedup_exact" -> (exactQuery _),
     "llm_dedup_minhash" -> (minhashQuery _),
+    "llm_similar_docs" -> (similarDocsQuery _),
     "llm_dedup_simhash" -> (simhashQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
     "llm_dedup_containment" -> (containmentQuery _),
@@ -644,6 +674,32 @@ object Dedup {
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY drop_id""".stripMargin,
+    // all-pairs + symmetrize + per-doc window: the ranked-retrieval twin
+    // of the minhash oracle (same threshold, same exact jaccard)
+    "llm_similar_docs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+         |f AS (SELECT * FROM p WHERE j >= $NearDupJaccard),
+         |sym AS (
+         |  SELECT id_a AS doc_id, id_b AS similar_id, j FROM f
+         |  UNION ALL SELECT id_b, id_a, j FROM f)
+         |SELECT doc_id, similar_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY j DESC, similar_id) AS INTEGER) AS rank,
+         |  ROUND(j, 4) AS jaccard_r
+         |FROM sym
+         |QUALIFY rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     // batch×corpus all-pairs at J >= 0.8, distinct batch ids
     "llm_neardup_incremental" ->
       s"""WITH sh AS (

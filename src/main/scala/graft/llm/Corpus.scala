@@ -88,6 +88,26 @@ object Corpus {
     packSequencesBy(docs, idCol, size(split(trim(col(textCol)), "\\s+")),
       budget, shards, salt)
 
+  /** Quality-WEIGHTED sampling: keep probability proportional to the
+    * document's quality score (p = score ∈ [0,1]) — the soft curation
+    * filter modern pipelines favor over a hard threshold (borderline
+    * docs are downsampled, not erased, so diversity survives). The draw
+    * is the same deterministic sha-bucket as splits/sampling: no RNG,
+    * reproducible on any engine and partitioning, and a doc's fate is a
+    * pure function of (id, its own text) — re-runs and backfills agree.
+    */
+  def qualityWeightedSample(docs: DataFrame, textCol: String, idCol: String,
+                            salt: String = ":qsample:v1"): DataFrame = {
+    val t = TextAnalysis.tokenCount(col(textCol))
+    val stop = TextAnalysis.stopwordHits(col(textCol), TextAnalysis.langStopwords.head._2)
+    val awl = length(col(textCol)) / t
+    val score = TextAnalysis.qualityScore(t, stop, awl)
+    docs.select(col(idCol),
+        hashBucket(col(idCol), salt).as("draw"),
+        round(score * 1000).cast("long").as("keep_below"))
+      .filter(col("draw") < col("keep_below"))
+  }
+
   /** Packing by an arbitrary per-row token-count column — the budget a
     * TRAINED tokenizer yields (see Bpe.packBpeQuery) packs with the
     * same shard/window machinery as whitespace counts.
@@ -225,6 +245,9 @@ object Corpus {
     "llm_mix_target" -> (mixQuery _),
     "llm_split" -> (splitQuery _),
     "llm_sample_stratified" -> (sampleQuery _),
+    "llm_sample_quality" -> ((s: SparkSession, dir: String) =>
+      qualityWeightedSample(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     "llm_chunks" -> (chunkQuery _),
     "llm_pack" -> (packQuery _),
     "llm_decontaminate" -> (decontaminateQuery _),
@@ -268,6 +291,22 @@ object Corpus {
          |       WHEN ${bucketSql(":split:v1")} < 950 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_sample_quality" -> {
+      // the same score replica llm_text_quality proves, driving the
+      // same sha-bucket draw the split/sample oracles prove
+      val toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+      val stops = """len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))"""
+      val score = s"""0.4 * least(1.0, $toks / 100.0)
+         |    + 0.3 * least(1.0, $stops * 10.0 / $toks)
+         |    + 0.3 * (CASE WHEN (length(text) / $toks) BETWEEN 3.0 AND 10.0
+         |             THEN 1.0 ELSE 0.0 END)""".stripMargin
+      s"""SELECT doc_id,
+         |  ${bucketSql(":qsample:v1")} AS draw,
+         |  CAST(round(1000 * ($score)) AS BIGINT) AS keep_below
+         |FROM documents
+         |WHERE ${bucketSql(":qsample:v1")} < round(1000 * ($score))
+         |ORDER BY doc_id""".stripMargin
+    },
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${bucketSql(":sample:v1")} <

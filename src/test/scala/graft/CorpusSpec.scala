@@ -168,4 +168,21 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     // output schema is the input schema (no internal rate column, same order)
     assert(kept.columns.toSeq == docs.columns.toSeq)
   }
+
+  test("quality-weighted sampling keeps good docs at a higher rate, deterministically") {
+    val rich = "the quick brown fox jumps over the lazy dog and the story " +
+      "keeps going with many varied plain words across the whole line of text"
+    val junk = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"
+    val docs = ((0L until 200L).map(i => (i, rich)) ++
+      (200L until 400L).map(i => (i, junk))).toDF("doc_id", "text")
+    val kept = Corpus.qualityWeightedSample(docs, "text", "doc_id")
+    val again = Corpus.qualityWeightedSample(docs, "text", "doc_id")
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      again.select($"doc_id").as[Long].collect().sorted.toSeq)
+    val goodRate = kept.filter($"doc_id" < 200).count() / 200.0
+    val junkRate = kept.filter($"doc_id" >= 200).count() / 200.0
+    assert(goodRate > junkRate + 0.2, s"good $goodRate vs junk $junkRate")
+    // soft, not hard: the keep threshold is the score itself
+    assert(kept.filter($"draw" >= $"keep_below").count() == 0)
+  }
 }

@@ -143,6 +143,32 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Per-source out-of-vocabulary mass under a top-`vocabN` frequency
+    * vocabulary: the number a tokenizer/vocab decision is actually made
+    * on ("which sources blow the vocab budget"). Two aggregations over
+    * the token explode (type table, then per-source rollup) and one
+    * broadcast semi-join against the top-N type set — token text never
+    * shuffles twice.
+    */
+  def oovBySource(docs: DataFrame, textCol: String, srcCol: String,
+                  vocabN: Int): DataFrame = {
+    val toks = docs
+      .select(col(srcCol).as("source"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(vocabN)
+      .select(col("token"))
+    val inVocab = toks.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_in_vocab"))
+    toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      .join(inVocab, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"),
+        round((col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))).cast("double")
+          / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Per-document PII incidence: match counts per type for the same
     * deliberately-portable patterns `Corpus.redactPii` scrubs — the
     * measurement half of the PII stage (incidence before, zero after;
@@ -284,8 +310,16 @@ object TextAnalysis {
     piiReport(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  private val OovVocabN = 20 // < the corpus's 31 types → real OOV mass
+
+  /** OOV mass per source under the top-N vocab. */
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    oovBySource(Tables.documents(spark, dir), "text", "source", OovVocabN)
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
+    "llm_vocab_oov" -> (oovQuery _),
     "llm_pii_report" -> (piiReportQuery _),
     "llm_unigram_common" -> (unigramQuery _),
     "llm_langid_eval" -> (langidEval _),
@@ -340,6 +374,27 @@ object TextAnalysis {
          |SELECT rank, token, freq,
          |  ROUND(CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
          |FROM r, tot WHERE rank <= $VocabTopN ORDER BY rank""".stripMargin,
+    // top-N vocab as a CTE, then per-source token mass vs in-vocab mass
+    "llm_vocab_oov" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tt AS (SELECT source, token FROM t WHERE token <> ''),
+         |v AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS freq FROM tt GROUP BY token)
+         |  ORDER BY freq DESC, token LIMIT $OovVocabN),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tt GROUP BY source),
+         |iv AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in_vocab
+         |  FROM tt WHERE token IN (SELECT token FROM v) GROUP BY source)
+         |SELECT tot.source, tot.n_tokens,
+         |  CAST(tot.n_tokens - coalesce(iv.n_in_vocab, 0) AS BIGINT) AS n_oov,
+         |  ROUND(CAST(tot.n_tokens - coalesce(iv.n_in_vocab, 0) AS DOUBLE)
+         |    / tot.n_tokens, 6) AS oov_rate
+         |FROM tot LEFT JOIN iv USING (source)
+         |ORDER BY source""".stripMargin,
     // same portable patterns as llm_pii_redact, counted instead of scrubbed
     "llm_pii_report" ->
       """SELECT doc_id,

@@ -65,6 +65,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut == full.take(2))
   }
 
+  test("OOV by source: rates match hand counts under a tiny vocab") {
+    val docs = Seq(
+      (1L, "a a a b", "s1"),
+      (2L, "a b c d", "s2"),
+      (3L, "e e e e", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.oovBySource(docs, "text", "source", vocabN = 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // freqs: a=4, e=4, b=2, c=1, d=1 → top-2 (freq desc, token) = {a, e}
+    assert(got("s1") == ((4L, 1L, 0.25)))
+    assert(got("s2") == ((4L, 3L, 0.75)))
+    assert(got("s3") == ((4L, 0L, 0.0)))
+  }
+
   test("PII report counts planted PII; redaction zeroes the report") {
     val docs = Seq(
       (1L, "mail me at a.b+c@example.org or bob@x.io, ssn 123-45-6789"),

@@ -165,8 +165,31 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Media retrieval over the EXTRACTED feature vectors: the stub
+    * codec's features feed the same cosine top-k engine the embeddings
+    * table uses — the cross-modal composition a real pipeline runs
+    * (decode → feature-extract → ANN), with the decode stubbed and
+    * everything downstream real. Digest-derived features are exact
+    * 24-bit-integer/2²⁴ floats, so the whole retrieval replays in SQL.
+    */
+  def featureKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("text").as("modality"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"), lit(0).as("n_frames"))
+    val feats = extractFeatures(repartitionByModality(media, 8).as[MediaRow])
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    Similarity.bruteForceKnn(feats, feats.filter(col("vec_id") < 8), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stub_features" -> (stubFeatures _),
+    "mm_feature_knn" -> (featureKnnQuery _),
     "mm_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +203,26 @@ object Multimodal {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST(CONCAT('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS checksum,
         |  CAST(CAST(CONCAT('0x', substr(sha256(substr(text, 1, GREATEST(length(text) // 8, 1))), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0 AS f0
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // all 8 digest-window features replayed per doc (same construction
+    // the f0 oracle proves, generalized over window index), then the
+    // standard cosine top-k replica
+    "mm_feature_knn" ->
+      """WITH feats AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(8), i ->
+        |      CAST(CAST(CONCAT('0x', substr(sha256(substr(text,
+        |        least(i * greatest(length(text) // 8, 1), length(text)) + 1,
+        |        least(length(text) - least(i * greatest(length(text) // 8, 1), length(text)),
+        |              greatest(length(text) // 8, 1)))), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      / 16777216.0) AS embedding
+        |  FROM documents)
+        |SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.media_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.media_id) AS INTEGER) AS rank,
+        |  ROUND(list_cosine_similarity(q.embedding, c.embedding), 4) AS sim_r
+        |FROM feats q, feats c
+        |WHERE q.media_id < 8 AND q.media_id <> c.media_id
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
 }

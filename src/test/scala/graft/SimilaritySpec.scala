@@ -81,6 +81,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.filter(p => p._1 < 100L && p._2 < 100L).isEmpty)
   }
 
+  test("LSH-fed clusters: every planted twin triple is recovered as one cluster") {
+    val rows = Similarity.embedClustersLshQuery(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    val byCluster = rows.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    // 12 planted ids, each with two bumped twins → 12 clusters of exactly
+    // {v, v+offA, v+offB}, and nothing from the raw corpus (max pairwise
+    // cosine ≈ 0.5 is far below the 0.95 regime)
+    assert(byCluster.keySet == (0L until 12L).toSet, s"clusters: ${byCluster.keySet}")
+    for (v <- 0L until 12L)
+      assert(byCluster(v) == Set(v, v + 10000000L, v + 20000000L),
+        s"cluster $v members: ${byCluster(v)}")
+  }
+
   test("hyperplaneParams sizes bits to corpus and bands to the miss target") {
     val (bits, bands) = Similarity.hyperplaneParams(500, 0.95)
     assert(bits == 8 && bands == 25)

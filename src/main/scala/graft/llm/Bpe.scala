@@ -16,26 +16,35 @@ import graft.Tables
   * method), built Spark-first and fully oracle-checkable.
   *
   * Scale shape: the corpus is touched ONCE (a distributed word-count
-  * aggregation); every merge round then runs on the distinct-word table
-  * — vocabulary-sized, orders of magnitude smaller than the corpus —
-  * as one explode+sum pair count, one 1-row argmax collect (the merge
-  * rule is a driver-held artifact, like a broadcast build side or the
-  * k-means centroids), and one scan-speed merge application
-  * (BpeMergePair expression). Round lineage is cut with localCheckpoint
-  * exactly as in Dedup.connectedComponents. Encoding a corpus with the
-  * trained rules is a single scan-speed expression (BpeApplyMerges) —
-  * no shuffle, no state.
+  * aggregation); the merge rounds then run DRIVER-LOCAL over the
+  * collected distinct-word table — vocabulary-sized, orders of magnitude
+  * smaller than the corpus, the same driver-held-artifact class as the
+  * k-means sample or a broadcast build side — with incremental
+  * pair-count maintenance, so a real 32k-merge vocabulary costs ONE
+  * Spark job instead of 32k driver-coordinated rounds (r4 verdict #3:
+  * per-round job scheduling dominated wall-clock on a table that fits
+  * in driver memory). `distributedRounds = true` keeps the old
+  * job-per-round loop (explode+sum pair count, 1-row argmax collect,
+  * scan-speed BpeMergePair application, localCheckpoint lineage cuts) —
+  * results are identical (BpeSpec); it exists for corpora whose DISTINCT
+  * WORD table genuinely exceeds driver memory. Encoding a corpus with
+  * the trained rules is a single scan-speed expression (BpeApplyMerges)
+  * — no shuffle, no state.
   *
   * Determinism: pair counts are exact integers; the argmax breaks ties
-  * by (count desc, left, right) binary string order — so training
-  * replays bit-for-bit on any engine and partitioning, and the DuckDB
-  * oracle unrolls the rounds as a CTE chain (the same construction the
-  * k-means oracle uses). The oracle encodes symbol sequences as
-  * `(sym)(sym)` strings, where a merge application is one literal
-  * `replace` — SQL's leftmost-non-overlapping replace IS BPE's greedy
-  * merge order (valid while symbols contain no parens, true for
-  * whitespace words; the Scala engine works on arrays and has no such
-  * restriction).
+  * by (count desc, left, right) in unsigned UTF-8 byte order — Spark's
+  * UTF8String / DuckDB's binary-collation comparison (NOT
+  * java.lang.String's UTF-16 order; they differ above the BMP) — so
+  * training replays bit-for-bit on any engine and partitioning, and the
+  * DuckDB oracle unrolls the rounds as a CTE chain (the same
+  * construction the k-means oracle uses). The oracle encodes symbol
+  * sequences as TAB+sym+NEWLINE runs, where a merge application is one
+  * literal `replace` — SQL's leftmost-non-overlapping replace IS BPE's
+  * greedy merge order. The delimiters are sound for ANY input: symbols
+  * come from whitespace-split words, so they can never contain \t or \n
+  * (both are \s in Java regex and RE2 alike — unlike the parens a
+  * previous encoding used, which a word like "foo(bar)" defeats; r4
+  * advice. The Scala engine works on arrays and needs no encoding).
   */
 object Bpe {
 
@@ -73,10 +82,83 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Train `nMerges` BPE rules over the documents' word distribution.
-    * Stops early when no adjacent pair remains.
+    * Stops early when no adjacent pair remains. One distributed corpus
+    * pass (`wordCounts`), then driver-local merge rounds (see object
+    * doc); `distributedRounds = true` keeps the rounds on the cluster.
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            distributedRounds: Boolean = false): Seq[Merge] = {
     require(nMerges >= 0)
+    if (distributedRounds) trainDistributed(docs, textCol, nMerges)
+    else trainLocal(
+      wordCounts(docs, textCol).collect().map(r => (r.getString(0), r.getLong(1))),
+      nMerges)
+  }
+
+  /** Unsigned UTF-8 byte comparison — UTF8String/DuckDB string order. */
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** The driver-local merge loop over a collected (word, freq) table.
+    * Pair counts are maintained INCREMENTALLY: a merge touches only the
+    * words that contain its pair (tracked per pair, with lazy membership
+    * — a stale index is skipped by the adjacency recheck), so round cost
+    * is proportional to the affected words, not the vocabulary. The
+    * argmax is a linear scan of the live pair table with the same
+    * (count desc, left, right) UTF-8 tie-break the distributed
+    * `orderBy(desc, a, b)` applied — results are bit-identical
+    * (BpeSpec asserts it).
+    */
+  def trainLocal(words: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val syms = words.map(_._1.split("").filter(_.nonEmpty))
+    val freq = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def addPairs(w: Int, delta: Long, track: Boolean): Unit = {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + delta
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (track) where.getOrElseUpdate(p, new scala.collection.mutable.BitSet) += w
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < syms.length) { addPairs(w, freq(w), track = true); w += 1 }
+    val merges = ArrayBuffer.empty[Merge]
+    var t = 1
+    while (t <= nMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bestCnt ||
+            (c == bestCnt && (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestCnt = c }
+      }
+      merges += Merge(t, best._1, best._2, bestCnt)
+      where.remove(best).foreach(_.foreach { w =>
+        val s = syms(w)
+        var has = false
+        var i = 0
+        while (i < s.length - 1 && !has) { has = s(i) == best._1 && s(i + 1) == best._2; i += 1 }
+        if (has) {
+          addPairs(w, -freq(w), track = false)
+          syms(w) = mergeOnce(s, best._1, best._2)
+          addPairs(w, freq(w), track = true)
+        }
+      })
+      t += 1
+    }
+    merges.toSeq
+  }
+
+  /** The cluster-side merge loop (see `train`): one Spark job per round. */
+  def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     val pairType = "array<struct<a:string,b:string>>"
     var state = wordCounts(docs, textCol)
       .select(col("freq"), split(col("word"), "").as("syms"))
@@ -185,17 +267,18 @@ object Bpe {
 
   // ---- oracle -------------------------------------------------------------
 
-  /** The unrolled trainer: w0 = word counts with `(s)(y)(m)` states;
-    * each round counts adjacent pairs, picks the (cnt desc, a, b) argmax,
-    * and applies it as one literal replace. LEFT JOIN ON TRUE keeps
-    * states flowing when a round finds no pair (b_t empty), matching the
-    * trainer's early stop.
+  /** The unrolled trainer: w0 = word counts with TAB+sym+NEWLINE states
+    * (delimiters no whitespace-split symbol can contain — see object
+    * doc); each round counts adjacent pairs, picks the (cnt desc, a, b)
+    * argmax, and applies it as one literal replace. LEFT JOIN ON TRUE
+    * keeps states flowing when a round finds no pair (b_t empty),
+    * matching the trainer's early stop.
     */
   private def bpeCte(nMerges: Int): String = {
     val sb = new StringBuilder(
       """w0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-        |    '(' || array_to_string(string_split(word, ''), ')(') || ')' AS state
+        |    chr(9) || array_to_string(string_split(word, ''), chr(10) || chr(9)) || chr(10) AS state
         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |        FROM documents)
         |  WHERE word <> '' GROUP BY word)""".stripMargin)
@@ -207,14 +290,14 @@ object Bpe {
            |  FROM (
            |    SELECT freq, unnest(list_transform(range(greatest(len(l) - 1, 0)),
            |      i -> struct_pack(a := l[i+1], b := l[i+2]))) AS pr
-           |    FROM (SELECT freq, string_split(trim(state, '()'), ')(') AS l FROM w${t - 1}))
+           |    FROM (SELECT freq, string_split_regex(trim(state, chr(9) || chr(10)), '\n\t') AS l FROM w${t - 1}))
            |  GROUP BY 1, 2),
            |b$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
            |w$t AS (
            |  SELECT w.word, w.freq,
            |    CASE WHEN b.a IS NULL THEN w.state
-           |         ELSE replace(w.state, '(' || b.a || ')(' || b.b || ')',
-           |                      '(' || b.a || b.b || ')') END AS state
+           |         ELSE replace(w.state, chr(9) || b.a || chr(10) || chr(9) || b.b || chr(10),
+           |                      chr(9) || b.a || b.b || chr(10)) END AS state
            |  FROM w${t - 1} w LEFT JOIN b$t b ON TRUE)""".stripMargin)
     }
     sb.toString
@@ -238,7 +321,7 @@ object Bpe {
          |  FROM documents),
          |sw AS (
          |  SELECT word,
-         |    CAST(len(string_split(trim(state, '()'), ')(')) AS BIGINT) AS n_sub
+         |    CAST(len(string_split_regex(trim(state, chr(9) || chr(10)), '\n\t')) AS BIGINT) AS n_sub
          |  FROM w$NMerges),
          |cnt AS (
          |  SELECT d.doc_id, CAST(SUM(s.n_sub) AS INTEGER) AS n_subwords
@@ -268,7 +351,7 @@ object Bpe {
          |  FROM documents),
          |sw AS (
          |  SELECT word,
-         |    CAST(len(string_split(trim(state, '()'), ')(')) AS BIGINT) AS n_sub
+         |    CAST(len(string_split_regex(trim(state, chr(9) || chr(10)), '\n\t')) AS BIGINT) AS n_sub
          |  FROM w$NMerges)
          |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords

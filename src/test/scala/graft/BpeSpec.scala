@@ -61,6 +61,10 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     val got = Bpe.train(docs, "text", nMerges = 8).map(m => (m.left, m.right, m.pairCount))
     val want = naiveTrain(wordFreqs(texts), 8)
     assert(got == want, s"got $got\nwant $want")
+    // the cluster-side round loop is bit-identical to the driver-local one
+    val dist = Bpe.train(docs, "text", nMerges = 8, distributedRounds = true)
+      .map(m => (m.left, m.right, m.pairCount))
+    assert(dist == got, s"distributed $dist != local $got")
     // and the first merges look like the published example's shape:
     // "es" then "est" dominate the newest/widest mass
     assert(got.head._1 == "e" && got.head._2 == "s", s"unexpected first merge: ${got.head}")
@@ -99,11 +103,13 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     assert(got.nonEmpty)
   }
 
-  test("property: distributed trainer ≡ naive trainer (ties included)") {
+  test("property: trainer ≡ naive trainer (ties included, parens included)") {
     // tiny alphabet forces heavy pair-count ties, exercising the
-    // (count desc, left, right) tie-break end to end
+    // (count desc, left, right) tie-break end to end; parens are in the
+    // alphabet because the ORACLE's old state encoding choked on them
+    // (r4 advice) — words keep punctuation under whitespace splitting
     val word = Gen.chooseNum(1, 5).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+      Gen.listOfN(n, Gen.oneOf("a", "b", "(", ")")).map(_.mkString))
     val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word))
     forAll(corpus) { words =>
       val text = words.mkString(" ")

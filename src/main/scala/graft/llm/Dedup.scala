@@ -650,7 +650,7 @@ object Dedup {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
@@ -663,7 +663,7 @@ object Dedup {
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY id_a, id_b""".stripMargin,
     "llm_dedup_minhash" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
@@ -677,19 +677,19 @@ object Dedup {
     // all-pairs + symmetrize + per-doc window: the ranked-retrieval twin
     // of the minhash oracle (same threshold, same exact jaccard)
     "llm_similar_docs" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
          |  FROM documents),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.s, b.s))) AS j
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id),
-         |f AS (SELECT * FROM p WHERE j >= $NearDupJaccard),
+         |f AS MATERIALIZED (SELECT * FROM p WHERE j >= $NearDupJaccard),
          |sym AS (
          |  SELECT id_a AS doc_id, id_b AS similar_id, j FROM f
          |  UNION ALL SELECT id_b, id_a, j FROM f)
@@ -702,7 +702,7 @@ object Dedup {
          |ORDER BY doc_id, rank""".stripMargin,
     // batch×corpus all-pairs at J >= 0.8, distinct batch ids
     "llm_neardup_incremental" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
@@ -717,7 +717,7 @@ object Dedup {
     // all ORDERED pairs (containment is asymmetric: divide by |a|, a ≠ b
     // in either order) — the quadratic oracle for the inverted-index plan
     "llm_dedup_containment" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
@@ -732,18 +732,18 @@ object Dedup {
     // transitive closure over the all-pairs >=0.8 graph: cluster id = min
     // reachable id (same shingle CTE as the pair oracles)
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
          |  FROM documents),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard),
-         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |reach(u, v) AS (
          |  SELECT u, v FROM e
          |  UNION
@@ -772,9 +772,9 @@ object Dedup {
         |         FROM th CROSS JOIN (SELECT unnest(range(61)) AS b) GROUP BY doc_id, b),
         |sh AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
         |       FROM bits GROUP BY doc_id),
-        |cp AS (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece
+        |cp AS MATERIALIZED (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece
         |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c)),
-        |useful AS (SELECT c, piece FROM cp GROUP BY c, piece
+        |useful AS MATERIALIZED (SELECT c, piece FROM cp GROUP BY c, piece
         |           HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
         |          FROM (SELECT cp.* FROM cp JOIN useful USING (c, piece)) a

@@ -996,7 +996,7 @@ object Similarity {
     * trainer bit-for-bit. Defines `samp` and `c0..c$iters`.
     */
   private def sampCte(sampleSize: Int): String =
-    s"""samp AS (
+    s"""samp AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS vid,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q,
@@ -1007,25 +1007,29 @@ object Similarity {
     * CTE names prefixed with `p` — "" replays IVF training (c0…cN), a
     * per-subspace prefix replays each PQ subspace training.
     */
+  /** Each CTE is `AS MATERIALIZED`: round t reads c(t-1) twice (assign +
+    * carry-forward), and DuckDB inlines multiply-referenced CTEs by
+    * default — the chain would re-evaluate 2^iters times (see bpeCte).
+    */
   private def lloydCtes(p: String, src: String, nlist: Int, iters: Int): String = {
     val sb = new StringBuilder(
-      s"""${p}c0 AS (
+      s"""${p}c0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vid) AS INTEGER) - 1 AS cid, q AS c
          |  FROM $src QUALIFY ROW_NUMBER() OVER (ORDER BY h, vid) <= $nlist)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
         s""",
-           |${p}a$t AS (
+           |${p}a$t AS MATERIALIZED (
            |  SELECT s.vid, s.q, c.cid FROM $src s, ${p}c${t - 1} c
            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vid ORDER BY
            |    list_sum(list_transform(range(len(s.q)),
            |      i -> (s.q[i+1] - c.c[i+1]) * (s.q[i+1] - c.c[i+1]))), c.cid) = 1),
-           |${p}m$t AS (
+           |${p}m$t AS MATERIALIZED (
            |  SELECT cid, pos, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
            |  FROM (SELECT cid, unnest(q) AS v,
            |          unnest(generate_series(1, len(q))) AS pos FROM ${p}a$t)
            |  GROUP BY cid, pos),
-           |${p}c$t AS (
+           |${p}c$t AS MATERIALIZED (
            |  SELECT cid, COALESCE(n.c, p.c) AS c
            |  FROM ${p}c${t - 1} p LEFT JOIN
            |    (SELECT cid, list(cc ORDER BY pos) AS c FROM ${p}m$t GROUP BY cid) n
@@ -1052,7 +1056,7 @@ object Similarity {
   private def pqChains(m: Int, nlist: Int, iters: Int): String = {
     val sub = 64 / m // synthetic embeddings are 64-dim (TESTDATA.md)
     val perSub = (0 until m).map { s =>
-      s"""s${s}samp AS (
+      s"""s${s}samp AS MATERIALIZED (
          |  SELECT vid, h, list_slice(q, ${s * sub + 1}, ${(s + 1) * sub}) AS q FROM samp),
          |""".stripMargin + lloydCtes(s"s$s", s"s${s}samp", nlist, iters)
     }.mkString(",\n")
@@ -1060,9 +1064,9 @@ object Similarity {
       .map(s => s"SELECT $s AS s, cid, c FROM s${s}c$iters")
       .mkString("\n  UNION ALL ")
     s"""$perSub,
-       |cb AS (
+       |cb AS MATERIALIZED (
        |  $cbUnion),
-       |docs AS (
+       |docs AS MATERIALIZED (
        |  SELECT vec_id, t.s,
        |    list_transform(list_slice(embedding, t.s * $sub + 1, (t.s + 1) * $sub),
        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS qs
@@ -1087,11 +1091,11 @@ object Similarity {
     */
   private lazy val IvfKmeansSql: String =
     s"""WITH ${kmeansCte(NList, SampleSize, KmIters)},
-       |cent AS (
+       |cent AS MATERIALIZED (
        |  SELECT cid AS centroid_id,
        |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
        |  FROM c$KmIters),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, cent.centroid_id
        |  FROM embeddings e, cent
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1121,11 +1125,11 @@ object Similarity {
     s"""WITH ${sampCte(SampleSize)},
        |${lloydCtes("", "samp", NList, KmIters)},
        |${pqChains(PqM, PqNList, PqIters)},
-       |cent AS (
+       |cent AS MATERIALIZED (
        |  SELECT cid AS centroid_id,
        |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
        |  FROM c$KmIters),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT e.vec_id, cent.centroid_id
        |  FROM embeddings e, cent
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1171,7 +1175,7 @@ object Similarity {
   private lazy val IvfPqResSql: String = {
     val sub = 64 / PqM
     val rsChains = (0 until PqM).map { s =>
-      s"""rs${s}samp AS (
+      s"""rs${s}samp AS MATERIALIZED (
          |  SELECT vid, h, list_slice(q, ${s * sub + 1}, ${(s + 1) * sub}) AS q FROM rsamp),
          |""".stripMargin + lloydCtes(s"rs$s", s"rs${s}samp", PqNList, PqIters)
     }.mkString(",\n")
@@ -1184,18 +1188,18 @@ object Similarity {
        |  SELECT s.vid, s.h, s.q, c.cid FROM samp s, c$KmIters c
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vid ORDER BY
        |    list_cosine_similarity(CAST(s.q AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid) = 1),
-       |rsamp AS (
+       |rsamp AS MATERIALIZED (
        |  SELECT a.vid, a.h,
        |    list_transform(range(len(a.q)), i -> a.q[i+1] - c.c[i+1]) AS q
        |  FROM sassign a JOIN c$KmIters c ON c.cid = a.cid),
        |$rsChains,
        |rcb AS (
        |  $rcbUnion),
-       |cent AS (
+       |cent AS MATERIALIZED (
        |  SELECT cid AS centroid_id,
        |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
        |  FROM c$KmIters),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT e.vec_id, cent.centroid_id
        |  FROM embeddings e, cent
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1206,7 +1210,7 @@ object Similarity {
        |  WHERE q.vec_id < $NumQueries
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |    ORDER BY ${cosSql("q", "cent")} DESC, cent.centroid_id) <= $NProbe),
-       |dq AS (
+       |dq AS MATERIALIZED (
        |  SELECT e.vec_id,
        |    list_transform(e.embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q,
@@ -1327,7 +1331,7 @@ object Similarity {
        |${xorShift("h4", "h5")},
        |hp AS (SELECT bit, dim,
        |  CAST(x // 2048 AS DOUBLE) * 2.220446049250313e-16 - 1.0 AS comp FROM h5),
-       |hpl AS (SELECT bit, list(comp ORDER BY dim) AS comps FROM hp GROUP BY bit)""".stripMargin
+       |hpl AS MATERIALIZED (SELECT bit, list(comp ORDER BY dim) AS comps FROM hp GROUP BY bit)""".stripMargin
   }
 
   /** The llm_embed_clusters_lsh replica: planted twins → banded hyperplane
@@ -1336,10 +1340,10 @@ object Similarity {
     */
   private lazy val EmbedClustersLshSql: String = {
     val dim = 64 // synthetic embeddings are 64-dim (TESTDATA.md)
-    s"""WITH RECURSIVE base AS (
+    s"""WITH RECURSIVE base AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
-       |tw AS (
+       |tw AS MATERIALIZED (
        |  SELECT vec_id, emb FROM base
        |  UNION ALL
        |  SELECT vec_id + $TwinOffA, list_transform(range(len(emb)),
@@ -1359,19 +1363,19 @@ object Similarity {
        |  SELECT vec_id, bit // $LshBits AS band,
        |    COALESCE(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << (bit % $LshBits) END), 0) AS lowbits
        |  FROM dots GROUP BY vec_id, bit // $LshBits),
-       |sigs AS (SELECT vec_id, lowbits + (band << $LshBits) AS bucket FROM sig0),
-       |useful AS (SELECT bucket FROM sigs GROUP BY bucket
+       |sigs AS MATERIALIZED (SELECT vec_id, lowbits + (band << $LshBits) AS bucket FROM sig0),
+       |useful AS MATERIALIZED (SELECT bucket FROM sigs GROUP BY bucket
        |           HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM (SELECT s.* FROM sigs s JOIN useful USING (bucket)) a
        |  JOIN (SELECT s.* FROM sigs s JOIN useful USING (bucket)) b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |p AS (
+       |p AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN tw ta ON ta.vec_id = c.id_a
        |              JOIN tw tb ON tb.vec_id = c.id_b
        |  WHERE list_cosine_similarity(ta.emb, tb.emb) >= $LshTau),
-       |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+       |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
        |reach(u, v) AS (
        |  SELECT u, v FROM e
        |  UNION
@@ -1484,7 +1488,7 @@ object Similarity {
     "llm_ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < $NList),
-         |assign AS (
+         |assign AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, cent.centroid_id
          |  FROM embeddings e, cent
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1533,11 +1537,11 @@ object Similarity {
     // transitive closure over the all-pairs cosine graph (the same
     // recursive-CTE shape as llm_dedup_clusters' oracle)
     "llm_embed_clusters" ->
-      s"""WITH RECURSIVE p AS (
+      s"""WITH RECURSIVE p AS MATERIALIZED (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $PairTau),
-         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |reach(u, v) AS (
          |  SELECT u, v FROM e
          |  UNION

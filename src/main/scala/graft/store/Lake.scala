@@ -281,7 +281,7 @@ object Lake {
       }
     }
 
-  private def deleteRecursive(p: Path): Unit =
+  private[graft] def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)

@@ -123,8 +123,16 @@ object MicroBatch {
     * stops growing: centroids are retrained offline (rarely), list
     * membership is maintained online (every batch); the partitioned
     * append touches only the lists the batch's vectors land in.
-    * Exactly-once per file via the checkpointed file source, same as
-    * `ingest`.
+    *
+    * Delivery is AT-LEAST-ONCE (checkpointed foreachBatch, like every
+    * sink here), made effectively-once by construction: before
+    * appending, the batch is anti-joined on vec_id against the lists it
+    * would land in — a batch replayed after a crash between append and
+    * checkpoint commit re-finds its own rows and appends nothing
+    * (StreamingSpec proves a full redelivery is a no-op). The guard
+    * reads ONLY the hit lists (centroid_id is the partition column, so
+    * the probe is partition-pruned), not the whole index — per-batch
+    * cost stays proportional to the lists touched at any index size.
     */
   def annIngestStream(
       spark: SparkSession,
@@ -149,13 +157,21 @@ object MicroBatch {
           // fails reads depending on which footer the reader lists first)
           val lists = s"$indexDir/lists"
           val targetType = spark.read.parquet(lists).schema("embedding").dataType
-          batch
+          val assigned = batch
             .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
             .select(col("vec_id"), col("embedding").cast(targetType).as("embedding"),
               element_at(VectorExprs.nearestCentroids(col("embedding"), ids, vecs, 1), 1)
                 .as("centroid_id"))
-            .write.mode("append").partitionBy("centroid_id")
-            .parquet(lists)
+            .localCheckpoint() // one evaluation feeds prune list, anti-join, write
+          // replay guard (see doc): only the partitions this batch lands in
+          val hit = assigned.select(col("centroid_id")).distinct().collect().map(_.get(0))
+          val existing = spark.read.parquet(lists)
+            .filter(col("centroid_id").isin(hit.toIndexedSeq: _*))
+            .select(col("vec_id"))
+          val fresh = assigned.join(existing, Seq("vec_id"), "left_anti")
+          if (!fresh.isEmpty)
+            fresh.write.mode("append").partitionBy("centroid_id").parquet(lists)
+          assigned.unpersist(blocking = false)
         }
         ()
       }

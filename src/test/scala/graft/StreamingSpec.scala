@@ -100,6 +100,19 @@ class StreamingSpec extends SparkSpec {
         emb.filter($"vec_id" === 0), nprobe = 4, k = 3)
       .filter($"rank" === 1).select($"neighbor_id").as[Long].head()
     assert(top == 1000L, s"planted near-copy not retrieved first: $top")
+
+    // replay: wipe the checkpoint so the file source redelivers EVERY
+    // landed file (the worst-case at-least-once crash), restart the
+    // stream — the vec_id anti-join must neutralize the whole replay
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    val replay = MicroBatch.annIngestStream(spark, in, schema, idx, s"$root/ckpt")
+    replay.processAllAvailable()
+    replay.stop(); replay.awaitTermination()
+    val after = spark.read.parquet(s"$idx/lists")
+    assert(after.count() == before + 3,
+      s"replayed batch duplicated vectors: ${after.count()} != ${before + 3}")
+    val dupIds = after.groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(dupIds == 0, s"$dupIds vec_ids duplicated after replay")
   }
 
   test("streaming corpus ingest: near-dup and exact gates hold across micro-batches") {

@@ -57,25 +57,56 @@ object Bucketed {
 
   private val NBuckets = 8
 
+  /** One bucketed build per (session, source dir): the write-side
+    * shuffle is the ONE-OFF cost the layout exists to amortize, so
+    * repeated invocations (Verify then Bench then ad-hoc) must hit the
+    * already-built tables, not rewrite them — before this memo every
+    * call leaked a fresh temp root and re-paid the write shuffle, so
+    * the benched time measured the build, not the co-located read it
+    * showcases (r5 verdict #3). One entry per session: switching dirs
+    * drops the old tables and deletes their root; every root is also
+    * removed at JVM exit.
+    */
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, String)]
+
+  /** Catalog names must be session-unique: concurrent sessions sharing
+    * one metastore would otherwise clobber each other's registrations.
+    */
+  private def suffix(spark: SparkSession): String =
+    java.lang.Integer.toHexString(System.identityHashCode(spark))
+
+  private[graft] def activeRoot(spark: SparkSession): Option[String] =
+    built.get(spark).map(_._2)
+
   /** Per-customer order count + exact spend through the BUCKETED path:
-    * build both bucketed tables (the one-off write-side shuffle), then
-    * join AND aggregate on the bucket key with no exchange anywhere
-    * between scan and result (the groupBy reuses the bucket
-    * partitioning too). Results are byte-identical to the plain join —
-    * what changes is only where the shuffle happens, which is the
-    * entire point; the oracle proves the equivalence.
+    * build both bucketed tables (the one-off write-side shuffle,
+    * memoized — see `built`), then join AND aggregate on the bucket key
+    * with no exchange anywhere between scan and result (the groupBy
+    * reuses the bucket partitioning too). Results are byte-identical to
+    * the plain join — what changes is only where the shuffle happens,
+    * which is the entire point; the oracle proves the equivalence.
     */
   def spendBucketedQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_buckets").toString
-    writeBucketed(
-      Tables.orders(spark, dir)
-        .select(col("o_custkey").as("custkey"), col("o_totalprice")),
-      "graft_b_orders", s"$root/orders", "custkey", NBuckets)
-    writeBucketed(
-      Tables.customer(spark, dir)
-        .select(col("c_custkey").as("custkey"), col("c_name")),
-      "graft_b_customer", s"$root/customer", "custkey", NBuckets)
-    coLocatedJoin(spark, "graft_b_orders", "graft_b_customer", "custkey")
+    val (ordersT, custT) = (s"graft_b_orders_${suffix(spark)}", s"graft_b_customer_${suffix(spark)}")
+    if (!built.get(spark).exists(_._1 == dir)) {
+      built.remove(spark).foreach { case (_, oldRoot) =>
+        Lake.deleteRecursive(java.nio.file.Paths.get(oldRoot))
+      }
+      val root = Files.createTempDirectory("graft_buckets").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Lake.deleteRecursive(java.nio.file.Paths.get(root))))
+      writeBucketed(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        ordersT, s"$root/orders", "custkey", NBuckets)
+      writeBucketed(
+        Tables.customer(spark, dir)
+          .select(col("c_custkey").as("custkey"), col("c_name")),
+        custT, s"$root/customer", "custkey", NBuckets)
+      built(spark) = (dir, root)
+    }
+    coLocatedJoin(spark, ordersT, custT, "custkey")
       .groupBy(col("custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),
         Exact.moneySum(col("o_totalprice")).as("total_spend"))

@@ -89,6 +89,16 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
         s"expected a non-broadcast join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucket layout not reused (hash exchange present):\n$plan")
+      // repeated invocation must reuse the built tables, not rewrite:
+      // same root, file set untouched (disk stays flat across calls)
+      val root = store.Bucketed.activeRoot(spark).get
+      def listing = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .toArray.map(_.toString).sorted.toSeq
+      val before = listing
+      val again = store.Bucketed.spendBucketedQuery(spark, "/root/testdata/sf0.001")
+      assert(again.count() == rows.length)
+      assert(store.Bucketed.activeRoot(spark).contains(root), "root changed on re-invocation")
+      assert(listing == before, "re-invocation rewrote the bucketed tables")
     } finally spark.conf.set(thresholdKey, prev)
   }
 

@@ -240,9 +240,13 @@ object Lake {
     }.reduce(_ && _)
     val files = manifest.filter(overlap)
       .select(col("file")).collect().map(r => s"$tableDir/${r.getString(0)}")
+    // basePath keeps hive partition columns in the schema when reading
+    // explicit file paths — without it a pruned read of a partitioned
+    // table silently drops them, and the re-applied filter below on a
+    // partition column fails (r5 verdict #4)
     val pruned =
       if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.option("basePath", tableDir).parquet(files.toIndexedSeq: _*)
     ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .foldLeft(pruned)((df, p) => df.filter(p))
   }

@@ -95,6 +95,29 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readSkipping(spark, table, "id", 5000L, 6000L).count() == 0)
   }
 
+  test("data skipping on a hive-partitioned table keeps partition columns") {
+    val root = Files.createTempDirectory("skip_hive").toString
+    val table = s"$root/events"
+    spark.range(0, 1000).toDF("id")
+      .withColumn("day", (col("id") / 250).cast("int"))
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+      .write.partitionBy("day").parquet(table)
+    Lake.writeManifest(spark, table, Seq("id", "day"))
+    // ranges on the data column AND the partition column: without the
+    // basePath option the pruned explicit-file read drops `day` from the
+    // schema and the re-applied partition-column filter cannot resolve
+    val pruned = Lake.readSkippingRanges(spark, table,
+      Seq(("id", 100L, 140L), ("day", 0, 0)))
+    val want = spark.read.parquet(table)
+      .filter(col("id").between(100, 140) && col("day") === 0)
+      .select("id", "day", "v").collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(pruned.select("id", "day", "v").collect().map(_.toSeq).toSet == want)
+    assert(pruned.inputFiles.length < spark.read.parquet(table).inputFiles.length,
+      s"no files skipped: ${pruned.inputFiles.length}")
+  }
+
   test("zvalue: bit interleave matches hand-computed cases, nulls clamp to 0") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 2L), (null, 5L)

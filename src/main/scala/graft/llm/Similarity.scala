@@ -819,20 +819,8 @@ object Similarity {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
-  private def tableFingerprint(dir: String): Long = {
-    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(root)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (p.toString.hashCode.toLong * 1000003L)
-          ^ java.nio.file.Files.size(p)
-          ^ java.lang.Long.rotateLeft(
-              java.nio.file.Files.getLastModifiedTime(p).toMillis, 17))
-        .foldLeft(17L)(_ ^ _)
-    }
-  }
+  private def tableFingerprint(dir: String): Long =
+    graft.store.Snapshot.fingerprint(dir, "embeddings.parquet")
 
   private[graft] def clearPairCache(spark: SparkSession): Unit =
     pairCache.remove(spark).foreach(_._3.unpersist(blocking = false))

@@ -1,0 +1,29 @@
+package graft.store
+
+/** Filesystem fingerprints for session-scoped memo invalidation.
+  *
+  * Expensive shared scans (the blocked embedding pair scan, the verified
+  * near-dup pair graph) are memoized per session; the memo key carries a
+  * fingerprint of the source table's files so a REWRITTEN table rebuilds
+  * the memo instead of silently serving stale results (r5 advice on
+  * pairCache). Path, size, and mtime of every data file — the same
+  * signal table formats use for snapshot identity — xor-folded so the
+  * fingerprint is order-independent under directory listing.
+  */
+private[graft] object Snapshot {
+
+  def fingerprint(dir: String, table: String): Long = {
+    val root = java.nio.file.Paths.get(dir, table)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString.hashCode.toLong * 1000003L)
+          ^ java.nio.file.Files.size(p)
+          ^ java.lang.Long.rotateLeft(
+              java.nio.file.Files.getLastModifiedTime(p).toMillis, 17))
+        .foldLeft(17L)(_ ^ _)
+    }
+  }
+}

@@ -130,19 +130,49 @@ object Curation {
 
   // ---- registered queries -------------------------------------------------
 
+  /** Both registered queries are views over ONE annotated status frame
+    * (doc_id, lang, n_chars, status — narrow), memoized per session with
+    * the same fingerprint-keyed one-entry shape as the pair memos: the
+    * corpus survives curation once, then the report is an aggregation
+    * over checkpointed rows instead of a second full pipeline run. The
+    * library API (annotate/curate/report) stays un-memoized — callers
+    * compose those over arbitrary frames.
+    */
+  private val statusCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
+
+  private[graft] def clearStatusCache(spark: SparkSession): Unit =
+    statusCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+
+  private def statusFrame(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
+    statusCache.get(spark) match {
+      case Some((d, f, df)) if d == dir && f == fp => df
+      case stale =>
+        stale.foreach(_._3.unpersist(blocking = false))
+        val df = annotate(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("status"))
+          .localCheckpoint()
+        statusCache(spark) = (dir, fp, df)
+        df
+    }
+  }
+
   /** The curated corpus ids. Oracle-checked: every stage is ANSI-
     * expressible, and the LSH near-dup stage agrees with the oracle's
     * all-pairs form deterministically (at J ≥ 0.8 with est ≥ 0.5 prefilter
     * the per-pair miss probability is ≤ 1.3e-7 — Dedup.ngramJaccardQuery).
     */
   def curatedQuery(spark: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(spark, dir))
+    statusFrame(spark, dir).filter(col("status") === "kept")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
   /** Per-stage attrition (oracle-checked, same argument). */
   def reportQuery(spark: SparkSession, dir: String): DataFrame =
-    report(Tables.documents(spark, dir))
+    statusFrame(spark, dir)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_curation" -> (curatedQuery _),
@@ -155,11 +185,11 @@ object Curation {
     * precedence as annotate().
     */
   private val statusSql =
-    """WITH n AS (
+    """WITH n AS MATERIALIZED (
       |  SELECT doc_id, lang, n_chars,
       |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
       |  FROM documents),
-      |feat AS (
+      |feat AS MATERIALIZED (
       |  SELECT doc_id, lang, n_chars, nt,
       |    len(regexp_extract_all(nt, '\b(the|and|is|of|to)\b')) AS s_en,
       |    len(regexp_extract_all(nt, '\b(der|die|das|und|ist)\b')) AS s_de,
@@ -167,7 +197,7 @@ object Curation {
       |    len(regexp_extract_all(nt, '\b(le|les|des|est|et)\b')) AS s_fr,
       |    len(regexp_split_to_array(nt, '\s+')) AS t
       |  FROM n),
-      |flags AS (
+      |flags AS MATERIALIZED (
       |  SELECT *,
       |    (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
       |          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -178,22 +208,22 @@ object Curation {
       |    (1.0 - CAST(len(list_distinct(regexp_split_to_array(nt, '\s+'))) AS DOUBLE)
       |     / len(regexp_split_to_array(nt, '\s+'))) <= 0.7 AS rep_ok
       |  FROM feat),
-      |exact_keep AS (
+      |exact_keep AS MATERIALIZED (
       |  SELECT MIN(doc_id) AS doc_id
       |  FROM flags WHERE lang_ok AND quality_ok AND rep_ok
       |  GROUP BY sha256(nt)),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT f.doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split_regex(f.nt, '\s+')) - 2, 1)),
       |    i -> string_split_regex(f.nt, '\s+')[i] || ' ' ||
       |         string_split_regex(f.nt, '\s+')[i+1] || ' ' ||
       |         string_split_regex(f.nt, '\s+')[i+2])) AS s
       |  FROM flags f JOIN exact_keep k USING (doc_id)),
-      |near_drop AS (
+      |near_drop AS MATERIALIZED (
       |  SELECT DISTINCT b.doc_id
       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-      |status AS (
+      |status AS MATERIALIZED (
       |  SELECT f.doc_id, f.lang, f.n_chars,
       |    CASE WHEN NOT f.lang_ok THEN 'language_filter'
       |         WHEN NOT f.quality_ok THEN 'quality_filter'

@@ -257,4 +257,26 @@ class DedupSpec extends SparkSpec with PropertyCheck {
       .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
     assert(boot == Map(1L -> 1L, 3L -> 1L, 5L -> 2L, 9L -> 1L))
   }
+
+  test("registered-query memo rebuilds when the documents table is rewritten") {
+    // the verified-pair graph is memoized per (session, fingerprint);
+    // a REWRITE of the source table must rebuild it, not serve stale
+    // pairs (r5 advice on the pair memos)
+    val root = java.nio.file.Files.createTempDirectory("memo_inval").toString
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    writeDocs(Seq((0L, twin), (1L, twin + " lambda"),
+      (2L, "totally different text about arctic shipping lanes and pack ice")))
+    val r1 = Dedup.queries("llm_dedup_ngram_jaccard")(spark, root)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r1 == Set((0L, 1L)), s"expected the planted near-dup pair, got $r1")
+    writeDocs(Seq((0L, twin),
+      (1L, "completely unrelated sentences about volcano monitoring stations"),
+      (2L, "a third document, also unlike the others in every way")))
+    val r2 = Dedup.queries("llm_dedup_ngram_jaccard")(spark, root)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r2.isEmpty, s"stale memo served pairs from the overwritten table: $r2")
+  }
 }

@@ -34,6 +34,22 @@ object Engine {
     spark
   }
 
+  /** Drop every session-scoped memo the engine keeps for `spark` — the
+    * blocked embedding pair scan, the verified near-dup pair graph, the
+    * curation status frame, and the at-rest IVF index — unpersisting
+    * their checkpoints and deleting the index scratch dir. The memos
+    * self-invalidate on source-table rewrites (fingerprint keys;
+    * DedupSpec), so this exists for the remaining cases: reclaiming
+    * block-manager space mid-session, or forcing a rebuild after an
+    * in-place mutation the fingerprint cannot see.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    graft.llm.Similarity.clearPairCache(spark)
+    graft.llm.Similarity.clearIndexCache(spark)
+    graft.llm.Dedup.clearVerifiedCache(spark)
+    graft.llm.Curation.clearStatusCache(spark)
+  }
+
   /** Runtime SQL confs that are safe to set on a session we did not build
     * (e.g. the driver harness's). Idempotent.
     */

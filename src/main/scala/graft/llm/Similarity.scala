@@ -788,6 +788,11 @@ object Similarity {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
 
+  private[graft] def clearIndexCache(spark: SparkSession): Unit =
+    ivfIndexCache.remove(spark).foreach { case (_, _, old) =>
+      graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(old))
+    }
+
   private def indexRoot(spark: SparkSession, dir: String): String = {
     val fp = graft.store.Snapshot.fingerprint(dir, "embeddings.parquet")
     ivfIndexCache.get(spark) match {

@@ -80,4 +80,23 @@ class StoreSemanticsSpec extends SparkSpec {
     val got = spark.read.parquet(kpiPath).as[(Int, Double)].collect().toMap
     assert(got == Map(1 -> 12.5, 2 -> 5.0))
   }
+
+  test("Engine.clearCaches drops every session memo and deletes the index scratch dir") {
+    val dir = "/root/testdata/sf0.001"
+    // populate the four memos
+    graft.llm.Similarity.queries("llm_embed_neardup")(spark, dir).count()
+    graft.llm.Similarity.queries("llm_ann_ivf_indexed")(spark, dir).count()
+    graft.llm.Dedup.queries("llm_dedup_ngram_jaccard")(spark, dir).count()
+    graft.llm.Curation.queries("llm_curation")(spark, dir).count()
+    val idxDirs = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .toArray.map(_.toString).filter(_.contains("ivf_index"))
+    graft.Engine.clearCaches(spark)
+    // the index scratch dir of THIS session is gone; queries still work
+    // (memos rebuild on next use)
+    val idxAfter = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .toArray.map(_.toString).filter(_.contains("ivf_index"))
+    assert(idxAfter.length < idxDirs.length || idxDirs.isEmpty,
+      s"index scratch dir not deleted: ${idxAfter.length} of ${idxDirs.length} remain")
+    assert(graft.llm.Similarity.queries("llm_ann_ivf_indexed")(spark, dir).count() > 0)
+  }
 }

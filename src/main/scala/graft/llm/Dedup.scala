@@ -452,6 +452,40 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Per-document duplicated-span statistics: the distributed re-expression
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — a k-token window whose
+    * text occurs ≥ 2 times anywhere in the corpus is a duplicated span;
+    * report how many of each doc's windows sit under one.
+    *
+    * Scale shape: one scan explodes each doc into (n − k + 1) windows, a
+    * groupBy over the span text counts global occurrences (this sort/group
+    * is exactly what a distributed suffix-array build degenerates to at
+    * fixed k), and a semi-join marks each doc's duplicated positions.
+    * Everything is linear in corpus size; spans are ~k words, and the
+    * frequency table carries one row per distinct span, so no stage ever
+    * holds documents — let alone pairs — in memory.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("n_windows", greatest(size(col("t")) - lit(k - 1), lit(0)))
+    val wins = base.filter(col("n_windows") > 0)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), col("n_windows")),
+        i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("span"))
+    val dupSpans = wins.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("span"))
+    val perDoc = wins.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_windows"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("dup_windows"), lit(0L)).cast("double") / col("n_windows"), 6))
+          .as("dup_frac"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Exact dedup over documents (hash-groupBy). */
@@ -597,6 +631,18 @@ object Dedup {
         n = 3, minContainment = MinContainment)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Span length for the registered substring-dedup query: 8 tokens —
+    * long enough that chance collisions are impossible on the synthetic
+    * vocabulary's entropy, short enough that real duplicated passages
+    * (the generator plants shared prefixes) are caught.
+    */
+  private val SpanK = 8
+
+  /** Duplicated 8-token spans per document (exact substring dedup). */
+  def substringDupQuery(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Tables.documents(spark, dir), "text", "doc_id", SpanK)
+      .orderBy(col("doc_id"))
+
   /** Fuzzy-exact dedup: canonicalize (lowercase, trim, collapse whitespace)
     * before content-hashing — the standard first pass of an LLM data
     * pipeline, catching formatting-only duplicates.
@@ -635,9 +681,26 @@ object Dedup {
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
     "llm_dedup_containment" -> (containmentQuery _),
     "llm_neardup_incremental" -> (incrementalNearDupQuery _),
+    "llm_substring_dup" -> (substringDupQuery _),
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
+    "llm_substring_dup" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS span
+        |  FROM toks),
+        |freq AS MATERIALIZED (SELECT span, count(*) AS cnt FROM win GROUP BY span),
+        |per AS (SELECT w.doc_id, count(*) AS dup_windows
+        |        FROM win w JOIN freq f ON w.span = f.span AND f.cnt >= 2 GROUP BY w.doc_id)
+        |SELECT k.doc_id, k.n_windows, COALESCE(p.dup_windows, 0) AS dup_windows,
+        |  CASE WHEN k.n_windows > 0
+        |       THEN round(CAST(COALESCE(p.dup_windows, 0) AS DOUBLE) / k.n_windows, 6) END AS dup_frac
+        |FROM (SELECT doc_id, greatest(len(t) - 7, 0) AS n_windows FROM toks) k
+        |LEFT JOIN per p ON k.doc_id = p.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: NOT IN's three-valued logic would silently
     // drop (or empty) the result if any text were NULL, where Spark's
     // left_anti keeps null-hash batch rows — NOT EXISTS matches that

@@ -279,4 +279,35 @@ class DedupSpec extends SparkSpec with PropertyCheck {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(r2.isEmpty, s"stale memo served pairs from the overwritten table: $r2")
   }
+
+  test("duplicatedSpans marks exactly the window positions under a shared k-gram") {
+    // doc 0 and doc 1 share one exact 4-token span ("w x y z"); doc 2 is
+    // all-fresh; doc 3 is too short to hold a single window
+    val d = Seq(
+      (0L, "a b c w x y z d e"), // 6 windows, positions 4..7 start in span? windows starting at 4 = "w x y z"
+      (1L, "p q w x y z r s"), // shares "w x y z"
+      (2L, "one two three four five six"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, "text", "doc_id", k = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Option[Double])].collect()
+    assert(got(0) == ((0L, 6, 1L, Some(0.166667))))
+    assert(got(1) == ((1L, 5, 1L, Some(0.2))))
+    assert(got(2) == ((2L, 3, 0L, Some(0.0))))
+    assert(got(3) == ((3L, 0, 0L, None)))
+  }
+
+  test("duplicatedSpans counts a span repeated WITHIN one doc as duplicated") {
+    val d = Seq(
+      (0L, "m n o p q m n o p q"), // "m n o p" occurs at positions 1 and 6
+      (1L, "r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, "text", "doc_id", k = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Option[Double])].collect()
+    // windows of doc 0: 7 total; "m n o p" (x2) and "n o p q" (x2) are dup'd
+    assert(got(0)._3 == 4L, s"expected 4 duplicated windows, got ${got(0)}")
+    assert(got(1)._3 == 0L)
+  }
 }

@@ -223,6 +223,39 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled mixture weights per source (w_s ∝ p_s^α at
+    * α = 1/2, the mT5/XLM-R multinomial up/down-sampling rule): flattens
+    * the token-mass distribution so head sources shrink and tail sources
+    * grow, and reports each source's normalized weight plus its document
+    * allocation under a `budgetFrac` corpus budget. α is fixed at 1/2
+    * because IEEE-754 requires sqrt to be correctly rounded (pow is not),
+    * and the weights are floored to integer micro-units before
+    * normalization — every downstream ratio is a ratio of exact integers,
+    * so the DuckDB oracle agrees bit-for-bit at any scale.
+    *
+    * Scale shape: ONE distributed per-source aggregate; everything after
+    * runs on the source-cardinality frame via broadcast joins, so the
+    * corpus is scanned once and never reshuffled.
+    */
+  def temperatureMixture(docs: DataFrame, textCol: String, srcCol: String,
+                         budgetFrac: Double): DataFrame = {
+    val perSrc = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("n_docs")).as("tot_docs"))
+    val wm = perSrc.crossJoin(broadcast(tot))
+      .withColumn("wm",
+        floor(sqrt(col("n_tokens").cast("double") / col("tot_tokens")) * lit(1000000.0))
+          .cast("long"))
+    val wsum = wm.agg(sum(col("wm")).as("w_sum"))
+    wm.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("wm").cast("double") / col("w_sum"), 6).as("weight"),
+        round(floor(col("tot_docs") * lit(budgetFrac)) * col("wm").cast("double") / col("w_sum"))
+          .cast("long").as("target_docs"))
+  }
+
   /** The 20 synthetic sources reweighted into 4 weight tiers under a
     * half-size budget (sf-invariant: rates derive from counts).
     */
@@ -236,6 +269,10 @@ object Corpus {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixture(Tables.documents(spark, dir), "text", "source", MixBudgetFrac)
+      .orderBy(col("source"))
+
   def redactQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
@@ -243,6 +280,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mix_target" -> (mixQuery _),
+    "llm_mix_temperature" -> (mixTemperatureQuery _),
     "llm_split" -> (splitQuery _),
     "llm_sample_stratified" -> (sampleQuery _),
     "llm_sample_quality" -> ((s: SparkSession, dir: String) =>
@@ -285,6 +323,21 @@ object Corpus {
          |FROM documents d JOIN r USING (source)
          |WHERE CAST(${bucketSql(":mix:v1")} AS DOUBLE) < keep_rate * 1000.0
          |ORDER BY d.doc_id""".stripMargin,
+    "llm_mix_temperature" ->
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         |             CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM c),
+         |w AS (SELECT source, n_docs, n_tokens, tot_docs,
+         |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tot_tokens) * 1000000.0) AS BIGINT) AS wm
+         |      FROM c, t),
+         |s AS (SELECT CAST(SUM(wm) AS BIGINT) AS w_sum FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(wm AS DOUBLE) / w_sum, 6) AS weight,
+         |  CAST(round(floor(tot_docs * $MixBudgetFrac) * CAST(wm AS DOUBLE) / w_sum) AS BIGINT) AS target_docs
+         |FROM w, s ORDER BY source""".stripMargin,
     "llm_split" ->
       s"""SELECT doc_id, ${bucketSql(":split:v1")} AS bucket,
          |  CASE WHEN ${bucketSql(":split:v1")} < 900 THEN 'train'

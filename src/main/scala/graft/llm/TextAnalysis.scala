@@ -174,6 +174,34 @@ object TextAnalysis {
           / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Gopher-style quality rule ensemble (Rae et al. 2021, Table A1,
+    * thresholds adapted to this corpus's single-line short docs): word
+    * count bounds, mean-word-length band, minimum stopword evidence, and
+    * a duplicate-token ceiling — each reported as its own flag plus the
+    * conjunctive verdict, the shape a curation pipeline needs to audit
+    * WHICH rule rejected a document, not just that one did. Pure
+    * scan-speed column arithmetic: the whole ensemble runs inside
+    * whole-stage codegen with no aggregation and no shuffle, so it
+    * filters 100 TB at I/O speed.
+    */
+  val gopherStops = "\\b(the|a|and|of|to)\\b"
+
+  def gopherFilter(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(toks)
+    val awl = length(col(textCol)).cast("double") / n
+    val dupFrac = lit(1.0) - size(array_distinct(toks)).cast("double") / n
+    val stops = regexp_count(lower(col(textCol)), lit(gopherStops))
+    val rLen = n >= 25 && n <= 1000
+    val rAwl = awl.between(3.0, 10.0)
+    val rStop = stops >= 2
+    val rDup = dupFrac <= 0.6
+    docs.select(col(idCol), n.cast("long").as("n_tokens"),
+      rLen.cast("int").as("r_len"), rAwl.cast("int").as("r_awl"),
+      rStop.cast("int").as("r_stop"), rDup.cast("int").as("r_dup"),
+      (rLen && rAwl && rStop && rDup).cast("int").as("pass"))
+  }
+
   /** Per-document PII incidence: match counts per type for the same
     * deliberately-portable patterns `Corpus.redactPii` scrubs — the
     * measurement half of the PII stage (incidence before, zero after;
@@ -322,6 +350,11 @@ object TextAnalysis {
     oovBySource(Tables.documents(spark, dir), "text", "source", OovVocabN)
       .orderBy(col("source"))
 
+  /** Gopher rule ensemble over documents. */
+  def gopherQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherFilter(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
     "llm_vocab_oov" -> (oovQuery _),
@@ -335,6 +368,7 @@ object TextAnalysis {
     "llm_text_quality" -> (quality _),
     "llm_text_langid" -> (langid _),
     "llm_fingerprint" -> (fingerprint _),
+    "llm_gopher_filter" -> (gopherQuery _),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -360,6 +394,27 @@ object TextAnalysis {
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // every flag is a comparison over values both engines compute with the
+    // SAME IEEE operations (one division, one subtraction), so boundary
+    // cases agree bit-for-bit
+    "llm_gopher_filter" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n,
+        |    CAST(length(text) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS awl,
+        |    1.0 - CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS dup_frac,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b')) AS stops
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n >= 25 AND n <= 1000 AS INT) AS r_len,
+        |  CAST(awl BETWEEN 3.0 AND 10.0 AS INT) AS r_awl,
+        |  CAST(stops >= 2 AS INT) AS r_stop,
+        |  CAST(dup_frac <= 0.6 AS INT) AS r_dup,
+        |  CAST(n >= 25 AND n <= 1000 AND awl BETWEEN 3.0 AND 10.0
+        |       AND stops >= 2 AND dup_frac <= 0.6 AS INT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // integer counts + prefix sums; the one division happens once per
     // output row (deterministic), then rounds identically
     "llm_vocab_coverage" ->

@@ -185,4 +185,25 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     // soft, not hard: the keep threshold is the score itself
     assert(kept.filter($"draw" >= $"keep_below").count() == 0)
   }
+
+  test("temperatureMixture flattens the source distribution (α = 1/2)") {
+    // head: 80 docs × 10 tokens; tail: 20 docs × 10 tokens → p = 0.8 / 0.2
+    val line = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = ((0L until 80L).map(i => (i, line, "head")) ++
+      (80L until 100L).map(i => (i, line, "tail"))).toDF("doc_id", "text", "source")
+    val got = Corpus.temperatureMixture(docs, "text", "source", budgetFrac = 0.5)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (head, tail) = (got("head"), got("tail"))
+    assert(head._2 == 80L && head._3 == 800L && tail._3 == 200L)
+    // sqrt flattening: weights ∝ √0.8 : √0.2 → ~0.667 : ~0.333 — the tail's
+    // weight share EXCEEDS its 0.2 token share, the head's shrinks below 0.8
+    assert(tail._4 > 0.2 && tail._4 < 0.5, s"tail weight ${tail._4}")
+    assert(head._4 < 0.8 && head._4 > 0.5, s"head weight ${head._4}")
+    assert(math.abs(head._4 + tail._4 - 1.0) < 1e-4)
+    // 50-doc budget splits ~2:1
+    assert(head._5 + tail._5 == 50L, s"targets ${head._5} + ${tail._5}")
+    assert(tail._5 >= 16L && tail._5 <= 17L)
+  }
 }

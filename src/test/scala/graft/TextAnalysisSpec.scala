@@ -98,4 +98,25 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"n_pii" > 0).count()
     assert(after == 0)
   }
+
+  test("gopherFilter: each rule rejects its own planted violation") {
+    val ok = "the cat sat on a mat and then the dog ran to the gate while " +
+      "a bird flew over the wide green field near the old mill by the river " +
+      "and all of them kept moving along the winding path toward town"
+    val docs = Seq(
+      (0L, ok), // passes every rule
+      (1L, "the cat sat on a mat"), // too few tokens
+      (2L, Seq.fill(30)("xx").mkString(" ")), // avg word len 2 < 3, all dup
+      (3L, ok.replaceAll("\\b(the|a|and|of|to)\\b", "big")), // no stopwords
+      (4L, ("the a " * 20).trim) // dup_token_frac ≈ 0.95
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "text", "doc_id")
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(0L) == ((1, 1, 1, 1, 1)), s"got ${got(0L)}")
+    assert(got(1L)._1 == 0 && got(1L)._5 == 0, s"got ${got(1L)}")
+    assert(got(2L)._2 == 0 && got(2L)._4 == 0 && got(2L)._5 == 0, s"got ${got(2L)}")
+    assert(got(3L)._3 == 0 && got(3L)._5 == 0, s"got ${got(3L)}")
+    assert(got(4L)._4 == 0 && got(4L)._5 == 0, s"got ${got(4L)}")
+  }
 }

@@ -21,6 +21,9 @@ object Engine {
       .master(master)
       .appName(appName)
     val spark = warehouseDir.fold(builder0)(d => builder0.config("spark.sql.warehouse.dir", d))
+      // SQL functions for the custom kernels + the dot-product fusion rule
+      // (plans.GraftExtensions); external sessions opt in with the same conf
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

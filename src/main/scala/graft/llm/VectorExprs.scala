@@ -229,6 +229,64 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double dot product over two numeric-array columns, in one codegen'd
+  * primitive loop. This is the fusion target of
+  * `plans.FuseVectorKernels`: its null semantics deliberately REPLICATE
+  * the declarative `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)`
+  * form it replaces — a length mismatch or any null element yields NULL
+  * (zip_with pads the shorter array with nulls; one null product nulls
+  * the whole running sum) — so the rewrite is semantics-preserving, not
+  * merely close. Contrast CosineSim, whose null→0 policy is its own
+  * documented choice.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  @transient private lazy val elemX = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val elemY = right.dataType.asInstanceOf[ArrayType].elementType
+
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += num(a, i, elemX) * num(b, i, elemY)
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("graftDot", this, classOf[DotProduct].getName)
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = (java.lang.Double) $ref.compute($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  private def num(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact integer dot product over two int-array columns — the quantized
   * ADC scan kernel. Higher-order `aggregate(zip_with(…))` is
   * CodegenFallback and re-interprets per row; this is one primitive loop
@@ -768,6 +826,10 @@ object VectorExprs {
   /** Exact integer dot product of two int-array columns (the ADC scan). */
   def intDot(a: Column, b: Column): Column =
     ColumnBridge.column(IntDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Double dot product (the `aggregate(zip_with(…))` fusion kernel). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -174,6 +174,42 @@ object TextAnalysis {
           / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
+    * frequencies estimated through a depth×width counter sketch, reported
+    * for the top-k tokens next to their exact counts — the bounded-memory
+    * frequency primitive for streams/corpora whose vocabulary cannot be
+    * held exactly. The cell draw is the engine's cross-engine hash (sha256
+    * prefix → BIGINT, the `Corpus.hashBucket` construction), so the DuckDB
+    * oracle replays the SKETCH itself — counters, collisions, min-over-rows
+    * — not just the exact answer; all arithmetic is integer-exact.
+    *
+    * Scale shape: one scan aggregates token frequencies; the sketch is a
+    * groupBy onto depth×width cells (a fixed-size table regardless of
+    * corpus size, mergeable across partitions/batches by addition); the
+    * estimate is a join back through the cells. Nothing scales with corpus
+    * size except the initial token count.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+                      depth: Int = 4, width: Int = 256, topK: Int = 20): DataFrame = {
+    val tf = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds cells AND the exact-count report column
+    val cells = tf
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell",
+        conv(substring(sha2(concat(col("token"), lit(":cms:"), col("r").cast("string")), 256), 1, 15), 16, 10)
+          .cast("long") % width)
+    val counters = cells.groupBy(col("r"), col("cell")).agg(sum(col("tf")).as("counter"))
+    val est = cells.join(counters, Seq("r", "cell"))
+      .groupBy(col("token")).agg(min(col("counter")).as("est_count"))
+    est.join(tf, Seq("token"))
+      .select(col("token"), col("est_count"), col("tf").as("true_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Gopher-style quality rule ensemble (Rae et al. 2021, Table A1,
     * thresholds adapted to this corpus's single-line short docs): word
     * count bounds, mean-word-length band, minimum stopword evidence, and
@@ -355,6 +391,10 @@ object TextAnalysis {
     gopherFilter(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** CMS heavy hitters over document tokens. */
+  def cmsQuery(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHitters(Tables.documents(spark, dir), "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
     "llm_vocab_oov" -> (oovQuery _),
@@ -369,6 +409,7 @@ object TextAnalysis {
     "llm_text_langid" -> (langid _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_gopher_filter" -> (gopherQuery _),
+    "llm_heavy_hitters_cms" -> (cmsQuery _),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -394,6 +435,24 @@ object TextAnalysis {
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // the oracle replays the sketch itself — cell draws, counters,
+    // collisions, min-over-rows — in exact integers
+    "llm_heavy_hitters_cms" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |cells AS MATERIALIZED (
+        |  SELECT token, tf, r,
+        |    CAST(CONCAT('0x', substr(sha256(token || ':cms:' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS cell
+        |  FROM tf, UNNEST([0, 1, 2, 3]) AS u(r)),
+        |counters AS (SELECT r, cell, SUM(tf) AS counter FROM cells GROUP BY r, cell),
+        |est AS (SELECT c.token, MIN(ct.counter) AS est_count
+        |        FROM cells c JOIN counters ct ON c.r = ct.r AND c.cell = ct.cell
+        |        GROUP BY c.token)
+        |SELECT e.token, CAST(e.est_count AS BIGINT) AS est_count, t.tf AS true_count
+        |FROM est e JOIN tf t USING (token)
+        |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
     // every flag is a comparison over values both engines compute with the
     // SAME IEEE operations (one division, one subtraction), so boundary
     // cases agree bit-for-bit

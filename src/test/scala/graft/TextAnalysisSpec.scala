@@ -99,6 +99,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after == 0)
   }
 
+  test("CMS heavy hitters: estimates dominate truth; the heavy token ranks first") {
+    // alpha in every doc (tf 50); beta/gamma split the rest; w$i are singletons
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, s"alpha w$i " + (if (i % 2 == 0) "beta" else "gamma")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cmsHeavyHitters(docs, "text", topK = 60)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 53) // alpha, beta, gamma, 50 singletons
+    // the CMS one-sided error guarantee: estimate never undercounts
+    assert(got.forall { case (_, est, t) => est >= t },
+      got.filter { case (_, est, t) => est < t }.mkString(", "))
+    assert(got.head._1 == "alpha" && got.head._3 == 50L)
+    // deterministic hash → identical sketch on re-run
+    val again = TextAnalysis.cmsHeavyHitters(docs, "text", topK = 60)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("gopherFilter: each rule rejects its own planted violation") {
     val ok = "the cat sat on a mat and then the dog ran to the gate while " +
       "a bird flew over the wide green field near the old mill by the river " +

@@ -486,6 +486,41 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The transform half of substring dedup: REMOVE every token covered by
+    * a globally-duplicated k-token window (C4-style boilerplate policy —
+    * a repeated passage is dropped from every document, not kept once;
+    * order-free, so the result is deterministic under any execution
+    * order). Pairs with [[duplicatedSpans]] the way pii_redact pairs with
+    * pii_report: one query measures, this one cleans.
+    *
+    * Scale shape: same linear span groupBy as [[duplicatedSpans]], plus a
+    * per-doc `collect_set` of duplicated window starts — bounded by the
+    * doc's own window count, never corpus-sized — and a codegen'd
+    * array-lambda rebuild of the token list. No stage widens beyond
+    * (id, position) pairs.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("nw", greatest(size(col("t")) - lit(k - 1), lit(0)))
+    val wins = base.filter(col("nw") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), col("nw")),
+        i => concat_ws(" ", slice(col("t"), i, lit(k))))))
+      .select(col(idCol), (col("pos") + 1).as("s"), col("col").as("span"))
+    val dupSpans = wins.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("span"))
+    val dupStarts = wins.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("s")).as("starts"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("clean", filter(col("t"), (tok, i) =>
+        !exists(col("starts"), s => s <= i + 1 && i + 1 <= s + lit(k - 1))))
+      .select(col(idCol), size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(col("clean"))).as("n_removed"),
+        concat_ws(" ", col("clean")).as("clean_text"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Exact dedup over documents (hash-groupBy). */
@@ -643,6 +678,11 @@ object Dedup {
     duplicatedSpans(Tables.documents(spark, dir), "text", "doc_id", SpanK)
       .orderBy(col("doc_id"))
 
+  /** Documents with duplicated 8-token spans stripped. */
+  def substringStripQuery(spark: SparkSession, dir: String): DataFrame =
+    stripDuplicatedSpans(Tables.documents(spark, dir), "text", "doc_id", SpanK)
+      .orderBy(col("doc_id"))
+
   /** Fuzzy-exact dedup: canonicalize (lowercase, trim, collapse whitespace)
     * before content-hashing — the standard first pass of an LLM data
     * pipeline, catching formatting-only duplicates.
@@ -682,6 +722,7 @@ object Dedup {
     "llm_dedup_containment" -> (containmentQuery _),
     "llm_neardup_incremental" -> (incrementalNearDupQuery _),
     "llm_substring_dup" -> (substringDupQuery _),
+    "llm_substring_strip" -> (substringStripQuery _),
     "llm_dedup_clusters" -> (clustersQuery _))
 
   val oracles: Map[String, String] = Map(
@@ -701,6 +742,25 @@ object Dedup {
         |FROM (SELECT doc_id, greatest(len(t) - 7, 0) AS n_windows FROM toks) k
         |LEFT JOIN per p ON k.doc_id = p.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // DuckDB list lambdas index 1-based, matching the Spark side's i+1
+    "llm_substring_strip" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+        |freq AS MATERIALIZED (SELECT span FROM win GROUP BY span HAVING COUNT(*) >= 2),
+        |ds AS (SELECT w.doc_id, list(DISTINCT w.s) AS starts
+        |       FROM win w JOIN freq f USING (span) GROUP BY w.doc_id),
+        |cl AS (
+        |  SELECT toks.doc_id, toks.t,
+        |    list_filter(toks.t, (tok, p) ->
+        |      len(list_filter(COALESCE(ds.starts, []), s -> s <= p AND p <= s + 7)) = 0) AS clean
+        |  FROM toks LEFT JOIN ds USING (doc_id))
+        |SELECT doc_id, len(t) AS n_tokens, len(t) - len(clean) AS n_removed,
+        |  -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+        |  COALESCE(array_to_string(clean, ' '), '') AS clean_text
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: NOT IN's three-valued logic would silently
     // drop (or empty) the result if any text were NULL, where Spark's
     // left_anti keeps null-hash batch rows — NOT EXISTS matches that

@@ -298,6 +298,29 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(got(3) == ((3L, 0, 0L, None)))
   }
 
+  test("stripDuplicatedSpans removes exactly the covered tokens, everywhere") {
+    val d = Seq(
+      (0L, "a b c w x y z d e"), // "w x y z" shared → tokens 4..7 covered
+      (1L, "p q w x y z r s"), // ditto → tokens 3..6 covered
+      (2L, "one two three four five six"), // untouched
+      (3L, "too short") // no windows → untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got(0) == ((0L, 9, 4, "a b c d e")))
+    assert(got(1) == ((1L, 8, 4, "p q r s")))
+    assert(got(2) == ((2L, 6, 0, "one two three four five six")))
+    assert(got(3) == ((3L, 2, 0, "too short")))
+    // overlapping duplicated windows: covered union, not double-removed
+    val ov = Seq((0L, "m n o p q m n o p q"), (1L, "z z1 z2 z3")).toDF("doc_id", "text")
+    val g2 = Dedup.stripDuplicatedSpans(ov, "text", "doc_id", k = 4)
+      .orderBy($"doc_id").as[(Long, Int, Int, String)].collect()
+    // dup windows start at 1,2,6,7 → cover 1..5 and 6..10: everything
+    assert(g2(0) == ((0L, 10, 10, "")))
+    assert(g2(1)._3 == 0)
+  }
+
   test("duplicatedSpans counts a span repeated WITHIN one doc as duplicated") {
     val d = Seq(
       (0L, "m n o p q m n o p q"), // "m n o p" occurs at positions 1 and 6

@@ -737,6 +737,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered vector search: exact cosine top-k restricted to corpus
+    * vectors satisfying a metadata predicate — here label equality with
+    * the query (tenant/shard-scoped retrieval). The predicate is applied
+    * as a PRE-filter (it is the join condition, evaluated before any
+    * similarity is computed), so every query gets its full k survivors;
+    * the naive post-filter alternative — top-k first, predicate after —
+    * under-fills whenever the predicate is selective. At 100 TB the
+    * label condition becomes partition pruning on a label-partitioned
+    * corpus: the scan itself shrinks, not just the score count.
+    */
+  def filteredKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("label") === col("q_label") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rn").as("rank"), round(col("sim"), 4).as("sim_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF ANN (scale path; fully deterministic, so it is oracle-checked
     * end-to-end: assignment, probing and ranking all reproduce in SQL).
     */
@@ -1038,6 +1066,7 @@ object Similarity {
     "llm_knn_quantized" -> (knnQuantizedQuery _),
     "llm_embed_quantize" -> (quantizeQuery _),
     "llm_knn_brute" -> (knnQuery _),
+    "llm_knn_filtered" -> (filteredKnnQuery _),
     "llm_ann_ivf" -> (ivfQuery _),
     "llm_ivf_centroids" -> (centroidsQuery _),
     "llm_ann_ivf_kmeans" -> (ivfKmeansQuery _),
@@ -1542,6 +1571,16 @@ object Similarity {
       s"""$codesCte
          |SELECT vec_id, array_to_string(codes, ',') AS codes_csv
          |FROM codes ORDER BY vec_id""".stripMargin,
+    "llm_knn_filtered" ->
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS INTEGER) AS rank,
+         |  ROUND(${cosSql("q", "c")}, 4) AS sim_r
+         |FROM embeddings q, embeddings c
+         |WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+         |  AND c.label = q.label
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "llm_knn_brute" ->
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id

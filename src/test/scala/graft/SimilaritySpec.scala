@@ -31,6 +31,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.find(_._2 == 1).map(_._1).contains(1L))
   }
 
+  test("filtered kNN: label predicate pre-filters, every eligible query fills its k") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = Similarity.queries("llm_knn_filtered")(spark, dir)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _) => labels(q) == labels(n) },
+      "a neighbor crossed the label predicate")
+    // pre-filter guarantee: rank count per query = min(k, same-label pool)
+    val pool = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val expected = math.min(5, pool(labels(q)) - 1)
+      assert(rows.length == expected, s"query $q: ${rows.length} != $expected")
+    }
+  }
+
   test("IVF with full probing matches brute force exactly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 4)

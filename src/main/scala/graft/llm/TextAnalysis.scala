@@ -174,6 +174,68 @@ object TextAnalysis {
           / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** CCNet-style unigram-LM perplexity bucketing (Wenzek et al. 2020:
+    * score each document under a language model trained on the corpus,
+    * then split the corpus into head/middle/tail thirds by perplexity —
+    * the standard pre-filter that routes fluent text to training and
+    * gibberish to review). The LM here is the add-one-smoothed unigram
+    * model of the corpus itself; `bits` is the mean negative log2
+    * probability per token (perplexity = 2^bits, monotone — bucketing on
+    * either is identical).
+    *
+    * Engine-determinism: the per-document sum quantizes each token-type
+    * term to 1/65536 bits BEFORE accumulating (`round(tf·-log2(p)·2^16)`
+    * as BIGINT), so the reduction is associative integer addition — the
+    * float summation order of a groupBy can never flip a bucket — and the
+    * oracle replays it term-for-term. Bucketing avoids a global row sort:
+    * docs aggregate into a milli-bits histogram (bounded cardinality —
+    * scores live in a few thousand 0.001-bit cells no matter the corpus
+    * size), the two cut values come from a running sum over that tiny
+    * frame, and docs bucket by value against the broadcast thresholds.
+    * Ties at a cut keep all their docs on the low side, so `head` is the
+    * largest value-closed prefix with ≤ ⌈n/3⌉ docs (at 100 TB this is the
+    * same shape as approximate-quantile thresholding, but exact).
+    *
+    * One corpus scan: the (doc, token, tf) aggregate is checkpointed and
+    * feeds both the global token counts and the per-doc scoring join
+    * (the `oovBySource` pattern).
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val st = cnt.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v"))
+    val scored = tf.join(cnt, Seq("token"))
+      .crossJoin(broadcast(st))
+      .withColumn("term_q",
+        round(col("tf") * -log2((col("cnt") + lit(1L)).cast("double")
+          / (col("n_total") + col("v")).cast("double")) * lit(65536.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"), sum(col("term_q")).as("nll_q"))
+      .withColumn("bits", col("nll_q").cast("double") / lit(65536.0) / col("n_tokens"))
+      .withColumn("bits_m", floor(col("bits") * lit(1000.0)).cast("long"))
+      .localCheckpoint() // feeds the histogram AND the final bucket join
+    val hist = scored.groupBy(col("bits_m")).agg(count(lit(1)).as("c"))
+    // the window is partition-less but runs over the HISTOGRAM (bounded
+    // cardinality), never the doc table
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("bits_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = scored.agg(count(lit(1)).as("n_docs"))
+    val th = cum.crossJoin(broadcast(tot)).agg(
+      max(when(col("cum") <= ceil(col("n_docs") / lit(3.0)), col("bits_m"))).as("t1"),
+      max(when(col("cum") <= ceil(col("n_docs") * lit(2) / lit(3.0)), col("bits_m"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        when(col("bits_m") <= col("t1"), lit("head"))
+          .when(col("bits_m") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
     * frequencies estimated through a depth×width counter sketch, reported
     * for the top-k tokens next to their exact counts — the bounded-memory
@@ -395,6 +457,11 @@ object TextAnalysis {
   def cmsQuery(spark: SparkSession, dir: String): DataFrame =
     cmsHeavyHitters(Tables.documents(spark, dir), "text")
 
+  /** Perplexity head/middle/tail bucketing over documents. */
+  def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
     "llm_vocab_oov" -> (oovQuery _),
@@ -410,6 +477,7 @@ object TextAnalysis {
     "llm_fingerprint" -> (fingerprint _),
     "llm_gopher_filter" -> (gopherQuery _),
     "llm_heavy_hitters_cms" -> (cmsQuery _),
+    "llm_perplexity" -> (perplexityQuery _),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -453,6 +521,38 @@ object TextAnalysis {
         |SELECT e.token, CAST(e.est_count AS BIGINT) AS est_count, t.tf AS true_count
         |FROM est e JOIN tf t USING (token)
         |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
+    // replays the quantized-term accumulation: every per-type term is
+    // rounded to 1/65536 bits BEFORE summing, so both engines add the
+    // same BIGINTs in any order; bucketing runs on the milli-bits
+    // histogram with a value-closed head (ties stay low), never a row sort
+    "llm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |cnt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS v FROM cnt),
+        |d AS MATERIALIZED (
+        |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(round(tf.tf * (-log2(CAST(cnt.cnt + 1 AS DOUBLE)
+        |      / CAST(st.n_total + st.v AS DOUBLE))) * 65536.0, 0) AS BIGINT)) AS BIGINT) AS nll_q
+        |  FROM tf JOIN cnt USING (token) CROSS JOIN st GROUP BY 1),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(nll_q AS DOUBLE) / 65536.0 / n_tokens AS bits,
+        |    CAST(floor(CAST(nll_q AS DOUBLE) / 65536.0 / n_tokens * 1000.0) AS BIGINT) AS bits_m
+        |  FROM d),
+        |h AS (SELECT bits_m, COUNT(*) AS c FROM s GROUP BY 1),
+        |cum AS (SELECT bits_m, SUM(c) OVER (ORDER BY bits_m) AS cum FROM h),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM s),
+        |th AS (SELECT MAX(CASE WHEN cum <= ceil(n_docs / 3.0) THEN bits_m END) AS t1,
+        |              MAX(CASE WHEN cum <= ceil(n_docs * 2 / 3.0) THEN bits_m END) AS t2
+        |       FROM cum CROSS JOIN tot)
+        |SELECT s.doc_id, s.n_tokens, s.bits,
+        |  CASE WHEN s.bits_m <= th.t1 THEN 'head'
+        |       WHEN s.bits_m <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin,
     // every flag is a comparison over values both engines compute with the
     // SAME IEEE operations (one division, one subtraction), so boundary
     // cases agree bit-for-bit

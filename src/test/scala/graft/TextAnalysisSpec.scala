@@ -137,4 +137,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._3 == 0 && got(3L)._5 == 0, s"got ${got(3L)}")
     assert(got(4L)._4 == 0 && got(4L)._5 == 0, s"got ${got(4L)}")
   }
+
+  test("perplexity buckets: quantized bits exact, value-monotone thirds") {
+    val texts = Seq(
+      0L -> "the the the the",         // all head-frequency tokens
+      1L -> "the cat the cat",
+      2L -> "the cat sat here",
+      3L -> "some other words too",
+      4L -> "rare quetzal one",
+      5L -> "xylophone zygote unique") // all df-1 rarities
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(docs, "text", "doc_id")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+
+    // replicate the quantized-term formula for doc 0 off-engine
+    val corpus = texts.map(_._2.split(" ").toSeq)
+    val cnt = corpus.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = corpus.flatten.size
+    val v = cnt.size
+    def bitsOf(doc: Seq[String]): Double = {
+      val nllQ = doc.groupBy(identity).map { case (t, occ) =>
+        val p = (cnt(t) + 1.0) / (nTotal + v)
+        math.round(occ.size * -(math.log(p) / math.log(2.0)) * 65536.0)
+      }.sum
+      nllQ.toDouble / 65536.0 / doc.size
+    }
+    assert(got(0)._3 == bitsOf(corpus(0)), s"bits ${got(0)._3} != ${bitsOf(corpus(0))}")
+    assert(got.forall(_._2 == 4) || got.exists(_._2 == 3)) // token counts present
+
+    // rare-token docs score strictly higher than common-token docs
+    assert(got(5)._3 > got(0)._3)
+    // buckets are value-monotone: every head bit <= every middle <= every tail
+    val byBucket = got.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+    for (h <- byBucket.getOrElse("head", Seq.empty); m <- byBucket.getOrElse("middle", Seq.empty))
+      assert(h <= m)
+    for (m <- byBucket.getOrElse("middle", Seq.empty); t <- byBucket.getOrElse("tail", Seq.empty))
+      assert(m <= t)
+    // head is a value-closed prefix of at most ceil(n/3) docs
+    assert(byBucket.getOrElse("head", Nil).size <= 2)
+    assert(got(0)._4 == "head" && got(5)._4 == "tail")
+  }
 }

@@ -256,6 +256,81 @@ object Corpus {
           .cast("long").as("target_docs"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-bigram profile is — the
+    * log-likelihood ratio of the doc's features under the add-one-
+    * smoothed target vs raw bucket distributions — and select the
+    * top `keepPermille`/1000 of the corpus by weight. `targetPred`
+    * marks the in-corpus exemplar set (e.g. a trusted language or
+    * source); at 100 TB the same shape scores a web crawl against a
+    * small high-quality reference corpus.
+    *
+    * Determinism & scale (the `perplexityBuckets` playbook): bigrams
+    * hash into `buckets` cells via the engine's sha-prefix draw, so
+    * both engines build the identical feature table; per-(doc,bucket)
+    * log-ratio terms quantize to 1/2^16 BEFORE the BIGINT sum
+    * (associative — groupBy order can't flip a selection); the bucket
+    * distributions live in a `buckets`-row broadcast frame; selection
+    * thresholds come from a milli-weight histogram (value-closed top
+    * slice, ties excluded), never a global row sort. One corpus scan:
+    * the (doc, bucket, tf) aggregate is checkpointed and feeds the
+    * distributions AND the per-doc scoring join.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  targetPred: Column, buckets: Int = 256,
+                  keepPermille: Int = 200,
+                  salt: String = ":dsir:v1"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val feats = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"), toks.as("t"))
+      .select(col("doc_id"), col("is_target"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("bucket",
+        conv(substring(sha2(concat(col("bg"), lit(salt)), 256), 1, 15), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val bs = feats.groupBy(col("bucket")).agg(
+      coalesce(sum(when(col("is_target"), col("tf"))), lit(0L)).as("tgt"),
+      sum(col("tf")).as("raw"))
+    val st = bs.agg(sum(col("tgt")).as("n_tgt"), sum(col("raw")).as("n_raw"))
+    val lr = bs.crossJoin(broadcast(st))
+      .select(col("bucket"),
+        (log2((col("tgt") + lit(1L)).cast("double") / (col("n_tgt") + lit(buckets)).cast("double"))
+          - log2((col("raw") + lit(1L)).cast("double") / (col("n_raw") + lit(buckets)).cast("double")))
+          .as("lr"))
+    val perDoc = feats.join(broadcast(lr), Seq("bucket"))
+      .withColumn("term_q", round(col("tf") * col("lr") * lit(65536.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_grams"), sum(col("term_q")).as("logw_q"))
+    // LEFT join: a one-token doc has no bigrams — it must still get a row
+    val scored = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_q"), lit(0L)).as("logw_q"))
+      .withColumn("logw", col("logw_q").cast("double") / lit(65536.0))
+      .withColumn("logw_m", floor(col("logw") * lit(1000.0)).cast("long"))
+      .localCheckpoint() // feeds the histogram AND the final select
+    val hist = scored.groupBy(col("logw_m")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("logw_m").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = scored.agg(count(lit(1)).as("n_docs"))
+    val th = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") <= ceil(col("n_docs") * lit(keepPermille) / lit(1000.0)),
+        col("logw_m"))).as("t"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("is_target"), col("n_grams"), col("logw"),
+        coalesce(col("logw_m") >= col("t"), lit(false)).as("selected"))
+  }
+
   /** The 20 synthetic sources reweighted into 4 weight tiers under a
     * half-size budget (sf-invariant: rates derive from counts).
     */
@@ -278,6 +353,12 @@ object Corpus {
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** DSIR weights against the English slice as the target exemplar set. */
+  def dsirQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir), "text", "doc_id",
+      col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mix_target" -> (mixQuery _),
     "llm_mix_temperature" -> (mixTemperatureQuery _),
@@ -289,7 +370,8 @@ object Corpus {
     "llm_chunks" -> (chunkQuery _),
     "llm_pack" -> (packQuery _),
     "llm_decontaminate" -> (decontaminateQuery _),
-    "llm_pii_redact" -> (redactQuery _))
+    "llm_pii_redact" -> (redactQuery _),
+    "llm_dsir_select" -> (dsirQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -409,5 +491,48 @@ object Corpus {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the full DSIR pipeline: identical sha-prefix bucket draw,
+    // identical log2(a)-log2(b) structure, terms quantized to 1/2^16
+    // before the BIGINT sum, selection via the DESC milli-weight
+    // histogram (value-closed top slice, boundary ties excluded)
+    "llm_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, is_target,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, is_target,
+        |    CAST(CONCAT('0x', substr(sha256(bg || ':dsir:v1'), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |    COUNT(*) AS tf
+        |  FROM b GROUP BY 1, 2, 3),
+        |bs AS (SELECT bucket,
+        |         CAST(COALESCE(SUM(CASE WHEN is_target THEN tf END), 0) AS BIGINT) AS tgt,
+        |         CAST(SUM(tf) AS BIGINT) AS raw
+        |       FROM f GROUP BY 1),
+        |st AS (SELECT CAST(SUM(tgt) AS BIGINT) AS n_tgt, CAST(SUM(raw) AS BIGINT) AS n_raw FROM bs),
+        |lr AS (SELECT bucket,
+        |         log2(CAST(tgt + 1 AS DOUBLE) / CAST(st.n_tgt + 256 AS DOUBLE))
+        |           - log2(CAST(raw + 1 AS DOUBLE) / CAST(st.n_raw + 256 AS DOUBLE)) AS lr
+        |       FROM bs CROSS JOIN st),
+        |d AS (SELECT f.doc_id, CAST(SUM(f.tf) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CAST(round(f.tf * lr.lr * 65536.0, 0) AS BIGINT)) AS BIGINT) AS logw_q
+        |      FROM f JOIN lr USING (bucket) GROUP BY 1),
+        |s AS MATERIALIZED (
+        |  SELECT t.doc_id, t.is_target,
+        |    COALESCE(d.n_grams, 0) AS n_grams,
+        |    CAST(COALESCE(d.logw_q, 0) AS DOUBLE) / 65536.0 AS logw,
+        |    CAST(floor(CAST(COALESCE(d.logw_q, 0) AS DOUBLE) / 65536.0 * 1000.0) AS BIGINT) AS logw_m
+        |  FROM t LEFT JOIN d USING (doc_id)),
+        |h AS (SELECT logw_m, COUNT(*) AS c FROM s GROUP BY 1),
+        |cum AS (SELECT logw_m, SUM(c) OVER (ORDER BY logw_m DESC) AS cum FROM h),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM s),
+        |th AS (SELECT MIN(CASE WHEN cum <= ceil(n_docs * 200 / 1000.0) THEN logw_m END) AS t
+        |       FROM cum CROSS JOIN tot)
+        |SELECT s.doc_id, s.is_target, s.n_grams, s.logw,
+        |  COALESCE(s.logw_m >= th.t, FALSE) AS selected
+        |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin)
 }

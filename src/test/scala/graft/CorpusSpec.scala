@@ -206,4 +206,49 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(head._5 + tail._5 == 50L, s"targets ${head._5} + ${tail._5}")
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
+
+  test("dsir: target-like docs outscore off-target, selection is value-closed top slice") {
+    val ref = "alpha beta gamma delta alpha beta"
+    val docs = Seq(
+      (0L, ref, true), (1L, ref, true), (2L, ref, true), (3L, ref, true),
+      (4L, "alpha beta gamma delta epsilon", false),  // shares target bigrams
+      (5L, "alpha beta gamma zulu yankee", false),
+      (6L, "zulu yankee xray whiskey victor", false), // disjoint from target
+      (7L, "zulu yankee xray whiskey victor", false),
+      (8L, "quebec papa oscar november mike", false),
+      (9L, "lima kilo juliett india hotel", false))
+      .toDF("doc_id", "text", "is_ref")
+    // keep 3: the four target docs TIE at the top value — a value-closed
+    // slice can't split a tie, so nothing qualifies under k=3
+    val none = Corpus.dsirWeights(docs, "text", "doc_id", col("is_ref"),
+        buckets = 64, keepPermille = 300)
+      .filter(col("selected")).count()
+    assert(none == 0L)
+    val got = Corpus.dsirWeights(docs, "text", "doc_id", col("is_ref"),
+        buckets = 64, keepPermille = 500)
+      .orderBy($"doc_id")
+      .as[(Long, Boolean, Long, Double, Boolean)].collect()
+    assert(got.length == 10)
+    // every doc has n-1 bigram occurrences
+    assert(got.forall(r => r._3 == (if (r._1 <= 3) 5 else 4)), got.mkString(","))
+    // target-exclusive bigrams push target-like docs above disjoint ones
+    val w = got.map(r => r._1 -> r._4).toMap
+    assert(w(4L) > w(6L), s"target-like ${w(4L)} !> disjoint ${w(6L)}")
+    assert(w(0L) > w(8L))
+    // selection under k=5: at most 5 docs, value-monotone — every
+    // selected weight >= every unselected weight
+    val sel = got.filter(_._5).map(_._4)
+    assert(sel.nonEmpty && sel.length <= 5, got.mkString(","))
+    val unsel = got.filterNot(_._5).map(_._4)
+    for (s <- sel; u <- unsel) assert(s >= u, s"$s < $u")
+    // the target-like raw doc makes the cut; the disjoint one never does
+    val selIds = got.filter(_._5).map(_._1).toSet
+    assert(selIds.contains(4L) && !selIds.contains(6L), selIds.toString)
+    // deterministic: a re-run reproduces the same frame
+    val again = Corpus.dsirWeights(docs, "text", "doc_id", col("is_ref"),
+        buckets = 64, keepPermille = 500)
+      .orderBy($"doc_id")
+      .as[(Long, Boolean, Long, Double, Boolean)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
 }

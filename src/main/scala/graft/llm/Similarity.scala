@@ -222,6 +222,61 @@ object Similarity {
   private val KnuthMult = 2654435761L // Knuth multiplicative hash constant
   private val QuantScale = 65536.0 // 2^16: exact in double, exact to undo
 
+  // ---- k-center diversity selection ---------------------------------------
+
+  /** Greedy k-center / farthest-point selection (Gonzalez 1985, the 2-
+    * approximation): pick the corpus point with the lowest id, then k−1
+    * times the point FARTHEST from everything chosen so far — the classic
+    * diversity-maximizing coreset used to seed balanced pre-training
+    * subsets and kNN index probes. Returns every point assigned to its
+    * nearest selected center (ties → earliest-selected center) with the
+    * integer squared distance, so the coverage radius is `max(dist_q)`.
+    *
+    * Determinism: vectors quantize to ×2¹⁶ integers (the k-means
+    * convention — the only rounding is one half-away-from-zero, identical
+    * cross-engine), every distance is an exact int64 sum, and both
+    * argmax (max dist, then lowest id) and assignment (min dist, then
+    * selection rank) have total tie orders — the DuckDB oracle unrolls
+    * the same k−1 rounds and matches bit-for-bit.
+    *
+    * Scale shape: FPS is inherently k sequential passes — each round is
+    * ONE scan computing `least` of the running chosen-set distances
+    * (centers ride along as literals; nothing is collected but the
+    * single argmax row), ending in a TakeOrdered(1), not a sort. The
+    * quantized frame is checkpointed once and serves all k+1 passes. At
+    * 100 TB the same plan holds (k scans of a columnar projection);
+    * corpora needing k in the thousands should switch to the batched
+    * over-sampling variant (pick √k per pass) — out of scope here.
+    * Ragged/NaN corpora must pass the `embeddingQuality` gate first.
+    */
+  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val q = corpus
+      .select(col("vec_id").cast("long").as("vid"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(QuantScale)).cast("long")).as("q"))
+      .localCheckpoint() // k argmax passes + the assignment pass share it
+    def distTo(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("q"), typedlit(center.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = q.orderBy(col("vid")).limit(1).collect().head
+    var chosen = Vector((first.getLong(0), first.getSeq[Long](1).toArray))
+    for (_ <- 1 until k) {
+      val md = chosen.map(c => distTo(c._2)).reduce(least(_, _))
+      val next = q.withColumn("md", md)
+        .orderBy(col("md").desc, col("vid")).limit(1).collect().head
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Long](1).toArray))
+    }
+    val cands = chosen.zipWithIndex.map { case ((cvid, cq), r) =>
+      struct(distTo(cq).as("d"), lit(r).as("r"), lit(cvid).as("cvid"))
+    }
+    val best = array_min(array(cands: _*))
+    q.select(col("vid").as("vec_id"),
+      best.getField("cvid").as("center_vec_id"),
+      best.getField("d").as("dist_q"))
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m`
@@ -1057,7 +1112,15 @@ object Similarity {
         concat_ws(",", transform(col("proj"), _.cast("string"))).as("proj_csv"))
       .orderBy(col("vec_id"))
 
+  private val KCenters = 8
+
+  /** k-center selection + assignment over the synthetic embeddings. */
+  def kCenterQuery(spark: SparkSession, dir: String): DataFrame =
+    kCenterSelect(Tables.embeddings(spark, dir), KCenters)
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_kcenter_select" -> (kCenterQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1479,7 +1542,49 @@ object Similarity {
        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replica of `kCenterSelect`: the k−1 greedy rounds unrolled as
+    * p0 → m0 → p1 → m1 → … (pick farthest, fold its distance into the
+    * running min), then the argmin assignment — all integer-exact.
+    */
+  private def kCenterSql(k: Int): String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(len($a.q)), i -> ($a.q[i+1] - $b.q[i+1]) * ($a.q[i+1] - $b.q[i+1])))"
+    val sb = new StringBuilder(
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT CAST(vec_id AS BIGINT) AS vid,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p0 AS MATERIALIZED (SELECT vid, q FROM q ORDER BY vid LIMIT 1),
+         |m0 AS MATERIALIZED (
+         |  SELECT a.vid, a.q, ${dist("a", "p")} AS md FROM q a, p0 p)""".stripMargin)
+    for (t <- 1 until k) {
+      sb.append(
+        s""",
+           |p$t AS MATERIALIZED (SELECT vid, q FROM m${t - 1} ORDER BY md DESC, vid LIMIT 1)""".stripMargin)
+      if (t < k - 1) sb.append(
+        s""",
+           |m$t AS MATERIALIZED (
+           |  SELECT a.vid, a.q, LEAST(a.md, ${dist("a", "p")}) AS md FROM m${t - 1} a, p$t p)""".stripMargin)
+    }
+    val cent = (0 until k)
+      .map(r => s"SELECT $r AS r, vid, q FROM p$r")
+      .mkString("\n  UNION ALL ")
+    sb.append(
+      s""",
+         |cent AS MATERIALIZED (
+         |  $cent)
+         |SELECT a.vid AS vec_id, c.vid AS center_vec_id,
+         |  CAST(${dist("a", "c")} AS BIGINT) AS dist_q
+         |FROM q a CROSS JOIN cent c
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vid
+         |  ORDER BY ${dist("a", "c")}, c.r) = 1
+         |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_kcenter_select" -> kCenterSql(KCenters),
     // sign-hash projection replica: the sign matrix is materialized as a
     // CTE replaying the same multiply-xorshift chain (every intermediate
     // < 2^63 — the chain was designed for signed-SQL replay), then the

@@ -503,4 +503,41 @@ class SimilaritySpec extends SparkSpec {
       assert(got(q).forall(n => n % 4 == q % 4),
         s"query $q pulled a foreign-cluster neighbor: ${got(q)}")
   }
+
+  test("k-center: farthest-point picks span the clusters, assignment is exact") {
+    // three tight clusters far apart + one outlier; k=4 must pick one
+    // representative per region (greedy FPS guarantee), starting at vid 0
+    def v(x: Double, y: Double): Array[Float] =
+      (Array(x, y) ++ Array.fill(6)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      0L -> v(0, 0), 1L -> v(0.01, 0), 2L -> v(0, 0.01),          // cluster A
+      10L -> v(10, 0), 11L -> v(10.01, 0),                        // cluster B
+      20L -> v(0, 10), 21L -> v(0, 10.01),                        // cluster C
+      30L -> v(7, 7)                                              // outlier D
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val centers = got.map(_._2).toSet
+    // one center per region: 0 seeds, then the three far regions follow
+    assert(centers.contains(0L) && centers.size == 4, centers.toString)
+    assert(Set(10L, 11L).exists(centers), centers.toString)
+    assert(Set(20L, 21L).exists(centers), centers.toString)
+    assert(centers.contains(30L), centers.toString)
+    // every point is assigned within its own region: radius < inter-cluster gap
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 0L && byId(2L)._2 == 0L)
+    // exact integer distance: vid 1's offset 0.01f quantizes to
+    // round(float32(0.01) * 2^16) and the squared distance is that squared
+    val q001 = math.round(0.01f.toDouble * 65536)
+    assert(byId(1L)._3 == q001 * q001, s"${byId(1L)._3} != ${q001 * q001}")
+    // members of a tight cluster sit far from other centers: coverage radius
+    // (max assigned dist) is tiny next to the inter-cluster scale
+    val radius = got.map(_._3).max
+    val gap = math.round(10.0 * 65536).toDouble
+    assert(radius < gap * gap / 100, s"radius $radius")
+    // determinism: rerun equals
+    val again = Similarity.kCenterSelect(emb, 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
 }

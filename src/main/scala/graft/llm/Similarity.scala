@@ -1038,6 +1038,52 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
+    * within-cluster pruning — k-means the corpus (the deterministic
+    * integer trainer IVF uses), and inside each cluster drop the higher
+    * id of every pair with cosine ≥ τ, keeping one representative per
+    * near-duplicate group. The cluster pass is what makes semantic dedup
+    * tractable: candidate pairs are cluster-scoped (Σ n_c²/2 ≈ n²/2k for
+    * balanced clusters — the published knob is k ∝ n, holding per-cluster
+    * work constant), and only (cluster_id, id, embedding) rows shuffle,
+    * once, on the cluster key. The greedy higher-id drop is the same
+    * order-deterministic rule as Curation's near-dedup stage.
+    *
+    * Returns every input id with its cluster and a `kept` verdict —
+    * downstream callers filter `kept` for the surviving corpus.
+    */
+  def semDedup(corpus: DataFrame, nlist: Int, sampleSize: Int,
+               iters: Int, tau: Double): DataFrame = {
+    val vecs = trainCentroidsKMeans(corpus, nlist, sampleSize, iters)
+    val assigned = corpus
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"),
+        element_at(
+          VectorExprs.nearestCentroids(col("embedding"), vecs.indices.toArray, vecs, 1), 1)
+          .as("cluster_id"))
+      .localCheckpoint() // feeds both pair sides AND the verdict join
+    val drops = assigned
+      .select(col("cluster_id"), col("vec_id").as("u"), col("embedding").as("ea"))
+      .join(assigned.select(col("cluster_id"), col("vec_id").as("v"),
+        col("embedding").as("eb")), Seq("cluster_id"))
+      .filter(col("u") < col("v") &&
+        VectorExprs.cosineSim(col("ea"), col("eb")) >= tau)
+      .select(col("v").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** SemDeDup over the twin-augmented corpus (the raw synthetic table has
+    * no pairs at cosine ≥ 0.95 — same rig as `embedClustersLshQuery`, so
+    * real drops route through the oracle gate; the operator itself stays
+    * unaugmented for production use).
+    */
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(plantTwins(Tables.embeddings(spark, dir)),
+        NList, SampleSize, KmIters, LshTau)
+      .orderBy(col("vec_id"))
+
   /** Uint8 quantization codes per vector, exported as a canonical CSV
     * string: the codes are integers, so "0,17,255,…" is a lossless
     * serialization, and a scalar column is sortable/hashable by any
@@ -1121,6 +1167,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kcenter_select" -> (kCenterQuery _),
+    "llm_semdedup" -> (semDedupQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1485,6 +1532,52 @@ object Similarity {
        |hpl AS MATERIALIZED (SELECT bit, list(comp ORDER BY dim) AS comps FROM hp GROUP BY bit)""".stripMargin
   }
 
+  /** The llm_semdedup replica: planted twins → hash-ordered sample →
+    * unrolled Lloyd chain (over the TWINNED table, matching the Scala
+    * trainer's input) → cosine-argmax assignment → within-cluster
+    * higher-id drops at cosine ≥ τ.
+    */
+  private lazy val SemDedupSql: String =
+    s"""WITH mx AS MATERIALIZED (
+       |  SELECT MAX(CAST(vec_id AS BIGINT)) AS m FROM embeddings),
+       |base AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |tw AS MATERIALIZED (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT m + 1 FROM mx), list_transform(range(len(emb)),
+       |    i -> CASE WHEN i = 0 THEN emb[i+1] + $TwinBump ELSE emb[i+1] END)
+       |  FROM base WHERE vec_id < $TwinCount
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT m + 1 + $TwinCount FROM mx), list_transform(range(len(emb)),
+       |    i -> CASE WHEN i = 1 THEN emb[i+1] + $TwinBump ELSE emb[i+1] END)
+       |  FROM base WHERE vec_id < $TwinCount),
+       |tsamp AS MATERIALIZED (
+       |  SELECT vec_id AS vid,
+       |    list_transform(emb, x -> CAST(round(x * 65536) AS BIGINT)) AS q,
+       |    (vec_id * $KnuthMult) % 4294967296 AS h
+       |  FROM tw ORDER BY h, vid LIMIT $SampleSize),
+       |${lloydCtes("", "tsamp", NList, KmIters)},
+       |cent AS MATERIALIZED (
+       |  SELECT cid AS centroid_id,
+       |    list_transform(c, x -> CAST(x AS DOUBLE) / 65536.0) AS embedding
+       |  FROM c$KmIters),
+       |assign AS MATERIALIZED (
+       |  SELECT t.vec_id, t.emb, cent.centroid_id
+       |  FROM tw t, cent
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |    ORDER BY list_cosine_similarity(t.emb, CAST(cent.embedding AS DOUBLE[])) DESC,
+       |      cent.centroid_id) = 1),
+       |drops AS MATERIALIZED (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= $LshTau)
+       |SELECT a.vec_id, a.centroid_id AS cluster_id, d.vec_id IS NULL AS kept
+       |FROM assign a LEFT JOIN drops d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** The llm_embed_clusters_lsh replica: planted twins → banded hyperplane
     * signatures → capped buckets → candidate pairs → exact-cosine verify →
     * transitive closure (same recursive tail as llm_embed_clusters).
@@ -1585,6 +1678,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "llm_kcenter_select" -> kCenterSql(KCenters),
+    "llm_semdedup" -> SemDedupSql,
     // sign-hash projection replica: the sign matrix is materialized as a
     // CTE replaying the same multiply-xorshift chain (every intermediate
     // < 2^63 — the chain was designed for signed-SQL replay), then the

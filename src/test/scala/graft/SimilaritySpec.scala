@@ -540,4 +540,26 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == again.toSeq)
   }
+
+  test("semdedup: near-twins pruned to the lowest id, distinct vectors survive") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      0L -> v(1.0, 0.0),            // cluster around e1
+      1L -> v(0.9992, 0.04),        //   cos(0,1) ≈ 0.9999 → dup of 0
+      2L -> v(0.8, 0.6),            //   cos(0,2) = 0.8    → kept
+      10L -> v(0.0, 0.0, 1.0),      // cluster around e3
+      11L -> v(0.0, 0.0, 0.9999, 0.014), // cos(10,11) ≈ 1 → dup of 10
+      12L -> v(0.0, 0.0, 0.8, 0.6)  //   kept
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, nlist = 2, sampleSize = 6, iters = 2, tau = 0.95)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    // regardless of k-means geometry, near-identical pairs co-cluster and
+    // the higher id of each pair is the one pruned
+    val dropped = got.filterNot(_._3).map(_._1).toSet
+    assert(dropped == Set(1L, 11L), s"dropped $dropped")
+    val cl = got.map(r => r._1 -> r._2).toMap
+    assert(cl(0L) == cl(1L) && cl(10L) == cl(11L))
+  }
 }

@@ -820,6 +820,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/FaceNet
+    * recipe): for each anchor, the top-k most similar corpus vectors
+    * with a DIFFERENT label — the negatives that actually move a
+    * contrastive loss — each reported with its triplet margin against
+    * the anchor's hardest positive (max same-label cosine) and the
+    * semi-hard verdict (negative still scored below the positive).
+    * The cross-label condition is a pre-filter like `filteredKnnQuery`;
+    * anchors broadcast, the corpus streams, ONE scan feeds both the
+    * negative ranking and the positive max (anchor-count-bounded aggs).
+    */
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir), NumQueries, K)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** The mining engine behind `hardNegativesQuery` (anchors = vec_id <
+    * `numAnchors`, top-`k` cross-label negatives per anchor).
+    */
+  def hardNegatives(emb: DataFrame, numAnchors: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < numAnchors)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("label"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .localCheckpoint() // one scan serves negatives AND the positive max
+    val pos = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("query_id")).agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(broadcast(pos), Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rn").as("rank"), round(col("sim"), 4).as("sim_r"),
+        round(col("pos_sim") - col("sim"), 4).as("margin_r"),
+        (col("sim") < col("pos_sim")).as("semi_hard"))
+  }
+
   /** IVF ANN (scale path; fully deterministic, so it is oracle-checked
     * end-to-end: assignment, probing and ranking all reproduce in SQL).
     */
@@ -1168,6 +1207,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kcenter_select" -> (kCenterQuery _),
     "llm_semdedup" -> (semDedupQuery _),
+    "llm_hard_negatives" -> (hardNegativesQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1779,6 +1819,30 @@ object Similarity {
          |WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
          |  AND c.label = q.label
          |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // hardest positive via MAX (order-free), margin/verdict from the SAME
+    // doubles both engines rank on
+    "llm_hard_negatives" ->
+      s"""WITH pos AS (
+         |  SELECT q.vec_id AS query_id, MAX(${cosSql("q", "c")}) AS pos_sim
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+         |    AND c.label = q.label
+         |  GROUP BY 1),
+         |neg AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS INTEGER) AS rank,
+         |    ${cosSql("q", "c")} AS sim
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+         |    AND c.label <> q.label
+         |  QUALIFY rank <= $K)
+         |SELECT n.query_id, n.neighbor_id, n.label, n.rank,
+         |  ROUND(n.sim, 4) AS sim_r,
+         |  ROUND(p.pos_sim - n.sim, 4) AS margin_r,
+         |  n.sim < p.pos_sim AS semi_hard
+         |FROM neg n LEFT JOIN pos p USING (query_id)
          |ORDER BY query_id, rank""".stripMargin,
     "llm_knn_brute" ->
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -562,4 +562,30 @@ class SimilaritySpec extends SparkSpec {
     val cl = got.map(r => r._1 -> r._2).toMap
     assert(cl(0L) == cl(1L) && cl(10L) == cl(11L))
   }
+
+  test("hard negatives: cross-label only, margins against the hardest positive") {
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1.0, 0.0), 0),          // anchor
+      (1L, v(0.9, 0.43589), 0),      // positive, cos ≈ 0.90
+      (2L, v(0.95, 0.31225), 1),     // negative ABOVE the positive (hard)
+      (3L, v(0.6, 0.8), 1),          // negative below (semi-hard)
+      (4L, v(0.0, 1.0), 2)           // orthogonal negative
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, numAnchors = 1, k = 3)
+      .orderBy($"rank")
+      .as[(Long, Long, Int, Int, Double, Double, Boolean)].collect()
+    // only cross-label ids, ranked by similarity
+    assert(got.map(_._2).toSeq == Seq(2L, 3L, 4L), got.mkString(","))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3))
+    // the harder-than-positive negative has a NEGATIVE margin and is not
+    // semi-hard; the others sit below the positive
+    val byId = got.map(r => r._2 -> r).toMap
+    assert(byId(2L)._6 < 0 && !byId(2L)._7, byId(2L).toString)
+    assert(byId(3L)._6 > 0 && byId(3L)._7)
+    assert(byId(4L)._6 > 0 && byId(4L)._7)
+    // margin = pos_sim - sim exactly (rounded at the same place)
+    assert(math.abs((byId(3L)._5 + byId(3L)._6) - (byId(2L)._5 + byId(2L)._6)) < 2e-4)
+  }
 }

@@ -41,6 +41,29 @@ object Corpus {
           .when(col("bucket") < 950, "val")
           .otherwise("test"))
 
+  /** Leakage-safe split: identical/near-identical content must never
+    * straddle train and test (a duplicated doc split across them leaks
+    * the test set into training — the standard eval-contamination bug).
+    * Docs group by normalized-content hash; every member draws its
+    * bucket from the GROUP's canonical id (min doc_id), so a whole dup
+    * group lands in one split, while singleton docs get exactly the
+    * same assignment as `splitAssign` (same salt, same draw — the two
+    * splits agree everywhere except where leakage was possible).
+    * One shuffle, on the 32-byte content hash; text never moves.
+    */
+  def splitLeakageSafe(docs: DataFrame, idCol: String, textCol: String,
+                       salt: String = ":split:v1"): DataFrame = {
+    val canon = docs
+      .select(col(idCol).as("doc_id"), Dedup.normHash(col(textCol)).as("h"))
+      .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    canon.withColumn("bucket", hashBucket(col("canon_id"), salt))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("canon_id"), col("bucket"), col("split"))
+  }
+
   /** Stratified sampling: per-stratum keep-rates (permille), applied via
     * an independent hash draw — e.g. downsample over-represented
     * languages. Rows of strata absent from `ratesPermille` are dropped.
@@ -353,6 +376,11 @@ object Corpus {
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe split over documents (dup groups stay intact). */
+  def splitLeakageSafeQuery(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageSafe(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** DSIR weights against the English slice as the target exemplar set. */
   def dsirQuery(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir), "text", "doc_id",
@@ -371,12 +399,13 @@ object Corpus {
     "llm_pack" -> (packQuery _),
     "llm_decontaminate" -> (decontaminateQuery _),
     "llm_pii_redact" -> (redactQuery _),
-    "llm_dsir_select" -> (dsirQuery _))
+    "llm_dsir_select" -> (dsirQuery _),
+    "llm_split_leakage_safe" -> (splitLeakageSafeQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
-  private[llm] def bucketSql(salt: String) =
-    s"CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15)) AS BIGINT) % 1000"
+  private[llm] def bucketSql(salt: String, idExpr: String = "doc_id") =
+    s"CAST(CONCAT('0x', substr(sha256(CAST($idExpr AS VARCHAR) || '$salt'), 1, 15)) AS BIGINT) % 1000"
 
   // 8-gram shingles, same construction the 3-gram dedup oracles proved
   private val shingle8Sql: String = {
@@ -492,6 +521,19 @@ object Corpus {
         |  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the split draw over the GROUP CANON id: same hash construction the
+    // llm_split oracle proves, keyed on min(doc_id) per normalized hash
+    "llm_split_leakage_safe" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY
+         |      sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS canon_id
+         |  FROM documents)
+         |SELECT doc_id, canon_id, ${bucketSql(":split:v1", "canon_id")} AS bucket,
+         |  CASE WHEN ${bucketSql(":split:v1", "canon_id")} < 900 THEN 'train'
+         |       WHEN ${bucketSql(":split:v1", "canon_id")} < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
     // replays the full DSIR pipeline: identical sha-prefix bucket draw,
     // identical log2(a)-log2(b) structure, terms quantized to 1/2^16
     // before the BIGINT sum, selection via the DESC milli-weight

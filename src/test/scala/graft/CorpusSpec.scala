@@ -207,6 +207,25 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
 
+  test("leakage-safe split: dup groups intact, singletons match the plain split") {
+    val docs = Seq(
+      (0L, "unique zero"), (1L, "same dup text"), (2L, "unique two"),
+      (3L, "unique three"), (4L, "Same  DUP   text"), (5L, "unique five"))
+      .toDF("doc_id", "text") // 4 normalizes to 1's content
+    val got = Corpus.splitLeakageSafe(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    // the dup pair shares its canon (min id) and therefore its split
+    assert(got(1L)._2 == 1L && got(4L)._2 == 1L)
+    assert(got(4L)._3 == got(1L)._3 && got(4L)._4 == got(1L)._4)
+    // singletons draw exactly the plain split's assignment (same salt)
+    val plain = Corpus.splitAssign(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    for (id <- Seq(0L, 2L, 3L, 5L)) assert(got(id)._4 == plain(id))
+    // the higher-id dup follows its canon's draw, not its own
+    assert(got(4L)._4 == plain(1L))
+  }
+
   test("dsir: target-like docs outscore off-target, selection is value-closed top slice") {
     val ref = "alpha beta gamma delta alpha beta"
     val docs = Seq(

@@ -56,6 +56,18 @@ object ExplainAudit {
     show("llm_embed_project")(Similarity.projectQuery(spark, dir))
     show("llm_vocab_coverage")(graft.llm.TextAnalysis.vocabQuery(spark, dir))
     show("llm_bpe_tokens")(graft.llm.Bpe.tokensQuery(spark, dir))
+    // round-6 additions: perplexity/DSIR (ONE exploded-token/bigram scan
+    // feeding model + scoring via a checkpointed aggregate; thresholds
+    // from histogram frames, no global row sort), semdedup (pair join
+    // scoped to the cluster key), hard negatives (anchors broadcast, one
+    // checkpointed scored scan for both aggs), k-center assignment
+    // (centers ride as literals — no join, no shuffle below the scan)
+    show("llm_perplexity")(graft.llm.TextAnalysis.perplexityQuery(spark, dir))
+    show("llm_dsir_select")(graft.llm.Corpus.dsirQuery(spark, dir))
+    show("llm_semdedup")(Similarity.semDedupQuery(spark, dir))
+    show("llm_hard_negatives")(Similarity.hardNegativesQuery(spark, dir))
+    show("llm_kcenter_select")(Similarity.kCenterQuery(spark, dir))
+    show("llm_split_leakage_safe")(graft.llm.Corpus.splitLeakageSafeQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

@@ -236,6 +236,44 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  /** Per-source data card (the "datasheets for datasets" rollup a corpus
+    * release ships): docs, token mass, predicted-English share, exact-dup
+    * incidence, and mean quality per source — the one-page view that
+    * decides which sources get re-crawled, down-weighted, or dropped.
+    *
+    * One scan computes every per-doc metric into a checkpointed narrow
+    * frame (source, tokens, quantized quality, predicted lang, content
+    * hash); dup incidence joins that frame against its own hash
+    * histogram (32-byte hashes shuffle, never text); the rollup groups
+    * by source. Mean quality accumulates the ×10⁶-quantized per-doc
+    * score in BIGINT — associative, so the groupBy's combine order can
+    * never wobble the reported mean (the `perplexityBuckets` rule).
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val t = tokenCount(col("text"))
+    val stop = stopwordHits(col("text"), langStopwords.head._2)
+    val awl = length(col("text")) / t
+    val scores = langStopwords.map { case (l, w) => l -> stopwordHits(col("text"), w) }
+    val perDoc = docs.select(
+        col("source"), col("doc_id"),
+        t.cast("long").as("n_toks"),
+        round(qualityScore(t, stop, awl) * lit(1000000.0), 0).cast("long").as("q_q"),
+        langPredict(scores).as("pred_lang"),
+        Dedup.normHash(col("text")).as("h"))
+      .localCheckpoint() // feeds the hash histogram AND the rollup
+    val dupHashes = perDoc.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"), lit(1L).as("is_dup"))
+    perDoc.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"),
+        round(sum(col("q_q")).cast("double") / lit(1000000.0) / count(lit(1)), 6)
+          .as("mean_quality"))
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
     * frequencies estimated through a depth×width counter sketch, reported
     * for the top-k tokens next to their exact counts — the bounded-memory
@@ -462,6 +500,10 @@ object TextAnalysis {
     perplexityBuckets(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Per-source data card over documents. */
+  def dataCardQuery(spark: SparkSession, dir: String): DataFrame =
+    dataCard(Tables.documents(spark, dir)).orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
     "llm_vocab_oov" -> (oovQuery _),
@@ -478,6 +520,7 @@ object TextAnalysis {
     "llm_gopher_filter" -> (gopherQuery _),
     "llm_heavy_hitters_cms" -> (cmsQuery _),
     "llm_perplexity" -> (perplexityQuery _),
+    "llm_data_card" -> (dataCardQuery _),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -553,6 +596,26 @@ object TextAnalysis {
         |  CASE WHEN s.bits_m <= th.t1 THEN 'head'
         |       WHEN s.bits_m <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin,
+    // the same quality/langid replicas llm_text_quality / llm_text_langid
+    // prove, quantized ×10⁶ into BIGINT before the per-source mean
+    "llm_data_card" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    CAST(round((0.4 * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0)
+         |      + 0.3 * least(1.0, len(regexp_extract_all(lower(text), '$stopEn')) * 10.0 / len(regexp_split_to_array(trim(text), '\\s+')))
+         |      + 0.3 * (CASE WHEN (length(text) / len(regexp_split_to_array(trim(text), '\\s+'))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) * 1000000.0, 0) AS BIGINT) AS q_q,
+         |    $predLangSql AS pred_lang,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM documents),
+         |dup AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) > 1)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN d.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  round(CAST(SUM(d.q_q) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_quality
+         |FROM d LEFT JOIN dup USING (h)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // every flag is a comparison over values both engines compute with the
     // SAME IEEE operations (one division, one subtraction), so boundary
     // cases agree bit-for-bit

@@ -138,6 +138,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._4 == 0 && got(4L)._5 == 0, s"got ${got(4L)}")
   }
 
+  test("data card: per-source rollup counts dups, english share, quantized mean quality") {
+    val docs = Seq(
+      (0L, "the cat and the dog is nice here", "srcA"),
+      (1L, "THE  cat and the dog is nice   here", "srcA"), // norm-dup of 0
+      (2L, "der hund und die katze ist gut", "srcA"),
+      (3L, "the quick brown fox jumps over it", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dataCard(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("srcA"); val b = got("srcB")
+    assert(a._2 == 3 && b._2 == 1)                 // n_docs
+    assert(a._3 == 8 + 8 + 7 && b._3 == 7)         // whitespace token counts
+    assert(a._4 == 2 && b._4 == 1, s"$a $b")       // en predictions (doc 2 is de)
+    assert(a._5 == 2 && b._5 == 0)                 // both members of the dup pair count
+    // mean quality = mean of the ×1e6-quantized per-doc scores
+    def q(text: String): Double = {
+      val t = text.trim.split("\\s+").length
+      val stop = "\\b(the|and|is|of|to)\\b".r.findAllIn(text.toLowerCase).length
+      val awl = text.length.toDouble / t
+      0.4 * math.min(1.0, t / 100.0) + 0.3 * math.min(1.0, stop * 10.0 / t) +
+        (if (awl >= 3.0 && awl <= 10.0) 0.3 else 0.0)
+    }
+    val expB = math.round(q("the quick brown fox jumps over it") * 1e6) / 1e6
+    assert(math.abs(b._6 - expB) < 1e-9, s"${b._6} != $expB")
+    assert(a._6 > 0.0 && a._6 <= 1.0)
+  }
+
   test("perplexity buckets: quantized bits exact, value-monotone thirds") {
     val texts = Seq(
       0L -> "the the the the",         // all head-frequency tokens

@@ -187,9 +187,49 @@ object Multimodal {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact payload dedup — the first pass every image/audio corpus runs
+    * (byte-identical rips are the dominant duplicate class in crawled
+    * media): group by the codec checksum, keep the lowest id, report the
+    * copy count and the bytes a dedup pass reclaims. Runs THROUGH the
+    * per-partition codec path (checksum comes from the mapPartitions
+    * stage, not a column hash), so the oracle checks the media plumbing
+    * again under a different consumer. Hash groupBy — linear, payloads
+    * never shuffle (only 64-bit checksums and byte counts move).
+    */
+  def payloadDedup(media: Dataset[MediaRow]): DataFrame =
+    extractFeatures(media)
+      .groupBy(col("checksum"))
+      .agg(
+        min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        ((count(lit(1)) - 1) * min(col("n_bytes"))).as("bytes_saved"))
+      .select(col("keep_id"), col("n_copies"), col("bytes_saved"))
+
+  /** The registered query plants 12 byte-identical rips above max(doc_id)
+    * (the corpus has no exact byte dups — same rationale as the embedding
+    * twin rig: real collapse must route through the oracle gate, not just
+    * a spec); the operator itself stays unaugmented.
+    */
+  def payloadDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("text").as("modality"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"), lit(0).as("n_frames"))
+    val maxId = media.agg(max(col("media_id"))).head.getLong(0)
+    val rips = media.filter(col("media_id") < 12)
+      .withColumn("media_id", col("media_id") + lit(maxId + 1))
+    payloadDedup(repartitionByModality(media.unionByName(rips), 8).as[MediaRow])
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stub_features" -> (stubFeatures _),
     "mm_feature_knn" -> (featureKnnQuery _),
+    "mm_payload_dedup" -> (payloadDedupQuery _),
     "mm_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +244,18 @@ object Multimodal {
         |  CAST(CONCAT('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS checksum,
         |  CAST(CAST(CONCAT('0x', substr(sha256(substr(text, 1, GREATEST(length(text) // 8, 1))), 1, 6)) AS BIGINT) AS DOUBLE) / 16777216.0 AS f0
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the checksum construction mm_stub_features proves, as a dedup key
+    "mm_payload_dedup" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT m + 1 FROM mx), text FROM documents WHERE doc_id < 12)
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST((COUNT(*) - 1) * MIN(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS BIGINT) AS bytes_saved
+        |FROM m
+        |GROUP BY CAST(CONCAT('0x', substr(sha256(text), 1, 15)) AS BIGINT)
+        |ORDER BY keep_id""".stripMargin,
     // all 8 digest-window features replayed per doc (same construction
     // the f0 oracle proves, generalized over window index), then the
     // standard cosine top-k replica

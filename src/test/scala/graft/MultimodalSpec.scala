@@ -53,4 +53,16 @@ class MultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 4)
   }
+
+  test("payload dedup: byte-identical rips collapse to the lowest id") {
+    val bytes = Array.tabulate(512)(_.toByte)
+    val rows = Seq(
+      MediaRow(5L, "image", bytes, 16, 16, 0, 1),
+      MediaRow(9L, "image", bytes.clone(), 16, 16, 0, 1), // identical rip
+      MediaRow(7L, "image", bytes.map(b => (b ^ 1).toByte), 16, 16, 0, 1)
+    ).toDS()
+    val got = Multimodal.payloadDedup(rows)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((5L, 2L, 512L), (7L, 1L, 0L)), got.toString)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.Similarity
 
-class SimilaritySpec extends SparkSpec {
+class SimilaritySpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   private def vecs = Seq(
@@ -561,6 +561,43 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped == Set(1L, 11L), s"dropped $dropped")
     val cl = got.map(r => r._1 -> r._2).toMap
     assert(cl(0L) == cl(1L) && cl(10L) == cl(11L))
+  }
+
+  test("k-center equals an independent driver replica on random corpora (property)") {
+    import org.scalacheck.Gen
+    // coords on a /64 grid: ×2^16 quantization is exactly k·1024 — no
+    // rounding boundary can differ between engine and replica
+    val gen = for {
+      n <- Gen.choose(5, 14)
+      pts <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-64, 64)))
+    } yield pts.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.map(x => (x / 64.0).toFloat).toArray)
+    }
+    forAll(gen) { pts =>
+      val k = 3
+      val got = Similarity
+        .kCenterSelect(pts.toDF("vec_id", "embedding").repartition(5), k)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // independent replica: quantize, greedy FPS, argmin assignment
+      val q = pts.map { case (id, arr) =>
+        id -> arr.map(x => math.round(x.toDouble * 65536): Long)
+      }.toMap
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var chosen = Vector(pts.map(_._1).min)
+      while (chosen.size < k) {
+        val next = q.toSeq.map { case (id, v) =>
+          (chosen.map(c => d2(v, q(c))).min, id)
+        }.maxBy { case (md, id) => (md, -id) }._2
+        chosen = chosen :+ next
+      }
+      val exp = q.toSeq.map { case (id, v) =>
+        val (dist, _, cvid) = chosen.zipWithIndex
+          .map { case (c, r) => (d2(v, q(c)), r, c) }.min
+        (id, cvid, dist)
+      }.sortBy(_._1)
+      assert(got == exp, s"\ngot $got\nexp $exp")
+    }
   }
 
   test("hard negatives: cross-label only, margins against the hardest positive") {

@@ -2,7 +2,7 @@ package graft
 
 import graft.llm.TextAnalysis
 
-class TextAnalysisSpec extends SparkSpec {
+class TextAnalysisSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   test("repetition metrics: spam scores high, varied text low, values exact") {
@@ -136,6 +136,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._2 == 0 && got(2L)._4 == 0 && got(2L)._5 == 0, s"got ${got(2L)}")
     assert(got(3L)._3 == 0 && got(3L)._5 == 0, s"got ${got(3L)}")
     assert(got(4L)._4 == 0 && got(4L)._5 == 0, s"got ${got(4L)}")
+  }
+
+  test("perplexity bucketing is partition-invariant with bounded cuts (property)") {
+    import org.scalacheck.Gen
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val gen = for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.take(8)))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    forAll(gen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val a = TextAnalysis.perplexityBuckets(df, "text", "doc_id")
+        .as[(Long, Long, Double, String)].collect().sortBy(_._1).toSeq
+      // quantized-BIGINT accumulation: physical layout can never change a
+      // bucket — rerun over a different partitioning must be identical
+      val b = TextAnalysis.perplexityBuckets(df.repartition(7), "text", "doc_id")
+        .as[(Long, Long, Double, String)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+      val n = docs.size
+      val byB = a.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(byB.getOrElse("head", 0) <= math.ceil(n / 3.0).toInt)
+      assert(byB.getOrElse("head", 0) + byB.getOrElse("middle", 0)
+        <= math.ceil(2 * n / 3.0).toInt)
+    }
   }
 
   test("data card: per-source rollup counts dups, english share, quantized mean quality") {

@@ -110,6 +110,59 @@ object MicroBatch {
       .start()
   }
 
+  /** Quality-gated corpus ingest: the Gopher rule ensemble decides per
+    * micro-batch which landing documents enter the training corpus and
+    * which land in quarantine WITH their per-rule verdicts (so a data
+    * curator can see WHICH rule rejected — the audit trail the batch
+    * query `llm_gopher_filter` produces, running at ingest time).
+    *
+    * Delivery: at-least-once checkpointed foreachBatch; the corpus side
+    * is made effectively-once by anti-joining the batch's ids against
+    * the corpus before appending (a replayed batch re-finds its rows and
+    * appends nothing — the `corpusIngestStream`/`annIngestStream`
+    * guard). The quarantine side is a DLQ: replays may duplicate there,
+    * which is the standard at-least-once DLQ contract (`Lake.dlq`).
+    */
+  def qualityGatedIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      textCol: String,
+      idCol: String,
+      corpusDir: String,
+      rejectDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.llm.TextAnalysis
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ruleCols = Seq("r_len", "r_awl", "r_stop", "r_dup", "pass")
+          val judged = batch.join(
+            TextAnalysis.gopherFilter(batch, textCol, idCol)
+              .select(col(idCol) +: ruleCols.map(col): _*),
+            Seq(idCol))
+          val accepted0 = judged.filter(col("pass") === 1).drop(ruleCols: _*)
+          val accepted =
+            if (!new java.io.File(corpusDir).exists) accepted0
+            else accepted0.join(
+              spark.read.parquet(corpusDir).select(col(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+          if (!accepted.isEmpty) accepted.write.mode("append").parquet(corpusDir)
+          val rejected = judged.filter(col("pass") === 0).drop("pass")
+          if (!rejected.isEmpty) graft.store.Lake.quarantine(rejected, rejectDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** T6 — the hourly alerting query as a streaming aggregation: counts of
     * negative interactions per event-time hour, emitted once the watermark
     * passes (the streaming form of Crm.negativeAlert).

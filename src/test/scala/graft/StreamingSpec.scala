@@ -139,6 +139,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(0L, 2L, 12L), s"got ${ids.toSeq}")
   }
 
+  test("quality-gated ingest routes per Gopher verdicts; corpus side replay-safe") {
+    val root = Files.createTempDirectory("quality_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // 30 varied tokens with stopwords → passes every Gopher rule
+    val good = "the morning light settles across the quiet harbor town and " +
+      "fishing boats drift out past the old stone pier while gulls wheel " +
+      "over nets spread to dry along the wall"
+    // 45 tokens, 3 distinct → r_dup fails; "the" ×15 keeps r_stop green
+    val spam = ("the buy now " * 15).trim
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val q = MicroBatch.qualityGatedIngestStream(spark, in, schema, "text", "doc_id",
+      s"$root/corpus", s"$root/reject", s"$root/ckpt")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(doc(0, good), doc(1, spam)).mkString("\n"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val kept = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(0L), kept.toSeq.toString)
+    val rej = spark.read.json(s"$root/reject")
+    assert(rej.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the quarantine carries the per-rule audit: spam fails r_dup, not r_stop
+    val row = rej.selectExpr("r_dup", "r_stop").head
+    assert(row.getLong(0) == 0 && row.getLong(1) == 1, row.toString)
+
+    // worst-case at-least-once: wipe the checkpoint, redeliver everything —
+    // the id anti-join must keep the corpus side idempotent
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    val replay = MicroBatch.qualityGatedIngestStream(spark, in, schema, "text", "doc_id",
+      s"$root/corpus", s"$root/reject", s"$root/ckpt")
+    replay.processAllAvailable()
+    replay.stop(); replay.awaitTermination()
+    val after = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect()
+    assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
+  }
+
   test("mapGroupsWithState keeps per-customer state across micro-batches (T4)") {
     import MicroBatch.{CustomerUpdate, Interaction}
     val root = Files.createTempDirectory("state").toString

@@ -354,6 +354,61 @@ object Corpus {
         coalesce(col("logw_m") >= col("t"), lit(false)).as("selected"))
   }
 
+  /** Curriculum ordering: the corpus in training order — highest-quality
+    * documents first (quality-descending, doc_id tie-break), each with
+    * its GLOBAL rank, running token total, and phase tag (the first
+    * `warmupFrac` of token mass is the warm-up slice; curriculum
+    * schedules feed cleanest data to early optimization).
+    *
+    * Global rank and prefix sum WITHOUT a single-partition window — the
+    * two-pass shape a 100 TB total order actually uses: range-partition
+    * by the sort key, sort within partitions, collect per-partition
+    * (row count, token sum) — a num-partitions-sized driver artifact —
+    * scan-left into per-partition offsets, then one mapPartitions pass
+    * adds offsets to local running totals. Where the range bounds fall
+    * is irrelevant to the answer: the (quality, id) order is total and
+    * unique, so ranks/prefix sums are identical for ANY partitioning —
+    * sampling variance in the partitioner can't perturb the output.
+    * Quality is the ×10⁶-quantized score (the data-card convention), so
+    * the sort key is an integer — no float comparator anywhere.
+    */
+  def curriculum(docs: DataFrame, textCol: String, idCol: String,
+                 warmupFrac: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = TextAnalysis.tokenCount(col(textCol))
+    val stop = TextAnalysis.stopwordHits(col(textCol), TextAnalysis.langStopwords.head._2)
+    val awl = length(col(textCol)) / t
+    val ds = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        round(TextAnalysis.qualityScore(t, stop, awl) * lit(1000000.0), 0)
+          .cast("long").as("q_q"),
+        t.cast("long").as("n_toks"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("q_q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q_q").desc, col("doc_id"))
+    val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
+    val parts = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L; var tok = 0L
+        it.foreach { r => n += 1; tok += r._3 }
+        Iterator((i, n, tok))
+      }
+      .collect().sortBy(_._1)
+    val rankOff = parts.scanLeft(0L)(_ + _._2).init
+    val tokOff = parts.scanLeft(0L)(_ + _._3).init
+    val warmupBudget = math.ceil(parts.map(_._3).sum * warmupFrac)
+    val out = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var rank = rankOff(i); var cum = tokOff(i)
+      it.map { case (id, q, toks) =>
+        rank += 1; cum += toks
+        (id, rank, q / 1000000.0, cum,
+          if (cum <= warmupBudget) "warmup" else "main")
+      }
+    }
+    out.toDF("doc_id", "rank", "quality", "cum_tokens", "phase")
+  }
+
   /** The 20 synthetic sources reweighted into 4 weight tiers under a
     * half-size budget (sf-invariant: rates derive from counts).
     */
@@ -374,6 +429,11 @@ object Corpus {
   def redactQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Curriculum order over documents. */
+  def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
+    curriculum(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
   /** Leakage-safe split over documents (dup groups stay intact). */
@@ -400,7 +460,8 @@ object Corpus {
     "llm_decontaminate" -> (decontaminateQuery _),
     "llm_pii_redact" -> (redactQuery _),
     "llm_dsir_select" -> (dsirQuery _),
-    "llm_split_leakage_safe" -> (splitLeakageSafeQuery _))
+    "llm_split_leakage_safe" -> (splitLeakageSafeQuery _),
+    "llm_curriculum" -> (curriculumQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -521,6 +582,26 @@ object Corpus {
         |  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the engine computes rank/prefix-sum via two-pass range partitioning;
+    // the oracle states the SAME total order declaratively — the (q_q,
+    // doc_id) key is unique, so both formulations are one answer
+    "llm_curriculum" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(round((0.4 * least(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0)
+        |      + 0.3 * least(1.0, len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) * 10.0 / len(regexp_split_to_array(trim(text), '\s+')))
+        |      + 0.3 * (CASE WHEN (length(text) / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) * 1000000.0, 0) AS BIGINT) AS q_q,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, q_q, n_toks,
+        |        ROW_NUMBER() OVER (ORDER BY q_q DESC, doc_id) AS rank,
+        |        SUM(n_toks) OVER (ORDER BY q_q DESC, doc_id) AS cum_tokens
+        |      FROM d),
+        |t AS (SELECT SUM(n_toks) AS total FROM d)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, q_q / 1000000.0 AS quality,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CASE WHEN cum_tokens <= ceil(total * 0.1) THEN 'warmup' ELSE 'main' END AS phase
+        |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin,
     // the split draw over the GROUP CANON id: same hash construction the
     // llm_split oracle proves, keyed on min(doc_id) per normalized hash
     "llm_split_leakage_safe" ->

@@ -207,6 +207,33 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
 
+  test("curriculum: global rank/prefix-sum exact, partition-layout invariant") {
+    val docs = Seq(
+      0L -> "the light settles across the quiet harbor and boats drift out past the pier",
+      1L -> "x y",                                    // low quality: short, no stops
+      2L -> "the morning train is late again and the platform fills with people to watch",
+      3L -> "z",                                      // lowest
+      4L -> "gulls wheel over the nets spread to dry along the old stone wall while the tide turns"
+    ).toDF("doc_id", "text")
+    val got = Corpus.curriculum(docs, "text", "doc_id")
+      .as[(Long, Long, Double, Long, String)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == (1L to 5L), got.mkString(","))
+    // rank order is (quality desc, doc_id asc)
+    val order = got.map(r => (-r._3, r._1)).toSeq
+    assert(order == order.sorted, got.mkString(","))
+    // prefix sums: cum at rank k = sum of token counts in rank order
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong).toMap
+    var run = 0L
+    for (r <- got) { run += toks(r._1); assert(r._4 == run, s"cum at rank ${r._2}") }
+    // warm-up = the ceil(10%) token prefix
+    val budget = math.ceil(toks.values.sum * 0.1)
+    for (r <- got) assert((r._5 == "warmup") == (r._4 <= budget), r.toString)
+    // physical layout cannot perturb the total order
+    val again = Corpus.curriculum(docs.repartition(7), "text", "doc_id")
+      .as[(Long, Long, Double, Long, String)].collect().sortBy(_._2)
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("leakage-safe split: dup groups intact, singletons match the plain split") {
     val docs = Seq(
       (0L, "unique zero"), (1L, "same dup text"), (2L, "unique two"),

@@ -204,6 +204,39 @@ object Corpus {
       .agg(countDistinct(col("shingle")).as("n_shared_ngrams"))
   }
 
+  /** Contamination REPORT — the audit sibling of `decontaminate`: every
+    * train document with its distinct-shingle count, how many of those
+    * shingles appear in the benchmark, the overlap fraction, and the
+    * flag verdict at `maxFrac` (eval-contamination reports publish the
+    * overlap distribution, not just the drop list — "0.3 % of train
+    * docs carry ≥ 5 % benchmark 8-grams" is the headline number).
+    * Zero-overlap docs stay in the report (LEFT join), so the output is
+    * corpus-complete. Same join shape as `decontaminate`: benchmark
+    * shingles broadcast, train side explodes once.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, n: Int = 8,
+                          maxFrac: Double = 0.05): DataFrame = {
+    val base = docs.select(col(idCol), Dedup.shingles(col(textCol), n).as("sh"))
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val shared = base
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+    base.select(col(idCol), size(col("sh")).cast("long").as("n_shingles"))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("overlap_frac"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles") > maxFrac)
+          .as("flagged"))
+  }
+
   /** PII redaction: scrub emails, SSN-shaped and phone-shaped numbers to
     * typed placeholders. One codegen'd regexp_replace chain — scan-speed,
     * and the patterns are deliberately POSIX-portable (the DuckDB oracle
@@ -241,6 +274,15 @@ object Corpus {
   def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
     val assigned = splitAssign(Tables.documents(spark, dir), "doc_id")
     decontaminate(
+      assigned.filter(col("split") === "train"), "doc_id", "text",
+      assigned.filter(col("split") === "test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination audit of the train split against the test split. */
+  def contaminationReportQuery(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = splitAssign(Tables.documents(spark, dir), "doc_id")
+    contaminationReport(
       assigned.filter(col("split") === "train"), "doc_id", "text",
       assigned.filter(col("split") === "test"))
       .orderBy(col("doc_id"))
@@ -461,7 +503,8 @@ object Corpus {
     "llm_pii_redact" -> (redactQuery _),
     "llm_dsir_select" -> (dsirQuery _),
     "llm_split_leakage_safe" -> (splitLeakageSafeQuery _),
-    "llm_curriculum" -> (curriculumQuery _))
+    "llm_curriculum" -> (curriculumQuery _),
+    "llm_contamination_report" -> (contaminationReportQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -576,6 +619,26 @@ object Corpus {
          |SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared_ngrams
          |FROM tr JOIN te USING (shingle)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // the report sibling: every train doc, overlap fraction, flag verdict
+    "llm_contamination_report" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${bucketSql(":split:v1")} < 900 THEN 'train'
+         |         WHEN ${bucketSql(":split:v1")} < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |base AS MATERIALIZED (
+         |  SELECT doc_id, $shingle8Sql AS sh FROM sp WHERE split = 'train'),
+         |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+         |te AS (SELECT DISTINCT unnest($shingle8Sql) AS shingle FROM sp WHERE split = 'test'),
+         |sh AS (SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared
+         |       FROM tr JOIN te USING (shingle) GROUP BY tr.doc_id)
+         |SELECT base.doc_id, CAST(len(base.sh) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / len(base.sh), 6) AS overlap_frac,
+         |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / len(base.sh) > 0.05 AS flagged
+         |FROM base LEFT JOIN sh USING (doc_id)
+         |ORDER BY base.doc_id""".stripMargin,
     "llm_pii_redact" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

@@ -207,6 +207,20 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
 
+  test("contamination report: overlap fractions complete over the corpus") {
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
+    val train = Seq(
+      (0L, leak + " iota kappa"),                      // 3 shingles, 1 shared
+      (1L, "one two three four five six seven eight nine ten")) // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(train, "doc_id", "text", bench)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 2) // the clean doc is still reported
+    assert(got(0) == ((0L, 3L, 1L, 0.333333, true)), got(0).toString)
+    assert(got(1)._3 == 0L && got(1)._4 == 0.0 && !got(1)._5, got(1).toString)
+  }
+
   test("curriculum: global rank/prefix-sum exact, partition-layout invariant") {
     val docs = Seq(
       0L -> "the light settles across the quiet harbor and boats drift out past the pier",

@@ -271,6 +271,28 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility per language: BPE subwords emitted per
+    * whitespace word under the corpus-trained merges — THE acceptance
+    * metric for a tokenizer (fertility near 1 on a language means the
+    * vocab serves it well; a high-fertility language is paying more
+    * sequence length per word, the standard multilingual-tokenizer
+    * fairness check). Same trained merges and encode kernel as
+    * `tokensQuery`, rolled up by the document language; fertility is a
+    * ratio of exact integer counts.
+    */
+  def fertilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = train(docs, "text", NMerges)
+    docs.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("lang"), size(encode(col("word"), merges)).cast("long").as("n_sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")).cast("double") / count(lit(1)), 6).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
   private val PackBudget = 512
   private val PackShards = 8
   private val PackSalt = ":packbpe:v1"
@@ -299,6 +321,7 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bpe_merges" -> (mergesQuery _),
     "llm_bpe_tokens" -> (tokensQuery _),
+    "llm_bpe_fertility" -> (fertilityQuery _),
     "llm_pack_bpe" -> (packBpeQuery _))
 
   // ---- oracle -------------------------------------------------------------
@@ -401,7 +424,25 @@ object Bpe {
          |  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
          |FROM dw d JOIN sw s USING (word)
          |WHERE d.word <> ''
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the per-language rollup of the same trained chain: fertility is a
+    // ratio of exact integer counts
+    "llm_bpe_fertility" ->
+      s"""WITH ${bpeCte(NMerges)},
+         |dw AS (
+         |  SELECT lang,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents),
+         |sw AS (
+         |  SELECT word,
+         |    CAST(len(string_split_regex(trim(state, chr(9) || chr(10)), '\n\t')) AS BIGINT) AS n_sub
+         |  FROM w$NMerges)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+         |  round(CAST(SUM(s.n_sub) AS DOUBLE) / COUNT(*), 6) AS fertility
+         |FROM dw d JOIN sw s USING (word)
+         |WHERE d.word <> ''
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
 }
 
 /** Greedy single-rule merge over a symbol array (training inner step). */

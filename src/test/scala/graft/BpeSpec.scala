@@ -108,6 +108,21 @@ class BpeSpec extends SparkSpec with PropertyCheck {
     assert(got.nonEmpty)
   }
 
+  test("fertility rolls the token query's subword counts up by language") {
+    val fert = Bpe.queries("llm_bpe_fertility")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect()
+    assert(fert.nonEmpty)
+    // fertility ≥ 1 (a word is at least one subword) and exactly the ratio
+    fert.foreach { case (lang, w, s, f) =>
+      assert(s >= w && w > 0, s"$lang: $s subwords < $w words")
+      assert(f == math.round(s.toDouble / w * 1e6) / 1e6, s"$lang ratio")
+    }
+    // totals agree with the per-doc token query
+    val perDoc = Bpe.queries("llm_bpe_tokens")(spark, "/root/testdata/sf0.001")
+      .agg(sum($"n_words"), sum($"n_subwords")).as[(Long, Long)].head()
+    assert((fert.map(_._2).sum, fert.map(_._3).sum) == perDoc)
+  }
+
   test("property: trainer ≡ naive trainer (ties, parens, astral plane; both round loops)") {
     // tiny alphabet forces heavy pair-count ties, exercising the
     // (count desc, left, right) tie-break end to end; parens are in the

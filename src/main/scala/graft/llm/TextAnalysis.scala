@@ -274,6 +274,37 @@ object TextAnalysis {
           .as("mean_quality"))
   }
 
+  /** Exact per-source quality quantiles (p25/p50/p75) via the value
+    * histogram: docs aggregate into (source, quantized-score) cells, a
+    * window PARTITIONED BY SOURCE runs over the bounded histogram, and
+    * each quantile is the smallest score whose cumulative count reaches
+    * ⌈q·n⌉ (lower discrete quantile — pure integer logic, so both
+    * engines agree on every tie). This is the scale pattern for exact
+    * grouped quantiles: `percentile` over raw rows buffers a group's
+    * values; the histogram is bounded by score cardinality (≤ 10⁶ cells
+    * here) no matter how many documents a source has.
+    */
+  def qualityQuantilesBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokenCount(col("text"))
+    val stop = stopwordHits(col("text"), langStopwords.head._2)
+    val awl = length(col("text")) / t
+    val hist = docs
+      .select(col("source"),
+        round(qualityScore(t, stop, awl) * lit(1000000.0), 0).cast("long").as("q_q"))
+      .groupBy(col("source"), col("q_q")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)), col("q_q"))) / lit(1000000.0)
+    cum.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
     * frequencies estimated through a depth×width counter sketch, reported
     * for the top-k tokens next to their exact counts — the bounded-memory
@@ -504,6 +535,10 @@ object TextAnalysis {
   def dataCardQuery(spark: SparkSession, dir: String): DataFrame =
     dataCard(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Exact grouped quality quantiles over documents. */
+  def qualityQuantilesQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityQuantilesBySource(Tables.documents(spark, dir)).orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabQuery _),
     "llm_vocab_oov" -> (oovQuery _),
@@ -521,6 +556,7 @@ object TextAnalysis {
     "llm_heavy_hitters_cms" -> (cmsQuery _),
     "llm_perplexity" -> (perplexityQuery _),
     "llm_data_card" -> (dataCardQuery _),
+    "llm_quality_quantiles" -> (qualityQuantilesQuery _),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -596,6 +632,26 @@ object TextAnalysis {
         |  CASE WHEN s.bits_m <= th.t1 THEN 'head'
         |       WHEN s.bits_m <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin,
+    // the identical histogram construction: smallest quantized score whose
+    // per-source cumulative count reaches ceil(q*n) — integer logic only
+    "llm_quality_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(round((0.4 * least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0)
+         |      + 0.3 * least(1.0, len(regexp_extract_all(lower(text), '$stopEn')) * 10.0 / len(regexp_split_to_array(trim(text), '\\s+')))
+         |      + 0.3 * (CASE WHEN (length(text) / len(regexp_split_to_array(trim(text), '\\s+'))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) * 1000000.0, 0) AS BIGINT) AS q_q
+         |  FROM documents),
+         |h AS (SELECT source, q_q, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, q_q, c,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY q_q) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  MIN(CASE WHEN cum >= ceil(n * 0.25) THEN q_q END) / 1000000.0 AS p25,
+         |  MIN(CASE WHEN cum >= ceil(n * 0.5) THEN q_q END) / 1000000.0 AS p50,
+         |  MIN(CASE WHEN cum >= ceil(n * 0.75) THEN q_q END) / 1000000.0 AS p75
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // the same quality/langid replicas llm_text_quality / llm_text_langid
     // prove, quantized ×10⁶ into BIGINT before the per-source mean
     "llm_data_card" ->

@@ -162,6 +162,36 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("grouped quality quantiles: lower-discrete semantics against a sort replica") {
+    // 7 docs in one source with varied quality, 1 in another
+    val texts = Seq(
+      "a", "ab cd", "the cat is here now", "the and is of to the and is of to",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "the morning light settles across the quiet harbor town and boats drift out",
+      "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t, "srcA") } :+
+      ((100L, "the quick brown fox jumps over it", "srcB"))
+    val docs = texts.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityQuantilesBySource(docs)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // replicate: sort the quantized scores, take value at ceil(q*n)
+    def q(text: String): Long = {
+      val t = text.trim.split("\\s+").length
+      val stop = "\\b(the|and|is|of|to)\\b".r.findAllIn(text.toLowerCase).length
+      val awl = text.length.toDouble / t
+      math.round((0.4 * math.min(1.0, t / 100.0) + 0.3 * math.min(1.0, stop * 10.0 / t) +
+        (if (awl >= 3.0 && awl <= 10.0) 0.3 else 0.0)) * 1e6)
+    }
+    val sorted = texts.filter(_._3 == "srcA").map(t => q(t._2)).sorted
+    def disc(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1) / 1e6
+    val a = got("srcA")
+    assert(a._2 == 7)
+    assert((a._3, a._4, a._5) == ((disc(0.25), disc(0.5), disc(0.75))), a.toString)
+    val b = got("srcB") // single doc: all quantiles are its own score
+    assert(b._2 == 1 && b._3 == b._4 && b._4 == b._5)
+  }
+
   test("data card: per-source rollup counts dups, english share, quantized mean quality") {
     val docs = Seq(
       (0L, "the cat and the dog is nice here", "srcA"),

@@ -77,6 +77,27 @@ object Corpus {
     docs.filter(hashBucket(col(idCol), salt) < rate)
   }
 
+  /** Deterministic m-per-stratum sample — eval/holdout set construction:
+    * the first `perStratum` documents of each stratum in sha-draw order
+    * (hash of id + versioned salt, id tie-break). Unlike rate-based
+    * `stratifiedSample`, the output SIZE is exact per stratum — what an
+    * eval suite needs — and the draw is reproducible on any engine and
+    * stable under corpus repartitioning. The window is partitioned by
+    * stratum (never global), so it scales with the widest stratum's
+    * sort, and at 100 TB the same draw can pre-filter with a bucket
+    * threshold first so the window sees a small superset.
+    */
+  def evalSample(docs: DataFrame, idCol: String, stratumCol: String,
+                 perStratum: Int, salt: String = ":eval:v1"): DataFrame = {
+    val h = conv(substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long")
+    docs.withColumn("h", h)
+      .withColumn("draw_rank", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))))
+      .filter(col("draw_rank") <= perStratum)
+      .select(col(idCol), col(stratumCol), col("draw_rank"))
+  }
+
   /** Overlapping token windows: chunk i covers tokens [i*stride,
     * i*stride + width); starts every `stride` tokens while inside the
     * doc, so a doc of n tokens yields 1 + floor((n-1)/stride) chunks.
@@ -473,6 +494,11 @@ object Corpus {
       .select(col("doc_id"), redactPii(col("text")).as("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** 5 docs per source in sha-draw order (exact-size eval sample). */
+  def evalSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    evalSample(Tables.documents(spark, dir), "doc_id", "source", perStratum = 5)
+      .orderBy(col("source"), col("draw_rank"))
+
   /** Curriculum order over documents. */
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculum(Tables.documents(spark, dir), "text", "doc_id")
@@ -504,7 +530,8 @@ object Corpus {
     "llm_dsir_select" -> (dsirQuery _),
     "llm_split_leakage_safe" -> (splitLeakageSafeQuery _),
     "llm_curriculum" -> (curriculumQuery _),
-    "llm_contamination_report" -> (contaminationReportQuery _))
+    "llm_contamination_report" -> (contaminationReportQuery _),
+    "llm_eval_sample" -> (evalSampleQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -645,6 +672,15 @@ object Corpus {
         |  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
         |  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full sha draw as an ORDER key (the bucket oracle's construction
+    // without the % 1000)
+    "llm_eval_sample" ->
+      """SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':eval:v1'), 1, 15)) AS BIGINT), doc_id) AS BIGINT) AS draw_rank
+        |FROM documents
+        |QUALIFY draw_rank <= 5
+        |ORDER BY source, draw_rank""".stripMargin,
     // the engine computes rank/prefix-sum via two-pass range partitioning;
     // the oracle states the SAME total order declaratively — the (q_q,
     // doc_id) key is unique, so both formulations are one answer

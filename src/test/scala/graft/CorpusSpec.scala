@@ -207,6 +207,23 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
 
+  test("eval sample: exact size per stratum, layout-invariant draw") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.evalSample(docs, "doc_id", "source", perStratum = 4)
+      .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._3))
+    // exactly 4 per stratum, ranks 1..4
+    assert(got.length == 12)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == Seq(1, 2, 3, 4))
+    }
+    // stratum integrity + repartition invariance
+    got.foreach { case (id, src, _) => assert(s"s${id % 3}" == src) }
+    val again = Corpus.evalSample(docs.repartition(7), "doc_id", "source", 4)
+      .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._3))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("contamination report: overlap fractions complete over the corpus") {
     val leak = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
     val train = Seq(

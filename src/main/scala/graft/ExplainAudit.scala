@@ -68,6 +68,13 @@ object ExplainAudit {
     show("llm_hard_negatives")(Similarity.hardNegativesQuery(spark, dir))
     show("llm_kcenter_select")(Similarity.kCenterQuery(spark, dir))
     show("llm_split_leakage_safe")(graft.llm.Corpus.splitLeakageSafeQuery(spark, dir))
+    // curriculum: expect range-partition Exchange + per-partition sort,
+    // NO partition-less Window; quantiles/data-card: histogram/rollup
+    // frames only, windows partitioned by source
+    show("llm_curriculum")(graft.llm.Corpus.curriculumQuery(spark, dir))
+    show("llm_quality_quantiles")(graft.llm.TextAnalysis.qualityQuantilesQuery(spark, dir))
+    show("llm_data_card")(graft.llm.TextAnalysis.dataCardQuery(spark, dir))
+    show("llm_contamination_report")(graft.llm.Corpus.contaminationReportQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

@@ -328,6 +328,47 @@ object MicroBatch {
   final case class Interaction(customer_id: Int, rating: Option[Int])
   final case class CustomerUpdate(customer_id: Int, total: Long, negativeStreak: Int)
 
+  final case class DocEvent(doc_id: Long, text: String, source: String)
+  final case class SourceCardState(nDocs: Long, nTokens: Long, qqSum: Long)
+  final case class SourceCard(source: String, n_docs: Long, n_tokens: Long, mean_quality: Double)
+
+  /** Streaming data-card maintenance: the per-source corpus statistics
+    * (`TextAnalysis.dataCard`'s docs/tokens/mean-quality core) kept live
+    * as documents arrive, via per-source `mapGroupsWithState` — the
+    * release-dashboard view of an always-ingesting corpus. State is one
+    * tiny record per source (counts + the ×10⁶-quantized quality sum —
+    * the same associative BIGINT accumulation as the batch query, so
+    * the streamed mean equals the batch mean on the same rows exactly,
+    * any batch boundaries). State size is bounded by source cardinality,
+    * not stream history.
+    */
+  def dataCardStream(docs: org.apache.spark.sql.Dataset[DocEvent])
+      : org.apache.spark.sql.Dataset[SourceCard] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def quality(text: String): Double = {
+      val t = text.trim.split("\\s+").length
+      val stop = "\\b(the|and|is|of|to)\\b".r.findAllIn(text.toLowerCase).length
+      val awl = text.length.toDouble / t
+      0.4 * math.min(1.0, t / 100.0) + 0.3 * math.min(1.0, stop * 10.0 / t) +
+        (if (awl >= 3.0 && awl <= 10.0) 0.3 else 0.0)
+    }
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[SourceCardState, SourceCard] {
+        (src: String, rows: Iterator[DocEvent], state: GroupState[SourceCardState]) =>
+          var s = state.getOption.getOrElse(SourceCardState(0L, 0L, 0L))
+          rows.foreach { d =>
+            val qq = { val v = quality(d.text) * 1000000.0; if (v < 0) -math.round(-v) else math.round(v) }
+            s = SourceCardState(s.nDocs + 1,
+              s.nTokens + d.text.trim.split("\\s+").length, s.qqSum + qq)
+          }
+          state.update(s)
+          SourceCard(src, s.nDocs, s.nTokens,
+            math.round(s.qqSum.toDouble / 1000000.0 / s.nDocs * 1e6) / 1e6)
+      }
+  }
+
   def customerRunningState(
       interactions: org.apache.spark.sql.Dataset[Interaction]): org.apache.spark.sql.Dataset[CustomerUpdate] = {
     import interactions.sparkSession.implicits._

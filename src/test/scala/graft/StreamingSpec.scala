@@ -176,6 +176,50 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
   }
 
+  test("streaming data card converges to the batch rollup across micro-batches") {
+    import MicroBatch.DocEvent
+    val root = Files.createTempDirectory("card_stream").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[DocEvent]
+    val q = MicroBatch.dataCardStream(src)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("card_stream").start()
+    def doc(id: Long, text: String, s: String) =
+      s"""{"doc_id":$id,"text":"$text","source":"$s"}"""
+    val texts = Seq(
+      (0L, "the morning light settles across the quiet harbor", "sA"),
+      (1L, "one two three", "sA"),
+      (2L, "the cat is here now and the dog is too", "sB"),
+      (3L, "gulls wheel over the nets spread to dry", "sA"))
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      texts.take(2).map(t => doc(t._1, t._2, t._3)).mkString("\n"))
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      texts.drop(2).map(t => doc(t._1, t._2, t._3)).mkString("\n"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    // latest update per source == the batch data card on the full corpus
+    val streamed = spark.table("card_stream")
+      .groupBy($"source").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"n_docs", $"n_tokens", $"mean_quality")).as("s"))
+      .select($"source", $"s.n_docs", $"s.n_tokens", $"s.mean_quality")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val batch = graft.llm.TextAnalysis.dataCard(texts.toDF("doc_id", "text", "source"))
+      .select($"source", $"n_docs", $"n_tokens", $"mean_quality")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(streamed.keySet == Set("sA", "sB"))
+    for (s <- streamed.keySet) {
+      assert(streamed(s)._2 == batch(s)._2 && streamed(s)._3 == batch(s)._3, s)
+      assert(math.abs(streamed(s)._4 - batch(s)._4) < 1e-9,
+        s"$s: ${streamed(s)._4} != ${batch(s)._4}")
+    }
+  }
+
   test("mapGroupsWithState keeps per-customer state across micro-batches (T4)") {
     import MicroBatch.{CustomerUpdate, Interaction}
     val root = Files.createTempDirectory("state").toString

@@ -752,6 +752,48 @@ object Similarity {
           .as("codes"))
   }
 
+  /** Per-dimension z-score standardization — the preprocessing a mixed-
+    * scale embedding corpus needs before isotropic methods (LSH
+    * hyperplanes, k-means, PQ subspaces all assume comparable dimension
+    * scales). Stats run over the ×2¹⁶-quantized integer codes with
+    * DECIMAL(38,0) accumulation (exact at any corpus size — a BIGINT
+    * sum-of-squares would overflow near 2³¹ rows), then one correctly-
+    * rounded division/sqrt each; the output z-scores are exported ×10⁴
+    * as an integer CSV (the house rule: never serialize raw doubles —
+    * engines format them differently). Same two-pass shape as
+    * `quantizeUint8`: a skinny posexplode stats pass folded into one
+    * broadcastable struct array, then a zip_with at scan speed.
+    * Constant dimensions (std = 0) standardize to 0.
+    */
+  def standardize(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xq = (c: Column) => round(c.cast("double") * lit(65536.0), 0).cast("long")
+    val dims = corpus.select(posexplode(col("embedding")))
+      .select(col("pos"), xq(col("col")).as("xq"))
+    val stats = dims.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq").cast(DecimalType(38, 0))).as("s"),
+        sum((col("xq") * col("xq")).cast(DecimalType(38, 0))).as("ss"))
+      .select(col("pos"), col("n"), col("ss"),
+        (col("s").cast("double") / col("n")).as("mean"))
+      .select(col("pos"), col("mean"),
+        sqrt((col("ss").cast("double") - col("n") * col("mean") * col("mean")) / col("n"))
+          .as("std"))
+    val statsRow = stats.agg(
+      array_sort(collect_list(struct(col("pos"), col("mean"), col("std")))).as("ds"))
+    corpus.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        concat_ws(",", zip_with(col("embedding"), col("ds"), (x, s) =>
+          when(s("std") === lit(0.0d), lit(0L))
+            .otherwise(round((xq(x) - s("mean")) / s("std") * lit(10000.0), 0).cast("long"))
+            .cast("string")))
+          .as("z_csv"))
+  }
+
+  /** Standardized embeddings exported as ×10⁴ integer CSVs. */
+  def standardizeQuery(spark: SparkSession, dir: String): DataFrame =
+    standardize(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
+
   /** kNN over symmetric int8 codes: the integer asymmetric-distance scan
     * an int8 index runs after quantization. Integer dot products are
     * exact, so ranking (ties broken by id) reproduces cross-engine —
@@ -1208,6 +1250,7 @@ object Similarity {
     "llm_kcenter_select" -> (kCenterQuery _),
     "llm_semdedup" -> (semDedupQuery _),
     "llm_hard_negatives" -> (hardNegativesQuery _),
+    "llm_embed_standardize" -> (standardizeQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1719,6 +1762,27 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_kcenter_select" -> kCenterSql(KCenters),
     "llm_semdedup" -> SemDedupSql,
+    // exact-integer stats (HUGEINT ≡ the engine's DECIMAL(38,0)), one
+    // correctly-rounded division/sqrt each, ×10⁴ integer CSV export
+    "llm_embed_standardize" ->
+      """WITH dims AS MATERIALIZED (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    unnest(list_transform(range(len(embedding)),
+        |      i -> {'pos': i,
+        |            'xq': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 65536, 0) AS BIGINT)})) AS r
+        |  FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id, r.pos AS pos, r.xq AS xq FROM dims),
+        |st0 AS (SELECT pos, COUNT(*) AS n, SUM(xq) AS s, SUM(xq * xq) AS ss
+        |        FROM q GROUP BY 1),
+        |st1 AS (SELECT pos, n, ss, CAST(s AS DOUBLE) / n AS mean FROM st0),
+        |st AS (SELECT pos, mean,
+        |         sqrt((CAST(ss AS DOUBLE) - n * mean * mean) / n) AS std FROM st1)
+        |SELECT q.vec_id,
+        |  string_agg(CASE WHEN st.std = 0 THEN '0'
+        |    ELSE CAST(CAST(round((q.xq - st.mean) / st.std * 10000.0, 0) AS BIGINT) AS VARCHAR) END,
+        |    ',' ORDER BY q.pos) AS z_csv
+        |FROM q JOIN st USING (pos)
+        |GROUP BY q.vec_id ORDER BY vec_id""".stripMargin,
     // sign-hash projection replica: the sign matrix is materialized as a
     // CTE replaying the same multiply-xorshift chain (every intermediate
     // < 2^63 — the chain was designed for signed-SQL replay), then the

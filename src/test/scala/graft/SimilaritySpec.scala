@@ -600,6 +600,31 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("standardize: z-scores center and scale per dimension, constant dims to zero") {
+    val emb = Seq(
+      1L -> Array(1.0f, 10.0f, 5.0f),
+      2L -> Array(2.0f, 20.0f, 5.0f),
+      3L -> Array(3.0f, 30.0f, 5.0f),
+      4L -> Array(4.0f, 40.0f, 5.0f)
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(emb)
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, csv) => id -> csv.split(",").map(_.toLong / 10000.0) }
+    // constant dim 2 → all zeros
+    assert(z.forall(_._2(2) == 0.0))
+    // dims 0 and 1 are affine copies of each other → identical z columns
+    z.foreach { case (_, v) => assert(math.abs(v(0) - v(1)) < 2e-4, v.mkString(",")) }
+    // mean ≈ 0, population std ≈ 1 per non-constant dim
+    for (d <- 0 to 1) {
+      val col = z.map(_._2(d))
+      assert(math.abs(col.sum / col.length) < 1e-3)
+      val varc = col.map(x => x * x).sum / col.length
+      assert(math.abs(varc - 1.0) < 1e-3, s"dim $d var $varc")
+    }
+    // symmetric input → symmetric z around the two middle points
+    assert(z(0)._2(0) == -z(3)._2(0) && z(1)._2(0) == -z(2)._2(0))
+  }
+
   test("hard negatives: cross-label only, margins against the hardest positive") {
     def v(xs: Double*): Array[Float] =
       (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray

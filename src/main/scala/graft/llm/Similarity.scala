@@ -794,6 +794,35 @@ object Similarity {
   def standardizeQuery(spark: SparkSession, dir: String): DataFrame =
     standardize(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
+  /** Per-label class centroids (nearest-class-mean prototypes — the
+    * supervised sibling of the trained IVF centroid table; what a
+    * prototype classifier or per-class dedup radius runs against).
+    * Same integer m-step as the Lloyd trainer: quantized codes, exact
+    * DECIMAL sums, one correctly-rounded mean per (label, dim) —
+    * centroids reproduce bit-for-bit on any engine, exported as the
+    * canonical integer CSV like `llm_ivf_centroids`.
+    */
+  def labelCentroids(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dims = corpus
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * lit(QuantScale), 0).cast("long").as("xq"))
+    val m = dims.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xq").cast(DecimalType(38, 0))).as("s"))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("s").cast("double") / col("n"), 0).cast("long").as("cc"))
+    m.groupBy(col("label"))
+      .agg(max(col("n")).as("n_members"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("cc")))),
+            s => s("cc").cast("string"))).as("codes_csv"))
+  }
+
+  /** Class centroids over the labeled synthetic embeddings. */
+  def labelCentroidsQuery(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.embeddings(spark, dir)).orderBy(col("label"))
+
   /** kNN over symmetric int8 codes: the integer asymmetric-distance scan
     * an int8 index runs after quantization. Integer dot products are
     * exact, so ranking (ties broken by id) reproduces cross-engine —
@@ -1251,6 +1280,7 @@ object Similarity {
     "llm_semdedup" -> (semDedupQuery _),
     "llm_hard_negatives" -> (hardNegativesQuery _),
     "llm_embed_standardize" -> (standardizeQuery _),
+    "llm_label_centroids" -> (labelCentroidsQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1762,6 +1792,22 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_kcenter_select" -> kCenterSql(KCenters),
     "llm_semdedup" -> SemDedupSql,
+    // the Lloyd m-step construction per label: HUGEINT-exact sums, one
+    // correctly-rounded mean each, canonical integer CSV
+    "llm_label_centroids" ->
+      """WITH dims AS MATERIALIZED (
+        |  SELECT label,
+        |    unnest(list_transform(range(len(embedding)),
+        |      i -> {'pos': i,
+        |            'xq': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 65536, 0) AS BIGINT)})) AS r
+        |  FROM embeddings),
+        |q AS (SELECT label, r.pos AS pos, r.xq AS xq FROM dims),
+        |m AS (SELECT label, pos, COUNT(*) AS n,
+        |        CAST(round(CAST(SUM(xq) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cc
+        |      FROM q GROUP BY 1, 2)
+        |SELECT label, CAST(MAX(n) AS BIGINT) AS n_members,
+        |  string_agg(CAST(cc AS VARCHAR), ',' ORDER BY pos) AS codes_csv
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     // exact-integer stats (HUGEINT ≡ the engine's DECIMAL(38,0)), one
     // correctly-rounded division/sqrt each, ×10⁴ integer CSV export
     "llm_embed_standardize" ->

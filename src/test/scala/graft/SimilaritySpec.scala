@@ -625,6 +625,21 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(z(0)._2(0) == -z(3)._2(0) && z(1)._2(0) == -z(2)._2(0))
   }
 
+  test("label centroids: exact integer class means, member counts") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(3.0f, 0.0f), 7),   // mean (2, 0)
+      (3L, Array(0.0f, 1.0f), 8), (4L, Array(0.0f, 2.0f), 8),
+      (5L, Array(0.0f, 4.0f), 8)                                 // mean (0, 7/3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(emb)
+      .as[(Int, Long, String)].collect().sortBy(_._1)
+      .map(r => r._1 -> ((r._2, r._3.split(",").map(_.toLong)))).toMap
+    assert(got(7)._1 == 2 && got(8)._1 == 3)
+    assert(got(7)._2.toSeq == Seq(2 * 65536L, 0L))
+    // 7/3 quantized: round((65536+131072+262144)/3.0) — the m-step rounding
+    assert(got(8)._2.toSeq == Seq(0L, math.round((65536L + 131072L + 262144L) / 3.0)))
+  }
+
   test("hard negatives: cross-label only, margins against the hardest positive") {
     def v(xs: Double*): Array[Float] =
       (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray

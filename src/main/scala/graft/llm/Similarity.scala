@@ -823,6 +823,28 @@ object Similarity {
   def labelCentroidsQuery(spark: SparkSession, dir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, dir)).orderBy(col("label"))
 
+  /** Hubness report: each vector's in-degree in the corpus k-NN graph —
+    * the standard high-dimensional health check (hub points that appear
+    * in everyone's neighbor list poison retrieval and dedup decisions;
+    * antihubs with in-degree 0 are unreachable). Runs the full-corpus
+    * top-k (every vector is a query), then counts appearances on the
+    * neighbor side; `is_hub` flags in-degree > 2k. The all-pairs scan is
+    * the sf-gate form — at 100 TB the same report runs over the LSH/IVF
+    * candidate graph instead of brute force (in-degree counting is the
+    * same groupBy either way).
+    */
+  def hubnessQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val indeg = bruteForceKnn(emb, emb, K)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_degree"))
+    emb.select(col("vec_id"))
+      .join(indeg.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("in_degree"), lit(0L)) > lit(2L * K)).as("is_hub"))
+      .orderBy(col("vec_id"))
+  }
+
   /** kNN over symmetric int8 codes: the integer asymmetric-distance scan
     * an int8 index runs after quantization. Integer dot products are
     * exact, so ranking (ties broken by id) reproduces cross-engine —
@@ -1281,6 +1303,7 @@ object Similarity {
     "llm_hard_negatives" -> (hardNegativesQuery _),
     "llm_embed_standardize" -> (standardizeQuery _),
     "llm_label_centroids" -> (labelCentroidsQuery _),
+    "llm_hubness" -> (hubnessQuery _),
     "llm_embed_project" -> (projectQuery _),
     "llm_pq_codes" -> (pqCodesQuery _),
     "llm_knn_pq" -> (knnPqQuery _),
@@ -1792,6 +1815,23 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_kcenter_select" -> kCenterSql(KCenters),
     "llm_semdedup" -> SemDedupSql,
+    // the brute ranking replica with EVERY vector as a query, rolled up
+    // by neighbor-side in-degree (zero-degree antihubs via LEFT join)
+    "llm_hubness" ->
+      s"""WITH knn AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id <> c.vec_id
+         |  QUALIFY rank <= $K),
+         |indeg AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+         |          FROM knn GROUP BY 1)
+         |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+         |  COALESCE(i.in_degree, 0) AS in_degree,
+         |  COALESCE(i.in_degree, 0) > ${2 * K} AS is_hub
+         |FROM embeddings e LEFT JOIN indeg i ON i.neighbor_id = e.vec_id
+         |ORDER BY vec_id""".stripMargin,
     // the Lloyd m-step construction per label: HUGEINT-exact sums, one
     // correctly-rounded mean each, canonical integer CSV
     "llm_label_centroids" ->

@@ -625,6 +625,34 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(z(0)._2(0) == -z(3)._2(0) && z(1)._2(0) == -z(2)._2(0))
   }
 
+  test("hubness: in-degree counts over the kNN graph, antihubs kept at zero") {
+    // vid 0 sits at the centroid of a spread cloud → everyone's neighbor;
+    // vid 99 points away from all → in-degree 0
+    def v(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    // each cloud point perturbs its OWN axis: cos(cloud, cloud) = 1/1.09
+    // < cos(center, cloud) = 1/√1.09 — the center is everyone's rank-1
+    val cloud = (1L to 6L).map { i =>
+      val arr = Array.fill(8)(0.0f); arr(0) = 1.0f; arr(i.toInt) = 0.3f
+      (i, arr)
+    }
+    val emb = ((0L, v(1.0, 0.0, 0.0)) +: cloud :+ ((99L, v(-1.0, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val spark2 = spark
+    val got = {
+      // drive the same shape as the registered query at k=2 over this frame
+      val indeg = Similarity.bruteForceKnn(emb, emb, 2)
+        .groupBy($"neighbor_id").agg(count(lit(1)).as("in_degree"))
+      emb.select($"vec_id")
+        .join(indeg.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"in_degree", lit(0L)).as("in_degree"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got(0L) >= 6, s"central point in-degree ${got(0L)}") // near-universal neighbor
+    assert(got(99L) == 0L)                                      // antihub reported at zero
+    assert(got.values.sum == 8 * 2)                             // every list has k entries
+  }
+
   test("label centroids: exact integer class means, member counts") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 7), (2L, Array(3.0f, 0.0f), 7),   // mean (2, 0)

@@ -75,6 +75,9 @@ object ExplainAudit {
     show("llm_quality_quantiles")(graft.llm.TextAnalysis.qualityQuantilesQuery(spark, dir))
     show("llm_data_card")(graft.llm.TextAnalysis.dataCardQuery(spark, dir))
     show("llm_contamination_report")(graft.llm.Corpus.contaminationReportQuery(spark, dir))
+    // standardize: stats fold into ONE broadcast struct array (same
+    // two-pass shape as quantizeUint8); scoring is a scan-speed zip_with
+    show("llm_embed_standardize")(Similarity.standardizeQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

@@ -235,6 +235,83 @@ object Analytics {
       .na.fill(0.0, EventTypes.map(t => s"${t}_v"))
       .orderBy(col("user_id"))
 
+  /** Cohort retention: users grouped by first-active day, each later
+    * active day recorded as a (cohort_day, day_offset) cell with the
+    * distinct-user count and the retention ratio against the cohort's
+    * size — the day-N retention matrix every growth dashboard draws.
+    * Shape: distinct (user, day) pairs → per-user min (one aggregate) →
+    * join back on user_id → cell rollup; nothing wider than (user, day)
+    * ever shuffles and no window is involved, so the plan scales with
+    * active-user-days, not events. Day boundaries use integer division
+    * of epoch micros (identical floor semantics in both engines).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    ud.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintile scores
+    * per customer, the retail-standard customer-value grid (the
+    * reference's loyalty aggregates are its simpler cousin). Metrics are
+    * integer-exact (epoch-day recency, order count, decimal-summed
+    * cents); each quintile cut is the smallest metric value whose
+    * cumulative customer count reaches ⌈q·n/5⌉ (the histogram rule the
+    * quantile queries use — ties share the lower score, both engines
+    * agree bit-for-bit), and recency scores invert so MORE RECENT = 5.
+    * The cut windows run over per-metric value histograms; recency and
+    * frequency have trivially bounded cardinality, monetary is bounded
+    * by distinct cent totals — coarsen its bins at 100 TB if customer
+    * cardinality makes that histogram wide.
+    */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(Exact.moneySum(col("o_totalprice")) * lit(100.0), 0).cast("long")
+          .as("monetary_cents"))
+    val anchor = perCust.agg(max(col("last_day")).as("g"))
+    val m = perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", col("g") - col("last_day"))
+      .localCheckpoint() // three cut scans + the scoring read
+    def cuts(c: String) = {
+      val h = m.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val cum = h.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = m.agg(count(lit(1)).as("n"))
+      val cs = (1 to 4).map(q =>
+        min(when(col("cum") >= ceil(col("n") * lit(q) / lit(5.0)), col(c))).as(s"${c}_t$q"))
+      cum.crossJoin(broadcast(tot)).agg(cs.head, cs.tail: _*)
+    }
+    def score(c: String) =
+      (1 to 4).map(q => when(col(c) > col(s"${c}_t$q"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    m.crossJoin(broadcast(cuts("recency_days")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary_cents")))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        (col("monetary_cents").cast("double") / lit(100.0)).as("monetary"),
+        (lit(6) - score("recency_days")).as("r_score"),
+        score("frequency").as("f_score"),
+        score("monetary_cents").as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** J6-style semi/anti joins as first-class queries: customers with and
     * without any order (EXISTS / NOT EXISTS).
     */
@@ -255,6 +332,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_moving_1h" -> (eventsMovingHour _),
+    "events_cohort_retention" -> (cohortRetention _),
+    "rfm_scores" -> (rfmScores _),
     "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
     "sales_cube" -> (salesCube _),
@@ -286,7 +365,66 @@ object Analytics {
        |  COALESCE(CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = '$t'), 2) AS DOUBLE), 0.0) AS ${t}_v""".stripMargin
   }.mkString(",\n")
 
+  // one quintile-cut CTE per RFM metric: the same min-cum histogram rule
+  // the engine computes, over (metric value, customer count) cells
+  private def rfmCutSql(metric: String): String = {
+    val ts = (1 to 4)
+      .map(q => s"MIN(CASE WHEN cum >= ceil(n * $q / 5.0) THEN v END) AS ${metric}_t$q")
+      .mkString(",\n|    ")
+    s"""${metric}_cuts AS (
+       |  SELECT $ts
+       |  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n
+       |        FROM (SELECT $metric AS v, COUNT(*) AS cnt FROM m GROUP BY 1)))""".stripMargin
+  }
+
+  private def rfmScoreSql(metric: String): String =
+    "1 + " + (1 to 4)
+      .map(q => s"(CASE WHEN $metric > ${metric}_t$q THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "rfm_scores" ->
+      s"""WITH pc AS MATERIALIZED (
+         |  SELECT o_custkey AS c_custkey,
+         |    MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    CAST(round(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) * 100.0, 0) AS BIGINT) AS monetary_cents
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT MAX(last_day) AS gmax FROM pc),
+         |m AS MATERIALIZED (
+         |  SELECT pc.c_custkey, pc.frequency, pc.monetary_cents,
+         |    g.gmax - pc.last_day AS recency_days
+         |  FROM pc CROSS JOIN g),
+         |${rfmCutSql("recency_days")},
+         |${rfmCutSql("frequency")},
+         |${rfmCutSql("monetary_cents")}
+         |SELECT m.c_custkey, CAST(m.recency_days AS BIGINT) AS recency_days,
+         |  m.frequency,
+         |  CAST(m.monetary_cents AS DOUBLE) / 100.0 AS monetary,
+         |  6 - (${rfmScoreSql("recency_days")}) AS r_score,
+         |  ${rfmScoreSql("frequency")} AS f_score,
+         |  ${rfmScoreSql("monetary_cents")} AS m_score,
+         |  (6 - (${rfmScoreSql("recency_days")})) * 100
+         |    + (${rfmScoreSql("frequency")}) * 10
+         |    + (${rfmScoreSql("monetary_cents")}) AS rfm_cell
+         |FROM m CROSS JOIN recency_days_cuts CROSS JOIN frequency_cuts CROSS JOIN monetary_cents_cuts
+         |ORDER BY m.c_custkey""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+        |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |    COUNT(DISTINCT ud.user_id) AS n_users
+        |  FROM ud JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(n_users AS BIGINT) AS n_users, CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "events_moving_1h" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

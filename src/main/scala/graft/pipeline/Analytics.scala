@@ -261,6 +261,28 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Market-basket co-occurrence: part pairs bought together in one
+    * order, ranked by support — the association-mining primitive behind
+    * "frequently bought together". The self-join is keyed on the order
+    * (pair fan-out bounded by items-per-order squared, NOT corpus size),
+    * ids-only columns shuffle, and the support floor prunes the long
+    * tail before the global top-k (TakeOrdered, not a sort).
+    */
+  def basketPairs(spark: SparkSession, dir: String,
+                  minSupport: Int = 2, topK: Int = 50): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.toDF("l_orderkey", "p_a")
+    val b = li.toDF("l_orderkey", "p_b")
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p_a"), col("p_b"))
+      .limit(topK)
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintile scores
     * per customer, the retail-standard customer-value grid (the
     * reference's loyalty aggregates are its simpler cousin). Metrics are
@@ -334,6 +356,7 @@ object Analytics {
     "events_moving_1h" -> (eventsMovingHour _),
     "events_cohort_retention" -> (cohortRetention _),
     "rfm_scores" -> (rfmScores _),
+    "basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
     "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
     "sales_cube" -> (salesCube _),
@@ -383,6 +406,15 @@ object Analytics {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p_a, p_b LIMIT 50""".stripMargin,
     "rfm_scores" ->
       s"""WITH pc AS MATERIALIZED (
          |  SELECT o_custkey AS c_custkey,

@@ -121,7 +121,32 @@ object Inventory {
     "inv_dedup_latest" -> (dedupLatest _),
     "inv_upsert_replace" -> (upsertReplace _),
     "inv_duplicate_report" -> (duplicateReport _),
-    "inv_validate_summary" -> (validateSummary _))
+    "inv_validate_summary" -> (validateSummary _),
+    "scd2_customer_history" -> (scd2History _))
+
+  /** SCD2 over the customer dimension: a deterministic update batch
+    * (every third key, balances bumped on the even ones → a mix of
+    * changed / unchanged matches, plus five brand-new keys above
+    * max(c_custkey)) applied to an all-open day-0 snapshot — changed
+    * keys close at day 100 and reopen, unchanged pass through, new
+    * keys insert open.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val current = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") < 5)
+        .select((col("c_custkey") + lit(maxKey + 1)).as("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal")))
+    Upsert.scd2Apply(current, updates, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"), effectiveDay = 100L)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
 
   private val latestSql = (pred: String) =>
     s"""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
@@ -160,5 +185,33 @@ object Inventory {
         |  CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_bad_discount,
         |  CAST(SUM(CASE WHEN NOT COALESCE(CAST(l_shipdate AS DATE) <= DATE '2030-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_future_ship,
         |  CAST(SUM(CASE WHEN NOT COALESCE(l_partkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_key
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    // full-outer SCD2 replica: keep / close+reopen / insert branches with
+    // null-safe attribute comparison (IS NOT DISTINCT FROM)
+    "scd2_customer_history" ->
+      """WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + (SELECT m + 1 FROM mx), c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey < 5),
+        |j AS MATERIALIZED (
+        |  SELECT c.c_custkey AS k, c.c_mktsegment AS m0, c.c_acctbal AS b0,
+        |    u.c_custkey AS uk, u.c_mktsegment AS m1, u.c_acctbal AS b1,
+        |    (u.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+        |      AND NOT (c.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+        |               AND c.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)) AS chg
+        |  FROM customer c FULL JOIN upd u ON c.c_custkey = u.c_custkey)
+        |SELECT k AS c_custkey, m0 AS c_mktsegment, b0 AS c_acctbal,
+        |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |FROM j WHERE k IS NOT NULL AND NOT chg
+        |UNION ALL
+        |SELECT k, m0, b0, 0, 100 FROM j WHERE chg
+        |UNION ALL
+        |SELECT uk, m1, b1, 100, NULL FROM j WHERE chg
+        |UNION ALL
+        |SELECT uk, m1, b1, 100, NULL FROM j WHERE k IS NULL
+        |ORDER BY c_custkey, valid_from""".stripMargin)
 }

@@ -26,6 +26,48 @@ object Upsert {
     existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
 
+  /** SCD Type-2 history apply — the MERGE shape the reference's family
+    * lacks: dimension changes never overwrite, they close the old row
+    * (`valid_to` = effective day) and open a new version. Per update
+    * key: attributes equal → no-op; changed → close + insert; unseen
+    * key → insert open row; untouched current rows pass through.
+    * Comparison is null-safe per compare column. One full-outer join
+    * on the key (updates must be deduplicated per key — J2), unions of
+    * narrow projections after — linear, shuffle-on-key, the same scale
+    * shape as `replaceOnMatch`.
+    */
+  def scd2Apply(current: DataFrame, updates: DataFrame, keys: Seq[String],
+                compareCols: Seq[String], effectiveDay: Long): DataFrame = {
+    val open = current.filter(col("valid_to").isNull)
+    val closed = current.filter(col("valid_to").isNotNull)
+    val u = updates.select(
+      keys.map(c => col(c).as(s"u_$c")) ++ compareCols.map(c => col(c).as(s"u_$c")): _*)
+    val cond = keys.map(k => col(k) === col(s"u_$k")).reduce(_ && _)
+    val j = open.join(u, cond, "full")
+    val matched = keys.map(k => col(s"u_$k").isNotNull).reduce(_ && _) &&
+      keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val changed = !compareCols.map(c => col(c) <=> col(s"u_$c")).reduce(_ && _)
+    val keep = j.filter(!matched || !changed)
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .select(current.columns.map(col): _*)
+    val closedNow = j.filter(matched && changed)
+      .select(current.columns.map {
+        case "valid_to" => lit(effectiveDay).as("valid_to")
+        case c => col(c)
+      }: _*)
+    val openedNow = j.filter(matched && changed)
+      .select((keys ++ compareCols).map(c => col(s"u_$c").as(c))
+        :+ lit(effectiveDay).as("valid_from")
+        :+ lit(null).cast("long").as("valid_to"): _*)
+    val inserted = j.filter(keys.map(k => col(k).isNull).reduce(_ && _))
+      .select((keys ++ compareCols).map(c => col(s"u_$c").as(c))
+        :+ lit(effectiveDay).as("valid_from")
+        :+ lit(null).cast("long").as("valid_to"): _*)
+    closed.unionByName(keep).unionByName(closedNow)
+      .unionByName(openedNow.select(current.columns.map(col): _*))
+      .unionByName(inserted.select(current.columns.map(col): _*))
+  }
+
   /** J5: additive merge (ref transfom_pos.py:140-152,
     * total_sales = target.total_sales + source.total_sales):
     * valid as a re-aggregation precisely because the update rule is

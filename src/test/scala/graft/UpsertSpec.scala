@@ -70,4 +70,36 @@ class UpsertSpec extends SparkSpec with PropertyCheck {
     // the reference's MERGE has the same at-least-once caveat — replicated, not fixed
     assert(replayed.as[(Int, Double)].head() == ((1, 20.0)))
   }
+
+  test("SCD2 apply: changed keys close+reopen, unchanged no-op, new keys insert, history survives") {
+    val current = Seq(
+      (1L, "A", 10.0, 0L, Some(50L)),  // already-closed history row
+      (1L, "B", 11.0, 50L, None),      // open; update CHANGES it
+      (2L, "C", 20.0, 0L, None),       // open; update equals → no-op
+      (3L, "D", 30.0, 0L, None)        // open; not in update batch
+    ).toDF("k", "seg", "bal", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "B", 99.0),                 // changed balance
+      (2L, "C", 20.0),                 // identical
+      (9L, "Z", 1.0)                   // brand-new key
+    ).toDF("k", "seg", "bal")
+    val got = Upsert.scd2Apply(current, updates, Seq("k"), Seq("seg", "bal"), 100L)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(got == Seq(
+      (1L, "A", 10.0, 0L, Some(50L)),  // closed history untouched
+      (1L, "B", 11.0, 50L, Some(100L)),// old open version closed at 100
+      (1L, "B", 99.0, 100L, None),     // new version opened
+      (2L, "C", 20.0, 0L, None),       // identical update: untouched
+      (3L, "D", 30.0, 0L, None),       // unmatched current: untouched
+      (9L, "Z", 1.0, 100L, None)       // new key inserted open
+    ), got.toString)
+    // applying the SAME batch again is a no-op (idempotent history)
+    val again = Upsert.scd2Apply(
+        Upsert.scd2Apply(current, updates, Seq("k"), Seq("seg", "bal"), 100L),
+        updates, Seq("k"), Seq("seg", "bal"), 200L)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(again == got, again.toString)
+  }
 }

@@ -163,6 +163,67 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming SCD2 maintenance: dimension-change events landing as JSON
+    * are folded into the Type-2 history table per micro-batch —
+    * `Upsert.scd2Apply` with the batch's OWN effective day (max
+    * `effective_day` in the batch, data-derived, never wall clock), then
+    * an atomic table swap so readers always see a consistent history.
+    * Replay-safe WITHOUT a ledger, against BOTH failure shapes: an
+    * identical redelivered batch matches as all-no-ops (scd2Apply is
+    * idempotent — the UpsertSpec property), and a STALE redelivered
+    * batch (old changes replayed after newer ones landed) is dropped by
+    * the monotonic guard: an update only applies if its effective_day
+    * is newer than the key's open `valid_from`. Updates are also
+    * deduplicated latest-per-key within the batch (highest
+    * effective_day, J2) before applying.
+    */
+  def scd2IngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keyCol: String,
+      compareCols: Seq[String],
+      tableDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.store.{Lake, Upsert}
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol)).orderBy(col("effective_day").desc)
+          val latest = batch
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val current =
+            if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
+            else latest.select((keyCol +: compareCols).map(col): _*).limit(0)
+              .withColumn("valid_from", lit(0L))
+              .withColumn("valid_to", lit(null).cast("long"))
+          // monotonic guard: never apply a change at or before the open
+          // version's own effective day (stale replays become no-ops)
+          val open = current.filter(col("valid_to").isNull)
+            .select(col(keyCol), col("valid_from").as("_open_from"))
+          val fresh = latest.join(open, Seq(keyCol), "left")
+            .filter(col("_open_from").isNull || col("effective_day") > col("_open_from"))
+          if (!fresh.isEmpty) {
+            val eff = fresh.agg(max(col("effective_day"))).head.getLong(0)
+            val updates = fresh.select((keyCol +: compareCols).map(col): _*)
+            val next = Upsert.scd2Apply(current, updates, Seq(keyCol), compareCols, eff)
+            Lake.atomicOverwrite(spark, next, tableDir)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** T6 — the hourly alerting query as a streaming aggregation: counts of
     * negative interactions per event-time hour, emitted once the watermark
     * passes (the streaming form of Crm.negativeAlert).

@@ -176,6 +176,52 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
   }
 
+  test("streaming SCD2: history accrues across batches; full replay is a no-op") {
+    val root = Files.createTempDirectory("scd2_stream").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val tbl = s"$root/dim"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seg", StringType),
+      StructField("bal", DoubleType), StructField("effective_day", LongType)))
+    def row(k: Long, seg: String, bal: Double, d: Long) =
+      s"""{"k":$k,"seg":"$seg","bal":$bal,"effective_day":$d}"""
+    val q = MicroBatch.scd2IngestStream(spark, in, schema, "k",
+      Seq("seg", "bal"), tbl, s"$root/ckpt")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1, "A", 10.0, 10), row(2, "B", 20.0, 10)).mkString("\n"))
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(row(1, "A", 99.0, 20),            // change → close + reopen
+        row(1, "A", 50.0, 15),              // superseded within batch (J2)
+        row(2, "B", 20.0, 20)).mkString("\n")) // identical → no-op
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val hist = spark.read.parquet(tbl)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(hist == Seq(
+      (1L, "A", 10.0, 10L, Some(20L)),
+      (1L, "A", 99.0, 20L, None),
+      (2L, "B", 20.0, 10L, None)), hist.toString)
+
+    // wipe the checkpoint → every file redelivers; the history must not grow
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    val replay = MicroBatch.scd2IngestStream(spark, in, schema, "k",
+      Seq("seg", "bal"), tbl, s"$root/ckpt")
+    replay.processAllAvailable()
+    // the WORST replay: a stale producer re-sends only the FIRST batch's
+    // old values after newer versions landed — the monotonic guard must
+    // refuse to regress the open rows
+    Files.writeString(Paths.get(s"$in/b3_stale_resend.jsonl"),
+      Seq(row(1, "A", 10.0, 10), row(2, "B", 20.0, 10)).mkString("\n"))
+    replay.processAllAvailable()
+    replay.stop(); replay.awaitTermination()
+    val after = spark.read.parquet(tbl)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(after == hist, s"replay mutated history: $after")
+  }
+
   test("streaming data card converges to the batch rollup across micro-batches") {
     import MicroBatch.DocEvent
     val root = Files.createTempDirectory("card_stream").toString

@@ -207,6 +207,29 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(tail._5 >= 16L && tail._5 <= 17L)
   }
 
+  test("dsir weights are partition-invariant (property)") {
+    import org.scalacheck.Gen
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.take(6)))
+      flags <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield docs.zip(flags).zipWithIndex.map { case ((ws, f), i) =>
+      (i.toLong, ws.mkString(" "), f)
+    }
+    forAll(gen) { rows =>
+      val df = rows.toDF("doc_id", "text", "is_ref")
+      val a = Corpus.dsirWeights(df, "text", "doc_id", col("is_ref"), buckets = 32)
+        .as[(Long, Boolean, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      // quantized BIGINT terms: the shuffle/combine order of a different
+      // physical layout can never change a weight or a selection
+      val b = Corpus.dsirWeights(df.repartition(5), "text", "doc_id", col("is_ref"),
+          buckets = 32)
+        .as[(Long, Boolean, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
   test("eval sample: exact size per stratum, layout-invariant draw") {
     val docs = (0L until 40L).map(i => (i, s"doc $i", s"s${i % 3}"))
       .toDF("doc_id", "text", "source")

@@ -46,6 +46,21 @@ object Lake {
                            mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.partitionBy(dateCol).mode(mode).parquet(dest)
 
+  /** ORC interchange — the second columnar format warehouses exchange
+    * (Hive/Trino estates are ORC-first): same partitioned layout and
+    * pushdown contract as the parquet writers, so a table can be handed
+    * to an ORC consumer or ingested from one without a staging hop.
+    * LakeSpec asserts the round-trip AND that predicates reach the ORC
+    * scan (pushdown parity is the point — a format hop must not cost
+    * the pruning).
+    */
+  def writeOrcPartitioned(df: DataFrame, partCol: String, dest: String,
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.partitionBy(partCol).mode(mode).orc(dest)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** K4: quarantine sink — rejected records with reasons as JSON lines
     * (ref transformation.py:170-176 writes one JSON per failure; at scale a
     * JSONL directory is the same contract without the per-object overhead).

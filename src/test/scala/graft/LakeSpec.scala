@@ -223,4 +223,29 @@ class LakeSpec extends SparkSpec {
       Seq(s"$landing/pos_20240715_120000.csv"), s"$root/archive")
     assert(moved.size == 1 && Files.exists(Paths.get(moved.head)))
   }
+
+  test("ORC interchange: partitioned round-trip, predicates pushed to the ORC scan") {
+    val root = Files.createTempDirectory("orc_lake").toString
+    val df = (0L until 200L).map(i => (i, s"v$i", s"p${i % 4}"))
+      .toDF("id", "payload", "part")
+    Lake.writeOrcPartitioned(df, "part", s"$root/t")
+    val back = Lake.readOrc(spark, s"$root/t")
+    // identical data after the format hop (partition col round-trips too)
+    assert(back.count() == 200)
+    assert(back.select("id", "payload", "part").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq ==
+      df.as[(Long, String, String)].collect().sortBy(_._1).toSeq)
+    // partition pruning: a part filter reads only that directory's files
+    val pruned = back.filter($"part" === "p1")
+    assert(pruned.count() == 50)
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 4 partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    // row-level predicate reaches the ORC scan (PushedFilters non-empty)
+    val plan = back.filter($"id" > 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)]")
+      || plan.contains("GreaterThan(id,100)"), plan.take(800))
+  }
 }

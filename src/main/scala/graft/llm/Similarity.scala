@@ -828,20 +828,47 @@ object Similarity {
     * in everyone's neighbor list poison retrieval and dedup decisions;
     * antihubs with in-degree 0 are unreachable). Runs the full-corpus
     * top-k (every vector is a query), then counts appearances on the
-    * neighbor side; `is_hub` flags in-degree > 2k. The all-pairs scan is
-    * the sf-gate form — at 100 TB the same report runs over the LSH/IVF
-    * candidate graph instead of brute force (in-degree counting is the
-    * same groupBy either way).
+    * neighbor side; `is_hub` flags in-degree > 2k. The graph is each
+    * vector's top-k among its τ-candidates — in-degree counted over the
+    * MEMOIZED blocked pair scan (`blockedPairs`, the same candidate
+    * graph `llm_embed_clusters` closes over), NOT a corpus×corpus kNN:
+    * a full-corpus `bruteForceKnn(emb, emb, k)` would broadcast every
+    * embedding as the query side and die at the broadcast ceiling long
+    * before quadratic time matters. Here nothing corpus-sized is ever
+    * broadcast — the pair scan bounds its broadcasts to 1/nBlocks
+    * slices and is checkpointed, and everything after it moves only
+    * (id, id, sim) triples through one window + one count shuffle.
+    * Vectors with no τ-candidate at all surface as in-degree-0 antihubs
+    * via the left join.
     */
   def hubnessQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val indeg = bruteForceKnn(emb, emb, K)
+    hubnessOverPairs(emb, blockedPairs(spark, dir), K)
+  }
+
+  /** In-degree roll-up over an undirected candidate-pair frame
+    * `(id_a, id_b, sim_r)`: symmetrize, keep each query's top-`k`
+    * candidates (sim desc, id asc — deterministic under the 4-dp
+    * rounding the pair scans emit), count appearances on the neighbor
+    * side. Works over any candidate source (blocked exact scan, LSH
+    * buckets, IVF probes) — in-degree counting is the same groupBy
+    * either way.
+    */
+  def hubnessOverPairs(corpus: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("sim_r"))
+      .union(pairs
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("sim_r")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_r").desc, col("neighbor_id"))
+    val indeg = sym
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
       .groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_degree"))
-    emb.select(col("vec_id"))
+    corpus.select(col("vec_id"))
       .join(indeg.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-        (coalesce(col("in_degree"), lit(0L)) > lit(2L * K)).as("is_hub"))
+        (coalesce(col("in_degree"), lit(0L)) > lit(2L * k)).as("is_hub"))
       .orderBy(col("vec_id"))
   }
 
@@ -1815,15 +1842,22 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_kcenter_select" -> kCenterSql(KCenters),
     "llm_semdedup" -> SemDedupSql,
-    // the brute ranking replica with EVERY vector as a query, rolled up
-    // by neighbor-side in-degree (zero-degree antihubs via LEFT join)
+    // candidate-graph replica: the τ-thresholded pair scan (the same
+    // graph llm_embed_neardup checks), symmetrized, top-K per query on
+    // the 4-dp rounded sim, rolled up by neighbor-side in-degree
+    // (zero-degree antihubs via LEFT join)
     "llm_hubness" ->
-      s"""WITH knn AS MATERIALIZED (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
-         |  FROM embeddings q, embeddings c
-         |  WHERE q.vec_id <> c.vec_id
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $PairTau),
+         |sym AS (SELECT id_a AS query_id, id_b AS neighbor_id, sim_r FROM p
+         |        UNION ALL SELECT id_b, id_a, sim_r FROM p),
+         |knn AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim_r DESC, neighbor_id) AS rank
+         |  FROM sym
          |  QUALIFY rank <= $K),
          |indeg AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree
          |          FROM knn GROUP BY 1)

@@ -625,9 +625,9 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(z(0)._2(0) == -z(3)._2(0) && z(1)._2(0) == -z(2)._2(0))
   }
 
-  test("hubness: in-degree counts over the kNN graph, antihubs kept at zero") {
+  test("hubness: in-degree counts over the candidate graph, antihubs kept at zero") {
     // vid 0 sits at the centroid of a spread cloud → everyone's neighbor;
-    // vid 99 points away from all → in-degree 0
+    // vid 99 points away from all → no τ-candidate at all → in-degree 0
     def v(xs: Double*): Array[Float] =
       (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
     // each cloud point perturbs its OWN axis: cos(cloud, cloud) = 1/1.09
@@ -638,19 +638,31 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     }
     val emb = ((0L, v(1.0, 0.0, 0.0)) +: cloud :+ ((99L, v(-1.0, 0.0, 0.0))))
       .toDF("vec_id", "embedding")
-    val spark2 = spark
-    val got = {
-      // drive the same shape as the registered query at k=2 over this frame
-      val indeg = Similarity.bruteForceKnn(emb, emb, 2)
-        .groupBy($"neighbor_id").agg(count(lit(1)).as("in_degree"))
-      emb.select($"vec_id")
-        .join(indeg.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
-        .select($"vec_id", coalesce($"in_degree", lit(0L)).as("in_degree"))
-        .as[(Long, Long)].collect().toMap
-    }
+    val pairs = Similarity.bruteForcePairs(emb, 0.35)
+    val got = Similarity.hubnessOverPairs(emb, pairs, 2)
+      .select($"vec_id", $"in_degree")
+      .as[(Long, Long)].collect().toMap
     assert(got(0L) >= 6, s"central point in-degree ${got(0L)}") // near-universal neighbor
     assert(got(99L) == 0L)                                      // antihub reported at zero
-    assert(got.values.sum == 8 * 2)                             // every list has k entries
+    // 99 has no τ-candidate (cos < 0) so only the 7 connected vectors
+    // carry a top-2 list; every edge lands on some in-degree
+    assert(got.values.sum == 7 * 2)
+  }
+
+  test("hubness registered plan never moves the embedding column (no corpus broadcast)") {
+    val dir = "/root/testdata/sf0.001"
+    Similarity.clearPairCache(spark)
+    val qe = Similarity.hubnessQuery(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    // the embedding column is consumed entirely inside the memoized
+    // blocked pair scan (bounded 1/nBlocks slice broadcasts, then
+    // checkpointed); the registered plan itself carries only
+    // (id, id, sim) triples — so no attribute named embedding appears
+    // anywhere, let alone under a BroadcastExchange. This is the shape
+    // that survives 100 TB: the old form broadcast every vector as the
+    // kNN query side.
+    assert(!plan.contains("embedding#") && !plan.contains("q_emb#") &&
+      !plan.contains("c_emb#"), s"registered hubness plan still moves embeddings:\n$plan")
   }
 
   test("label centroids: exact integer class means, member counts") {

@@ -165,17 +165,24 @@ object MicroBatch {
 
   /** Streaming SCD2 maintenance: dimension-change events landing as JSON
     * are folded into the Type-2 history table per micro-batch —
-    * `Upsert.scd2Apply` with the batch's OWN effective day (max
-    * `effective_day` in the batch, data-derived, never wall clock), then
-    * an atomic table swap so readers always see a consistent history.
+    * `Upsert.scd2Apply` once per DISTINCT `effective_day` in the batch,
+    * ascending (data-derived days, never wall clock), then an atomic
+    * table swap so readers always see a consistent history. The per-day
+    * fold makes history granularity independent of trigger boundaries:
+    * a batch carrying a key's day-5 AND day-7 changes records BOTH
+    * versions, each stamped with its own day — a single batch-max apply
+    * would collapse them to one misdated row and then mis-drop later
+    * legitimate updates via the guard. Days per batch are few (the fold
+    * is 1-2 iterations in practice) and each step is checkpointed so
+    * the plan stays flat.
     * Replay-safe WITHOUT a ledger, against BOTH failure shapes: an
     * identical redelivered batch matches as all-no-ops (scd2Apply is
     * idempotent — the UpsertSpec property), and a STALE redelivered
     * batch (old changes replayed after newer ones landed) is dropped by
-    * the monotonic guard: an update only applies if its effective_day
-    * is newer than the key's open `valid_from`. Updates are also
-    * deduplicated latest-per-key within the batch (highest
-    * effective_day, J2) before applying.
+    * the per-key monotonic guard: an update applies only if ITS OWN
+    * effective_day is newer than that key's open `valid_from` at that
+    * point in the fold. Updates are deduplicated per (key, day) within
+    * the batch before applying.
     */
   def scd2IngestStream(
       spark: SparkSession,
@@ -196,28 +203,44 @@ object MicroBatch {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // one row per (key, day): the same key changing on several days
+          // within a batch must land as several versions, not collapse
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyCol)).orderBy(col("effective_day").desc)
-          val latest = batch
+            .partitionBy(col(keyCol), col("effective_day"))
+            .orderBy(col("effective_day").desc)
+          val perDay = batch
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
-          val current =
+          var current =
             if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
-            else latest.select((keyCol +: compareCols).map(col): _*).limit(0)
+            else perDay.select((keyCol +: compareCols).map(col): _*).limit(0)
               .withColumn("valid_from", lit(0L))
               .withColumn("valid_to", lit(null).cast("long"))
-          // monotonic guard: never apply a change at or before the open
-          // version's own effective day (stale replays become no-ops)
-          val open = current.filter(col("valid_to").isNull)
-            .select(col(keyCol), col("valid_from").as("_open_from"))
-          val fresh = latest.join(open, Seq(keyCol), "left")
-            .filter(col("_open_from").isNull || col("effective_day") > col("_open_from"))
-          if (!fresh.isEmpty) {
-            val eff = fresh.agg(max(col("effective_day"))).head.getLong(0)
-            val updates = fresh.select((keyCol +: compareCols).map(col): _*)
-            val next = Upsert.scd2Apply(current, updates, Seq(keyCol), compareCols, eff)
-            Lake.atomicOverwrite(spark, next, tableDir)
+          // the batch's distinct days, ascending — a bounded driver
+          // artifact (days-per-batch, not rows)
+          val days = perDay.select(col("effective_day")).distinct()
+            .orderBy(col("effective_day"))
+            .collect().map(_.getLong(0))
+          var applied = false
+          for (d <- days) {
+            // per-key monotonic guard at THIS day: never apply a change
+            // at or before the key's open version's own effective day
+            // (stale replays become no-ops; later same-batch days see
+            // the versions earlier days just opened)
+            val open = current.filter(col("valid_to").isNull)
+              .select(col(keyCol), col("valid_from").as("_open_from"))
+            val fresh = perDay.filter(col("effective_day") === d)
+              .join(open, Seq(keyCol), "left")
+              .filter(col("_open_from").isNull || lit(d) > col("_open_from"))
+            if (!fresh.isEmpty) {
+              val updates = fresh.select((keyCol +: compareCols).map(col): _*)
+              current = Upsert
+                .scd2Apply(current, updates, Seq(keyCol), compareCols, d)
+                .localCheckpoint()
+              applied = true
+            }
           }
+          if (applied) Lake.atomicOverwrite(spark, current, tableDir)
         }
         ()
       }

@@ -192,15 +192,18 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     Files.writeString(Paths.get(s"$in/b2.jsonl"),
       Seq(row(1, "A", 99.0, 20),            // change → close + reopen
-        row(1, "A", 50.0, 15),              // superseded within batch (J2)
+        row(1, "A", 50.0, 15),              // earlier day, SAME batch → own version
         row(2, "B", 20.0, 20)).mkString("\n")) // identical → no-op
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
     val hist = spark.read.parquet(tbl)
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
+    // the per-day fold records the day-15 intermediate version with its
+    // own valid window — trigger boundaries don't change history shape
     assert(hist == Seq(
-      (1L, "A", 10.0, 10L, Some(20L)),
+      (1L, "A", 10.0, 10L, Some(15L)),
+      (1L, "A", 50.0, 15L, Some(20L)),
       (1L, "A", 99.0, 20L, None),
       (2L, "B", 20.0, 10L, None)), hist.toString)
 
@@ -220,6 +223,48 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
     assert(after == hist, s"replay mutated history: $after")
+  }
+
+  test("streaming SCD2: mixed-day batch keeps per-key days; later update not mis-dropped") {
+    val root = Files.createTempDirectory("scd2_days").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val tbl = s"$root/dim"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seg", StringType),
+      StructField("bal", DoubleType), StructField("effective_day", LongType)))
+    def row(k: Long, seg: String, bal: Double, d: Long) =
+      s"""{"k":$k,"seg":"$seg","bal":$bal,"effective_day":$d}"""
+    val q = MicroBatch.scd2IngestStream(spark, in, schema, "k",
+      Seq("seg", "bal"), tbl, s"$root/ckpt")
+    // ONE batch: key 1 changes on day 5 AND day 7; key 2 on day 9 (the
+    // batch max a single-apply form would wrongly stamp everyone with)
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1, "A", 1.0, 5), row(1, "A", 2.0, 7), row(2, "B", 5.0, 9))
+        .mkString("\n"))
+    q.processAllAvailable()
+    val hist1 = spark.read.parquet(tbl)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    // one key, days {5, 7}, one batch → a CLOSED day-5 row and an OPEN
+    // day-7 row, each stamped with its own day
+    assert(hist1 == Seq(
+      (1L, "A", 1.0, 5L, Some(7L)),
+      (1L, "A", 2.0, 7L, None),
+      (2L, "B", 5.0, 9L, None)), hist1.toString)
+    // a later day-8 update for key 1 must APPLY (8 > its own open day 7);
+    // under a batch-max stamp its open row would read day 9 and the
+    // legitimate update would be mis-dropped as stale
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), row(1, "A", 3.0, 8))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val hist2 = spark.read.parquet(tbl)
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(hist2 == Seq(
+      (1L, "A", 1.0, 5L, Some(7L)),
+      (1L, "A", 2.0, 7L, Some(8L)),
+      (1L, "A", 3.0, 8L, None),
+      (2L, "B", 5.0, 9L, None)), hist2.toString)
   }
 
   test("streaming data card converges to the batch rollup across micro-batches") {

@@ -123,11 +123,12 @@ object Orchestrate {
         Lake.writeDatePartitioned(curated, "date", s"$lakeRoot/curated", org.apache.spark.sql.SaveMode.Append)
       }
       val kpiPath = s"$lakeRoot/kpi"
-      val merged =
-        if (new java.io.File(kpiPath).exists())
-          Upsert.additive(spark.read.parquet(kpiPath), kpi, Seq("product_id", "date"), "total_sales")
-        else kpi
-      withRetry() { Lake.atomicOverwrite(spark, merged, kpiPath) }
+      // partition-scoped persistence: the delta's dates prune the read
+      // AND bound the rewrite — untouched KPI history is never touched
+      withRetry() {
+        Upsert.additivePartitioned(spark, kpiPath, kpi,
+          Seq("product_id"), "total_sales", "date")
+      }
       valid.foreach { f =>
         Lake.archiveByFilenameDate(Seq(f), Lake.zone(lakeRoot, Lake.Zones.Archive))
       }

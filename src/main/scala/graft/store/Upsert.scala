@@ -78,6 +78,49 @@ object Upsert {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as(valueCol))
 
+  /** J5 at rest, partition-scoped: the additive merge persisted to a
+    * hive-partitioned KPI table, touching ONLY the delta's partitions.
+    * The whole-table form (additive + full swap) rereads and rewrites
+    * the entire KPI history every batch — at real history sizes that is
+    * a per-batch full rewrite for a delta touching a handful of recent
+    * dates. Here the delta's distinct partition values (a bounded driver
+    * list — dates-per-batch, not rows) prune the existing side's scan to
+    * just those partition dirs, the re-agg runs over that slice plus the
+    * delta, and the write commits through dynamic partition overwrite
+    * (Engine.tune sets partitionOverwriteMode=dynamic), which replaces
+    * exactly the partition dirs present in the result. Untouched
+    * partitions are never read, never shuffled, never rewritten — their
+    * files stay byte-identical (LakeSpec asserts mtimes). The merged
+    * slice is localCheckpointed before the write because Spark refuses a
+    * write whose plan reads the destination path; the checkpoint also
+    * bounds the staged data to the touched slice. Same single-writer
+    * contract as the swap path; the crash window is Spark's own
+    * per-partition commit over the touched dirs only.
+    */
+  def additivePartitioned(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                          delta: DataFrame, keys: Seq[String], valueCol: String,
+                          partitionCol: String): Unit = {
+    if (delta.isEmpty) return
+    val fullKeys = keys :+ partitionCol
+    val cols = fullKeys.map(col) :+ col(valueCol)
+    val deltaAgg = delta.groupBy(fullKeys.map(col): _*).agg(sum(col(valueCol)).as(valueCol))
+    val merged =
+      if (!new java.io.File(tableDir).exists) deltaAgg.select(cols: _*)
+      else {
+        val touched = deltaAgg.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val existing = spark.read.parquet(tableDir)
+          .filter(col(partitionCol).isInCollection(touched))
+          .select(cols: _*)
+        additive(existing, deltaAgg.select(cols: _*), fullKeys, valueCol)
+          .select(cols: _*)
+      }
+    merged.localCheckpoint()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(tableDir)
+  }
+
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with
     * its batch id and keeping the applied-batch ledger alongside the state

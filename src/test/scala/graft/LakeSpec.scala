@@ -195,6 +195,32 @@ class LakeSpec extends SparkSpec {
     assert(back.select("processed_files").as[Long].head() == 2L)
   }
 
+  test("partition-scoped additive merge leaves untouched partition files byte-identical") {
+    val root = Files.createTempDirectory("addpart_lake").toString
+    val tbl = s"$root/kpi"
+    def kpi(rows: Seq[(Int, String, Double)]) = rows.toDF("product_id", "d", "total_sales")
+      .select($"product_id", to_date($"d").as("date"), $"total_sales")
+    Upsert.additivePartitioned(spark, tbl,
+      kpi(Seq((1, "2024-07-01", 10.0), (2, "2024-07-02", 20.0))),
+      Seq("product_id"), "total_sales", "date")
+    // snapshot the partition the next delta does NOT touch
+    def snapshot(dir: String): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    val before = snapshot(s"$tbl/date=2024-07-01")
+    Upsert.additivePartitioned(spark, tbl,
+      kpi(Seq((2, "2024-07-02", 5.0), (3, "2024-07-02", 7.0))),
+      Seq("product_id"), "total_sales", "date")
+    // the day-01 partition was never read, never rewritten: same files,
+    // same sizes, same mtimes — the per-batch full-table rewrite is gone
+    assert(snapshot(s"$tbl/date=2024-07-01") == before)
+    val got = spark.read.parquet(tbl)
+      .select($"product_id", $"date".cast("string"), $"total_sales")
+      .as[(Int, String, Double)].collect().toSet
+    assert(got == Set((1, "2024-07-01", 10.0), (2, "2024-07-02", 25.0),
+      (3, "2024-07-02", 7.0)))
+  }
+
   test("POS batch end-to-end through zones: csv -> validate -> transform -> KPI merge -> archive") {
     val root = Files.createTempDirectory("pos_e2e").toString
     val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))

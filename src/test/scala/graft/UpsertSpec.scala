@@ -62,6 +62,31 @@ class UpsertSpec extends SparkSpec with PropertyCheck {
     assert(s4.state.as[(Int, Double)].collect().toSet == Set((1, 20.0), (2, 2.0)))
   }
 
+  test("property: partition-scoped persisted merge ≡ whole-table re-agg") {
+    import graft.store.Lake
+    val dates = Gen.oneOf("2024-07-01", "2024-07-02", "2024-07-03")
+    val batchGen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(0, 3), dates, Gen.chooseNum(1, 100)))
+    forAll(batchGen, batchGen) { (b1, b2) =>
+      val root = java.nio.file.Files.createTempDirectory("addpart").toString
+      def kpi(b: List[(Int, String, Int)]) = b.toDF("product_id", "d", "v")
+        .select($"product_id", to_date($"d").as("date"),
+          $"v".cast("double").as("total_sales"))
+      Seq(b1, b2).foreach { b =>
+        Upsert.additivePartitioned(spark, s"$root/kpi", kpi(b),
+          Seq("product_id"), "total_sales", "date")
+      }
+      val got = spark.read.parquet(s"$root/kpi")
+        .select($"product_id", $"date".cast("string"), $"total_sales")
+        .as[(Int, String, Double)].collect().toSet
+      val direct = kpi(b1 ++ b2).groupBy($"product_id", $"date")
+        .agg(sum($"total_sales").as("total_sales"))
+        .select($"product_id", $"date".cast("string"), $"total_sales")
+        .as[(Int, String, Double)].collect().toSet
+      assert(got == direct)
+      Lake.deleteRecursive(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("T5 documented semantics: additive merge double-counts on replay (at-least-once)") {
     val existing = Seq((1, 10.0)).toDF("k", "total")
     val delta = Seq((1, 5.0)).toDF("k", "total")

@@ -39,8 +39,9 @@ object Engine {
 
   /** Drop every session-scoped memo the engine keeps for `spark` — the
     * blocked embedding pair scan, the verified near-dup pair graph, the
-    * curation status frame, and the at-rest IVF index — unpersisting
-    * their checkpoints and deleting the index scratch dir. The memos
+    * curation status frame, the at-rest IVF index, and the bucketed
+    * tables — unpersisting their checkpoints and deleting the index and
+    * bucket scratch dirs (catalog registrations dropped too). The memos
     * self-invalidate on source-table rewrites (fingerprint keys;
     * DedupSpec), so this exists for the remaining cases: reclaiming
     * block-manager space mid-session, or forcing a rebuild after an
@@ -51,6 +52,8 @@ object Engine {
     graft.llm.Similarity.clearIndexCache(spark)
     graft.llm.Dedup.clearVerifiedCache(spark)
     graft.llm.Curation.clearStatusCache(spark)
+    graft.store.Bucketed.clearBucketCache(spark)
+    graft.store.Lake.clearOrcCache(spark)
   }
 
   /** Runtime SQL confs that are safe to set on a session we did not build

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.Joins
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
-import graft.store.{Bucketed, ZOrder}
+import graft.store.{Bucketed, Lake, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
       (Joins.queries, Joins.oracles),
       (Bucketed.queries, Bucketed.oracles),
       (Bpe.queries, Bpe.oracles),
-      (ZOrder.queries, ZOrder.oracles))
+      (ZOrder.queries, ZOrder.oracles),
+      (Lake.queries, Lake.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -32,18 +32,24 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
-  import org.apache.spark.sql.types.{LongType, TimestampType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Normalize whatever physical type the scan produced for `ts` to
     * session-zone TimestampType micros. Long = legacy nanos epoch;
     * TIMESTAMP_NTZ casts by reinterpreting the wall clock in the session
-    * zone (UTC), which preserves the stored instant.
+    * zone (UTC), which preserves the stored instant. Any OTHER physical
+    * type fails fast: the driver has changed this column's shape across
+    * rounds, and a best-effort cast of an unanticipated shape (string,
+    * int32 seconds, …) would be quietly wrong rather than loudly new.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unanticipated physical type $other; " +
+          "extend Tables.normalizeTs/eventsInRange deliberately instead of best-effort casting")
     }
 
   /** events with ts normalized to TimestampType (micros). */
@@ -58,19 +64,25 @@ object Tables {
     */
   def eventsInRange(spark: SparkSession, sfDir: String,
                     startDate: String, endDateInclusive: String): DataFrame = {
-    val endExclusive = java.time.LocalDate.parse(endDateInclusive).plusDays(1).toString
+    // Both bounds parse BEFORE splicing into any literal: a malformed
+    // startDate fails here with a DateTimeParseException, not an opaque
+    // analysis error from inside a TIMESTAMP literal.
+    val start = java.time.LocalDate.parse(startDate)
+    val endExclusive = java.time.LocalDate.parse(endDateInclusive).plusDays(1)
     val raw = read(spark, sfDir, "events")
     val filtered = raw.schema("ts").dataType match {
       case LongType =>
-        def nanos(d: String): Long =
-          java.time.LocalDate.parse(d).toEpochDay * 86400L * 1000000000L
-        raw.filter(col("ts") >= nanos(startDate) && col("ts") < nanos(endExclusive))
+        def nanos(d: java.time.LocalDate): Long = d.toEpochDay * 86400L * 1000000000L
+        raw.filter(col("ts") >= nanos(start) && col("ts") < nanos(endExclusive))
       case TimestampType =>
-        raw.filter(col("ts") >= expr(s"TIMESTAMP '$startDate 00:00:00'") &&
+        raw.filter(col("ts") >= expr(s"TIMESTAMP '$start 00:00:00'") &&
           col("ts") < expr(s"TIMESTAMP '$endExclusive 00:00:00'"))
-      case _ =>
-        raw.filter(col("ts") >= expr(s"TIMESTAMP_NTZ '$startDate 00:00:00'") &&
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= expr(s"TIMESTAMP_NTZ '$start 00:00:00'") &&
           col("ts") < expr(s"TIMESTAMP_NTZ '$endExclusive 00:00:00'"))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unanticipated physical type $other; " +
+          "extend Tables.normalizeTs/eventsInRange deliberately instead of best-effort casting")
     }
     normalizeTs(filtered)
   }

@@ -776,9 +776,15 @@ object Similarity {
         sum((col("xq") * col("xq")).cast(DecimalType(38, 0))).as("ss"))
       .select(col("pos"), col("n"), col("ss"),
         (col("s").cast("double") / col("n")).as("mean"))
+      // greatest(…, 0): for a (near-)constant dimension at large n the
+      // float subtraction ss − n·mean² can round slightly NEGATIVE, and
+      // sqrt would emit NaN — which the std === 0 guard below misses
+      // (NaN compares false), yielding engine-specific NaN casts instead
+      // of the documented standardize-to-0. Clamped in the oracle too.
       .select(col("pos"), col("mean"),
-        sqrt((col("ss").cast("double") - col("n") * col("mean") * col("mean")) / col("n"))
-          .as("std"))
+        sqrt(greatest(
+          (col("ss").cast("double") - col("n") * col("mean") * col("mean")) / col("n"),
+          lit(0.0d))).as("std"))
     val statsRow = stats.agg(
       array_sort(collect_list(struct(col("pos"), col("mean"), col("std")))).as("ds"))
     corpus.crossJoin(broadcast(statsRow))
@@ -1030,6 +1036,16 @@ object Similarity {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
 
+  /** ONE JVM exit hook for all index roots, registered at first build and
+    * consulting the live cache — rebuilds never accumulate hooks (each
+    * rebuild already deletes the root it evicts).
+    */
+  private lazy val indexExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfIndexCache.values.foreach { case (_, _, idx) =>
+        graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(idx))
+      }))
+
   private[graft] def clearIndexCache(spark: SparkSession): Unit =
     ivfIndexCache.remove(spark).foreach { case (_, _, old) =>
       graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(old))
@@ -1046,8 +1062,7 @@ object Similarity {
         val emb = Tables.embeddings(spark, dir)
         val codes = trainCentroidCodes(emb, NList, SampleSize, KmIters)
         val idx = java.nio.file.Files.createTempDirectory("ivf_index").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(idx))))
+        indexExitHook
         buildIvfIndex(emb, codes, idx)
         ivfIndexCache(spark) = (dir, fp, idx)
         idx
@@ -1896,7 +1911,7 @@ object Similarity {
         |        FROM q GROUP BY 1),
         |st1 AS (SELECT pos, n, ss, CAST(s AS DOUBLE) / n AS mean FROM st0),
         |st AS (SELECT pos, mean,
-        |         sqrt((CAST(ss AS DOUBLE) - n * mean * mean) / n) AS std FROM st1)
+        |         sqrt(greatest((CAST(ss AS DOUBLE) - n * mean * mean) / n, 0)) AS std FROM st1)
         |SELECT q.vec_id,
         |  string_agg(CASE WHEN st.std = 0 THEN '0'
         |    ELSE CAST(CAST(round((q.xq - st.mean) / st.std * 10000.0, 0) AS BIGINT) AS VARCHAR) END,

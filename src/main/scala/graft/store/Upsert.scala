@@ -87,7 +87,9 @@ object Upsert {
     * list — dates-per-batch, not rows) prune the existing side's scan to
     * just those partition dirs, the re-agg runs over that slice plus the
     * delta, and the write commits through dynamic partition overwrite
-    * (Engine.tune sets partitionOverwriteMode=dynamic), which replaces
+    * set as a WRITE-SCOPED option (not session conf: under the static
+    * default a caller on an un-tuned session would silently delete every
+    * untouched partition of the history), which replaces
     * exactly the partition dirs present in the result. Untouched
     * partitions are never read, never shuffled, never rewritten — their
     * files stay byte-identical (LakeSpec asserts mtimes). The merged
@@ -117,6 +119,10 @@ object Upsert {
       }
     merged.localCheckpoint()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // Safety travels with the operator: dynamic overwrite per-write, so
+      // the merge is partition-scoped regardless of the caller's session
+      // conf (static mode would drop every untouched partition).
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(tableDir)
   }

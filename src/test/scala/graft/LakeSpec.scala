@@ -274,4 +274,27 @@ class LakeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)]")
       || plan.contains("GreaterThan(id,100)"), plan.take(800))
   }
+
+  test("registered orc_roundtrip: price predicate pushed to the ORC scan, build memoized") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Lake.orcRoundtripQuery(spark, dir)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Format: ORC"), plan.take(600))
+    assert(plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"price predicate not pushed to the ORC scan:\n${plan.take(1200)}")
+    // the one-off build is memoized: a second invocation rewrites nothing
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val root = scan.relation.location.rootPaths.head.toString
+    def listing = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(root.stripPrefix("file:"))).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    val before = listing
+    assert(Lake.orcRoundtripQuery(spark, dir).count() == df.count())
+    assert(listing == before, "re-invocation rewrote the ORC table")
+  }
 }

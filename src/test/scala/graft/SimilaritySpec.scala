@@ -625,6 +625,28 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(z(0)._2(0) == -z(3)._2(0) && z(1)._2(0) == -z(2)._2(0))
   }
 
+  test("standardize: near-constant dimension whose variance rounds negative clamps to 0, not NaN") {
+    // n=10, code 2255512575 ×9 + (code+3) ×1: the exact DECIMAL sums
+    // cast to double make ss − n·mean² = −8192 (var −819.2, verified by
+    // IEEE simulation; codes kept < 2^31.5 so xq² stays in long) — sqrt
+    // would be NaN, which the std===0 guard misses (NaN compares false)
+    // and Spark's legacy NaN→long cast would then export as
+    // engine-specific garbage. greatest(…,0) routes it to the
+    // documented standardize-to-0 path.
+    val xq0 = 2255512575L
+    val v0 = xq0 / 65536.0
+    val v1 = (xq0 + 3) / 65536.0
+    val emb = ((1L to 9L).map(i => (i, Array(v0, 1.0 * i))) :+ (10L, Array(v1, 20.0)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardize(emb)
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, csv) => id -> csv.split(",").map(_.toLong) }
+    // the near-constant dim exports 0 for every row — no NaN artifacts
+    assert(z.forall(_._2(0) == 0L), z.map(_._2(0)).mkString(","))
+    // the genuinely varying dim still standardizes normally
+    assert(z.map(_._2(1)).distinct.length > 1)
+  }
+
   test("hubness: in-degree counts over the candidate graph, antihubs kept at zero") {
     // vid 0 sits at the centroid of a spread cloud → everyone's neighbor;
     // vid 99 points away from all → no τ-candidate at all → in-degree 0

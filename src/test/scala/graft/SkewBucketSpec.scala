@@ -102,6 +102,37 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("bucketed memo invalidates on in-place source rewrite; clearCaches drops tables and root") {
+    val dir = java.nio.file.Files.createTempDirectory("bucket_src").toString
+    def seed(factor: Double): Unit = Seq("orders", "customer").foreach { t =>
+      val src = Tables.read(spark, "/root/testdata/sf0.001", t)
+      (if (t == "orders") src.withColumn("o_totalprice", col("o_totalprice") * factor) else src)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    seed(1.0)
+    val first = store.Bucketed.spendBucketedQuery(spark, dir)
+      .agg(sum("total_spend")).as[Double].head()
+    val root1 = store.Bucketed.activeRoot(spark).get
+    // rewrite orders IN PLACE (same dir, new files): the fingerprint must
+    // catch it and rebuild — stale bucketed results were a correctness bug
+    seed(2.0)
+    val second = store.Bucketed.spendBucketedQuery(spark, dir)
+      .agg(sum("total_spend")).as[Double].head()
+    assert(math.abs(second - 2.0 * first) < 1e-6 * math.abs(first),
+      s"stale bucketed result served: first=$first second=$second")
+    assert(!store.Bucketed.activeRoot(spark).contains(root1), "memo not rebuilt")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root1)),
+      "evicted bucket root not deleted")
+    // clearCaches is the explicit escape hatch: tables unregistered, root gone
+    val root2 = store.Bucketed.activeRoot(spark).get
+    Engine.clearCaches(spark)
+    assert(store.Bucketed.activeRoot(spark).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root2)), "bucket root not deleted")
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_b_")), "catalog registrations not dropped")
+    store.Lake.deleteRecursive(java.nio.file.Paths.get(dir))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val n = 1000
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

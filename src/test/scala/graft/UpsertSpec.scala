@@ -87,6 +87,44 @@ class UpsertSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("partition-scoped merge is safe on an UN-TUNED session (write-scoped dynamic overwrite)") {
+    import graft.store.Lake
+    // newSession shares the context but NOT runtime session conf, so it has
+    // the static-overwrite default — the exact caller shape that would lose
+    // every untouched partition if the guarantee lived only in Engine.tune.
+    val untuned = spark.newSession()
+    assert(untuned.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+    import untuned.implicits._
+    val root = java.nio.file.Files.createTempDirectory("addpart_untuned").toString
+    val tbl = s"$root/kpi"
+    def kpi(rows: Seq[(Int, String, Double)]) = rows.toDF("product_id", "d", "total_sales")
+      .select($"product_id", to_date($"d").as("date"), $"total_sales")
+    Upsert.additivePartitioned(untuned, tbl,
+      kpi(Seq((1, "2024-07-01", 10.0), (2, "2024-07-02", 20.0), (3, "2024-07-03", 30.0))),
+      Seq("product_id"), "total_sales", "date")
+    def partFiles(day: String) = {
+      val d = java.nio.file.Paths.get(tbl, s"date=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val before01 = partFiles("2024-07-01")
+    val before03 = partFiles("2024-07-03")
+    // one-date delta on an un-tuned session: only 07-02 may be rewritten
+    Upsert.additivePartitioned(untuned, tbl,
+      kpi(Seq((2, "2024-07-02", 5.0))), Seq("product_id"), "total_sales", "date")
+    assert(partFiles("2024-07-01") == before01, "untouched partition rewritten or deleted")
+    assert(partFiles("2024-07-03") == before03, "untouched partition rewritten or deleted")
+    val got = untuned.read.parquet(tbl)
+      .select($"product_id", $"date".cast("string"), $"total_sales")
+      .as[(Int, String, Double)].collect().toSet
+    assert(got == Set((1, "2024-07-01", 10.0), (2, "2024-07-02", 25.0), (3, "2024-07-03", 30.0)))
+    Lake.deleteRecursive(java.nio.file.Paths.get(root))
+  }
+
   test("T5 documented semantics: additive merge double-counts on replay (at-least-once)") {
     val existing = Seq((1, 10.0)).toDF("k", "total")
     val delta = Seq((1, 5.0)).toDF("k", "total")

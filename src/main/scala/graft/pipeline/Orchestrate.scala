@@ -173,12 +173,19 @@ object Orchestrate {
       if (valid.isEmpty) { notify("all files quarantined"); return RunReport(0, quarantined.size, transformed = false, None) }
       val raw = spark.read.schema(graft.schema.Schemas.inventory).json(valid: _*)
       val deduped = Inventory.latestPerKey(raw, "inventory_id", Seq("last_updated"))
+      // managed merge target in the versioned layout: downstream readers
+      // (and the next run's own read-back) resolve the CURRENT pointer,
+      // so a reader concurrent with the overwrite sees the old or new
+      // state, never a missing path
       val statePath = s"$lakeRoot/inventory_state"
       val merged =
-        if (new java.io.File(statePath).exists())
-          Upsert.replaceOnMatch(spark.read.parquet(statePath), deduped, Seq("inventory_id"))
+        if (graft.store.Versioned.exists(statePath))
+          Upsert.replaceOnMatch(graft.store.Versioned.read(spark, statePath),
+            deduped, Seq("inventory_id"))
         else deduped
-      withRetry() { Lake.atomicOverwrite(spark, merged, statePath) }
+      // no staging checkpoint needed: the plan reads snapshot v_n and
+      // writes v_n+1 — distinct paths, so Spark's self-read guard is moot
+      withRetry() { graft.store.Versioned.overwrite(merged, statePath) }
       valid.foreach { f =>
         val target = java.nio.file.Paths.get(
           Lake.zone(lakeRoot, Lake.Zones.Archive), java.nio.file.Paths.get(f).getFileName.toString)

@@ -122,6 +122,13 @@ object Lake {
     * between them the table path does not exist, so a concurrent reader
     * can fail with path-not-found. A crash in that window is recovered by
     * `recoverSwap` on the next swap (or at startup).
+    *
+    * Use this form only where plain `spark.read.parquet(dest)`
+    * compatibility of the canonical path is required and readers are
+    * coordinated. Where readers are NOT coordinated, use
+    * [[Versioned.overwrite]]: versioned snapshot dirs + an atomic
+    * pointer flip remove the missing-path window entirely (the
+    * scd2 stream table and the inventory merge state use it).
     */
   def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit = {
     recoverSwap(dest)

@@ -127,6 +127,30 @@ object Upsert {
       .parquet(tableDir)
   }
 
+  /** At-rest batch ledger for the partition-scoped streaming merge: one
+    * empty marker file per applied batch id under `<table>/_ledger/`
+    * (underscore-prefixed, so Spark's file discovery never sees it as
+    * data — the same trick as `_manifest`). Membership is one file-exists
+    * probe and recording is a tmp-write + atomic rename; both are
+    * driver-side metadata ops, nothing scales with rows. Replayed batch
+    * ids (the at-least-once redelivery after a crash-before-checkpoint)
+    * become no-ops. The residual window is a crash BETWEEN the data
+    * commit and the marker rename — the transactional-log gap every
+    * non-ACID table has; single-writer, documented, one batch wide.
+    */
+  def ledgerContains(tableDir: String, batchId: Long): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "_ledger", batchId.toString))
+
+  def ledgerRecord(tableDir: String, batchId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".${batchId}.tmp")
+    java.nio.file.Files.write(tmp, Array.emptyByteArray)
+    java.nio.file.Files.move(tmp, dir.resolve(batchId.toString),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with
     * its batch id and keeping the applied-batch ledger alongside the state

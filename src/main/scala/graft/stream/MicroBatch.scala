@@ -166,8 +166,11 @@ object MicroBatch {
   /** Streaming SCD2 maintenance: dimension-change events landing as JSON
     * are folded into the Type-2 history table per micro-batch —
     * `Upsert.scd2Apply` once per DISTINCT `effective_day` in the batch,
-    * ascending (data-derived days, never wall clock), then an atomic
-    * table swap so readers always see a consistent history. The per-day
+    * ascending (data-derived days, never wall clock), then a versioned
+    * pointer flip (`Versioned.overwrite`) so concurrent readers always
+    * see a consistent history snapshot — never a missing or half-swapped
+    * path. The history lives at `tableDir` in the versioned layout; read
+    * it with `Versioned.read(spark, tableDir)`. The per-day
     * fold makes history granularity independent of trigger boundaries:
     * a batch carrying a key's day-5 AND day-7 changes records BOTH
     * versions, each stamped with its own day — a single batch-max apply
@@ -193,7 +196,7 @@ object MicroBatch {
       tableDir: String,
       checkpointDir: String,
       triggerMs: Long = 500L): StreamingQuery = {
-    import graft.store.{Lake, Upsert}
+    import graft.store.{Upsert, Versioned}
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 16)
@@ -212,7 +215,7 @@ object MicroBatch {
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
           var current =
-            if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
+            if (Versioned.exists(tableDir)) Versioned.read(spark, tableDir)
             else perDay.select((keyCol +: compareCols).map(col): _*).limit(0)
               .withColumn("valid_from", lit(0L))
               .withColumn("valid_to", lit(null).cast("long"))
@@ -240,7 +243,52 @@ object MicroBatch {
               applied = true
             }
           }
-          if (applied) Lake.atomicOverwrite(spark, current, tableDir)
+          // versioned flip (not the two-move in-place swap): downstream
+          // dimension readers may resolve the history at ANY instant —
+          // they see the pre- or post-batch snapshot, never a missing path
+          if (applied) Versioned.overwrite(current, tableDir)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming additive-KPI maintenance through the PARTITION-SCOPED
+    * persisted merge — the streaming twin of `Orchestrate.runPosBatch`'s
+    * KPI step, composing the two at-rest properties that were proven
+    * separately: (1) each micro-batch rewrites ONLY the partition dates
+    * it touches (`Upsert.additivePartitioned` — untouched KPI history is
+    * never read, shuffled, or rewritten; StreamingSpec asserts the files
+    * stay byte-identical), and (2) replayed batch ids are no-ops via the
+    * at-rest marker ledger (`Upsert.ledgerContains/ledgerRecord`) — the
+    * at-least-once redelivery after a crash-before-checkpoint-commit
+    * double-counts nothing. A day of 1-minute triggers thus costs ~1440
+    * merges over a handful of recent dates each, NOT 1440 full-history
+    * rewrites, at any history size.
+    */
+  def kpiIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      valueCol: String,
+      partitionCol: String,
+      tableDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.store.Upsert
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && !Upsert.ledgerContains(tableDir, batchId)) {
+          Upsert.additivePartitioned(spark, tableDir, batch,
+            keys, valueCol, partitionCol)
+          Upsert.ledgerRecord(tableDir, batchId)
         }
         ()
       }

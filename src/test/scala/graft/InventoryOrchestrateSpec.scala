@@ -20,7 +20,7 @@ class InventoryOrchestrateSpec extends SparkSpec {
         |""".stripMargin) // negative stock → whole file rejected
     val r1 = Orchestrate.runInventoryBatch(spark, landing, s"$root/lake", now)
     assert(r1.processedFiles == 1 && r1.quarantinedFiles == 1 && r1.transformed)
-    val state1 = spark.read.parquet(s"$root/lake/inventory_state")
+    val state1 = graft.store.Versioned.read(spark, s"$root/lake/inventory_state")
       .select("inventory_id", "stock_level").as[(Int, Int)].collect().toMap
     assert(state1 == Map(1 -> 90, 2 -> 5)) // latest-per-key won
     assert(Files.exists(Paths.get(s"$root/lake/rejected/inv_bad.jsonl")))
@@ -32,7 +32,7 @@ class InventoryOrchestrateSpec extends SparkSpec {
         |""".stripMargin)
     val r2 = Orchestrate.runInventoryBatch(spark, landing, s"$root/lake", now)
     assert(r2.processedFiles == 1 && r2.transformed)
-    val state2 = spark.read.parquet(s"$root/lake/inventory_state")
+    val state2 = graft.store.Versioned.read(spark, s"$root/lake/inventory_state")
       .select("inventory_id", "stock_level").as[(Int, Int)].collect().toMap
     assert(state2 == Map(1 -> 70, 2 -> 5, 4 -> 7)) // replaced on match, inserted new
   }

@@ -176,6 +176,56 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
   }
 
+  test("streaming additive KPI: partition-scoped merge per batch, untouched dates byte-identical, redelivery no-op") {
+    val root = Files.createTempDirectory("kpi_stream").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val tbl = s"$root/kpi"
+    val schema = StructType(Seq(
+      StructField("product_id", LongType), StructField("date", StringType),
+      StructField("total_sales", DoubleType)))
+    def row(p: Long, d: String, v: Double) =
+      s"""{"product_id":$p,"date":"$d","total_sales":$v}"""
+    def partFiles(day: String) = {
+      val d = Paths.get(tbl, s"date=$day")
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    def totals = spark.read.parquet(tbl)
+      .select($"product_id", $"date".cast("string"), $"total_sales")
+      .as[(Long, String, Double)].collect().toSet
+    val q = MicroBatch.kpiIngestStream(spark, in, schema,
+      Seq("product_id"), "total_sales", "date", tbl, s"$root/ckpt")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1, "2024-07-01", 10.0), row(1, "2024-07-01", 2.5),
+        row(2, "2024-07-02", 20.0)).mkString("\n"))
+    q.processAllAvailable()
+    assert(totals == Set((1L, "2024-07-01", 12.5), (2L, "2024-07-02", 20.0)))
+    val files01 = partFiles("2024-07-01")
+    // second batch touches ONLY 07-02: 07-01's files must stay byte-identical
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(row(2, "2024-07-02", 5.0), row(3, "2024-07-02", 1.0)).mkString("\n"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(partFiles("2024-07-01") == files01,
+      "streamed batch rewrote an untouched date partition")
+    assert(totals == Set((1L, "2024-07-01", 12.5), (2L, "2024-07-02", 25.0),
+      (3L, "2024-07-02", 1.0)))
+    // at-least-once redelivery: wipe the checkpoint so the source replays
+    // from scratch under already-ledgered batch ids — the merge must no-op
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    val filesAll = (partFiles("2024-07-01"), partFiles("2024-07-02"))
+    val replay = MicroBatch.kpiIngestStream(spark, in, schema,
+      Seq("product_id"), "total_sales", "date", tbl, s"$root/ckpt")
+    replay.processAllAvailable()
+    replay.stop(); replay.awaitTermination()
+    assert(totals == Set((1L, "2024-07-01", 12.5), (2L, "2024-07-02", 25.0),
+      (3L, "2024-07-02", 1.0)), "redelivered batches double-counted")
+    assert((partFiles("2024-07-01"), partFiles("2024-07-02")) == filesAll,
+      "redelivery rewrote partitions")
+  }
+
   test("streaming SCD2: history accrues across batches; full replay is a no-op") {
     val root = Files.createTempDirectory("scd2_stream").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
@@ -196,7 +246,7 @@ class StreamingSpec extends SparkSpec {
         row(2, "B", 20.0, 20)).mkString("\n")) // identical → no-op
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
-    val hist = spark.read.parquet(tbl)
+    val hist = graft.store.Versioned.read(spark, tbl)
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
     // the per-day fold records the day-15 intermediate version with its
@@ -219,7 +269,7 @@ class StreamingSpec extends SparkSpec {
       Seq(row(1, "A", 10.0, 10), row(2, "B", 20.0, 10)).mkString("\n"))
     replay.processAllAvailable()
     replay.stop(); replay.awaitTermination()
-    val after = spark.read.parquet(tbl)
+    val after = graft.store.Versioned.read(spark, tbl)
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
     assert(after == hist, s"replay mutated history: $after")
@@ -242,7 +292,7 @@ class StreamingSpec extends SparkSpec {
       Seq(row(1, "A", 1.0, 5), row(1, "A", 2.0, 7), row(2, "B", 5.0, 9))
         .mkString("\n"))
     q.processAllAvailable()
-    val hist1 = spark.read.parquet(tbl)
+    val hist1 = graft.store.Versioned.read(spark, tbl)
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
     // one key, days {5, 7}, one batch → a CLOSED day-5 row and an OPEN
@@ -257,7 +307,7 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$in/b2.jsonl"), row(1, "A", 3.0, 8))
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
-    val hist2 = spark.read.parquet(tbl)
+    val hist2 = graft.store.Versioned.read(spark, tbl)
       .as[(Long, String, Double, Long, Option[Long])].collect()
       .sortBy(r => (r._1, r._4)).toSeq
     assert(hist2 == Seq(

@@ -78,6 +78,10 @@ object ExplainAudit {
     // standardize: stats fold into ONE broadcast struct array (same
     // two-pass shape as quantizeUint8); scoring is a scan-speed zip_with
     show("llm_embed_standardize")(Similarity.standardizeQuery(spark, dir))
+    // round-8 addition: ORC round-trip — expect Format: ORC with the
+    // price predicate in PushedFilters and the status predicate as a
+    // PartitionFilter (directory pruning), ReadSchema = 2 data columns
+    show("orc_roundtrip")(graft.store.Lake.orcRoundtripQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

@@ -181,6 +181,53 @@ object Lake {
     deleteRecursive(bak)
   }
 
+  /** INCREMENTAL compaction: rewrite only the partition dirs whose
+    * small-file count crossed `maxFilesPerPartition`, through dynamic
+    * partition overwrite — the per-partition form of `compact` and the
+    * one that survives scale. A streaming table accretes files only in
+    * the partitions it currently writes (today's dates); whole-table
+    * compaction re-reads and re-writes years of already-compact history
+    * to fix them, every maintenance run. Here the hot dirs are found by
+    * a FILE LISTING (driver-side metadata, zero data read), only those
+    * dirs are scanned, re-packed to ~one file each, and committed via
+    * write-scoped dynamic overwrite — cold partitions are never read,
+    * never rewritten, their files stay byte-identical (LakeSpec
+    * asserts). Same single-writer contract as every table op here;
+    * concurrent readers of an in-place parquet table race Spark's own
+    * per-dir commit, as with `Upsert.additivePartitioned`.
+    *
+    * Returns the partition values it compacted (bounded: partitions
+    * needing work, not rows).
+    */
+  def compactPartitions(spark: SparkSession, tableDir: String, partitionCol: String,
+                        maxFilesPerPartition: Int = 4): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tableDir)
+    val prefix = s"$partitionCol="
+    val hot = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .filter { p =>
+        Files.list(p).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
+      }
+      .map(_.getFileName.toString.stripPrefix(prefix))
+      .toSeq.sorted
+    if (hot.nonEmpty) {
+      val slice = spark.read.parquet(tableDir)
+        .filter(col(partitionCol).cast("string").isInCollection(hot))
+        // one shuffle task per hot partition → ~one output file per dir;
+        // the checkpoint stages the (touched-slice-sized) data because the
+        // write's destination is also its source
+        .repartition(hot.size, col(partitionCol))
+        .localCheckpoint()
+      slice.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(tableDir)
+    }
+    hot
+  }
+
   /** The full table-maintenance pass, Delta's `OPTIMIZE ... ZORDER BY`
     * on plain parquet: rewrite to ~`targetRowsPerFile` rows per file
     * (compaction), range-clustered by the Morton key of (colA, colB)

@@ -63,6 +63,58 @@ object Versioned {
     spark.read.parquet(currentPath(root).getOrElse(
       throw new IllegalStateException(s"no versioned table at $root")))
 
+  /** Every version still on disk, ascending — the set `readVersion` can
+    * time-travel to (current plus the retained superseded snapshots).
+    */
+  def listVersions(root: String): Seq[Long] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val cur = currentVersion(root)
+      Files.list(p).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v_"))
+        .map(_.drop(2).toLong)
+        // an on-disk version NEWER than the pointer is a crashed writer's
+        // orphan, not a snapshot — never surface it as readable
+        .filter(n => cur.exists(n <= _))
+        .toSeq.sorted
+    }
+  }
+
+  /** Time travel: read a specific retained snapshot — what Delta calls
+    * `VERSION AS OF`. Fails loudly for expired or never-written versions.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val p = Paths.get(root, vname(version))
+    if (!listVersions(root).contains(version))
+      throw new IllegalStateException(
+        s"version $version of $root is not retained (have: ${listVersions(root).mkString(",")})")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Time-based retention, the production complement of `overwrite`'s
+    * count-based `keep` (Delta's `VACUUM RETAIN n HOURS`): delete
+    * superseded snapshots whose files are all older than `retainMillis`,
+    * never the current one. Run it on the writer's cadence with a horizon
+    * longer than the slowest reader and in-flight reads stay safe at any
+    * overwrite frequency.
+    */
+  def vacuum(root: String, retainMillis: Long, nowMillis: Long = System.currentTimeMillis()): Seq[Long] = {
+    val cur = currentVersion(root).getOrElse(return Seq.empty)
+    import scala.jdk.CollectionConverters._
+    val expired = listVersions(root).filter(_ < cur).filter { n =>
+      val newest = Files.walk(Paths.get(root, vname(n))).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max)
+      nowMillis - newest > retainMillis
+    }
+    expired.foreach(n => Lake.deleteRecursive(Paths.get(root, vname(n))))
+    expired
+  }
+
   /** Replace the table: stage the full result as the next version dir,
     * flip the pointer atomically, expire versions older than the last
     * `keep` superseded ones. Returns the new version number.

@@ -250,6 +250,38 @@ class LakeSpec extends SparkSpec {
     assert(moved.size == 1 && Files.exists(Paths.get(moved.head)))
   }
 
+  test("incremental compaction: only small-file-heavy partitions rewrite; cold ones byte-identical") {
+    val root = Files.createTempDirectory("compact_inc").toString
+    val t = s"$root/t"
+    // cold partition: ONE file
+    Seq((1, "2024-07-01")).toDF("x", "d")
+      .write.partitionBy("d").mode("append").parquet(t)
+    // hot partitions: 6 appends of one file each
+    for (i <- 1 to 6)
+      Seq((10 * i, "2024-07-02"), (100 * i, "2024-07-03")).toDF("x", "d")
+        .write.partitionBy("d").mode("append").parquet(t)
+    def files(day: String) = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(t, s"d=$day")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val cold = files("2024-07-01")
+    assert(files("2024-07-02").size == 6)
+    val before = spark.read.parquet(t).as[(Int, String)].collect().toSet
+    val compacted = Lake.compactPartitions(spark, t, "d", maxFilesPerPartition = 4)
+    assert(compacted == Seq("2024-07-02", "2024-07-03"))
+    // hot dirs re-packed to one file, cold dir untouched, data identical
+    assert(files("2024-07-02").size == 1, files("2024-07-02").toString)
+    assert(files("2024-07-03").size == 1)
+    assert(files("2024-07-01") == cold, "cold partition was rewritten")
+    assert(spark.read.parquet(t).as[(Int, String)].collect().toSet == before)
+    // idempotent: nothing left above the threshold
+    assert(Lake.compactPartitions(spark, t, "d", maxFilesPerPartition = 4).isEmpty)
+    Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("ORC interchange: partitioned round-trip, predicates pushed to the ORC scan") {
     val root = Files.createTempDirectory("orc_lake").toString
     val df = (0L until 200L).map(i => (i, s"v$i", s"p${i % 4}"))

@@ -53,6 +53,32 @@ class VersionedSpec extends SparkSpec {
     Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("time travel: retained superseded snapshots stay readable; expired/orphan versions are not offered") {
+    val root = Files.createTempDirectory("versioned_tt").toString
+    Versioned.overwrite(Seq((1, "a")).toDF("k", "v"), root, keep = 2)
+    Versioned.overwrite(Seq((2, "b")).toDF("k", "v"), root, keep = 2)
+    Versioned.overwrite(Seq((3, "c")).toDF("k", "v"), root, keep = 2)
+    assert(Versioned.listVersions(root) == Seq(1L, 2L, 3L))
+    // VERSION AS OF: each retained snapshot reads back its own content
+    assert(Versioned.readVersion(spark, root, 1L).as[(Int, String)].head() == ((1, "a")))
+    assert(Versioned.readVersion(spark, root, 2L).as[(Int, String)].head() == ((2, "b")))
+    // a crashed writer's orphan (on disk, never referenced) is not readable
+    Files.createDirectories(Paths.get(root, "v_00000009"))
+    assert(Versioned.listVersions(root) == Seq(1L, 2L, 3L))
+    intercept[IllegalStateException] { Versioned.readVersion(spark, root, 9L) }
+    // expire v1 by age: vacuum with a zero horizon drops all superseded
+    // versions older than now, never the current one
+    val dropped = Versioned.vacuum(root, retainMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 60000L)
+    assert(dropped == Seq(1L, 2L))
+    assert(Versioned.listVersions(root) == Seq(3L))
+    intercept[IllegalStateException] { Versioned.readVersion(spark, root, 1L) }
+    assert(Versioned.read(spark, root).as[(Int, String)].head() == ((3, "c")))
+    // a generous horizon deletes nothing
+    assert(Versioned.vacuum(root, retainMillis = Long.MaxValue / 2).isEmpty)
+    Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("no missing-path window: reader loops across 100 swaps without path-not-found") {
     val root = Files.createTempDirectory("versioned_concurrent").toString
     Versioned.overwrite(Seq((0, 0)).toDF("swap", "i"), root)

@@ -112,6 +112,84 @@ case class RollingFingerprint(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** ROBUST winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+  * MOSS algorithm) — where `RollingFingerprint` keeps one global-min
+  * hash per document, this keeps the full winnowed SET: the rightmost
+  * minimal k-gram hash of every w-window of consecutive gram hashes,
+  * deduplicated. Guarantees: any shared substring of at least w+k-1
+  * bytes yields at least one shared selected fingerprint, and the
+  * selected density is ~2/(w+1) of all grams — the property that makes a
+  * partial-overlap inverted index BOUNDED (indexing every gram is a ~k×
+  * larger index for the same detection floor). Output is an array of
+  * packed longs `pos·2³² + fp32` (fp32 = mixed gram hash mod 2³²; pos =
+  * 0-based gram start), so the set explodes into (pos, fp) rows without
+  * struct codegen. Hashing is the same Mod61 polynomial + squaring mixer
+  * the simhash/fingerprint oracles already replay in HUGEINT SQL.
+  *
+  * Texts shorter than k bytes select nothing; with fewer than w grams
+  * the window shrinks to the gram count (short docs still fingerprint).
+  * Rightmost-min selections of consecutive windows form contiguous runs
+  * per position, so consecutive-dedup equals per-position distinct —
+  * the property the SQL oracle's DISTINCT relies on.
+  */
+case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  require(k >= 2 && k <= 64, "gram size k in [2,64]")
+  require(w >= 2 && w <= 64, "window w in [2,64]")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_set"
+
+  import Mod61.{Base, addMod, mulMod, subMod}
+
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return ArrayData.toArrayData(Array.empty[Long])
+    val fp = new Array[Long](n)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow = mulMod(pow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = addMod(mulMod(h, Base), bytes(i) & 0xffL); i += 1 }
+    fp(0) = Mod61.mix(h) % 4294967296L
+    i = k
+    while (i < bytes.length) {
+      h = subMod(h, mulMod(bytes(i - k) & 0xffL, pow))
+      h = addMod(mulMod(h, Base), bytes(i) & 0xffL)
+      fp(i - k + 1) = Mod61.mix(h) % 4294967296L
+      i += 1
+    }
+    val ws = math.min(w, n)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * n / (ws + 1) + 2)
+    var last = -1
+    var s = 0
+    while (s + ws <= n) {
+      // descending scan with strict < keeps the RIGHTMOST minimum on ties
+      var best = Long.MaxValue
+      var bestPos = -1
+      var j = s + ws - 1
+      while (j >= s) { if (fp(j) < best) { best = fp(j); bestPos = j }; j -= 1 }
+      if (bestPos != last) { out += bestPos.toLong * 4294967296L + best; last = bestPos }
+      s += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnowSet", this, classOf[WinnowSet].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array of tokens: per bit, sum ±1 across token
   * hashes and keep the sign. Near-duplicate docs differ in few bits
   * (compare with hamming distance = bit_count(a ^ b)). Accepts either an
@@ -226,6 +304,12 @@ object Fingerprints {
   /** Column API for the winnowing fingerprint. */
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c), window))
+
+  /** Column API for the robust winnowed fingerprint SET (packed
+    * pos·2³²+fp32 longs).
+    */
+  def winnowSet(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowSet(ColumnBridge.expression(text), k, w))
 
   /** Column API for simhash over an array of tokens (or token hashes). */
   def simhash64(tokens: Column, poly: Boolean = false): Column =

@@ -435,6 +435,74 @@ object TextAnalysis {
         Fingerprints.rollingFingerprint(lower(trim(col("text"))), 16).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // Robust winnowing parameters: k-byte grams, w-gram windows — any
+  // shared run of w+k-1 = 11 bytes is guaranteed a shared selected
+  // fingerprint; selected density ~2/(w+1) of grams.
+  private val WinnowK = 8
+  private val WinnowW = 4
+  // overlap report: fingerprints shared by more than DfCap docs are
+  // boilerplate (the df-capped-inverted-index discipline containment
+  // uses — caps pair generation); pairs need MinShared distinct shared
+  // fingerprints AND containment ≥ MinOverlap of the smaller set to
+  // surface — the synthetic corpus is heavily templated (without the
+  // floor, half of ALL doc pairs report: median containment 0.07 from
+  // shared boilerplate vs ≥ 0.5 for the planted partial dups).
+  private val WinnowDfCap = 64
+  private val WinnowMinShared = 4
+  private val WinnowMinOverlap = 0.5
+
+  /** The winnowed fingerprint SET per document (pos = 0-based gram
+    * start): the at-rest artifact a MOSS-style overlap service indexes.
+    */
+  def winnowSelectQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Fingerprints.winnowSet(lower(trim(col("text"))), WinnowK, WinnowW)).as("v"))
+      .select(col("doc_id"),
+        expr("v div 4294967296").as("pos"),
+        (col("v") % lit(4294967296L)).as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Partial-overlap report over the winnowed sets: doc pairs sharing ≥
+    * MinShared selected fingerprints, scored by containment of the
+    * smaller set. The join runs on the SELECTED fingerprints only —
+    * ~2/(w+1) of the gram index a full k-gram join would carry — and the
+    * df cap bounds pair generation exactly like the containment query's
+    * inverted index: pair count ≤ Σ_fp df² with df ≤ cap, linear in docs
+    * at bounded boilerplate.
+    */
+  def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    // one winnow scan, checkpointed: the (doc, fp) set feeds FOUR
+    // consumers (set sizes, df counts, both join sides) — without the
+    // checkpoint the document scan + expression run four times
+    val sel = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Fingerprints.winnowSet(lower(trim(col("text"))), WinnowK, WinnowW)).as("v"))
+      .select(col("doc_id"), (col("v") % lit(4294967296L)).as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val rare = sel.join(
+      sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
+        .select(col("fp")),
+      Seq("fp"))
+    val pairs = rare.select(col("fp"), col("doc_id").as("id_a"))
+      .join(rare.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 6)
+          .as("overlap"))
+      .filter(col("overlap") >= WinnowMinOverlap)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Token-length histogram: docs bucketed by token count (curation view). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -552,6 +620,8 @@ object TextAnalysis {
     "llm_text_quality" -> (quality _),
     "llm_text_langid" -> (langid _),
     "llm_fingerprint" -> (fingerprint _),
+    "llm_winnow_select" -> (winnowSelectQuery _),
+    "llm_winnow_overlap" -> (winnowOverlapQuery _),
     "llm_gopher_filter" -> (gopherQuery _),
     "llm_heavy_hitters_cms" -> (cmsQuery _),
     "llm_perplexity" -> (perplexityQuery _),
@@ -580,6 +650,39 @@ object TextAnalysis {
   private val fpPows: String = (0 until 16)
     .map(k => BigInt(257).modPow(BigInt(k), (BigInt(1) << 61) - 1))
     .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
+
+  /** 257^k mod 2^61-1 for k=0..7 — the WinnowSet gram hash's power table. */
+  private val winPows: String = (0 until WinnowK)
+    .map(k => BigInt(257).modPow(BigInt(k), (BigInt(1) << 61) - 1))
+    .map(p => s"${p}::HUGEINT").mkString("[", ",", "]")
+
+  /** Shared winnowing replay: gram hashes (base-257 mod 2^61-1, then the
+    * three-round squaring mixer — the simhash oracle's proven HUGEINT
+    * chain — truncated mod 2^32), per-window rightmost-min selection via
+    * list lambdas, DISTINCT per (doc, pos) ≡ the expression's
+    * consecutive-dedup (selection runs per position are contiguous).
+    */
+  private def winnowCte: String =
+    s"""t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       |g AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) - ${WinnowK - 1} AS n
+       |      FROM t WHERE length(s) >= $WinnowK),
+       |pos AS (SELECT doc_id, n, s, unnest(range(0, n)) AS p FROM g),
+       |h0 AS (SELECT doc_id, n, p, list_sum(list_transform(range(0, $WinnowK), j ->
+       |        CAST(ascii(substr(s, CAST(p + j + 1 AS INTEGER), 1)) AS HUGEINT)
+       |          * ($winPows)[$WinnowK - j])) % 2305843009213693951 AS h FROM pos),
+       |h1 AS (SELECT doc_id, n, p, (h * h + 2177342782468422681) % 2305843009213693951 AS h FROM h0),
+       |h2 AS (SELECT doc_id, n, p, (h * h + 194409311614856021) % 2305843009213693951 AS h FROM h1),
+       |hf AS (SELECT doc_id, n, p,
+       |        CAST(((h * h + 1609587929392839161) % 2305843009213693951) % 4294967296 AS BIGINT) AS fp
+       |       FROM h2),
+       |ls AS (SELECT doc_id, least($WinnowW, n) AS ws, n, list(fp ORDER BY p) AS hs
+       |       FROM hf GROUP BY doc_id, n),
+       |wins AS (SELECT doc_id, ws, unnest(list_transform(range(0, n - ws + 1), i ->
+       |          {'i': i, 'sl': hs[(i+1):(i+ws)]})) AS w FROM ls),
+       |mins AS (SELECT doc_id, w.i AS i, ws, list_min(w.sl) AS mn,
+       |          list_position(list_reverse(w.sl), list_min(w.sl)) AS rp FROM wins),
+       |selrows AS (SELECT DISTINCT doc_id, CAST(i + ws - rp AS BIGINT) AS pos,
+       |             CAST(mn AS BIGINT) AS fp FROM mins)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the oracle replays the sketch itself — cell draws, counters,
@@ -786,6 +889,27 @@ object TextAnalysis {
          |fp AS (SELECT doc_id, CAST(min(hh) AS BIGINT) AS fingerprint FROM h GROUP BY doc_id)
          |SELECT t.doc_id, coalesce(fp.fingerprint, 0) AS fingerprint
          |FROM t LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_winnow_select" ->
+      s"""WITH $winnowCte
+         |SELECT doc_id, pos, fp FROM selrows ORDER BY doc_id, pos""".stripMargin,
+    "llm_winnow_overlap" ->
+      s"""WITH $winnowCte,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM selrows),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM dfp GROUP BY 1),
+         |rare AS (SELECT fp FROM dfp GROUP BY fp
+         |         HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+         |r AS (SELECT d.doc_id, d.fp FROM dfp d JOIN rare USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |       FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+         |SELECT pr.id_a, pr.id_b, pr.shared,
+         |  round(CAST(pr.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS overlap
+         |FROM pr
+         |JOIN sizes sa ON sa.doc_id = pr.id_a
+         |JOIN sizes sb ON sb.doc_id = pr.id_b
+         |WHERE round(CAST(pr.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) >= $WinnowMinOverlap
+         |ORDER BY id_a, id_b""".stripMargin,
     "llm_langid_eval" ->
       s"""SELECT lang, $predLangSql AS pred_lang, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -5,6 +5,56 @@ import graft.llm.TextAnalysis
 class TextAnalysisSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
+  private def winnowOf(texts: (Long, String)*): Map[Long, Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    texts.toSeq.toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.llm.Fingerprints.winnowSet(col("text"), 8, 4)).as("v"))
+      .select($"doc_id", expr("v div 4294967296").as("pos"), ($"v" % 4294967296L).as("fp"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+  }
+
+  test("winnowing: shared ≥ w+k-1 byte run guarantees a shared fingerprint; density bounded") {
+    val shared = "zqxvjwkpbdfghmzy" // 16 bytes ≥ w+k-1 = 11, rare chars
+    val a = s"left padding text $shared and some tail"
+    val b = s"совершенно другой префикс $shared other end"
+    val got = winnowOf(1L -> a, 2L -> b)
+    val fpsA = got(1L).map(_._2).toSet
+    val fpsB = got(2L).map(_._2).toSet
+    assert((fpsA & fpsB).nonEmpty, "guaranteed shared fingerprint missing")
+    // density: selections ≤ windows and ≥ grams/(w) rough floor; and no
+    // adjacent duplicate positions (consecutive-dedup)
+    for ((_, sel) <- got) {
+      assert(sel.map(_._1) == sel.map(_._1).distinct)
+      assert(sel.nonEmpty && sel.size <= a.length)
+    }
+    // positions in range, fps strictly 32-bit
+    got.values.flatten.foreach { case (pos, fp) =>
+      assert(pos >= 0 && fp >= 0 && fp < 4294967296L)
+    }
+  }
+
+  test("winnowing edges: shorter than k selects nothing; k..k+w-2 bytes selects exactly one") {
+    val got = winnowOf(1L -> "short", 2L -> "exactly8", 3L -> "ninebytes")
+    assert(!got.contains(1L))           // 5 bytes < k=8 → empty → explode drops
+    assert(got(2L).size == 1)           // 1 gram, window shrinks to 1
+    assert(got(3L).size == 1)           // 2 grams, window shrinks to 2 → one min
+    assert(got(2L).head._1 == 0L)
+  }
+
+  test("winnowing is local: an edit changes no selection outside its neighborhood") {
+    val base = (0 until 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val edited = base.updated(200, 'Z')
+    val got = winnowOf(1L -> base, 2L -> edited)
+    // selections whose gram [pos, pos+k) is at least w+k away from the
+    // edit must be identical — winnowing decisions depend only on a
+    // w+k-1-byte neighborhood
+    def far(sel: Seq[(Long, Long)]) = sel.filter(p => p._1 + 8 + 4 < 200 - 4 || p._1 > 200 + 4 + 8)
+    assert(far(got(1L)) == far(got(2L)))
+    assert(got(1L) != got(2L)) // and the edit itself is visible
+  }
+
   test("repetition metrics: spam scores high, varied text low, values exact") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now buy now"),       // 10 tokens, 2 distinct

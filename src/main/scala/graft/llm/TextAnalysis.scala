@@ -470,14 +470,25 @@ object TextAnalysis {
     * df cap bounds pair generation exactly like the containment query's
     * inverted index: pair count ≤ Σ_fp df² with df ≤ cap, linear in docs
     * at bounded boilerplate.
+    *
+    * Semantics at scale: the ABSOLUTE df cap means runs replicated
+    * across more than DfCap documents never generate pairs — that is
+    * cluster-scale duplication, deliberately excluded (expanding a
+    * c-doc cluster into c²/2 pair rows is the quadratic blowup this
+    * report exists to avoid) and owned by the dedup family
+    * (minhash/simhash/clusters). The report's niche is PAIRWISE
+    * verbatim overlap — plagiarism-style, MOSS's target. On corpora
+    * whose duplication is all cluster-scale the report is correctly
+    * empty (the synthetic sf0.1 corpus is such a corpus: its template
+    * clusters grow with SF past any pairwise regime).
     */
-  def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+  def winnowOverlap(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // one winnow scan, checkpointed: the (doc, fp) set feeds FOUR
     // consumers (set sizes, df counts, both join sides) — without the
     // checkpoint the document scan + expression run four times
-    val sel = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Fingerprints.winnowSet(lower(trim(col("text"))), WinnowK, WinnowW)).as("v"))
+    val sel = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
       .select(col("doc_id"), (col("v") % lit(4294967296L)).as("fp"))
       .distinct()
       .localCheckpoint()
@@ -502,6 +513,9 @@ object TextAnalysis {
       .filter(col("overlap") >= WinnowMinOverlap)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlap(Tables.documents(spark, dir), "text", "doc_id")
 
   /** Token-length histogram: docs bucketed by token count (curation view). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,25 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
     assert(got(2L).head._1 == 0L)
   }
 
+  test("winnow overlap report surfaces exactly the planted pair, not the unrelated corpus") {
+    import org.apache.spark.sql.functions._
+    val run = "the quick brown fox jumps over the lazy dog while seventeen zebras watch intently from afar"
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // docs 1 and 2 share a long verbatim run amid distinct noise; the
+    // rest of the corpus is unrelated noise of similar length
+    // the shared run must dominate the smaller doc: the report's
+    // containment floor (MinOverlap) is met only when ≥ half the
+    // smaller doc's fingerprints are shared
+    val docs = (Seq(
+      (1L, s"${noise(20)} $run ${noise(14)}"),
+      (2L, s"${noise(17)} $run ${noise(21)}")
+    ) ++ (3L to 30L).map(i => (i, noise(130)))).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlap(docs, "text", "doc_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   test("winnowing is local: an edit changes no selection outside its neighborhood") {
     val base = (0 until 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
     val edited = base.updated(200, 'Z')

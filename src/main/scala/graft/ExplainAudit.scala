@@ -82,6 +82,10 @@ object ExplainAudit {
     // price predicate in PushedFilters and the status predicate as a
     // PartitionFilter (directory pruning), ReadSchema = 2 data columns
     show("orc_roundtrip")(graft.store.Lake.orcRoundtripQuery(spark, dir))
+    // winnow overlap: ONE checkpointed winnow scan (the RDDScan) feeding
+    // sizes/df/join; the pair join carries (doc_id, fp) only — no text
+    // column survives past the scan
+    show("llm_winnow_overlap")(graft.llm.TextAnalysis.winnowOverlapQuery(spark, dir))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

@@ -438,8 +438,8 @@ object TextAnalysis {
   // Robust winnowing parameters: k-byte grams, w-gram windows — any
   // shared run of w+k-1 = 11 bytes is guaranteed a shared selected
   // fingerprint; selected density ~2/(w+1) of grams.
-  private val WinnowK = 8
-  private val WinnowW = 4
+  private[graft] val WinnowK = 8
+  private[graft] val WinnowW = 4
   // overlap report: fingerprints shared by more than DfCap docs are
   // boilerplate (the df-capped-inverted-index discipline containment
   // uses — caps pair generation); pairs need MinShared distinct shared
@@ -516,6 +516,35 @@ object TextAnalysis {
 
   def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame =
     winnowOverlap(Tables.documents(spark, dir), "text", "doc_id")
+
+  /** Probe an at-rest winnow postings table (built/maintained by
+    * `MicroBatch.winnowIngestStream`) with a batch of query texts:
+    * candidates = indexed docs sharing ≥ minShared selected
+    * fingerprints with a query. Reads ONLY the band partitions the
+    * queries' fingerprints hash into (partition-pruned — the banding
+    * exists so a probe never lists the whole postings table), carries
+    * (doc_id, fp) pairs through the join, never text.
+    */
+  def winnowProbe(spark: SparkSession, postingsDir: String, queries: DataFrame,
+                  textCol: String, idCol: String, nBands: Int = 16,
+                  minShared: Int = 2): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
+      .select(col("query_id"), (col("v") % lit(4294967296L)).as("fp"))
+      .distinct()
+      .withColumn("band", pmod(col("fp"), lit(nBands.toLong)))
+      .localCheckpoint() // feeds the band prune list AND the join
+    val hit = q.select(col("band")).distinct().collect().map(_.getLong(0))
+    val postings = spark.read.parquet(postingsDir)
+      .filter(col("band").isInCollection(hit.toIndexedSeq))
+      .select(col("doc_id"), col("fp")).distinct()
+    q.join(postings, Seq("fp"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("query_id"), col("shared").desc, col("doc_id"))
+  }
 
   /** Token-length histogram: docs bucketed by token count (curation view). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -363,6 +363,71 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming winnow-postings maintenance — the text twin of
+    * `annIngestStream`: documents landing as JSON are winnowed
+    * (`Fingerprints.winnowSet` — the MOSS selected-fingerprint set) and
+    * their (doc_id, pos, fp) postings APPENDED to an at-rest inverted
+    * index partitioned by `band = fp mod nBands`, so an overlap probe
+    * (`TextAnalysis.winnowProbe`) reads only the band partitions its
+    * query fingerprints hash into. The index stays probe-able
+    * throughout; a landed document is discoverable by near-copies of
+    * its text after its batch commits — how a production
+    * plagiarism/contamination index absorbs a corpus that never stops
+    * growing.
+    *
+    * Same effectively-once construction as the ANN ingest: before
+    * appending, the batch anti-joins on doc_id against the postings in
+    * the bands it would touch (partition-pruned probe, not a full-table
+    * read), so a redelivered batch re-finds its own doc ids and appends
+    * nothing. A document's postings land across several bands within
+    * ONE append job, whose commit is atomic at job level — the guard
+    * never sees a half-written document.
+    */
+  def winnowIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      postingsDir: String,
+      checkpointDir: String,
+      nBands: Int = 16,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.llm.{Fingerprints, TextAnalysis}
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val postings = batch
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .select(col("doc_id"),
+              explode(Fingerprints.winnowSet(lower(trim(col("text"))),
+                TextAnalysis.WinnowK, TextAnalysis.WinnowW)).as("v"))
+            .select(col("doc_id"),
+              expr("v div 4294967296").as("pos"),
+              (col("v") % lit(4294967296L)).as("fp"))
+            .withColumn("band", pmod(col("fp"), lit(nBands.toLong)))
+            .localCheckpoint() // one winnow pass feeds prune list, guard, write
+          val hit = postings.select(col("band")).distinct().collect().map(_.getLong(0))
+          val fresh =
+            if (!new java.io.File(postingsDir).exists) postings
+            else postings.join(
+              spark.read.parquet(postingsDir)
+                .filter(col("band").isInCollection(hit.toIndexedSeq))
+                .select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          if (!fresh.isEmpty)
+            fresh.write.mode("append").partitionBy("band").parquet(postingsDir)
+          postings.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
+
   def negativeAlertStream(
       events: DataFrame, tsCol: String, ratingCol: String,
       threshold: Int): DataFrame =

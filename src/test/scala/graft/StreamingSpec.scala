@@ -176,6 +176,42 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
   }
 
+  test("streaming winnow ingest: landed docs probe-able by near-copies; redelivery appends nothing") {
+    val root = Files.createTempDirectory("winnow_stream").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val postings = s"$root/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val story = "the quick brown fox jumps over the lazy dog while seventeen zebras watch intently from afar"
+    val other = "completely unrelated content about databases and distributed systems architecture patterns"
+    val q = MicroBatch.winnowIngestStream(spark, in, schema, postings, s"$root/ckpt")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      s"""{"doc_id":1,"text":"$story"}
+         |{"doc_id":2,"text":"$other"}""".stripMargin)
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      s"""{"doc_id":3,"text":"yet more filler prose with no resemblance to anything else indexed"}""")
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    // banded hive layout; every doc landed
+    val table = spark.read.parquet(postings)
+    assert(table.select("doc_id").distinct().count() == 3)
+    assert(table.columns.contains("band"))
+    val nRows = table.count()
+    // a NEAR-COPY of doc 1's text (prefix edit) finds doc 1 as the top
+    // candidate through the banded probe — the index is live
+    val probe = graft.llm.TextAnalysis.winnowProbe(spark, postings,
+      Seq((100L, s"INTRO EDIT $story")).toDF("qid", "qtext"), "qtext", "qid")
+      .as[(Long, Long, Long)].collect()
+    assert(probe.nonEmpty && probe.head._2 == 1L, probe.mkString(","))
+    // redelivery under a wiped checkpoint: the doc-id guard appends nothing
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    val replay = MicroBatch.winnowIngestStream(spark, in, schema, postings, s"$root/ckpt")
+    replay.processAllAvailable()
+    replay.stop(); replay.awaitTermination()
+    assert(spark.read.parquet(postings).count() == nRows, "redelivery duplicated postings")
+  }
+
   test("streaming additive KPI: partition-scoped merge per batch, untouched dates byte-identical, redelivery no-op") {
     val root = Files.createTempDirectory("kpi_stream").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -210,7 +210,11 @@ object Lake {
         Files.list(p).iterator().asScala
           .count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
       }
-      .map(_.getFileName.toString.stripPrefix(prefix))
+      // dir names carry Spark's path-escaped value form (spaces, colons,
+      // … are %-encoded); unescape so the value filter below matches the
+      // column data, not the encoding
+      .map(p => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(p.getFileName.toString.stripPrefix(prefix)))
       .toSeq.sorted
     if (hot.nonEmpty) {
       val slice = spark.read.parquet(tableDir)

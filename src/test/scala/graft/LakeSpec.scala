@@ -282,6 +282,25 @@ class LakeSpec extends SparkSpec {
     Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("incremental compaction handles path-escaped partition values") {
+    val root = Files.createTempDirectory("compact_esc").toString
+    val t = s"$root/t"
+    // value with a space and colon: Spark %-escapes it in the dir name;
+    // the hot-dir filter must compare against the UNESCAPED column value
+    val v = "2024-07-02 10:00"
+    for (i <- 1 to 6)
+      Seq((i, v)).toDF("x", "k").write.partitionBy("k").mode("append").parquet(t)
+    val before = spark.read.parquet(t).as[(Int, String)].collect().toSet
+    val compacted = Lake.compactPartitions(spark, t, "k", maxFilesPerPartition = 4)
+    assert(compacted == Seq(v), compacted.toString)
+    assert(spark.read.parquet(t).as[(Int, String)].collect().toSet == before)
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.walk(Paths.get(t)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(dataFiles == 1, s"expected 1 data file after compaction, found $dataFiles")
+    Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("ORC interchange: partitioned round-trip, predicates pushed to the ORC scan") {
     val root = Files.createTempDirectory("orc_lake").toString
     val df = (0L until 200L).map(i => (i, s"v$i", s"p${i % 4}"))

@@ -493,14 +493,18 @@ object TextAnalysis {
       .distinct()
       .localCheckpoint()
     val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val rare = sel.join(
-      sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
-        .select(col("fp")),
-      Seq("fp"))
-    val pairs = rare.select(col("fp"), col("doc_id").as("id_a"))
-      .join(rare.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    // pair generation as ONE shuffle: group postings per fp into a doc
+    // list (df read off as its size — no separate df aggregation, no
+    // re-join of two shuffled copies on fp), then expand the ordered
+    // in-list combinations with array lambdas. Identical pair multiset
+    // to the fp self-join; half the exchanges.
+    val pairs = sel.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, WinnowDfCap))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowMinShared)

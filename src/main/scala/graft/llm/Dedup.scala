@@ -108,6 +108,11 @@ object Dedup {
       .filter(col("sz") > 1 && col("sz") <= maxBucket)
       .select(col("band"), col("bucket"))
     val banded = bandedAll.join(usefulBuckets, Seq("band", "bucket"), "left_semi")
+    // self-join form deliberately kept: both sides are the same frame on
+    // the same key, so the exchange is planned once and REUSED, and the
+    // join + distinct stay in whole-stage codegen — measured at parity
+    // with the collect_set + in-list expansion, which runs interpreted
+    // higher-order functions (see the containment note)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -407,6 +412,12 @@ object Dedup {
     // shingles, need ~0.9·|A|) die here without ever shuffling shingle
     // arrays. One shingle of slack absorbs fp boundary effects; the
     // bound is otherwise exact-safe (no true pair pruned).
+    // NOTE: the one-shuffle collect_list + in-list combination expansion
+    // (used by the winnow overlap report) was measured HERE and reverted:
+    // this index is shingle-per-row dense enough that the interpreted
+    // higher-order-function expansion costs more than the second shuffle
+    // the codegen'd self-join pays (2.3 s → 3.1 s at sf0.1). Pair-path
+    // choice is workload-dependent; both shapes are linear in Σ df².
     val shared = indexed.as("a").join(indexed.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -636,6 +636,9 @@ object Similarity {
       .filter(col("sz") > 1 && col("sz") <= maxBucket)
       .select(col("bucket"))
     val banded = bandedAll.join(useful, Seq("bucket"), "left_semi")
+    // self-join form deliberately kept (ReusedExchange + codegen; the
+    // interpreted in-list expansion measured at parity or worse — see
+    // the containment/minhash notes in Dedup)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -62,6 +62,49 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("property: WinnowSet matches an independent BigInt reference on random texts") {
+    import org.scalacheck.Gen
+    val M = (BigInt(1) << 61) - 1
+    // independent reimplementation: BigInt modular arithmetic (no shared
+    // code with Mod61's 128-bit fold), direct per-gram hashing (no
+    // rolling update), naive window scan
+    def reference(s: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      val n = bytes.length - k + 1
+      if (n <= 0) return Seq.empty
+      val fp = (0 until n).map { i =>
+        var h = BigInt(0)
+        for (j <- 0 until k) h = (h * 257 + (bytes(i + j) & 0xff)) mod M
+        for (c <- Seq(BigInt(2177342782468422681L), BigInt(194409311614856021L),
+          BigInt(1609587929392839161L))) h = (h * h + c) mod M
+        (h mod BigInt(4294967296L)).toLong
+      }
+      val ws = math.min(w, n)
+      var last = -1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (s0 <- 0 to n - ws) {
+        val window = (s0 until s0 + ws)
+        val mn = window.map(fp).min
+        val pos = window.filter(p => fp(p) == mn).max // rightmost min
+        if (pos != last) { out += pos.toLong * 4294967296L + fp(pos); last = pos }
+      }
+      out.toSeq
+    }
+    // biased alphabet → frequent hash ties and repeated grams
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    forAll(Gen.listOfN(8, textGen)) { texts =>
+      import org.apache.spark.sql.functions._
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id", graft.llm.Fingerprints.winnowSet(col("text"), 8, 4).as("vs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == reference(t, 8, 4), s"text ${t.take(40)}…")
+      }
+    }
+  }
+
   test("winnowing is local: an edit changes no selection outside its neighborhood") {
     val base = (0 until 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
     val edited = base.updated(200, 'Z')

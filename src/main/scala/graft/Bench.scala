@@ -1,27 +1,8 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    // optional experiment overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_CONF").foreach {
-      _.split(";").filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-      }
-    }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Engine.tune(spark)
-    // JVM/codegen warmup so the first timed query doesn't absorb startup
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // session + conf overrides + codegen warmup shared with BenchSweep
+    val (spark, sfDir) = BenchSweep.buildSession()
     // min over `passes` full sweeps: single-shot timings on a shared box
     // showed ±35% noise plus occasional ~10s external stalls. Sweeps are
     // interleaved (all queries pass 1, then pass 2) so one stall cannot

@@ -345,7 +345,14 @@ class LakeSpec extends SparkSpec {
         .map(_.toString).toSeq.sorted
     }
     val before = listing
-    assert(Lake.orcRoundtripQuery(spark, dir).count() == df.count())
+    val nRows = df.count()
+    assert(Lake.orcRoundtripQuery(spark, dir).count() == nRows)
     assert(listing == before, "re-invocation rewrote the ORC table")
+    // clearCaches drops the ORC scratch table with the other memos
+    Engine.clearCaches(spark)
+    assert(!Files.exists(Paths.get(root.stripPrefix("file:")).getParent),
+      "ORC scratch root survived clearCaches")
+    // and the next invocation transparently rebuilds
+    assert(Lake.orcRoundtripQuery(spark, dir).count() == nRows)
   }
 }

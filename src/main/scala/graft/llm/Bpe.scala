@@ -318,8 +318,24 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** The cluster-rounds trainer through the SAME oracle as
+    * `llm_bpe_merges`: `distributedRounds = true` forces the path `train`
+    * takes on its own only above MaxLocalVocab — the 100 TB path. A green
+    * hash here proves local and distributed rounds are bit-identical
+    * (counts, UTF-8 argmax ties, greedy application order) through the
+    * driver's gate, not just through BpeSpec's equivalence property.
+    */
+  def mergesDistQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(Tables.documents(spark, dir), "text", NMerges, distributedRounds = true)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bpe_merges" -> (mergesQuery _),
+    "llm_bpe_merges_dist" -> (mergesDistQuery _),
     "llm_bpe_tokens" -> (tokensQuery _),
     "llm_bpe_fertility" -> (fertilityQuery _),
     "llm_pack_bpe" -> (packBpeQuery _))
@@ -370,14 +386,19 @@ object Bpe {
     sb.toString
   }
 
+  private val mergesOracle: String =
+    s"""WITH ${bpeCte(NMerges)}
+       |SELECT rank, left_sym, right_sym, pair_count FROM (
+       |  ${(1 to NMerges).map(t =>
+             s"SELECT CAST($t AS INTEGER) AS rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
+            .mkString("\n  UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "llm_bpe_merges" ->
-      s"""WITH ${bpeCte(NMerges)}
-         |SELECT rank, left_sym, right_sym, pair_count FROM (
-         |  ${(1 to NMerges).map(t =>
-               s"SELECT CAST($t AS INTEGER) AS rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
-              .mkString("\n  UNION ALL ")})
-         |ORDER BY rank""".stripMargin,
+    "llm_bpe_merges" -> mergesOracle,
+    // one SQL, two trainer paths: the distributed rounds must reproduce
+    // the local trainer exactly (the flag is plumbing, never semantics)
+    "llm_bpe_merges_dist" -> mergesOracle,
     // subword counts from the final state table feed the same
     // shard/prefix-sum pack replica as llm_pack
     "llm_pack_bpe" ->

@@ -493,14 +493,24 @@ object TextAnalysis {
       .distinct()
       .localCheckpoint()
     val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    // pair generation as ONE shuffle: group postings per fp into a doc
-    // list (df read off as its size — no separate df aggregation, no
-    // re-join of two shuffled copies on fp), then expand the ordered
-    // in-list combinations with array lambdas. Identical pair multiset
-    // to the fp self-join; half the exchanges.
-    val pairs = sel.groupBy(col("fp"))
+    // df gate FIRST, as a scalar count + semi-join, so the collect_list
+    // below only ever aggregates fps already known to be ≤ DfCap: on a
+    // heavily templated corpus a boilerplate fingerprint shared by c docs
+    // would otherwise build a c-element buffer before being discarded —
+    // the unbounded-in-c executor-memory hazard the cap exists to prevent
+    // (Dedup's self-join form filters df the same way). One extra
+    // hash-count shuffle of (fp, count) pairs; sel is checkpointed, so no
+    // rescan of the documents.
+    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowDfCap))
+      .select(col("fp"))
+    // pair generation as ONE data shuffle: group the df-gated postings
+    // per fp into a doc list, then expand the ordered in-list
+    // combinations with array lambdas. Identical pair multiset to the fp
+    // self-join; half the exchanges.
+    val pairs = sel.join(rare, Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, WinnowDfCap))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
           struct(a.as("id_a"), b.as("id_b")))))).as("p"))
@@ -508,7 +518,7 @@ object TextAnalysis {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowMinShared)
-    pairs
+    val out = pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("shared"),
@@ -516,6 +526,14 @@ object TextAnalysis {
           .as("overlap"))
       .filter(col("overlap") >= WinnowMinOverlap)
       .orderBy(col("id_a"), col("id_b"))
+      // materialize the (tiny, above-threshold) report eagerly so the
+      // winnow checkpoint can be released NOW — repeated invocations
+      // (bench sweeps, timing loops) must not pin one block set per call
+      // until GC happens to run (the streaming path's unpersist
+      // discipline, applied to the batch report)
+      .localCheckpoint()
+    sel.unpersist(blocking = false)
+    out
   }
 
   def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame =

@@ -175,17 +175,30 @@ object Analytics {
   }
 
   /** Approximate distinct counts (HLL sketch) — the 100 TB substitute for
-    * countDistinct when exactness isn't needed. Rows-only BY DESIGN
-    * (sketch estimates are engine-specific); the exact counterpart lives
-    * in `exactUniques` so only the sketch columns escape the oracle.
+    * countDistinct when exactness isn't needed. Raw sketch estimates are
+    * engine-specific, so the result carries the EXACT counts plus a
+    * within-tolerance flag per sketch (|approx − exact| ≤ max(15%·exact,
+    * 16) — default rsd 0.05, 3σ = 15%; the floor absorbs integer jitter
+    * at tiny cardinalities). The oracle asserts the exact columns AND
+    * that both flags are 1, so the sketch's accuracy contract is
+    * hash-gated every round instead of living only in a spec.
     */
-  def approxUniques(spark: SparkSession, dir: String): DataFrame =
+  def approxUniques(spark: SparkSession, dir: String): DataFrame = {
+    def withinTol(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      (abs(approx - exact).cast("double") <=
+        greatest(exact.cast("double") * lit(0.15), lit(16.0))).cast("int")
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("props")).as("approx_pages"))
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("props")).as("exact_pages"),
+        approx_count_distinct(col("user_id")).as("_au"),
+        approx_count_distinct(col("props")).as("_ap"))
+      .select(col("event_type"), col("exact_users"), col("exact_pages"),
+        withinTol(col("_au"), col("exact_users")).as("users_within_tol"),
+        withinTol(col("_ap"), col("exact_pages")).as("pages_within_tol"))
       .orderBy(col("event_type"))
+  }
 
   /** The exact distinct counts the sketches approximate — split out of
     * `approxUniques` so they ARE oracle-checked (a mixed query forced the
@@ -537,6 +550,16 @@ object Analytics {
     // plain equi-join it protects (salt is plumbing, never semantics)
     "skew_spend_salted" -> SpendByNationSql,
     "skew_spend_unsalted" -> SpendByNationSql,
+    // the flags are literal 1s on the oracle side: the sketch MUST land
+    // within tolerance of the declarative exact counts for the hash to
+    // match — the accuracy contract itself is what's being gated
+    "stream_approx_uniques" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(DISTINCT props) AS BIGINT) AS exact_pages,
+        |  CAST(1 AS INTEGER) AS users_within_tol,
+        |  CAST(1 AS INTEGER) AS pages_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_exact_uniques" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -54,6 +54,7 @@ object Engine {
     graft.llm.Curation.clearStatusCache(spark)
     graft.store.Bucketed.clearBucketCache(spark)
     graft.store.Lake.clearOrcCache(spark)
+    graft.llm.TextAnalysis.clearWinnowPostingsCache(spark)
   }
 
   /** Runtime SQL confs that are safe to set on a session we did not build

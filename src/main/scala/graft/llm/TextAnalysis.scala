@@ -561,11 +561,84 @@ object TextAnalysis {
     val postings = spark.read.parquet(postingsDir)
       .filter(col("band").isInCollection(hit.toIndexedSeq))
       .select(col("doc_id"), col("fp")).distinct()
-    q.join(postings, Seq("fp"))
+    val out = q.join(postings, Seq("fp"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("query_id"), col("shared").desc, col("doc_id"))
+      // candidate lists are minShared-floored and tiny relative to the
+      // postings; materialize eagerly so the query-side checkpoint is
+      // released per call instead of pinning blocks until GC (same
+      // discipline as winnowOverlap / winnowIngestStream)
+      .localCheckpoint()
+    q.unpersist(blocking = false)
+    out
+  }
+
+  // ---- winnowProbe through the oracle gate --------------------------------
+
+  private val WinnowBands = 16L
+
+  /** One postings build per (session, source dir, source fingerprint) —
+    * the same memo discipline as the ORC/bucketed/IVF builds: repeat
+    * invocations probe the already-written index, a rewritten documents
+    * table rebuilds via the fingerprint, one exit hook cleans up.
+    */
+  private val winnowPostingsBuilt =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
+
+  private lazy val winnowPostingsExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      winnowPostingsBuilt.values.foreach { case (_, _, root) =>
+        graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(root))
+      }))
+
+  private[graft] def clearWinnowPostingsCache(spark: SparkSession): Unit =
+    winnowPostingsBuilt.remove(spark).foreach { case (_, _, root) =>
+      graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(root))
+    }
+
+  private[graft] def winnowPostingsRoot(spark: SparkSession, dir: String): String = {
+    val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
+    winnowPostingsBuilt.get(spark) match {
+      case Some((d, f, root)) if d == dir && f == fp => root
+      case stale =>
+        stale.foreach { case (_, _, old) =>
+          graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(old)) }
+        winnowPostingsExitHook
+        val root = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+        // the at-rest index layout winnowIngestStream maintains: (doc_id,
+        // pos, fp) partitioned by band = fp mod nBands, so probes read
+        // only the band dirs their query fingerprints hash into
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(Fingerprints.winnowSet(lower(trim(col("text"))), WinnowK, WinnowW)).as("v"))
+          .select(col("doc_id"),
+            expr("v div 4294967296").as("pos"),
+            (col("v") % lit(4294967296L)).as("fp"))
+          .withColumn("band", pmod(col("fp"), lit(WinnowBands)))
+          .write.partitionBy("band").parquet(s"$root/postings")
+        winnowPostingsBuilt(spark) = (dir, fp, root)
+        root
+    }
+  }
+
+  /** `winnowProbe` through the CORRECTNESS gate: build the banded at-rest
+    * postings index over the documents table (memoized per session ×
+    * source fingerprint), probe it with a fixed deterministic query set
+    * (doc_id ≡ 7 mod 25 — ~4% of the corpus), candidates floored at
+    * MinShared shared selected fingerprints. The oracle replays the same
+    * winnowing chain declaratively and joins query fps against the full
+    * fingerprint table — banding is pruning plumbing, never semantics, so
+    * a green hash proves the partitioned index + band-pruned probe return
+    * exactly what the unpartitioned join would.
+    */
+  def winnowProbeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = winnowPostingsRoot(spark, dir)
+    val queries = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(25L)) === 7)
+    winnowProbe(spark, s"$root/postings", queries, "text", "doc_id",
+      nBands = WinnowBands.toInt, minShared = WinnowMinShared)
   }
 
   /** Token-length histogram: docs bucketed by token count (curation view). */
@@ -687,6 +760,7 @@ object TextAnalysis {
     "llm_fingerprint" -> (fingerprint _),
     "llm_winnow_select" -> (winnowSelectQuery _),
     "llm_winnow_overlap" -> (winnowOverlapQuery _),
+    "llm_winnow_probe" -> (winnowProbeQuery _),
     "llm_gopher_filter" -> (gopherQuery _),
     "llm_heavy_hitters_cms" -> (cmsQuery _),
     "llm_perplexity" -> (perplexityQuery _),
@@ -975,6 +1049,17 @@ object TextAnalysis {
          |JOIN sizes sb ON sb.doc_id = pr.id_b
          |WHERE round(CAST(pr.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) >= $WinnowMinOverlap
          |ORDER BY id_a, id_b""".stripMargin,
+    // query fps join the FULL fingerprint table (no banding: the bands
+    // are partition-pruning plumbing on the engine side, semantics-free)
+    "llm_winnow_probe" ->
+      s"""WITH $winnowCte,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM selrows),
+         |q AS (SELECT doc_id AS query_id, fp FROM dfp WHERE doc_id % 25 = 7)
+         |SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM q JOIN dfp d USING (fp)
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY query_id, shared DESC, doc_id""".stripMargin,
     "llm_langid_eval" ->
       s"""SELECT lang, $predLangSql AS pred_lang, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

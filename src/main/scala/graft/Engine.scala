@@ -55,6 +55,7 @@ object Engine {
     graft.store.Bucketed.clearBucketCache(spark)
     graft.store.Lake.clearOrcCache(spark)
     graft.llm.TextAnalysis.clearWinnowPostingsCache(spark)
+    graft.stream.StreamReplay.clearReplayCache(spark)
   }
 
   /** Runtime SQL confs that are safe to set on a session we did not build

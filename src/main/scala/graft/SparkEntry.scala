@@ -31,7 +31,8 @@ object SparkEntry {
       (Bucketed.queries, Bucketed.oracles),
       (Bpe.queries, Bpe.oracles),
       (ZOrder.queries, ZOrder.oracles),
-      (Lake.queries, Lake.oracles))
+      (Lake.queries, Lake.oracles),
+      (graft.stream.StreamReplay.queries, graft.stream.StreamReplay.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -195,11 +195,12 @@ object MicroBatch {
       compareCols: Seq[String],
       tableDir: String,
       checkpointDir: String,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import graft.store.{Upsert, Versioned}
     val src = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 16)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(landingDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -275,11 +276,12 @@ object MicroBatch {
       partitionCol: String,
       tableDir: String,
       checkpointDir: String,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import graft.store.Upsert
     val src = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 16)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(landingDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)

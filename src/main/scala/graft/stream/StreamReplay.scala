@@ -1,0 +1,226 @@
+package graft.stream
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Tables
+import graft.store.{Lake, Snapshot, Versioned}
+
+/** The streaming state tables, deterministically replayed through the
+  * CORRECTNESS gate (SURVEY.md §2.9 T2/T4/T5 — the at-rest side).
+  *
+  * The streaming operators' specs prove replay/idempotence/cross-batch
+  * mechanics, but the tables `kpiIngestStream` and `scd2IngestStream`
+  * PRODUCE never reached the driver's oracle. Here both streams run
+  * over fixed landing batches derived from the synthetic tables, and
+  * the resulting at-rest state is registered as ordinary batch queries
+  * whose DuckDB oracles compute the same fold declaratively:
+  *
+  *  - `stream_kpi_state`: the additive per-partition merge (ref
+  *    transfom_pos.py:140-152 — total = target + source) over 7
+  *    year-sliced landing files, 2 files per micro-batch. The fold is
+  *    order-free BY CONSTRUCTION: months are disjoint across year
+  *    slices and the measure is a BIGINT sum, so any batch composition
+  *    yields the bit-identical table the oracle computes in one GROUP
+  *    BY — which is exactly the property that makes the merge additive.
+  *  - `stream_scd2_state`: the Type-2 close-and-reopen fold over
+  *    quarter-granular dimension-change events (one landing file per
+  *    year, one file per micro-batch, mtime-ordered so event time
+  *    ascends across batches — the in-order delivery the declarative
+  *    form assumes; out-of-order delivery is the monotonic guard's
+  *    job, proven in StreamingSpec). The oracle derives the identical
+  *    history with LAG/LEAD change-point windows: a row opens where
+  *    the attribute tuple differs from the key's previous event and
+  *    closes at the key's next change point.
+  *
+  * Build cost is paid once per (session, source-dir, source
+  * fingerprint) — the ORC/bucketed/IVF memo discipline — so repeated
+  * invocations (bench passes) read the already-built tables.
+  */
+object StreamReplay {
+
+  private val KpiFilesPerTrigger = 2
+  private val Scd2FromYear = 1995
+
+  private val kpiSchema = StructType(Seq(
+    StructField("product_id", LongType),
+    StructField("sale_ym", LongType),
+    StructField("total_qty", LongType)))
+
+  private val scd2Schema = StructType(Seq(
+    StructField("cust_id", LongType),
+    StructField("effective_day", LongType),
+    StructField("status", StringType),
+    StructField("priority", StringType)))
+
+  // ---- scratch memo (per session × source dir × source fingerprint) ------
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
+
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      built.values.foreach { case (_, _, root) =>
+        Lake.deleteRecursive(Paths.get(root))
+      }))
+
+  private[graft] def clearReplayCache(spark: SparkSession): Unit =
+    built.remove(spark).foreach { case (_, _, root) =>
+      Lake.deleteRecursive(Paths.get(root))
+    }
+
+  private def sourceFingerprint(dir: String): Long =
+    Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
+      Snapshot.fingerprint(dir, "orders.parquet")
+
+  private def replayRoot(spark: SparkSession, dir: String): String = {
+    val fp = sourceFingerprint(dir)
+    built.get(spark) match {
+      case Some((d, f, root)) if d == dir && f == fp => root
+      case stale =>
+        stale.foreach { case (_, _, old) => Lake.deleteRecursive(Paths.get(old)) }
+        exitHook
+        val root = Files.createTempDirectory("graft_stream").toString
+        buildKpi(spark, dir, root)
+        buildScd2(spark, dir, root)
+        built(spark) = (dir, fp, root)
+        root
+    }
+  }
+
+  /** Move a one-file JSON write to `dest` and stamp its mtime — the file
+    * source orders pending files by modification time, so explicit,
+    * strictly increasing stamps make the replay's batch ORDER (not just
+    * its content) deterministic across filesystems and build speeds.
+    */
+  private def writeLandingFile(df: DataFrame, dest: Path, mtimeMillis: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".json"))
+      .getOrElse(throw new IllegalStateException(s"no json part file under $tmp"))
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Lake.deleteRecursive(tmp)
+    Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+  }
+
+  /** Year-sliced landing files → `kpiIngestStream` → partitioned KPI
+    * table. BIGINT quantities (not the double revenue) keep every
+    * per-month sum exact, so the additive fold is bit-reproducible
+    * under ANY batch composition.
+    */
+  private def buildKpi(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "kpi_landing")
+    Files.createDirectories(landing)
+    val li = Tables.lineitem(spark, dir)
+      .select(
+        col("l_partkey").as("product_id"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("sale_ym"),
+        col("l_quantity").cast("long").as("total_qty"))
+      .localCheckpoint() // one lineitem scan feeds every year slice
+    val years = li.select((col("sale_ym") / 100).cast("int").as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val base = System.currentTimeMillis() - (years.length + 2) * 2000L
+    years.zipWithIndex.foreach { case (y, i) =>
+      writeLandingFile(
+        li.filter((col("sale_ym") / 100).cast("int") === y),
+        landing.resolve(f"kpi_$y%04d.json"), base + i * 2000L)
+    }
+    li.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.kpiIngestStream(
+      spark, landing.toString, kpiSchema,
+      keys = Seq("product_id"), valueCol = "total_qty", partitionCol = "sale_ym",
+      tableDir = s"$root/kpi_table", checkpointDir = s"$root/kpi_ckpt",
+      maxFilesPerTrigger = KpiFilesPerTrigger))
+  }
+
+  /** Quarter-granular dimension-change events (one row per (customer,
+    * quarter): attribute tuple aggregated deterministically), one
+    * landing file per year, one file per batch, ascending mtimes →
+    * `scd2IngestStream` → versioned Type-2 history.
+    */
+  private def buildScd2(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "scd2_landing")
+    Files.createDirectories(landing)
+    val ev = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(5L)) === 2 &&
+        year(col("o_orderdate")) >= Scd2FromYear)
+      .groupBy(col("o_custkey").as("cust_id"),
+        expr("CAST(year(o_orderdate)*4 + (month(o_orderdate)-1) div 3 AS BIGINT)")
+          .as("effective_day"))
+      .agg(max(col("o_orderstatus")).as("status"),
+        min(col("o_orderpriority")).as("priority"))
+      .localCheckpoint() // one orders scan feeds every year slice
+    val years = ev.select(expr("effective_day div 4").cast("int").as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val base = System.currentTimeMillis() - (years.length + 2) * 2000L
+    years.zipWithIndex.foreach { case (y, i) =>
+      writeLandingFile(
+        ev.filter(expr("effective_day div 4").cast("int") === y),
+        landing.resolve(f"scd2_$y%04d.json"), base + i * 2000L)
+    }
+    ev.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.scd2IngestStream(
+      spark, landing.toString, scd2Schema,
+      keyCol = "cust_id", compareCols = Seq("status", "priority"),
+      tableDir = s"$root/scd2_table", checkpointDir = s"$root/scd2_ckpt",
+      maxFilesPerTrigger = 1))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  /** The KPI table the stream maintained, read back at rest. */
+  def kpiStateQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${replayRoot(spark, dir)}/kpi_table")
+      .select(col("product_id"),
+        // hive partition inference types "199201" as INT; cast is a no-op
+        // there and pins the schema if inference rules ever shift
+        col("sale_ym").cast("int").as("sale_ym"),
+        col("total_qty"))
+      .orderBy(col("product_id"), col("sale_ym"))
+
+  /** The Type-2 history the stream maintained, via the versioned pointer. */
+  def scd2StateQuery(spark: SparkSession, dir: String): DataFrame =
+    Versioned.read(spark, s"${replayRoot(spark, dir)}/scd2_table")
+      .select(col("cust_id"), col("status"), col("priority"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("cust_id"), col("valid_from"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kpi_state" -> (kpiStateQuery _),
+    "stream_scd2_state" -> (scd2StateQuery _))
+
+  val oracles: Map[String, String] = Map(
+    // the whole multi-batch additive fold collapses to one GROUP BY —
+    // that equivalence IS the additive-merge contract
+    "stream_kpi_state" ->
+      """SELECT l_partkey AS product_id,
+        |  CAST(year(l_shipdate)*100 + month(l_shipdate) AS INTEGER) AS sale_ym,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // change-point derivation: a history row opens where the attribute
+    // tuple differs from the key's previous event (no-op events never
+    // close anything) and closes at the key's next change point
+    "stream_scd2_state" ->
+      s"""WITH ev AS (
+         |  SELECT o_custkey AS cust_id,
+         |    CAST(year(o_orderdate)*4 + (month(o_orderdate)-1)//3 AS BIGINT) AS q,
+         |    max(o_orderstatus) AS status, min(o_orderpriority) AS priority
+         |  FROM orders
+         |  WHERE o_custkey % 5 = 2 AND year(o_orderdate) >= $Scd2FromYear
+         |  GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT *, LAG(status) OVER w AS ps, LAG(priority) OVER w AS pp
+         |  FROM ev WINDOW w AS (PARTITION BY cust_id ORDER BY q)),
+         |changes AS (
+         |  SELECT * FROM lagged
+         |  WHERE ps IS NULL OR status <> ps OR priority <> pp)
+         |SELECT cust_id, status, priority,
+         |  q AS valid_from,
+         |  LEAD(q) OVER (PARTITION BY cust_id ORDER BY q) AS valid_to
+         |FROM changes ORDER BY cust_id, valid_from""".stripMargin)
+}

@@ -31,6 +31,15 @@ object Bench {
       val errs = rs.collect { case Left(e) => e }
       name -> (if (errs.nonEmpty) Left(errs.head) else Right(rs.collect { case Right(t) => t }.min))
     }
+    // per-query noise spread (max/min - 1, %): the reader's evidence for
+    // separating "min moved" (real regression) from "max wandered"
+    // (shared-box noise) without a separate BenchSweep run
+    val spreads = ordered.flatMap { case (name, _) =>
+      val ts = sweeps.map(_(name)).collect { case Right(t) => t }
+      if (ts.size == passes && ts.min > 0)
+        Some(name -> (ts.max - ts.min) / ts.min * 100.0)
+      else None
+    }
     // escape ALL control chars — an exception message with a tab or \r
     // would otherwise emit invalid JSON, the exact machine-unreadable
     // failure this line exists to prevent
@@ -45,8 +54,10 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
+    val spreadJson = spreads.map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"spread_pct":$spreadJson,"errors":$errors,"sf":"$sfDir"}"""
     // print FIRST and also persist: the driver reads only the sbt tail, so a
     // post-run log line can push the JSON out of its window (BENCH_r01's
     // `parsed` was null for exactly that reason)

@@ -550,6 +550,27 @@ object TextAnalysis {
   def winnowProbe(spark: SparkSession, postingsDir: String, queries: DataFrame,
                   textCol: String, idCol: String, nBands: Int = 16,
                   minShared: Int = 2): DataFrame = {
+    val (q, plan) = winnowProbePlan(spark, postingsDir, queries, textCol, idCol,
+      nBands, minShared)
+    // candidate lists are minShared-floored and tiny relative to the
+    // postings; materialize eagerly so the query-side checkpoint is
+    // released per call instead of pinning blocks until GC (same
+    // discipline as winnowOverlap / winnowIngestStream)
+    val out = plan.localCheckpoint()
+    q.unpersist(blocking = false)
+    out
+  }
+
+  /** The probe's LAZY plan plus the checkpointed query frame it reads —
+    * split out so tests can assert the band partition pruning on the
+    * REGISTERED path's plan (the eager checkpoint in `winnowProbe`
+    * severs the scan from the returned frame). Callers must unpersist
+    * the first element after consuming the second.
+    */
+  private[graft] def winnowProbePlan(
+      spark: SparkSession, postingsDir: String, queries: DataFrame,
+      textCol: String, idCol: String, nBands: Int,
+      minShared: Int): (DataFrame, DataFrame) = {
     val q = queries
       .select(col(idCol).as("query_id"),
         explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
@@ -558,21 +579,16 @@ object TextAnalysis {
       .withColumn("band", pmod(col("fp"), lit(nBands.toLong)))
       .localCheckpoint() // feeds the band prune list AND the join
     val hit = q.select(col("band")).distinct().collect().map(_.getLong(0))
-    val postings = spark.read.parquet(postingsDir)
-      .filter(col("band").isInCollection(hit.toIndexedSeq))
-      .select(col("doc_id"), col("fp")).distinct()
-    val out = q.join(postings, Seq("fp"))
+    val plan = q.join(
+        spark.read.parquet(postingsDir)
+          .filter(col("band").isInCollection(hit.toIndexedSeq))
+          .select(col("doc_id"), col("fp")).distinct(),
+        Seq("fp"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("query_id"), col("shared").desc, col("doc_id"))
-      // candidate lists are minShared-floored and tiny relative to the
-      // postings; materialize eagerly so the query-side checkpoint is
-      // released per call instead of pinning blocks until GC (same
-      // discipline as winnowOverlap / winnowIngestStream)
-      .localCheckpoint()
-    q.unpersist(blocking = false)
-    out
+    (q, plan)
   }
 
   // ---- winnowProbe through the oracle gate --------------------------------

@@ -176,8 +176,12 @@ object Orchestrate {
       // managed merge target in the versioned layout: downstream readers
       // (and the next run's own read-back) resolve the CURRENT pointer,
       // so a reader concurrent with the overwrite sees the old or new
-      // state, never a missing path
+      // state, never a missing path. A state dir written by the OLD
+      // in-place layout is adopted as v_00000001 first — without that,
+      // `exists` is false over a legacy table and the first post-upgrade
+      // run would silently abandon previously merged state.
       val statePath = s"$lakeRoot/inventory_state"
+      graft.store.Versioned.adoptLegacy(statePath)
       val merged =
         if (graft.store.Versioned.exists(statePath))
           Upsert.replaceOnMatch(graft.store.Versioned.read(spark, statePath),

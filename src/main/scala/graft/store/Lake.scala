@@ -204,32 +204,53 @@ object Lake {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tableDir)
     val prefix = s"$partitionCol="
+    // (escaped dir name, display value) of every over-threshold dir. The
+    // dirs themselves are the read targets — the value string is never
+    // round-tripped through a filter, because SQL string form and path
+    // value form disagree for whole type families (null partitions'
+    // __HIVE_DEFAULT_PARTITION__, timestamps' :ss suffix, doubles in
+    // scientific notation) and a non-matching filter would silently
+    // report dirs as compacted while rewriting nothing.
     val hot = Files.list(root).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
       .filter { p =>
         Files.list(p).iterator().asScala
           .count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
       }
-      // dir names carry Spark's path-escaped value form (spaces, colons,
-      // … are %-encoded); unescape so the value filter below matches the
-      // column data, not the encoding
-      .map(p => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(p.getFileName.toString.stripPrefix(prefix)))
-      .toSeq.sorted
-    if (hot.nonEmpty) {
-      val slice = spark.read.parquet(tableDir)
-        .filter(col(partitionCol).cast("string").isInCollection(hot))
-        // one shuffle task per hot partition → ~one output file per dir;
-        // the checkpoint stages the (touched-slice-sized) data because the
+      .map { p =>
+        val dirName = p.getFileName.toString
+        (dirName, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.stripPrefix(prefix)))
+      }
+      .toSeq.sortBy(_._2)
+    // partition type as the WHOLE table infers it: a single all-null dir
+    // (`__HIVE_DEFAULT_PARTITION__`) read alone infers VOID, which cannot
+    // be written back; string is the degenerate fallback when every dir
+    // is null
+    val partType = if (hot.isEmpty) org.apache.spark.sql.types.StringType
+      else spark.read.parquet(tableDir).schema(partitionCol).dataType match {
+        case org.apache.spark.sql.types.NullType => org.apache.spark.sql.types.StringType
+        case t => t
+      }
+    hot.foreach { case (dirName, _) =>
+      // read the hot dir DIRECTLY (basePath re-materializes the partition
+      // column, null dirs included) and re-pack it to ~one file; the
+      // dynamic overwrite then replaces exactly the partitions present in
+      // the frame — this one dir. One job per hot dir, and hot dirs are
+      // bounded by the maintenance backlog, not the table.
+      val slice = spark.read.option("basePath", tableDir)
+        .parquet(s"$tableDir/$dirName")
+        .withColumn(partitionCol, col(partitionCol).cast(partType))
+        .repartition(1)
+        // the checkpoint stages the (single-dir-sized) data because the
         // write's destination is also its source
-        .repartition(hot.size, col(partitionCol))
         .localCheckpoint()
       slice.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(tableDir)
     }
-    hot
+    hot.map(_._2)
   }
 
   /** The full table-maintenance pass, Delta's `OPTIMIZE ... ZORDER BY`

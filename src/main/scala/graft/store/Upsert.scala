@@ -127,29 +127,50 @@ object Upsert {
       .parquet(tableDir)
   }
 
-  /** At-rest batch ledger for the partition-scoped streaming merge: one
-    * empty marker file per applied batch id under `<table>/_ledger/`
+  /** At-rest ledger for the partition-scoped streaming merge, keyed on
+    * CONTENT (the applied SOURCE FILES), not on batch ids: one marker
+    * per applied landing file under `<table>/_ledger/`
     * (underscore-prefixed, so Spark's file discovery never sees it as
-    * data — the same trick as `_manifest`). Membership is one file-exists
-    * probe and recording is a tmp-write + atomic rename; both are
-    * driver-side metadata ops, nothing scales with rows. Replayed batch
-    * ids (the at-least-once redelivery after a crash-before-checkpoint)
-    * become no-ops. The residual window is a crash BETWEEN the data
-    * commit and the marker rename — the transactional-log gap every
-    * non-ACID table has; single-writer, documented, one batch wide.
+    * data — the same trick as `_manifest`). Marker name = SHA-256 of the
+    * file path (paths carry separators/escapes no filename can), marker
+    * content = the path itself, for operators reading the ledger.
+    *
+    * A batch id is only a valid dedup key while the streaming checkpoint
+    * that numbered it is intact: after a checkpoint wipe, the source
+    * renumbers and re-bundles — a replayed "batch 0" may mix
+    * already-applied files with never-applied ones, so skipping or
+    * applying on the id either loses data or double-counts it. File
+    * markers make the merge idempotent under ANY renumbering: the caller
+    * filters each batch to rows from unledgered files (the same
+    * content-keyed discipline as `winnowIngestStream`'s doc-id
+    * anti-join, at file grain). Membership is one file-exists probe and
+    * recording is a tmp-write + atomic rename; both are driver-side
+    * metadata ops bounded by files-per-batch, nothing scales with rows.
+    *
+    * The residual window is a crash BETWEEN the data commit and the
+    * marker renames — the transactional-log gap every non-ACID table
+    * has; single-writer, documented, one batch wide.
     */
-  def ledgerContains(tableDir: String, batchId: Long): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir, "_ledger", batchId.toString))
+  def fileLedgerContains(tableDir: String, file: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file)))
 
-  def ledgerRecord(tableDir: String, batchId: Long): Unit = {
+  def fileLedgerRecord(tableDir: String, file: String): Unit = {
     val dir = java.nio.file.Paths.get(tableDir, "_ledger")
     java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${batchId}.tmp")
-    java.nio.file.Files.write(tmp, Array.emptyByteArray)
-    java.nio.file.Files.move(tmp, dir.resolve(batchId.toString),
+    val key = fileLedgerKey(file)
+    val tmp = dir.resolve(s".$key.tmp")
+    java.nio.file.Files.write(tmp,
+      file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(key),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def fileLedgerKey(file: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with

@@ -115,6 +115,52 @@ object Versioned {
     expired
   }
 
+  /** Adopt a pre-versioned IN-PLACE parquet table (the layout
+    * `Lake.atomicOverwrite` maintains: part files at the root, no
+    * pointer) as snapshot v_00000001 — the upgrade path for state dirs
+    * written before they moved to the versioned layout. Without this, a
+    * caller checking `exists` sees `false` over a legacy table and
+    * silently abandons previously merged state (the old part files
+    * linger beside fresh v_ dirs, never read again).
+    *
+    * Returns true when an adoption (or the completion of a crashed one)
+    * happened. Crash safety under the single-writer contract: a crash
+    * mid-move leaves parquet files at BOTH levels — the next call moves
+    * the remainder into the same v dir; a crash after the moves but
+    * before the pointer flip leaves a complete v_00000001 (its _SUCCESS
+    * marker moved with it) — the next call detects exactly that state
+    * and just flips the pointer. A crashed first `overwrite`, by
+    * contrast, leaves a v_00000001 WITHOUT _SUCCESS, which is never
+    * adopted (it stays an orphan for `overwrite` to clean).
+    */
+  def adoptLegacy(root: String): Boolean = {
+    if (currentVersion(root).isDefined) return false
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return false
+    import scala.jdk.CollectionConverters._
+    def rootDataFiles = Files.list(p).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter { f => val n = f.getFileName.toString
+        n.endsWith(".parquet") || n == "_SUCCESS" }
+      .toSeq
+    val target = Paths.get(root, vname(1L))
+    val pending = rootDataFiles
+    val resumable = Files.exists(target.resolve("_SUCCESS"))
+    if (pending.forall(_.getFileName.toString == "_SUCCESS") && !resumable) return false
+    // a v_00000001 without _SUCCESS next to legacy root files is a
+    // crashed first overwrite's partial staging — never mix complete
+    // legacy files into it; rebuild it from scratch
+    if (!resumable) Lake.deleteRecursive(target)
+    Files.createDirectories(target)
+    pending.foreach(f =>
+      Files.move(f, target.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
+    val tmp = Paths.get(root, s".$Pointer.tmp")
+    Files.write(tmp, "1".getBytes)
+    Files.move(tmp, Paths.get(root, Pointer),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
   /** Replace the table: stage the full result as the next version dir,
     * flip the pointer atomically, expire versions older than the last
     * `keep` superseded ones. Returns the new version number.

@@ -301,6 +301,34 @@ class LakeSpec extends SparkSpec {
     Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("incremental compaction handles null and timestamp partition values") {
+    // partition types whose SQL string form differs from the path value
+    // form: null → __HIVE_DEFAULT_PARTITION__, timestamps gain :ss in
+    // the dir name. The per-dir read-and-overwrite form must actually
+    // rewrite them, not report them compacted while matching nothing.
+    val root = Files.createTempDirectory("compact_null_ts").toString
+    val t = s"$root/t"
+    for (i <- 1 to 6)
+      Seq((i, Option.empty[String]), (10 * i, Some("2024-07-02 10:00:00")))
+        .toDF("x", "k")
+        .withColumn("k", $"k".cast("timestamp"))
+        .write.partitionBy("k").mode("append").parquet(t)
+    val before = spark.read.parquet(t)
+      .select($"x", $"k".cast("string")).as[(Int, Option[String])].collect().toSet
+    val compacted = Lake.compactPartitions(spark, t, "k", maxFilesPerPartition = 4)
+    assert(compacted.size == 2 && compacted.contains("__HIVE_DEFAULT_PARTITION__"),
+      compacted.toString)
+    assert(spark.read.parquet(t)
+      .select($"x", $"k".cast("string")).as[(Int, Option[String])].collect().toSet == before)
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.walk(Paths.get(t)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(dataFiles == 2, s"expected 1 data file per partition dir, found $dataFiles")
+    // nothing left above threshold
+    assert(Lake.compactPartitions(spark, t, "k", maxFilesPerPartition = 4).isEmpty)
+    Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("ORC interchange: partitioned round-trip, predicates pushed to the ORC scan") {
     val root = Files.createTempDirectory("orc_lake").toString
     val df = (0L until 200L).map(i => (i, s"v$i", s"p${i % 4}"))

@@ -12,12 +12,12 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("every query is oracle-backed except the declared sketch query") {
+  test("every query is oracle-backed") {
     // a new query landing without an oracle silently weakens the gate to
-    // rows-only — make that a deliberate, reviewed decision
+    // rows-only — make that a deliberate, reviewed decision (since r9
+    // even the HLL query is gated: exact counts + tolerance flags)
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(unoracled == Set("stream_approx_uniques"),
-      s"queries without an oracle: $unoracled")
+    assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
   }
 
   test("documented totals equal the measured surface (no hand-written drift)") {

@@ -59,16 +59,18 @@ class SkewBucketSpec extends SparkSpec with PropertyCheck {
   }
 
   test("approx_count_distinct tracks the exact count within its error bound") {
-    // sketch and exact live in separate queries (only the sketch escapes
-    // the oracle); the bound ties them back together here
+    // the query itself carries the tolerance verdicts (that's what the
+    // oracle hash-gates); here: every flag is 1 and the exact columns
+    // agree with the standalone exact query
     val got = pipeline.Analytics.approxUniques(spark, "/root/testdata/sf0.001")
-      .join(pipeline.Analytics.exactUniques(spark, "/root/testdata/sf0.001"), "event_type")
-      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+      .as[(String, Long, Long, Int, Int)].collect()
     assert(got.nonEmpty)
-    got.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.1).toLong),
-        s"approx=$approx exact=$exact")
+    got.foreach { case (et, _, _, uOk, pOk) =>
+      assert(uOk == 1 && pOk == 1, s"$et: sketch outside tolerance")
     }
+    val exact = pipeline.Analytics.exactUniques(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet == exact)
   }
 
   test("registered bucketed query: join and aggregation both reuse the bucket layout") {

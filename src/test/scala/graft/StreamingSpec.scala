@@ -260,6 +260,22 @@ class StreamingSpec extends SparkSpec {
       (3L, "2024-07-02", 1.0)), "redelivered batches double-counted")
     assert((partFiles("2024-07-01"), partFiles("2024-07-02")) == filesAll,
       "redelivery rewrote partitions")
+    // checkpoint wiped WHILE NEW FILES LANDED: the replayed batch 0 now
+    // bundles the never-applied b3 with the already-applied b1/b2 under
+    // a reused id. The FILE-grain ledger must apply exactly b3's rows —
+    // id-keyed dedup would either drop b3 (skip) or double-count b1/b2
+    // (apply)
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), row(4, "2024-07-04", 9.0))
+    val mixed = MicroBatch.kpiIngestStream(spark, in, schema,
+      Seq("product_id"), "total_sales", "date", tbl, s"$root/ckpt")
+    mixed.processAllAvailable()
+    mixed.stop(); mixed.awaitTermination()
+    assert(totals == Set((1L, "2024-07-01", 12.5), (2L, "2024-07-02", 25.0),
+      (3L, "2024-07-02", 1.0), (4L, "2024-07-04", 9.0)),
+      "mixed replay bundle mis-applied")
+    assert(partFiles("2024-07-01") == filesAll._1,
+      "mixed replay rewrote an untouched partition")
   }
 
   test("streaming SCD2: history accrues across batches; full replay is a no-op") {

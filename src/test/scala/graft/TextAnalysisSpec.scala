@@ -371,4 +371,33 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
     assert(byBucket.getOrElse("head", Nil).size <= 2)
     assert(got(0)._4 == "head" && got(5)._4 == "tail")
   }
+
+  test("registered winnow probe path: postings scan is band-partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // the exact postings root and query set llm_winnow_probe uses — the
+    // eager checkpoint in winnowProbe severs the returned frame from the
+    // scan, so the assert runs on the split-out lazy plan
+    val root = TextAnalysis.winnowPostingsRoot(spark, dir)
+    val queries = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(25L)) === 7)
+    val (q, plan) = TextAnalysis.winnowProbePlan(
+      spark, s"$root/postings", queries, "text", "doc_id", nBands = 16, minShared = 4)
+    try {
+      // sparkPlan, not executedPlan: under AQE the latter is an opaque
+      // AdaptiveSparkPlanExec until execution; partition filters are
+      // already bound at planning
+      val scans = plan.queryExecution.sparkPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_winnow")) => s
+      }
+      assert(scans.nonEmpty, "postings scan missing from the probe plan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "band")),
+          s"band partition filter missing: ${s.partitionFilters}")
+      }
+      // and the registered query itself returns candidates incl. self-hits
+      assert(TextAnalysis.winnowProbeQuery(spark, dir).count() > 0)
+    } finally q.unpersist(blocking = false)
+  }
 }

@@ -110,4 +110,46 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.currentVersion(root).contains(101L))
     Lake.deleteRecursive(Paths.get(root))
   }
+
+  test("adoptLegacy: a pre-versioned in-place table becomes v_00000001") {
+    val root = Files.createTempDirectory("versioned_legacy").toString
+    val t = s"$root/t"
+    // the OLD layout: part files at the table root (Lake.atomicOverwrite)
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(t)
+    assert(!Versioned.exists(t))
+    assert(Versioned.adoptLegacy(t))
+    assert(Versioned.currentVersion(t).contains(1L))
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // no stray data files left at the root; idempotent thereafter
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(Paths.get(t)).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")))
+    assert(!Versioned.adoptLegacy(t))
+    // ordinary life continues on top of the adopted snapshot
+    Versioned.overwrite(Seq((3, "c")).toDF("k", "v"), t)
+    assert(Versioned.read(spark, t).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    Lake.deleteRecursive(Paths.get(root))
+  }
+
+  test("adoptLegacy: crash windows resume; crashed-overwrite orphans are never adopted") {
+    val root = Files.createTempDirectory("versioned_legacy_crash").toString
+    // crash AFTER the moves, BEFORE the pointer flip: a complete
+    // v_00000001 (with _SUCCESS) and an empty root → next call just flips
+    val t1 = s"$root/t1"
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$t1/v_00000001")
+    assert(Files.exists(Paths.get(t1, "v_00000001", "_SUCCESS")))
+    assert(Versioned.adoptLegacy(t1))
+    assert(Versioned.read(spark, t1).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // a crashed FIRST overwrite (no _SUCCESS in its partial v dir, no
+    // legacy files at root) must stay an orphan, not become current
+    val t2 = s"$root/t2"
+    Files.createDirectories(Paths.get(t2, "v_00000001"))
+    Files.write(Paths.get(t2, "v_00000001", "part-00000.parquet"), Array[Byte](1, 2))
+    assert(!Versioned.adoptLegacy(t2))
+    assert(!Versioned.exists(t2))
+    // fresh/empty dirs and already-versioned tables are untouched
+    assert(!Versioned.adoptLegacy(s"$root/missing"))
+    Lake.deleteRecursive(Paths.get(root))
+  }
 }

@@ -86,6 +86,20 @@ object ExplainAudit {
     // sizes/df/join; the pair join carries (doc_id, fp) only — no text
     // column survives past the scan
     show("llm_winnow_overlap")(graft.llm.TextAnalysis.winnowOverlapQuery(spark, dir))
+    // round-9 addition: winnow probe over the banded at-rest postings —
+    // expect the postings FileScan with a band PartitionFilter (only the
+    // probed band dirs are listed) and the checkpointed query fps as an
+    // RDDScan; the registered query's own plan is checkpoint-severed, so
+    // the audit shows the split-out lazy plan the checkpoint materializes
+    locally {
+      val queries = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(25L)) === 7)
+      val root = graft.llm.TextAnalysis.winnowPostingsRoot(spark, dir)
+      val (q, plan) = graft.llm.TextAnalysis.winnowProbePlan(
+        spark, s"$root/postings", queries, "text", "doc_id", 16, 4)
+      show("llm_winnow_probe")(plan)
+      q.unpersist(blocking = false)
+    }
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

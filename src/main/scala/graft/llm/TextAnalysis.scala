@@ -546,12 +546,20 @@ object TextAnalysis {
     * queries' fingerprints hash into (partition-pruned — the banding
     * exists so a probe never lists the whole postings table), carries
     * (doc_id, fp) pairs through the join, never text.
+    *
+    * `dfCap` (Some(c)) drops index fingerprints held by more than c
+    * documents before the join — the same boilerplate discipline as the
+    * overlap report: a template fingerprint shared by thousands of docs
+    * is non-discriminative AND multiplies join fan-out by its df. Probe
+    * cost is then Σ_fp qdf·min(df,c) instead of Σ_fp qdf·df; a fp lives
+    * entirely in one band (band = fp mod nBands), so the band-pruned df
+    * IS the global df and the cap is exact under pruning.
     */
   def winnowProbe(spark: SparkSession, postingsDir: String, queries: DataFrame,
                   textCol: String, idCol: String, nBands: Int = 16,
-                  minShared: Int = 2): DataFrame = {
+                  minShared: Int = 2, dfCap: Option[Int] = None): DataFrame = {
     val (q, plan) = winnowProbePlan(spark, postingsDir, queries, textCol, idCol,
-      nBands, minShared)
+      nBands, minShared, dfCap)
     // candidate lists are minShared-floored and tiny relative to the
     // postings; materialize eagerly so the query-side checkpoint is
     // released per call instead of pinning blocks until GC (same
@@ -570,7 +578,7 @@ object TextAnalysis {
   private[graft] def winnowProbePlan(
       spark: SparkSession, postingsDir: String, queries: DataFrame,
       textCol: String, idCol: String, nBands: Int,
-      minShared: Int): (DataFrame, DataFrame) = {
+      minShared: Int, dfCap: Option[Int] = None): (DataFrame, DataFrame) = {
     val q = queries
       .select(col(idCol).as("query_id"),
         explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
@@ -579,11 +587,17 @@ object TextAnalysis {
       .withColumn("band", pmod(col("fp"), lit(nBands.toLong)))
       .localCheckpoint() // feeds the band prune list AND the join
     val hit = q.select(col("band")).distinct().collect().map(_.getLong(0))
-    val plan = q.join(
-        spark.read.parquet(postingsDir)
-          .filter(col("band").isInCollection(hit.toIndexedSeq))
-          .select(col("doc_id"), col("fp")).distinct(),
-        Seq("fp"))
+    val postings = spark.read.parquet(postingsDir)
+      .filter(col("band").isInCollection(hit.toIndexedSeq))
+      .select(col("doc_id"), col("fp")).distinct()
+    val pruned = dfCap.fold(postings) { cap =>
+      // scalar (fp, df) shuffle BEFORE any doc-id fan-out — the same
+      // gate order the overlap report uses
+      val rare = postings.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("fp"))
+      postings.join(rare, Seq("fp"), "left_semi")
+    }
+    val plan = q.join(pruned, Seq("fp"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -642,19 +656,21 @@ object TextAnalysis {
   /** `winnowProbe` through the CORRECTNESS gate: build the banded at-rest
     * postings index over the documents table (memoized per session ×
     * source fingerprint), probe it with a fixed deterministic query set
-    * (doc_id ≡ 7 mod 25 — ~4% of the corpus), candidates floored at
-    * MinShared shared selected fingerprints. The oracle replays the same
-    * winnowing chain declaratively and joins query fps against the full
-    * fingerprint table — banding is pruning plumbing, never semantics, so
-    * a green hash proves the partitioned index + band-pruned probe return
-    * exactly what the unpartitioned join would.
+    * (doc_id ≡ 7 mod 25 — ~4% of the corpus), candidates = docs sharing
+    * ≥ MinShared RARE (df ≤ DfCap) selected fingerprints. The oracle
+    * replays the same winnowing chain declaratively and joins query fps
+    * against the df-capped fingerprint table — banding is pruning
+    * plumbing, never semantics, so a green hash proves the partitioned
+    * index + band-pruned, df-capped probe return exactly what the
+    * unpartitioned join would.
     */
   def winnowProbeQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = winnowPostingsRoot(spark, dir)
     val queries = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(25L)) === 7)
     winnowProbe(spark, s"$root/postings", queries, "text", "doc_id",
-      nBands = WinnowBands.toInt, minShared = WinnowMinShared)
+      nBands = WinnowBands.toInt, minShared = WinnowMinShared,
+      dfCap = Some(WinnowDfCap))
   }
 
   /** Token-length histogram: docs bucketed by token count (curation view). */
@@ -1065,14 +1081,18 @@ object TextAnalysis {
          |JOIN sizes sb ON sb.doc_id = pr.id_b
          |WHERE round(CAST(pr.shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) >= $WinnowMinOverlap
          |ORDER BY id_a, id_b""".stripMargin,
-    // query fps join the FULL fingerprint table (no banding: the bands
-    // are partition-pruning plumbing on the engine side, semantics-free)
+    // query fps join the df-capped fingerprint table WITHOUT banding:
+    // the bands are partition-pruning plumbing on the engine side,
+    // semantics-free; the df cap (index fps held by ≤ DfCap docs) is
+    // semantics, so it appears on both sides
     "llm_winnow_probe" ->
       s"""WITH $winnowCte,
          |dfp AS (SELECT DISTINCT doc_id, fp FROM selrows),
+         |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING COUNT(*) <= $WinnowDfCap),
+         |r AS (SELECT d.doc_id, d.fp FROM dfp d JOIN rare USING (fp)),
          |q AS (SELECT doc_id AS query_id, fp FROM dfp WHERE doc_id % 25 = 7)
-         |SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
-         |FROM q JOIN dfp d USING (fp)
+         |SELECT q.query_id, r.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM q JOIN r USING (fp)
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= $WinnowMinShared
          |ORDER BY query_id, shared DESC, doc_id""".stripMargin,

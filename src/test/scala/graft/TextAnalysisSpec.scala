@@ -382,7 +382,8 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
     val queries = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(25L)) === 7)
     val (q, plan) = TextAnalysis.winnowProbePlan(
-      spark, s"$root/postings", queries, "text", "doc_id", nBands = 16, minShared = 4)
+      spark, s"$root/postings", queries, "text", "doc_id", nBands = 16,
+      minShared = 4, dfCap = Some(64))
     try {
       // sparkPlan, not executedPlan: under AQE the latter is an opaque
       // AdaptiveSparkPlanExec until execution; partition filters are

@@ -92,6 +92,51 @@ object Multimodal {
     def decodeFeatures(payload: Array[Byte]): Array[Float] = new Codec().decodeFeatures(payload)
   }
 
+  /** REAL image codec — `javax.imageio` ships with the JDK, so the image
+    * half of the decode seam needs no external library after all: PNG
+    * bytes are actually encoded and actually decoded (audio/video remain
+    * stubbed — no codec for those exists in this environment). Raster
+    * samples are read raw (`getRaster.getSample`), never through
+    * `getRGB`: the latter routes gray samples through a
+    * linear-gray→sRGB color-space conversion that is NOT the identity,
+    * which would silently break bit-exactness against the oracle.
+    */
+  object ImageCodec {
+
+    /** Per-partition decoder state (the `StubCodec.Codec` seam, real). */
+    final class Codec {
+
+      /** Encode an 8-bit grayscale image; PNG is lossless, so decoded
+        * samples equal `pix(x, y)` exactly.
+        */
+      def encodeGrayPng(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pix(x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+
+      /** None for undecodable payloads (ImageIO returns null) — the
+        * corrupt-record routing contract of every source here.
+        */
+      def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+
+      /** Raw first-band sample — for gray images, the pixel value. */
+      def sample(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+        img.getRaster.getSample(x, y, 0)
+    }
+  }
+
   /** Batch feature extraction: one codec per partition, records streamed
     * through it (iterator-to-iterator, so no partition materialization).
     */
@@ -226,13 +271,169 @@ object Multimodal {
       .orderBy(col("keep_id"))
   }
 
+  // ---- real image pipeline (ImageCodec) -----------------------------------
+
+  case class ImagePayload(media_id: Long, modality: String, payload: Array[Byte])
+  case class ImageMeta(media_id: Long, width: Option[Int], height: Option[Int],
+                       pixel_sum: Option[Long], px_min: Option[Int], px_max: Option[Int])
+  case class ImageBlock(media_id: Long, by: Int, bx: Int, block_sum: Long)
+
+  private val CorruptBelow = 8L
+
+  /** Deterministic gray PNGs generated per document id — REAL encoded
+    * bytes (one codec per partition), sized w = 8+(id%5)·4, h =
+    * 8+(id%3)·4 (always even, for the pooling stage), pixel (x,y) =
+    * (id·31 + y·w + x) mod 256. The formula is the point: PNG is
+    * lossless, so everything a downstream decode computes is a pure
+    * integer function of id the oracle restates in SQL — the codec
+    * round-trip itself becomes hash-gated. Ids below `CorruptBelow`
+    * carry non-PNG bytes: the planted corrupt records every media crawl
+    * contains.
+    */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new ImageCodec.Codec
+        ids.map { id =>
+          if (id < CorruptBelow)
+            ImagePayload(id, "image", s"not-a-png-$id".getBytes("UTF-8"))
+          else {
+            val w = (8 + (id % 5) * 4).toInt
+            val h = (8 + (id % 3) * 4).toInt
+            ImagePayload(id, "image",
+              codec.encodeGrayPng(w, h, (x, y) => ((id * 31 + y.toLong * w + x) % 256).toInt))
+          }
+        }
+      }
+  }
+
+  /** Decode stage: per-partition ImageIO codec, corrupt payloads → null
+    * metadata (routed, never dropped — the quarantine contract).
+    */
+  def decodeImages(images: Dataset[ImagePayload]): Dataset[ImageMeta] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val codec = new ImageCodec.Codec
+      rows.map { r =>
+        codec.decode(r.payload) match {
+          case None => ImageMeta(r.media_id, None, None, None, None, None)
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sum, mn, mx) = (0L, 255, 0)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = codec.sample(img, x, y)
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(r.media_id, Some(w), Some(h), Some(sum), Some(mn), Some(mx))
+        }
+      }
+    }
+  }
+
+  /** 2×2 average-pool (as exact block sums) — a real downsample/resize
+    * with engine-replayable semantics, where `Graphics2D` interpolation
+    * would be implementation-defined. One output row per block.
+    */
+  def poolImages(images: Dataset[ImagePayload]): Dataset[ImageBlock] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val codec = new ImageCodec.Codec
+      rows.flatMap { r =>
+        codec.decode(r.payload).iterator.flatMap { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          for (by <- (0 until h / 2).iterator; bx <- (0 until w / 2).iterator) yield {
+            var sum = 0L
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                sum += codec.sample(img, bx * 2 + dx, by * 2 + dy); dx += 1
+              }
+              dy += 1
+            }
+            ImageBlock(r.media_id, by, bx, sum)
+          }
+        }
+      }
+    }
+  }
+
+  /** PNG encode → binary shuffle → PNG decode, through the oracle gate:
+    * dimensions, pixel sum, min/max per image; corrupt payloads surface
+    * as null metadata rows. A green hash proves the REAL codec
+    * round-trip (encoder, decoder, raster sampling) bit-exactly, not
+    * just that it ran.
+    */
+  def imageDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticImages(spark, dir).toDF(), 8)
+      .as[ImagePayload]
+    decodeImages(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("pixel_sum"), col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The pooled (2×2 block-sum) downsample through the gate. */
+  def imagePoolQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticImages(spark, dir).toDF(), 8)
+      .as[ImagePayload]
+    poolImages(media).toDF()
+      .select(col("media_id"), col("by"), col("bx"), col("block_sum"))
+      .orderBy(col("media_id"), col("by"), col("bx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stub_features" -> (stubFeatures _),
     "mm_feature_knn" -> (featureKnnQuery _),
     "mm_payload_dedup" -> (payloadDedupQuery _),
-    "mm_binary_meta" -> (binaryMeta _))
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_image_decode" -> (imageDecodeQuery _),
+    "mm_image_pool" -> (imagePoolQuery _))
+
+  // the synthetic-image pixel lattice, restated: dims from the id, one
+  // row per (x, y), value = the generation formula. Two chained unnests
+  // (not two in one SELECT — DuckDB zips parallel unnests) build the
+  // cross product.
+  private val imageLatticeSql: String =
+    s"""ids AS (SELECT doc_id AS media_id FROM documents),
+       |dims AS (SELECT media_id, 8 + (media_id % 5) * 4 AS w, 8 + (media_id % 3) * 4 AS h
+       |         FROM ids WHERE media_id >= $CorruptBelow),
+       |xs AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM dims),
+       |xy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs),
+       |px AS (SELECT media_id, w, h, x, y, (media_id * 31 + y * w + x) % 256 AS v FROM xy)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle never touches a PNG: it restates the pixel lattice the
+    // encoder wrote and the decoder read — a green hash therefore proves
+    // the REAL codec round-trip is lossless and the raster sampling raw
+    "mm_image_decode" ->
+      s"""WITH $imageLatticeSql,
+         |agg AS (SELECT media_id, MAX(w) AS w, MAX(h) AS h,
+         |          SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+         |        FROM px GROUP BY 1)
+         |SELECT i.media_id,
+         |  CAST(a.w AS INTEGER) AS width, CAST(a.h AS INTEGER) AS height,
+         |  CAST(a.s AS BIGINT) AS pixel_sum,
+         |  CAST(a.mn AS INTEGER) AS px_min, CAST(a.mx AS INTEGER) AS px_max
+         |FROM ids i LEFT JOIN agg a USING (media_id)
+         |ORDER BY media_id""".stripMargin,
+    "mm_image_pool" ->
+      s"""WITH $imageLatticeSql
+         |SELECT media_id, CAST(y // 2 AS INTEGER) AS by, CAST(x // 2 AS INTEGER) AS bx,
+         |  CAST(SUM(v) AS BIGINT) AS block_sum
+         |FROM px GROUP BY 1, 2, 3
+         |ORDER BY media_id, by, bx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

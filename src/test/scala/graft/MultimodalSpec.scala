@@ -65,4 +65,60 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((5L, 2L, 512L), (7L, 1L, 0L)), got.toString)
   }
+
+  test("image codec: PNG round-trip is sample-exact for arbitrary gray images") {
+    val codec = new Multimodal.ImageCodec.Codec
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val pix = Array.fill(h, w)(rnd.nextInt(256))
+      val img = codec.decode(codec.encodeGrayPng(w, h, (x, y) => pix(y)(x)))
+        .getOrElse(fail("decode of own encode failed"))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(codec.sample(img, x, y) == pix(y)(x),
+          s"sample mismatch at ($x,$y) in ${w}x$h")
+    }
+  }
+
+  test("image codec: undecodable payloads route as None, never throw") {
+    val codec = new Multimodal.ImageCodec.Codec
+    assert(codec.decode("definitely not a png".getBytes).isEmpty)
+    assert(codec.decode(Array.emptyByteArray).isEmpty)
+    // a TRUNCATED png: valid signature, broken body — must not throw
+    val whole = codec.encodeGrayPng(8, 8, (x, y) => (x + y) % 256)
+    assert(codec.decode(whole.take(whole.length / 2)).isEmpty)
+  }
+
+  test("image pipeline: decode metadata and pooling agree with the generation formula") {
+    val imgs = Multimodal.syntheticImages(spark, "/root/testdata/sf0.001")
+    val meta = Multimodal.decodeImages(imgs)
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Int], Option[Int])]
+      .collect()
+    assert(meta.length > 8)
+    meta.foreach { case (id, w, h, sum, mn, mx) =>
+      if (id < 8) assert(w.isEmpty && h.isEmpty && sum.isEmpty, s"corrupt id $id decoded")
+      else {
+        val (ww, hh) = ((8 + (id % 5) * 4).toInt, (8 + (id % 3) * 4).toInt)
+        assert(w.contains(ww) && h.contains(hh))
+        val expect = (for (y <- 0 until hh; x <- 0 until ww)
+          yield (id * 31 + y.toLong * ww + x) % 256).sum
+        assert(sum.contains(expect), s"id $id: pixel_sum ${sum.get} != $expect")
+        assert(mn.get >= 0 && mx.get <= 255 && mn.get <= mx.get)
+      }
+    }
+    // pooling partitions every decodable image into exactly (w/2)·(h/2)
+    // blocks whose sums re-add to the image's pixel sum
+    val blocks = Multimodal.poolImages(imgs)
+      .groupBy($"media_id")
+      .agg(org.apache.spark.sql.functions.count($"block_sum").as("n"),
+        org.apache.spark.sql.functions.sum($"block_sum").as("s"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    meta.filter(_._1 >= 8).foreach { case (id, w, h, sum, _, _) =>
+      val (n, s) = blocks(id)
+      assert(n == (w.get / 2).toLong * (h.get / 2), s"id $id block count")
+      assert(s == sum.get, s"id $id: block sums don't re-add to pixel_sum")
+    }
+  }
 }

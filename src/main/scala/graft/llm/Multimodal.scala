@@ -137,6 +137,62 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec — `javax.sound.sampled` also ships with the JDK:
+    * WAV is a lossless PCM container, so 16-bit signed samples round-trip
+    * bit-exactly. With images and audio real, only video remains stubbed
+    * (the JDK has no video demuxer — genuinely environment-forced).
+    */
+  object AudioCodec {
+
+    final class Codec {
+
+      /** Mono 16-bit signed little-endian PCM → WAV bytes. */
+      def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+        val bytes = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          bytes(2 * i) = (samples(i) & 0xFF).toByte
+          bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+
+      /** (sample rate, decoded 16-bit samples), or None for undecodable
+        * payloads — same corrupt-routing contract as the image codec.
+        */
+      def decode(payload: Array[Byte]): Option[(Int, Array[Short])] =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val data = ais.readAllBytes()
+            val out = new Array[Short](data.length / 2)
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i < out.length) {
+              val (lo, hi) = if (big) (data(2 * i + 1), data(2 * i)) else (data(2 * i), data(2 * i + 1))
+              out(i) = (((hi & 0xFF) << 8) | (lo & 0xFF)).toShort
+              i += 1
+            }
+            Some((math.round(fmt.getSampleRate), out))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+    }
+  }
+
   /** Batch feature extraction: one codec per partition, records streamed
     * through it (iterator-to-iterator, so no partition materialization).
     */
@@ -382,6 +438,74 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---- real audio pipeline (AudioCodec) -----------------------------------
+
+  case class AudioMeta(media_id: Long, sample_rate: Option[Int], n_samples: Option[Long],
+                       sample_sum: Option[Long], s_min: Option[Int], s_max: Option[Int])
+
+  /** Deterministic mono PCM WAVs per document id — real encoded bytes,
+    * n = 64+(id%5)·32 samples at 8000+(id%3)·4000 Hz, sample i =
+    * ((id·7 + i·13) mod 65536) − 32768. WAV is lossless, so the decode
+    * stats are a pure integer function of id (the image-lattice trick,
+    * in one dimension). Ids below `CorruptBelow` carry non-WAV bytes.
+    */
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new AudioCodec.Codec
+        ids.map { id =>
+          if (id < CorruptBelow)
+            ImagePayload(id, "audio", s"not-a-wav-$id".getBytes("UTF-8"))
+          else {
+            val n = (64 + (id % 5) * 32).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+            ImagePayload(id, "audio", codec.encodePcmWav(rate, samples))
+          }
+        }
+      }
+  }
+
+  /** Decode stage: per-partition javax.sound codec, corrupt → nulls. */
+  def decodeAudio(audio: Dataset[ImagePayload]): Dataset[AudioMeta] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      val codec = new AudioCodec.Codec
+      rows.map { r =>
+        codec.decode(r.payload) match {
+          case None => AudioMeta(r.media_id, None, None, None, None, None)
+          case Some((rate, samples)) =>
+            var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toInt
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            AudioMeta(r.media_id, Some(rate), Some(samples.length.toLong),
+              Some(sum), Some(mn), Some(mx))
+        }
+      }
+    }
+  }
+
+  /** WAV encode → binary shuffle → WAV decode through the oracle gate:
+    * rate, length, and sample stats per clip; corrupt payloads as null
+    * rows. Green hash = the PCM round-trip is bit-exact.
+    */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticAudio(spark, dir).toDF(), 8)
+      .as[ImagePayload]
+    decodeAudio(media).toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("sample_sum"), col("s_min"), col("s_max"))
+      .orderBy(col("media_id"))
+  }
+
   /** The pooled (2×2 block-sum) downsample through the gate. */
   def imagePoolQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -399,7 +523,8 @@ object Multimodal {
     "mm_payload_dedup" -> (payloadDedupQuery _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_image_decode" -> (imageDecodeQuery _),
-    "mm_image_pool" -> (imagePoolQuery _))
+    "mm_image_pool" -> (imagePoolQuery _),
+    "mm_audio_decode" -> (audioDecodeQuery _))
 
   // the synthetic-image pixel lattice, restated: dims from the id, one
   // row per (x, y), value = the generation formula. Two chained unnests
@@ -434,6 +559,25 @@ object Multimodal {
          |  CAST(SUM(v) AS BIGINT) AS block_sum
          |FROM px GROUP BY 1, 2, 3
          |ORDER BY media_id, by, bx""".stripMargin,
+    // the one-dimensional twin of the image lattice: the PCM samples the
+    // encoder wrote and the decoder read, restated as integers
+    "mm_audio_decode" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+         |dims AS (SELECT media_id, 64 + (media_id % 5) * 32 AS n,
+         |                8000 + (media_id % 3) * 4000 AS rate
+         |         FROM ids WHERE media_id >= $CorruptBelow),
+         |si AS (SELECT media_id, n, rate, unnest(range(n)) AS i FROM dims),
+         |sv AS (SELECT media_id, n, rate,
+         |         (media_id * 7 + i * 13) % 65536 - 32768 AS v FROM si),
+         |agg AS (SELECT media_id, MAX(rate) AS rate, MAX(n) AS n,
+         |          SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+         |        FROM sv GROUP BY 1)
+         |SELECT i.media_id,
+         |  CAST(a.rate AS INTEGER) AS sample_rate, CAST(a.n AS BIGINT) AS n_samples,
+         |  CAST(a.s AS BIGINT) AS sample_sum,
+         |  CAST(a.mn AS INTEGER) AS s_min, CAST(a.mx AS INTEGER) AS s_max
+         |FROM ids i LEFT JOIN agg a USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -91,6 +91,41 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.decode(whole.take(whole.length / 2)).isEmpty)
   }
 
+  test("audio codec: WAV round-trip is sample-exact; corrupt payloads route as None") {
+    val codec = new Multimodal.AudioCodec.Codec
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(500)
+      val rate = 4000 + rnd.nextInt(44100)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val (gotRate, got) = codec.decode(codec.encodePcmWav(rate, samples))
+        .getOrElse(fail("decode of own encode failed"))
+      assert(gotRate == rate)
+      assert(got.toSeq == samples.toSeq)
+    }
+    assert(codec.decode("not audio at all".getBytes).isEmpty)
+    assert(codec.decode(Array.emptyByteArray).isEmpty)
+    val whole = codec.encodePcmWav(8000, Array.tabulate(64)(_.toShort))
+    assert(codec.decode(whole.take(10)).isEmpty)
+  }
+
+  test("audio pipeline: decode stats agree with the generation formula") {
+    val meta = Multimodal.decodeAudio(Multimodal.syntheticAudio(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Option[Int], Option[Long], Option[Long], Option[Int], Option[Int])]
+      .collect()
+    assert(meta.length > 8)
+    meta.foreach { case (id, rate, n, sum, mn, mx) =>
+      if (id < 8) assert(rate.isEmpty && n.isEmpty && sum.isEmpty, s"corrupt id $id decoded")
+      else {
+        val nn = (64 + (id % 5) * 32).toInt
+        assert(rate.contains((8000 + (id % 3) * 4000).toInt) && n.contains(nn.toLong))
+        val vals = (0 until nn).map(i => ((id * 7 + i.toLong * 13) % 65536) - 32768)
+        assert(sum.contains(vals.sum), s"id $id sample_sum")
+        assert(mn.contains(vals.min.toInt) && mx.contains(vals.max.toInt))
+      }
+    }
+  }
+
   test("image pipeline: decode metadata and pooling agree with the generation formula") {
     val imgs = Multimodal.syntheticImages(spark, "/root/testdata/sf0.001")
     val meta = Multimodal.decodeImages(imgs)

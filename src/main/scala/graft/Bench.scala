@@ -54,7 +54,10 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    val spreadJson = spreads.map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would corrupt the JSON line
+    val spreadJson = spreads
+      .map { case (k, v) => jstr(k) + ":" + BenchSweep.num(v, 1) }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"spread_pct":$spreadJson,"errors":$errors,"sf":"$sfDir"}"""

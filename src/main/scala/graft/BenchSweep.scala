@@ -44,6 +44,14 @@ object BenchSweep {
     case c => c.toString
   } + "\""
 
+  /** Fixed-point number for the JSON line, Locale.ROOT: the f
+    * interpolator formats through the JVM default locale, and a
+    * comma-decimal locale (de_DE, fr_FR, …) would emit `12,3` — invalid
+    * JSON on the one machine-read line these mains exist to produce.
+    */
+  def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", v.asInstanceOf[AnyRef])
+
   def main(args: Array[String]): Unit = {
     val (spark, sfDir) = buildSession()
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
@@ -68,7 +76,7 @@ object BenchSweep {
         else {
           val (mn, mx) = (ts.min, ts.max)
           val spreadPct = if (mn > 0) (mx - mn) / mn * 100 else 0.0
-          f"""{"min":$mn%.4f,"max":$mx%.4f,"spread_pct":$spreadPct%.1f,"times":[${ts.map(t => f"$t%.4f").mkString(",")}]}"""
+          s"""{"min":${num(mn, 4)},"max":${num(mx, 4)},"spread_pct":${num(spreadPct, 1)},"times":[${ts.map(num(_, 4)).mkString(",")}]}"""
         }
       jstr(name) + ":" + body
     }.mkString("{", ",", "}")

@@ -96,7 +96,8 @@ object ExplainAudit {
         .filter(pmod(col("doc_id"), lit(25L)) === 7)
       val root = graft.llm.TextAnalysis.winnowPostingsRoot(spark, dir)
       val (q, plan) = graft.llm.TextAnalysis.winnowProbePlan(
-        spark, s"$root/postings", queries, "text", "doc_id", 16, 4)
+        spark, s"$root/postings", queries, "text", "doc_id", 16, 4,
+        dfCap = Some(64)) // the registered query's exact parameters
       show("llm_winnow_probe")(plan)
       q.unpersist(blocking = false)
     }

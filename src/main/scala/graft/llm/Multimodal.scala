@@ -8,12 +8,15 @@ import graft.Tables
   * binary columns + typed metadata, with decode / feature-extraction /
   * resize / frame-sampling stages.
   *
-  * The decode step itself is STUBBED (no image/audio codecs ship in this
-  * container): `StubCodec` is a deterministic fake that derives "decoded"
-  * attributes from the bytes. Everything around it — the schema contract,
-  * the per-partition batch shape, the partitioning strategy, the typed
-  * Dataset API — is real, tested, and is exactly where a codec (JNI, ONNX
-  * runtime, ffmpeg pipe) would plug in.
+  * Decode status per modality: IMAGES and AUDIO are REAL — the JDK
+  * itself ships codecs (`javax.imageio` PNG, `javax.sound.sampled` WAV
+  * PCM), so `ImageCodec`/`AudioCodec` genuinely encode and decode bytes,
+  * gated end-to-end by the `mm_image_*`/`mm_audio_*` oracles. VIDEO
+  * remains stubbed (the JDK has no demuxer — environment-forced):
+  * `StubCodec` is a deterministic fake that derives "decoded" attributes
+  * from byte digests, keeping the schema contract, per-partition batch
+  * shape, and typed Dataset API real and oracle-checked; an ffmpeg/JNI
+  * codec plugs into the same seam.
   *
   * Scale design: media blobs are processed with mapPartitions so a codec
   * is initialized once per partition, not per record (the Scala analogue
@@ -93,13 +96,12 @@ object Multimodal {
   }
 
   /** REAL image codec — `javax.imageio` ships with the JDK, so the image
-    * half of the decode seam needs no external library after all: PNG
-    * bytes are actually encoded and actually decoded (audio/video remain
-    * stubbed — no codec for those exists in this environment). Raster
-    * samples are read raw (`getRaster.getSample`), never through
-    * `getRGB`: the latter routes gray samples through a
-    * linear-gray→sRGB color-space conversion that is NOT the identity,
-    * which would silently break bit-exactness against the oracle.
+    * decode seam needs no external library after all: PNG bytes are
+    * actually encoded and actually decoded. Raster samples are read raw
+    * (`getRaster.getSample`), never through `getRGB`: the latter routes
+    * gray samples through a linear-gray→sRGB color-space conversion that
+    * is NOT the identity, which would silently break bit-exactness
+    * against the oracle.
     */
   object ImageCodec {
 
@@ -173,7 +175,11 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          // encoding gate too: a 16-bit mono PCM_UNSIGNED (or a-law etc.)
+          // payload would otherwise be silently misread as signed samples
+          // instead of routing as corrupt
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
           else {
             val data = ais.readAllBytes()
             val out = new Array[Short](data.length / 2)
@@ -329,7 +335,8 @@ object Multimodal {
 
   // ---- real image pipeline (ImageCodec) -----------------------------------
 
-  case class ImagePayload(media_id: Long, modality: String, payload: Array[Byte])
+  /** Shared encoded-payload carrier for the real codecs (modality tags it). */
+  case class MediaPayload(media_id: Long, modality: String, payload: Array[Byte])
   case class ImageMeta(media_id: Long, width: Option[Int], height: Option[Int],
                        pixel_sum: Option[Long], px_min: Option[Int], px_max: Option[Int])
   case class ImageBlock(media_id: Long, by: Int, bx: Int, block_sum: Long)
@@ -346,18 +353,18 @@ object Multimodal {
     * carry non-PNG bytes: the planted corrupt records every media crawl
     * contains.
     */
-  def syntheticImages(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val codec = new ImageCodec.Codec
         ids.map { id =>
           if (id < CorruptBelow)
-            ImagePayload(id, "image", s"not-a-png-$id".getBytes("UTF-8"))
+            MediaPayload(id, "image", s"not-a-png-$id".getBytes("UTF-8"))
           else {
             val w = (8 + (id % 5) * 4).toInt
             val h = (8 + (id % 3) * 4).toInt
-            ImagePayload(id, "image",
+            MediaPayload(id, "image",
               codec.encodeGrayPng(w, h, (x, y) => ((id * 31 + y.toLong * w + x) % 256).toInt))
           }
         }
@@ -367,7 +374,7 @@ object Multimodal {
   /** Decode stage: per-partition ImageIO codec, corrupt payloads → null
     * metadata (routed, never dropped — the quarantine contract).
     */
-  def decodeImages(images: Dataset[ImagePayload]): Dataset[ImageMeta] = {
+  def decodeImages(images: Dataset[MediaPayload]): Dataset[ImageMeta] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val codec = new ImageCodec.Codec
@@ -397,7 +404,7 @@ object Multimodal {
     * with engine-replayable semantics, where `Graphics2D` interpolation
     * would be implementation-defined. One output row per block.
     */
-  def poolImages(images: Dataset[ImagePayload]): Dataset[ImageBlock] = {
+  def poolImages(images: Dataset[MediaPayload]): Dataset[ImageBlock] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val codec = new ImageCodec.Codec
@@ -431,7 +438,7 @@ object Multimodal {
     import spark.implicits._
     val media = repartitionByModality(
       syntheticImages(spark, dir).toDF(), 8)
-      .as[ImagePayload]
+      .as[MediaPayload]
     decodeImages(media).toDF()
       .select(col("media_id"), col("width"), col("height"),
         col("pixel_sum"), col("px_min"), col("px_max"))
@@ -449,27 +456,27 @@ object Multimodal {
     * stats are a pure integer function of id (the image-lattice trick,
     * in one dimension). Ids below `CorruptBelow` carry non-WAV bytes.
     */
-  def syntheticAudio(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val codec = new AudioCodec.Codec
         ids.map { id =>
           if (id < CorruptBelow)
-            ImagePayload(id, "audio", s"not-a-wav-$id".getBytes("UTF-8"))
+            MediaPayload(id, "audio", s"not-a-wav-$id".getBytes("UTF-8"))
           else {
             val n = (64 + (id % 5) * 32).toInt
             val rate = (8000 + (id % 3) * 4000).toInt
             val samples = Array.tabulate(n)(i =>
               (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
-            ImagePayload(id, "audio", codec.encodePcmWav(rate, samples))
+            MediaPayload(id, "audio", codec.encodePcmWav(rate, samples))
           }
         }
       }
   }
 
   /** Decode stage: per-partition javax.sound codec, corrupt → nulls. */
-  def decodeAudio(audio: Dataset[ImagePayload]): Dataset[AudioMeta] = {
+  def decodeAudio(audio: Dataset[MediaPayload]): Dataset[AudioMeta] = {
     import audio.sparkSession.implicits._
     audio.mapPartitions { rows =>
       val codec = new AudioCodec.Codec
@@ -499,7 +506,7 @@ object Multimodal {
     import spark.implicits._
     val media = repartitionByModality(
       syntheticAudio(spark, dir).toDF(), 8)
-      .as[ImagePayload]
+      .as[MediaPayload]
     decodeAudio(media).toDF()
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("sample_sum"), col("s_min"), col("s_max"))
@@ -511,7 +518,7 @@ object Multimodal {
     import spark.implicits._
     val media = repartitionByModality(
       syntheticImages(spark, dir).toDF(), 8)
-      .as[ImagePayload]
+      .as[MediaPayload]
     poolImages(media).toDF()
       .select(col("media_id"), col("by"), col("bx"), col("block_sum"))
       .orderBy(col("media_id"), col("by"), col("bx"))

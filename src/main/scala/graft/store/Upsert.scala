@@ -172,6 +172,26 @@ object Upsert {
       .digest(file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** Whether `<table>/_ledger` holds pre-file-grain BATCH-ID markers
+    * (all-digit names; file keys are 64 hex chars). A batch id cannot be
+    * mapped back to the files it covered, so the file-grain dedup cannot
+    * know which landing files such a ledger already applied — continuing
+    * would re-apply them on the next redelivery and double-count.
+    * Callers check once at stream start and fail fast with a migration
+    * message instead.
+    */
+  def ledgerHasLegacyBatchIds(tableDir: String): Boolean = {
+    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
+    if (!java.nio.file.Files.exists(dir)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.exists { f =>
+        val n = f.getFileName.toString
+        n.nonEmpty && n.length < 64 && n.forall(_.isDigit)
+      }
+    }
+  }
+
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with
     * its batch id and keeping the applied-batch ledger alongside the state

@@ -124,18 +124,25 @@ object Versioned {
     * linger beside fresh v_ dirs, never read again).
     *
     * Returns true when an adoption (or the completion of a crashed one)
-    * happened. Crash safety under the single-writer contract: a crash
-    * mid-move leaves parquet files at BOTH levels — the next call moves
-    * the remainder into the same v dir; a crash after the moves but
-    * before the pointer flip leaves a complete v_00000001 (its _SUCCESS
-    * marker moved with it) — the next call detects exactly that state
-    * and just flips the pointer. A crashed first `overwrite`, by
-    * contrast, leaves a v_00000001 WITHOUT _SUCCESS, which is never
-    * adopted (it stays an orphan for `overwrite` to clean).
+    * happened. Crash safety under the single-writer contract hangs on an
+    * explicit `_ADOPTING` marker written BEFORE the first move (file
+    * listing order is unspecified, so no moved file — not even _SUCCESS —
+    * can serve as the "moves started" signal without a lost-file window):
+    * a crash anywhere between marker and pointer flip leaves the marker,
+    * and the next call resumes — moves whatever still sits at the root
+    * into the same v dir and flips the pointer. Without the marker, a
+    * v_00000001 next to (or without) legacy root files is a crashed
+    * `overwrite`'s staging — never adopted, never mixed into; it stays an
+    * orphan for `overwrite` to clean.
     */
   def adoptLegacy(root: String): Boolean = {
-    if (currentVersion(root).isDefined) return false
     val p = Paths.get(root)
+    val marker = p.resolve("_ADOPTING")
+    if (currentVersion(root).isDefined) {
+      // crash between pointer flip and marker cleanup: finish the cleanup
+      Files.deleteIfExists(marker)
+      return false
+    }
     if (!Files.exists(p)) return false
     import scala.jdk.CollectionConverters._
     def rootDataFiles = Files.list(p).iterator().asScala
@@ -145,12 +152,16 @@ object Versioned {
       .toSeq
     val target = Paths.get(root, vname(1L))
     val pending = rootDataFiles
-    val resumable = Files.exists(target.resolve("_SUCCESS"))
-    if (pending.forall(_.getFileName.toString == "_SUCCESS") && !resumable) return false
-    // a v_00000001 without _SUCCESS next to legacy root files is a
-    // crashed first overwrite's partial staging — never mix complete
-    // legacy files into it; rebuild it from scratch
-    if (!resumable) Lake.deleteRecursive(target)
+    val resuming = Files.exists(marker)
+    // not a legacy table: no data files at the root and no adoption to
+    // finish (an empty dir, or a crashed first overwrite's orphan v dir)
+    if (!resuming && pending.forall(_.getFileName.toString == "_SUCCESS")) return false
+    if (!resuming) {
+      // fresh adoption: any pre-existing v_00000001 is a crashed
+      // overwrite's partial staging — rebuild, never mix into it
+      Lake.deleteRecursive(target)
+      Files.write(marker, Array.emptyByteArray)
+    }
     Files.createDirectories(target)
     pending.foreach(f =>
       Files.move(f, target.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
@@ -158,6 +169,7 @@ object Versioned {
     Files.write(tmp, "1".getBytes)
     Files.move(tmp, Paths.get(root, Pointer),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(marker)
     true
   }
 

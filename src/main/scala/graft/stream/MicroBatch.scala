@@ -288,6 +288,16 @@ object MicroBatch {
       triggerMs: Long = 500L,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import graft.store.Upsert
+    // a pre-file-grain ledger (batch-id markers) cannot say WHICH files
+    // it applied — continuing would re-apply them on redelivery; the
+    // only safe paths are a table+ledger rebuild or a hand backfill
+    if (Upsert.ledgerHasLegacyBatchIds(tableDir))
+      throw new IllegalStateException(
+        s"$tableDir/_ledger holds batch-id markers from the pre-file-grain ledger " +
+          "format; batch ids cannot be mapped to source files, so redelivered " +
+          "batches could double-count. Rebuild the table and its _ledger from the " +
+          "landing history, or backfill one marker per already-applied file " +
+          "(Upsert.fileLedgerRecord) and delete the numeric markers.")
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -278,6 +278,23 @@ class StreamingSpec extends SparkSpec {
       "mixed replay rewrote an untouched partition")
   }
 
+  test("kpi stream refuses a pre-file-grain batch-id ledger (no silent double count)") {
+    val root = Files.createTempDirectory("kpi_legacy_ledger").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val tbl = s"$root/kpi"
+    Files.createDirectories(Paths.get(tbl, "_ledger"))
+    Files.writeString(Paths.get(tbl, "_ledger", "3"), "") // old batch-id marker
+    val schema = StructType(Seq(
+      StructField("product_id", LongType), StructField("date", StringType),
+      StructField("total_sales", DoubleType)))
+    val ex = intercept[IllegalStateException] {
+      MicroBatch.kpiIngestStream(spark, in, schema,
+        Seq("product_id"), "total_sales", "date", tbl, s"$root/ckpt")
+    }
+    assert(ex.getMessage.contains("batch-id markers"), ex.getMessage)
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("streaming SCD2: history accrues across batches; full replay is a no-op") {
     val root = Files.createTempDirectory("scd2_stream").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

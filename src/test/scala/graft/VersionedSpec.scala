@@ -132,22 +132,40 @@ class VersionedSpec extends SparkSpec {
     Lake.deleteRecursive(Paths.get(root))
   }
 
-  test("adoptLegacy: crash windows resume; crashed-overwrite orphans are never adopted") {
+  test("adoptLegacy: crash windows resume via the _ADOPTING marker; orphans never adopted") {
     val root = Files.createTempDirectory("versioned_legacy_crash").toString
-    // crash AFTER the moves, BEFORE the pointer flip: a complete
-    // v_00000001 (with _SUCCESS) and an empty root → next call just flips
+    // crash MID-MOVE: marker present, some files moved, some still at the
+    // root — the next call must move the REMAINDER (deleting the partial
+    // target here would lose the already-moved rows: the lost-file window
+    // the marker exists to close, since listing order is unspecified)
     val t1 = s"$root/t1"
-    Seq((1, "a")).toDF("k", "v").write.parquet(s"$t1/v_00000001")
-    assert(Files.exists(Paths.get(t1, "v_00000001", "_SUCCESS")))
+    Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(2).write.parquet(t1)
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(Paths.get(t1)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(parts.size == 2)
+    Files.write(Paths.get(t1, "_ADOPTING"), Array.emptyByteArray)
+    Files.createDirectories(Paths.get(t1, "v_00000001"))
+    Files.move(parts.head, Paths.get(t1, "v_00000001", parts.head.getFileName.toString))
     assert(Versioned.adoptLegacy(t1))
-    assert(Versioned.read(spark, t1).as[(Int, String)].collect().toSeq == Seq((1, "a")))
-    // a crashed FIRST overwrite (no _SUCCESS in its partial v dir, no
-    // legacy files at root) must stay an orphan, not become current
+    assert(Versioned.read(spark, t1).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")), "mid-move resume lost rows")
+    assert(!Files.exists(Paths.get(t1, "_ADOPTING")))
+    // crash AFTER the moves, BEFORE the pointer flip: marker + complete
+    // v dir, empty root → next call just flips and cleans the marker
     val t2 = s"$root/t2"
-    Files.createDirectories(Paths.get(t2, "v_00000001"))
-    Files.write(Paths.get(t2, "v_00000001", "part-00000.parquet"), Array[Byte](1, 2))
-    assert(!Versioned.adoptLegacy(t2))
-    assert(!Versioned.exists(t2))
+    Seq((3, "c")).toDF("k", "v").write.parquet(s"$t2/v_00000001")
+    Files.write(Paths.get(t2, "_ADOPTING"), Array.emptyByteArray)
+    assert(Versioned.adoptLegacy(t2))
+    assert(Versioned.read(spark, t2).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    assert(!Files.exists(Paths.get(t2, "_ADOPTING")))
+    // a crashed FIRST overwrite (v dir, NO marker, no legacy root files)
+    // must stay an orphan, not become current — even with _SUCCESS inside
+    // (a complete-but-uncommitted write is still uncommitted)
+    val t3 = s"$root/t3"
+    Seq((4, "d")).toDF("k", "v").write.parquet(s"$t3/v_00000001")
+    assert(!Versioned.adoptLegacy(t3))
+    assert(!Versioned.exists(t3))
     // fresh/empty dirs and already-versioned tables are untouched
     assert(!Versioned.adoptLegacy(s"$root/missing"))
     Lake.deleteRecursive(Paths.get(root))

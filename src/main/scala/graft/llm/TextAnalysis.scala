@@ -637,17 +637,28 @@ object TextAnalysis {
           graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(old)) }
         winnowPostingsExitHook
         val root = java.nio.file.Files.createTempDirectory("graft_winnow").toString
-        // the at-rest index layout winnowIngestStream maintains: (doc_id,
-        // pos, fp) partitioned by band = fp mod nBands, so probes read
-        // only the band dirs their query fingerprints hash into
+        // the index is built by the STREAM that maintains it in
+        // production (`MicroBatch.winnowIngestStream`): documents land as
+        // JSONL slices, micro-batches winnow them and append (doc_id,
+        // pos, fp) postings partitioned by band = fp mod nBands. Postings
+        // are a pure per-document function and the replay guard is
+        // per-doc, so the at-rest table is batching-invariant — which is
+        // what lets llm_winnow_probe's oracle gate the streaming
+        // maintenance path, not just the probe
+        val landing = java.nio.file.Paths.get(root, "landing")
         Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            explode(Fingerprints.winnowSet(lower(trim(col("text"))), WinnowK, WinnowW)).as("v"))
-          .select(col("doc_id"),
-            expr("v div 4294967296").as("pos"),
-            (col("v") % lit(4294967296L)).as("fp"))
-          .withColumn("band", pmod(col("fp"), lit(WinnowBands)))
-          .write.partitionBy("band").parquet(s"$root/postings")
+          .select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4L)))
+          .write.json(landing.toString) // writer creates the dir itself
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        graft.stream.MicroBatch.runToCompletion(
+          graft.stream.MicroBatch.winnowIngestStream(
+            spark, landing.toString, schema, s"$root/postings",
+            s"$root/ckpt", nBands = WinnowBands.toInt))
         winnowPostingsBuilt(spark) = (dir, fp, root)
         root
     }

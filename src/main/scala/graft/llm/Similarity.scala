@@ -1066,7 +1066,27 @@ object Similarity {
         val codes = trainCentroidCodes(emb, NList, SampleSize, KmIters)
         val idx = java.nio.file.Files.createTempDirectory("ivf_index").toString
         indexExitHook
-        buildIvfIndex(emb, codes, idx)
+        // seed the index with a deterministic slice via the batch build,
+        // then ingest the rest THROUGH the stream that maintains the
+        // index in production (`MicroBatch.annIngestStream`). Assignment
+        // is a pure per-vector function of the fixed centroid table and
+        // the replay guard is per-vec_id, so the at-rest index is
+        // batching-invariant — llm_ann_ivf_indexed's oracle therefore
+        // gates the streaming list-append path, not just the probe.
+        buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(4L)) === 0), codes, idx)
+        val landing = s"$idx/landing"
+        emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(4, pmod(col("vec_id"), lit(4L)))
+          .write.json(landing)
+        import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+        graft.stream.MicroBatch.runToCompletion(
+          graft.stream.MicroBatch.annIngestStream(
+            spark, landing,
+            StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)))),
+            idx, s"$idx/ckpt"))
         ivfIndexCache(spark) = (dir, fp, idx)
         idx
     }

@@ -73,8 +73,9 @@ object StreamReplay {
     }
 
   private def sourceFingerprint(dir: String): Long =
-    Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
-      Snapshot.fingerprint(dir, "orders.parquet")
+    (Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
+      Snapshot.fingerprint(dir, "orders.parquet")) * 1000003L ^
+      Snapshot.fingerprint(dir, "documents.parquet")
 
   private def replayRoot(spark: SparkSession, dir: String): String = {
     val fp = sourceFingerprint(dir)
@@ -86,6 +87,7 @@ object StreamReplay {
         val root = Files.createTempDirectory("graft_stream").toString
         buildKpi(spark, dir, root)
         buildScd2(spark, dir, root)
+        buildQualityCorpus(spark, dir, root)
         built(spark) = (dir, fp, root)
         root
     }
@@ -171,6 +173,29 @@ object StreamReplay {
       maxFilesPerTrigger = 1))
   }
 
+  /** Documents land as JSONL → `qualityGatedIngestStream` → the Gopher
+    * gate decides per micro-batch which enter the training corpus. The
+    * gate is a pure per-document function and the corpus guard is a
+    * per-id anti-join, so the accepted set is batching-invariant — the
+    * declarative restatement of the rules IS the corpus.
+    */
+  private def buildQualityCorpus(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = s"$root/quality_landing"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(4, pmod(col("doc_id"), lit(4L)))
+      .write.json(landing)
+    MicroBatch.runToCompletion(MicroBatch.qualityGatedIngestStream(
+      spark, landing,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      textCol = "text", idCol = "doc_id",
+      corpusDir = s"$root/quality_corpus",
+      rejectDir = s"$root/quality_reject",
+      checkpointDir = s"$root/quality_ckpt"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** The KPI table the stream maintained, read back at rest. */
@@ -190,9 +215,19 @@ object StreamReplay {
         col("valid_from"), col("valid_to"))
       .orderBy(col("cust_id"), col("valid_from"))
 
+  /** The quality-gated corpus the stream admitted, read back at rest
+    * (doc_id + char length — enough to prove id selection AND that the
+    * text itself survived the JSON → gate → parquet hop intact).
+    */
+  def qualityCorpusQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${replayRoot(spark, dir)}/quality_corpus")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kpi_state" -> (kpiStateQuery _),
-    "stream_scd2_state" -> (scd2StateQuery _))
+    "stream_scd2_state" -> (scd2StateQuery _),
+    "stream_quality_corpus" -> (qualityCorpusQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -202,6 +237,24 @@ object StreamReplay {
         |  CAST(year(l_shipdate)*100 + month(l_shipdate) AS INTEGER) AS sale_ym,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the Gopher rules restated declaratively (the same measures as the
+    // llm_gopher_filter oracle), filtered to the passing set — exactly
+    // what the stream's gate admitted to the corpus, any batching
+    "stream_quality_corpus" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n,
+        |    CAST(length(text) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS awl,
+        |    1.0 - CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS dup_frac,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b')) AS stops
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m
+        |WHERE n >= 25 AND n <= 1000 AND awl BETWEEN 3.0 AND 10.0
+        |  AND stops >= 2 AND dup_frac <= 0.6
+        |ORDER BY doc_id""".stripMargin,
     // change-point derivation: a history row opens where the attribute
     // tuple differs from the key's previous event (no-op events never
     // close anything) and closes at the key's next change point

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.Joins
+import graft.ops.{Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
 
@@ -28,6 +28,7 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (Corpus.queries, Corpus.oracles),
       (Joins.queries, Joins.oracles),
+      (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),
       (Bpe.queries, Bpe.oracles),
       (ZOrder.queries, ZOrder.oracles),

@@ -98,6 +98,75 @@ object Corpus {
       .select(col(idCol), col(stratumCol), col("draw_rank"))
   }
 
+  /** Exact-size weighted sample: probability-proportional-to-size (PPS)
+    * SYSTEMATIC sampling — m docs drawn with inclusion probability
+    * proportional to an integer weight (token mass, chars), the
+    * survey-sampling classic re-expressed for training-data selection
+    * ("sample 1M docs, long docs proportionally more often, exact budget,
+    * reproducible"). `evalSample` is the uniform exact-size draw;
+    * `qualityWeightedSample` is weighted but soft-sized; this is the
+    * missing corner: weighted AND exact-size.
+    *
+    * Construction (all integer, so any engine replays it bit-for-bit —
+    * the Efraimidis–Spirakis u^(1/w) key would hinge on libm `ln`/`pow`
+    * ulps and is NOT cross-engine stable):
+    * docs are laid on a line in sha-draw order (deterministic,
+    * layout-invariant), each owning the interval [cum−w, cum) of its
+    * cumulative weight; the m sample points sit at W·(2i+1)/(2m). A doc
+    * is picked once per point inside its interval — `copies` ≥ 2 means
+    * the doc outweighs a full stride W/m (PPS multiplicity semantics).
+    * Σ copies = m exactly, zero-weight docs are never picked.
+    *
+    * Scale shape: ONE range-partitioned sort on the draw key + the same
+    * two-pass per-partition prefix sum `curriculum` uses (pass 1 ships
+    * one (partition, weight-sum) row per partition to the driver — a
+    * numPartitions-sized artifact, never data); selection itself is
+    * per-row integer arithmetic at scan speed. Overflow guard: the
+    * scaled positions reach 2·m·W, which must fit a signed 64 — at
+    * 100 TB weight mass, chunk the draw per stratum or downscale weights
+    * (the require makes the failure loud, not wrong).
+    */
+  def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: Column,
+                          m: Int, salt: String = ":pps:v1"): DataFrame = {
+    require(m > 0, "sample size m must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = conv(substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long")
+    val ds = docs.select(col(idCol).cast("long").as("doc_id"),
+        weightCol.cast("long").as("w"), h.as("h"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+    val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
+    val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach { r =>
+        require(r._2 >= 0, s"negative weight ${r._2} for doc ${r._1}")
+        s += r._2
+      }
+      Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val offs = parts.scanLeft(0L)(_ + _._2).init
+    val totalW = parts.map(_._2).sum
+    require(totalW > 0, "total weight must be positive")
+    require(totalW <= Long.MaxValue / (2L * m),
+      s"2*m*W = 2*$m*$totalW overflows 64-bit; chunk the draw or downscale weights")
+    val mL = m.toLong
+    val out = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var cum = offs(i)
+      // #points strictly below scaled position x: points are W·(2i+1)
+      def nBelow(x: Long): Long = math.min(mL, (x + totalW - 1) / (2L * totalW))
+      it.flatMap { case (id, w, _) =>
+        val lo = nBelow(2L * mL * cum)
+        cum += w
+        val copies = nBelow(2L * mL * cum) - lo
+        if (copies >= 1) Some((id, w, copies)) else None
+      }
+    }
+    out.toDF("doc_id", "w", "copies")
+  }
+
   /** Overlapping token windows: chunk i covers tokens [i*stride,
     * i*stride + width); starts every `stride` tokens while inside the
     * doc, so a doc of n tokens yields 1 + floor((n-1)/stride) chunks.
@@ -499,6 +568,14 @@ object Corpus {
     evalSample(Tables.documents(spark, dir), "doc_id", "source", perStratum = 5)
       .orderBy(col("source"), col("draw_rank"))
 
+  /** Exact-200-doc PPS draw weighted by character mass. */
+  def ppsSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    ppsSystematicSample(Tables.documents(spark, dir), "doc_id",
+      col("n_chars"), m = PpsSampleM)
+      .orderBy(col("doc_id"))
+
+  private val PpsSampleM = 200
+
   /** Curriculum order over documents. */
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculum(Tables.documents(spark, dir), "text", "doc_id")
@@ -531,7 +608,8 @@ object Corpus {
     "llm_split_leakage_safe" -> (splitLeakageSafeQuery _),
     "llm_curriculum" -> (curriculumQuery _),
     "llm_contamination_report" -> (contaminationReportQuery _),
-    "llm_eval_sample" -> (evalSampleQuery _))
+    "llm_eval_sample" -> (evalSampleQuery _),
+    "llm_sample_pps" -> (ppsSampleQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -681,6 +759,24 @@ object Corpus {
         |FROM documents
         |QUALIFY draw_rank <= 5
         |ORDER BY source, draw_rank""".stripMargin,
+    // the engine's two-pass partition prefix sum stated as one window
+    // cumsum; every term is BIGINT, so the point-counting floor divisions
+    // replay exactly (// is DuckDB's integer floor division)
+    "llm_sample_pps" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':pps:v1'), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, w,
+         |    SUM(w) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(w) OVER () AS tw
+         |  FROM d),
+         |s AS (SELECT doc_id, w,
+         |    LEAST($PpsSampleM, (2*$PpsSampleM*cum + tw - 1) // (2*tw)) -
+         |    LEAST($PpsSampleM, (2*$PpsSampleM*(cum - w) + tw - 1) // (2*tw)) AS copies
+         |  FROM c)
+         |SELECT doc_id, w, copies FROM s WHERE copies >= 1
+         |ORDER BY doc_id""".stripMargin,
     // the engine computes rank/prefix-sum via two-pass range partitioning;
     // the oracle states the SAME total order declaratively — the (q_q,
     // doc_id) key is unique, so both formulations are one answer

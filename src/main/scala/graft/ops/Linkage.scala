@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Dedup
+
+/** Entity resolution (record linkage): find records that denote the same
+  * real-world entity despite textual drift — the master-data step every
+  * enterprise warehouse runs before customer analytics (the reference's
+  * CRM pipeline dedups on exact customer_id only; fuzzy identity is the
+  * generalization it stops short of, and a training-data pipeline needs
+  * the same operator to collapse author/site aliases).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *
+  *  - NEVER all-pairs. Candidates come from a BLOCKING key: records
+  *    sharing a cheap deterministic key (name prefix, phonetic code,
+  *    sorted-token prefix) are co-shuffled, and only within-block pairs
+  *    are scored. Candidate volume is Σ_b |b|²/2 — linear in the corpus
+  *    when block sizes are bounded, the same budget `basket_pairs` and
+  *    the LSH dedup family run on. The blocking key is the recall knob:
+  *    a true match split across two blocks is missed (classic
+  *    multi-pass ER runs several keys and unions candidates — composing
+  *    that here is just a `union` of `candidatePairs` calls).
+  *  - `maxBlock` guards the skew failure mode: one degenerate key (an
+  *    empty name, "UNKNOWN") would otherwise turn a bounded self-join
+  *    quadratic. Oversized blocks are dropped whole — deterministic,
+  *    and exactly replayable by the oracle's HAVING clause.
+  *  - Scoring is per-candidate scan work (edit distance on short
+  *    strings), so the expensive predicate runs on the bounded candidate
+  *    set only, inside whole-stage codegen (`levenshtein` is a built-in
+  *    expression; no UDF).
+  *  - Clusters reuse `Dedup.connectedComponents` (min-label propagation,
+  *    one shuffle per round) — pairs→entities is the same CC step the
+  *    near-dup text/embedding families already run through the gate.
+  */
+object Linkage {
+
+  /** Within-block candidate pairs (id_a < id_b), blocks over `maxBlock`
+    * dropped whole. Emits both records' payload columns prefixed a_/b_
+    * for downstream scoring.
+    */
+  def candidatePairs(records: DataFrame, idCol: String, blockKey: Column,
+                     payload: Seq[String], maxBlock: Int = 1000): DataFrame = {
+    val keyed = records.select(
+      (col(idCol).as("id") +: blockKey.as("bk") +:
+        payload.map(c => col(c).as(c))): _*)
+    // scalar (bk, n) shuffle first: the size gate must see block sizes
+    // BEFORE any pair fan-out (same gate order as the df-capped dedup
+    // index builders)
+    val ok = keyed.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBlock).select(col("bk"))
+    val inb = keyed.join(ok, Seq("bk"), "left_semi")
+    val a = inb.select(
+      (col("bk") +: col("id").as("id_a") +:
+        payload.map(c => col(c).as(s"a_$c"))): _*)
+    val b = inb.select(
+      (col("bk") +: col("id").as("id_b") +:
+        payload.map(c => col(c).as(s"b_$c"))): _*)
+    // equi-join on the block key — the candidate generator is a plain
+    // shuffled hash join, never a cartesian
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Blocking key for the customer table: the name minus its last two
+    * characters. Synthetic names are fixed-width, so blocks hold ≤ 100
+    * records by construction — the bounded-block regime the operator is
+    * designed for.
+    */
+  private def customerBlock: Column = expr("substring(c_name, 1, length(c_name) - 2)")
+
+  private val ErMaxEdit = 1
+  private val ErMaxBlock = 1000
+
+  /** Matched customer pairs: same block, edit distance ≤ 1 on the name,
+    * AND market-segment agreement (the cheap exact attribute that keeps
+    * near-identical names of genuinely different entities apart — the
+    * standard match rule shape: fuzzy on the noisy field, exact on the
+    * reliable one).
+    */
+  def customerPairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(Tables.customer(spark, dir), "c_custkey", customerBlock,
+      Seq("c_name", "c_mktsegment"), ErMaxBlock)
+      .withColumn("edit_dist", levenshtein(col("a_c_name"), col("b_c_name")))
+      .filter(col("edit_dist") <= ErMaxEdit &&
+        col("a_c_mktsegment") === col("b_c_mktsegment"))
+      .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+        col("edit_dist"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+
+  /** Entity clusters over the matched pairs (cluster id = min member
+    * custkey); singletons excluded — the view is "which records need
+    * merging", matching the text-side cluster queries.
+    */
+  def customerClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        customerPairs(spark, dir)
+          .select(col("custkey_a").as("id_a"), col("custkey_b").as("id_b")))
+      .select(col("id").as("custkey"), col("cluster_id"))
+      .orderBy(col("custkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_customer_pairs" -> (customerPairs _),
+    "er_customer_clusters" -> (customerClusters _))
+
+  private val pairsSql =
+    s"""WITH k AS (SELECT c_custkey, c_name, c_mktsegment,
+       |            substring(c_name, 1, length(c_name) - 2) AS bk
+       |          FROM customer),
+       |ok AS (SELECT bk FROM k GROUP BY bk HAVING COUNT(*) <= $ErMaxBlock),
+       |inb AS (SELECT * FROM k WHERE bk IN (SELECT bk FROM ok)),
+       |p AS (SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       |        levenshtein(a.c_name, b.c_name) AS edit_dist
+       |      FROM inb a JOIN inb b ON a.bk = b.bk AND a.c_custkey < b.c_custkey
+       |        AND a.c_mktsegment = b.c_mktsegment
+       |      )
+       |SELECT custkey_a, custkey_b, edit_dist FROM p
+       |WHERE edit_dist <= $ErMaxEdit""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "er_customer_pairs" ->
+      s"""$pairsSql
+         |ORDER BY custkey_a, custkey_b""".stripMargin,
+    // transitive closure over the matched pairs — same recursive-CTE
+    // formulation the text/embedding cluster oracles use
+    "er_customer_clusters" ->
+      s"""WITH RECURSIVE p AS MATERIALIZED ($pairsSql),
+         |e AS MATERIALIZED (SELECT custkey_a AS u, custkey_b AS v FROM p
+         |     UNION SELECT custkey_b, custkey_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+         |SELECT u AS custkey, least(u, MIN(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY custkey""".stripMargin)
+}

@@ -154,6 +154,32 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type) — the user-path /
+    * funnel-discovery view (which action follows which). Scale shape:
+    * the sequencing window is partitioned by user (never a global
+    * sort — per-user state is the streaming-sessionization partitioning
+    * reused batch-side), and everything after the lead() is an
+    * aggregate over |event types|² cells, constant-sized regardless of
+    * corpus scale. Ties inside one timestamp break on event_id, so the
+    * sequence — and therefore the matrix — is deterministic under any
+    * partitioning.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p", round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** NTILE deciles of customer spend WITHIN each nation — ntile needs a
     * total order over its partition, so the partition must be a real key
     * (a global-order ntile would plan SinglePartition — the window
@@ -372,6 +398,7 @@ object Analytics {
     "basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
     "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
+    "events_transitions" -> (eventTransitions _),
     "sales_cube" -> (salesCube _),
     "sales_by_region" -> (salesByRegion _),
     "customers_without_orders" -> (customersWithoutOrders _),
@@ -565,6 +592,18 @@ object Analytics {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  CAST(COUNT(DISTINCT props) AS BIGINT) AS exact_pages
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sequence via the same (ts, event_id)-ordered per-user LEAD; the
+    // probability is one IEEE double divide + round in both engines
+    "events_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n_trans
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  ROUND(CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "stream_hourly_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
         |  event_type, COUNT(*) AS n_events,

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("event transitions: per-user sequencing, probabilities sum to 1 per from-state") {
+    val got = Analytics.eventTransitions(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // each from-row's probabilities sum to 1 (within the round(6) grain)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val p = rows.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$from probabilities sum to $p")
+      // counts and probabilities agree
+      val n = rows.map(_._3).sum
+      rows.foreach { r =>
+        assert(math.abs(r._4 - r._3.toDouble / n) < 1e-6, r.toString) }
+    }
+    // transition count conservation: every user's k events yield k-1
+    // transitions, so Σ n_trans = Σ_user (count - 1)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" - 1)).as[Long].head()
+    assert(got.map(_._3).sum == ev)
+  }
+
+  test("event transitions: sequencing window is per-user, never a global sort") {
+    val plan = Analytics.eventTransitions(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}

@@ -351,4 +351,57 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
       .as[(Long, Boolean, Long, Double, Boolean)].collect()
     assert(got.toSeq == again.toSeq)
   }
+
+  test("pps sample: exact size, zero weights excluded, multiplicity, layout-invariant") {
+    // one doc outweighs a full stride (w=500 vs W/m≈56) -> copies >= 2
+    val d = ((0L until 60L).map(i => (i, 1L + (i % 10))) :+ (60L, 500L) :+ (61L, 0L))
+      .toDF("doc_id", "w0")
+    val m = 12
+    val got = Corpus.ppsSystematicSample(d, "doc_id", col("w0"), m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).sum == m, s"sum of copies must be exactly m: $got")
+    assert(got.forall(_._3 >= 1))
+    assert(!got.exists(_._1 == 61L), "zero-weight doc can never be drawn")
+    assert(got.find(_._1 == 60L).exists(_._3 >= 2),
+      "a doc heavier than one stride W/m must appear with multiplicity")
+    // physical layout cannot perturb the draw (range partition + sha order)
+    val again = Corpus.ppsSystematicSample(d.repartition(7), "doc_id", col("w0"), m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("pps sample: inclusion tracks weight (property) and guards fire") {
+    // m points at stride W/m: systematic sampling picks a doc of weight
+    // w either floor(w·m/W) or ceil(w·m/W) times — never outside
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 30L)).map {
+      case ws if ws.sum > 0 => ws
+      case ws => 5L :: ws.tail // keep W > 0 without discarding the case
+    }
+    forAll(gen) { ws =>
+      val W = ws.sum
+      val d = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w0")
+      val m = 7
+      val got = Corpus.ppsSystematicSample(d, "doc_id", col("w0"), m)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(got.values.sum == m)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val c = got.getOrElse(i.toLong, 0L)
+        val exact = w.toDouble * m / W
+        assert(c >= math.floor(exact).toLong && c <= math.ceil(exact).toLong,
+          s"doc $i weight $w drawn $c times, expected within [floor, ceil] of $exact")
+      }
+    }
+    // guards: negative weight (task-side require) and zero total (driver)
+    val neg = intercept[Exception] {
+      Corpus.ppsSystematicSample(Seq((1L, -3L), (2L, 5L)).toDF("doc_id", "w0"),
+        "doc_id", col("w0"), 2)
+    }
+    val msgs = Iterator.iterate[Throwable](neg)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("negative weight")), msgs.mkString(" | "))
+    val zero = intercept[IllegalArgumentException] {
+      Corpus.ppsSystematicSample(Seq((1L, 0L)).toDF("doc_id", "w0"), "doc_id", col("w0"), 2)
+    }
+    assert(zero.getMessage.contains("total weight"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two true entities with typo'd aliases, one near-name in a different
+  // segment, one isolated record, and a degenerate "UNKNOWN" block
+  private def recs = Seq(
+    (1L, "acme corp", "A"),
+    (2L, "acme corq", "A"),  // edit 1 of #1, same segment -> match
+    (3L, "acme corp", "B"),  // edit 0 of #1 but segment differs -> no match
+    (4L, "bolt llc!", "A"),
+    (5L, "bolt llc?", "A"),  // edit 1 of #4 -> match
+    (6L, "bolt lcc?", "A"),  // edit 1 of #5, edit 2 of #4 -> chains via #5
+    (7L, "zeta gmbh", "A")
+  ).toDF("id", "name", "seg")
+
+  private def block = expr("substring(name, 1, 4)")
+
+  test("candidatePairs: within-block only, id_a < id_b, payload prefixed") {
+    val p = Linkage.candidatePairs(recs, "id", block, Seq("name", "seg"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // acme block = {1,2,3}, bolt block = {4,5,6}, zeta alone
+    assert(p == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
+  test("candidatePairs: oversized blocks are dropped whole (skew guard)") {
+    val big = (0 until 50).map(i => (100L + i, s"same prefix $i", "A"))
+    val df = (recs.as[(Long, String, String)].collect().toSeq ++ big)
+      .toDF("id", "name", "seg")
+    val p = Linkage.candidatePairs(df, "id", block, Seq("name"), maxBlock = 10)
+      .select($"id_a").distinct().as[Long].collect().toSet
+    assert(p.forall(_ < 100L), "the 50-record 'same' block must yield no pairs")
+  }
+
+  test("candidatePairs: candidate generator plans as an equi-join, never cartesian") {
+    val plan = Linkage.candidatePairs(recs, "id", block, Seq("name"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("match rule: edit<=1 AND segment agreement; clusters chain transitively") {
+    val pairs = Linkage.candidatePairs(recs, "id", block, Seq("name", "seg"))
+      .withColumn("d", levenshtein($"a_name", $"b_name"))
+      .filter($"d" <= 1 && $"a_seg" === $"b_seg")
+      .select($"id_a", $"id_b")
+    assert(pairs.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (4L, 5L), (5L, 6L)))
+    // 4-6 are edit distance 2 yet share a cluster THROUGH 5 — the
+    // transitive semantics the CC step exists for
+    val cl = graft.llm.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cl(4L) == 4L && cl(5L) == 4L && cl(6L) == 4L)
+    assert(cl(1L) == 1L && cl(2L) == 1L)
+    assert(!cl.contains(7L), "singletons are not cluster members")
+  }
+
+  test("registered customer queries: pairs differ in one trailing digit, clusters = min custkey") {
+    val dir = "/root/testdata/sf0.001"
+    val p = Linkage.customerPairs(spark, dir)
+    val rows = p.as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // every matched pair: same 100-block, edit distance exactly 1
+    assert(rows.forall(_._3 == 1))
+    assert(rows.forall { case (a, b, _) => a / 100 == b / 100 })
+    val cl = Linkage.customerClusters(spark, dir).as[(Long, Long)].collect()
+    assert(cl.nonEmpty && cl.forall { case (k, c) => c <= k })
+  }
+}

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.Dedup
 
 /** Entity resolution (record linkage): find records that denote the same
   * real-world entity despite textual drift — the master-data step every
@@ -31,9 +30,12 @@ import graft.llm.Dedup
   *    strings), so the expensive predicate runs on the bounded candidate
   *    set only, inside whole-stage codegen (`levenshtein` is a built-in
   *    expression; no UDF).
-  *  - Clusters reuse `Dedup.connectedComponents` (min-label propagation,
-  *    one shuffle per round) — pairs→entities is the same CC step the
-  *    near-dup text/embedding families already run through the gate.
+  *  - Clusters exploit the blocking invariant: edges never cross blocks,
+  *    so connected components are block-local and fold through ONE
+  *    shuffle of local union-find (`clusterWithinBlocks`) instead of
+  *    iterative min-label propagation — see its doc for why that is the
+  *    scale-correct shape here (the generic `Dedup.connectedComponents`
+  *    remains the tool for unbounded graphs).
   */
 object Linkage {
 
@@ -73,6 +75,16 @@ object Linkage {
   private val ErMaxEdit = 1
   private val ErMaxBlock = 1000
 
+  /** Matched pairs with the block key retained (clusters group on it). */
+  private def matchedCustomerPairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(Tables.customer(spark, dir), "c_custkey", customerBlock,
+      Seq("c_name", "c_mktsegment"), ErMaxBlock)
+      .withColumn("edit_dist", levenshtein(col("a_c_name"), col("b_c_name")))
+      .filter(col("edit_dist") <= ErMaxEdit &&
+        col("a_c_mktsegment") === col("b_c_mktsegment"))
+      .select(col("bk"), col("id_a").as("custkey_a"),
+        col("id_b").as("custkey_b"), col("edit_dist"))
+
   /** Matched customer pairs: same block, edit distance ≤ 1 on the name,
     * AND market-segment agreement (the cheap exact attribute that keeps
     * near-identical names of genuinely different entities apart — the
@@ -80,23 +92,62 @@ object Linkage {
     * reliable one).
     */
   def customerPairs(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(Tables.customer(spark, dir), "c_custkey", customerBlock,
-      Seq("c_name", "c_mktsegment"), ErMaxBlock)
-      .withColumn("edit_dist", levenshtein(col("a_c_name"), col("b_c_name")))
-      .filter(col("edit_dist") <= ErMaxEdit &&
-        col("a_c_mktsegment") === col("b_c_mktsegment"))
-      .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
-        col("edit_dist"))
+    matchedCustomerPairs(spark, dir)
+      .select(col("custkey_a"), col("custkey_b"), col("edit_dist"))
       .orderBy(col("custkey_a"), col("custkey_b"))
+
+  /** Connected components of a pair graph whose edges provably never
+    * cross `blockCol` — the ER case: candidates are generated within a
+    * block, so components are block-local BY CONSTRUCTION. That collapses
+    * iterative min-label propagation (one shuffle + checkpoint per
+    * round, rounds = graph diameter — the right tool for unbounded
+    * graphs like the text/embedding near-dup families) to ONE shuffle:
+    * each block's edge set (bounded by maxBlock², and in practice by the
+    * match rate) folds locally through union-find inside flatMapGroups.
+    * State per group is O(block distinct ids) — the same bound the
+    * candidate generator already enforces. This is the standard
+    * shape for clustering under blocking at 100 TB: never iterate
+    * globally over a graph the blocking key already partitioned.
+    */
+  def clusterWithinBlocks(pairs: DataFrame, blockCol: String,
+                          aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(blockCol).cast("string"), col(aCol).cast("long"),
+        col(bCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root so the representative is the min member,
+          // matching Dedup.connectedComponents' cluster-id convention
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // snapshot keys before emitting: find() path-compresses (value
+        // writes) and map iteration must not interleave with them
+        val ids = parent.keysIterator.toArray.sorted
+        ids.map(id => (id, find(id))).toSeq
+      }
+      .toDF("id", "cluster_id")
+  }
 
   /** Entity clusters over the matched pairs (cluster id = min member
     * custkey); singletons excluded — the view is "which records need
-    * merging", matching the text-side cluster queries.
+    * merging", matching the text-side cluster queries. Components are
+    * block-local (the candidate generator guarantees it), so this runs
+    * the one-shuffle `clusterWithinBlocks`, not iterative CC.
     */
   def customerClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        customerPairs(spark, dir)
-          .select(col("custkey_a").as("id_a"), col("custkey_b").as("id_b")))
+    clusterWithinBlocks(matchedCustomerPairs(spark, dir),
+        "bk", "custkey_a", "custkey_b")
       .select(col("id").as("custkey"), col("cluster_id"))
       .orderBy(col("custkey"))
 

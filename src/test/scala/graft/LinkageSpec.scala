@@ -59,6 +59,24 @@ class LinkageSpec extends SparkSpec {
     assert(!cl.contains(7L), "singletons are not cluster members")
   }
 
+  test("clusterWithinBlocks ≡ iterative connectedComponents when edges are block-local") {
+    val pairs = Linkage.candidatePairs(recs, "id", block, Seq("name", "seg"))
+      .withColumn("d", levenshtein($"a_name", $"b_name"))
+      .filter($"d" <= 1 && $"a_seg" === $"b_seg")
+    val local = Linkage.clusterWithinBlocks(pairs, "bk", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val global = graft.llm.Dedup.connectedComponents(
+        pairs.select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(local == global)
+    // path-compressed union by min: chain order can't change the rep
+    val chain = Seq(("x", 9L, 8L), ("x", 7L, 8L), ("x", 6L, 7L), ("y", 1L, 2L))
+      .toDF("bk", "id_a", "id_b")
+    val got = Linkage.clusterWithinBlocks(chain, "bk", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("registered customer queries: pairs differ in one trailing digit, clusters = min custkey") {
     val dir = "/root/testdata/sf0.001"
     val p = Linkage.customerPairs(spark, dir)

@@ -102,6 +102,18 @@ object ExplainAudit {
       q.unpersist(blocking = false)
     }
 
+    // round-9 additions: entity resolution — expect the scalar block-size
+    // gate (aggregate + LeftSemi) strictly BEFORE the pair equi-join
+    // (SortMergeJoin/ShuffledHashJoin on bk, never CartesianProduct or
+    // BroadcastNestedLoopJoin), levenshtein evaluated only on surviving
+    // within-block candidates; clusters append ONE groupByKey exchange
+    // for the per-block union-find (MapGroups) — no iterative rounds
+    show("er_customer_pairs")(graft.ops.Linkage.customerPairs(spark, dir))
+    show("er_customer_clusters")(graft.ops.Linkage.customerClusters(spark, dir))
+    // transitions: the sequencing window hashpartitions on user_id (never
+    // SinglePartition); everything above the lead() is a tiny aggregate
+    show("events_transitions")(Analytics.eventTransitions(spark, dir))
+
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

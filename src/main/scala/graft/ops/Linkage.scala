@@ -65,6 +65,56 @@ object Linkage {
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
   }
 
+  /** Sorted-neighborhood candidate pairs — the OTHER canonical ER
+    * blocking: records sort globally on a key and each record pairs with
+    * its next `w` neighbors in that order. Complements key blocking
+    * exactly where it is weak: a typo in the blocking key's characters
+    * exiles a record from its block FOREVER, while in sort order it
+    * usually stays within a few positions. Candidate volume is n·w —
+    * strictly linear, no block-size distribution to guard.
+    *
+    * Scale shape: the global order materializes as a RANK via the same
+    * two-pass range-partitioned prefix count `Corpus.curriculum` uses
+    * (pass 1 ships one row per partition to the driver; NEVER an
+    * unpartitioned row_number window, which would plan SinglePartition).
+    * Pairing is then an EQUI-join on the rank: the left side explodes
+    * each record into its w successor positions (bounded fan-out w) and
+    * joins rank-to-rank — one shuffle each side, hash join, no
+    * range/theta condition anywhere.
+    */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String, sortKey: Column,
+                              payload: Seq[String], w: Int = 3): DataFrame = {
+    require(w >= 1, "window w must be >= 1")
+    val spark = records.sparkSession
+    import spark.implicits._
+    val keyed = records.select(
+      (col(idCol).cast("long").as("id") +: sortKey.cast("string").as("sk") +:
+        payload.map(c => col(c).cast("string").as(c))): _*)
+    val n = payload.length
+    val ds = keyed.map { r => (r.getLong(0), r.getString(1),
+      (0 until n).map(i => r.getString(2 + i))) }
+      .repartitionByRange(col("_2"), col("_1"))
+      .sortWithinPartitions(col("_2"), col("_1"))
+    val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
+    val counts = sorted.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offs = counts.scanLeft(0L)(_ + _._2).init
+    val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var r = offs(i)
+      it.map { case (id, _, pay) => r += 1; (id, r, pay) }
+    }.toDF("id", "rank", "pay")
+    val a = ranked.select(
+      (col("id").as("id_a") +: col("rank") +:
+        (0 until n).map(i => col("pay")(i).as(s"a_${payload(i)}"))): _*)
+      .withColumn("j", explode(lit((1 to w).toArray)))
+      .withColumn("target", col("rank") + col("j")).drop("rank", "j")
+    val b = ranked.select(
+      (col("id").as("id_b") +: col("rank").as("target") +:
+        (0 until n).map(i => col("pay")(i).as(s"b_${payload(i)}"))): _*)
+    a.join(b, Seq("target")).drop("target")
+  }
+
   /** Blocking key for the customer table: the name minus its last two
     * characters. Synthetic names are fixed-width, so blocks hold ≤ 100
     * records by construction — the bounded-block regime the operator is
@@ -151,8 +201,26 @@ object Linkage {
       .select(col("id").as("custkey"), col("cluster_id"))
       .orderBy(col("custkey"))
 
+  /** Sorted-neighborhood matches over the name order (w = 3), same match
+    * rule as the blocked path — the two candidate generators run the
+    * same decision, so their agreement/divergence IS the recall
+    * comparison multi-pass ER unions over.
+    */
+  def customerSnmPairs(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.customer(spark, dir), "c_custkey",
+      col("c_name"), Seq("c_name", "c_mktsegment"), w = SnmW)
+      .withColumn("edit_dist", levenshtein(col("a_c_name"), col("b_c_name")))
+      .filter(col("edit_dist") <= ErMaxEdit &&
+        col("a_c_mktsegment") === col("b_c_mktsegment"))
+      .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+        col("edit_dist"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+
+  private val SnmW = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_customer_pairs" -> (customerPairs _),
+    "er_customer_snm" -> (customerSnmPairs _),
     "er_customer_clusters" -> (customerClusters _))
 
   private val pairsSql =
@@ -172,6 +240,19 @@ object Linkage {
   val oracles: Map[String, String] = Map(
     "er_customer_pairs" ->
       s"""$pairsSql
+         |ORDER BY custkey_a, custkey_b""".stripMargin,
+    // the engine's two-pass rank stated as one ROW_NUMBER window; the
+    // neighbor join is the w-banded rank predicate
+    "er_customer_snm" ->
+      s"""WITH r AS (SELECT c_custkey, c_name, c_mktsegment,
+         |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+         |  FROM customer),
+         |p AS (SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         |    levenshtein(a.c_name, b.c_name) AS edit_dist
+         |  FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + $SnmW
+         |    AND a.c_mktsegment = b.c_mktsegment)
+         |SELECT custkey_a, custkey_b, edit_dist FROM p
+         |WHERE edit_dist <= $ErMaxEdit
          |ORDER BY custkey_a, custkey_b""".stripMargin,
     // transitive closure over the matched pairs — same recursive-CTE
     // formulation the text/embedding cluster oracles use

@@ -77,6 +77,38 @@ class LinkageSpec extends SparkSpec {
     assert(got == Map(6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("sortedNeighborhood: exactly the w successors in sort order, layout-invariant") {
+    val df = Seq(
+      (10L, "alpha", "A"), (11L, "beta", "A"), (12L, "gamma", "A"),
+      (13L, "delta", "A"), (14L, "epsilon", "A")
+    ).toDF("id", "name", "seg")
+    // sort order by name: alpha(10) beta(11) delta(13) epsilon(14) gamma(12)
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", $"name", Seq("name"), w = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L), (10L, 13L), (11L, 13L), (11L, 14L),
+      (13L, 14L), (13L, 12L), (14L, 12L)))
+    // candidate count is exactly n·w minus the tail shortfall
+    assert(got.size == 5 * 2 - 3)
+    val again = Linkage.sortedNeighborhoodPairs(df.repartition(5), "id", $"name",
+      Seq("name"), w = 2).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == again)
+  }
+
+  test("sortedNeighborhood catches a block-straddling match the key blocking misses") {
+    // "acme corp" vs "acmf corp": typo in position 4 — INSIDE the 4-char
+    // blocking prefix, so key blocking separates them; in sort order they
+    // are adjacent
+    val df = Seq((1L, "acme corp", "A"), (2L, "acmf corp", "A"), (3L, "zzz", "A"))
+      .toDF("id", "name", "seg")
+    val blocked = Linkage.candidatePairs(df, "id", block, Seq("name"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!blocked.contains((1L, 2L)), "key blocking must miss the in-prefix typo")
+    val snm = Linkage.sortedNeighborhoodPairs(df, "id", $"name", Seq("name"), w = 1)
+      .withColumn("d", levenshtein($"a_name", $"b_name")).filter($"d" <= 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(snm.contains((1L, 2L)), "sort order keeps the typo'd record adjacent")
+  }
+
   test("registered customer queries: pairs differ in one trailing digit, clusters = min custkey") {
     val dir = "/root/testdata/sf0.001"
     val p = Linkage.customerPairs(spark, dir)

@@ -45,6 +45,11 @@ object Linkage {
     */
   def candidatePairs(records: DataFrame, idCol: String, blockKey: Column,
                      payload: Seq[String], maxBlock: Int = 1000): DataFrame = {
+    // NOTE (scale): the keyed projection feeds the size gate and both
+    // join sides lazily — on a dim-sized table (the registered customer
+    // queries) the repeated columnar scan is cheaper than materializing;
+    // linking a FACT-scale table, cache/checkpoint `records` first so
+    // the scan runs once.
     val keyed = records.select(
       (col(idCol).as("id") +: blockKey.as("bk") +:
         payload.map(c => col(c).as(c))): _*)

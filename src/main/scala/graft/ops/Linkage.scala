@@ -206,6 +206,80 @@ object Linkage {
       .select(col("id").as("custkey"), col("cluster_id"))
       .orderBy(col("custkey"))
 
+  /** Cross-frame candidates: a PROBE batch against the at-rest MASTER —
+    * the production linkage shape (tonight's arrivals vs the running
+    * customer master), where a self-join would be wrong (arrivals must
+    * not match each other here) and wasteful (the master side is
+    * re-blocked, never re-paired). The skew gate sits on the master
+    * side: it holds the accumulated history, so it is the side a
+    * degenerate key inflates. Candidates are Σ_b |probe_b|·|master_b| —
+    * linear in the probe for bounded master blocks. Both frames must
+    * expose `idCol`, the blockKey's source columns, and `payload` under
+    * the same names.
+    */
+  def candidatePairsAcross(probe: DataFrame, master: DataFrame, idCol: String,
+                           blockKey: Column, payload: Seq[String],
+                           maxBlock: Int = 1000): DataFrame = {
+    val p = probe.select(
+      (col(idCol).cast("long").as("id_a") +: blockKey.as("bk") +:
+        payload.map(c => col(c).as(s"a_$c"))): _*)
+    val m = master.select(
+      (col(idCol).cast("long").as("id_b") +: blockKey.as("bk") +:
+        payload.map(c => col(c).as(s"b_$c"))): _*)
+    val ok = m.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBlock).select(col("bk"))
+    p.join(m.join(ok, Seq("bk"), "left_semi"), Seq("bk"))
+  }
+
+  /** Golden records (survivorship) over the matched clusters: one merged
+    * master row per multi-member entity — the step after clustering in
+    * every MDM pipeline. Every rule is order-independent (count, MIN_BY
+    * on the unique custkey, MAX), so the merge is deterministic under
+    * any partitioning; the segment is provably cluster-uniform because
+    * segment equality is part of the (transitive) match rule.
+    */
+  def customerGoldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusterWithinBlocks(matchedCustomerPairs(spark, dir),
+      "bk", "custkey_a", "custkey_b")
+    cl.join(Tables.customer(spark, dir), col("id") === col("c_custkey"))
+      .groupBy(col("cluster_id").as("master_custkey"))
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("canonical_name"),
+        min(col("c_mktsegment")).as("mktsegment"),
+        max(col("c_acctbal")).as("best_acctbal"))
+      .orderBy(col("master_custkey"))
+  }
+
+  /** Incremental linkage: a deterministic arrival batch (typo'd twins of
+    * every 40th customer — last name char replaced, so the twin stays in
+    * its original's block at edit distance 1 — plus never-before-seen
+    * prospects whose blocks exist nowhere in the master) matched against
+    * the customer master through `candidatePairsAcross`. The twins rig
+    * routes real recall through the gate: every twin must link to its
+    * original (and only same-block, same-segment neighbors), every
+    * prospect must link to nothing.
+    */
+  def customerIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val twins = cust.filter(col("c_custkey") % 40 === 0)
+      .select((col("c_custkey") + 10000000L).as("id"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")).as("name"),
+        col("c_mktsegment").as("seg"))
+    val prospects = cust.filter(col("c_custkey") % 40 === 1)
+      .select((col("c_custkey") + 20000000L).as("id"),
+        concat(lit("New Prospect "), col("c_custkey")).as("name"),
+        col("c_mktsegment").as("seg"))
+    val master = cust.select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_mktsegment").as("seg"))
+    candidatePairsAcross(twins.unionByName(prospects), master, "id",
+        expr("substring(name, 1, length(name) - 2)"), Seq("name", "seg"), ErMaxBlock)
+      .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("edit_dist") <= ErMaxEdit && col("a_seg") === col("b_seg"))
+      .select(col("id_a").as("new_id"), col("id_b").as("master_custkey"),
+        col("edit_dist"))
+      .orderBy(col("new_id"), col("master_custkey"))
+  }
+
   /** Sorted-neighborhood matches over the name order (w = 3), same match
     * rule as the blocked path — the two candidate generators run the
     * same decision, so their agreement/divergence IS the recall
@@ -226,7 +300,9 @@ object Linkage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_customer_pairs" -> (customerPairs _),
     "er_customer_snm" -> (customerSnmPairs _),
-    "er_customer_clusters" -> (customerClusters _))
+    "er_customer_clusters" -> (customerClusters _),
+    "er_golden_records" -> (customerGoldenRecords _),
+    "er_incremental" -> (customerIncremental _))
 
   private val pairsSql =
     s"""WITH k AS (SELECT c_custkey, c_name, c_mktsegment,
@@ -262,13 +338,53 @@ object Linkage {
     // transitive closure over the matched pairs — same recursive-CTE
     // formulation the text/embedding cluster oracles use
     "er_customer_clusters" ->
-      s"""WITH RECURSIVE p AS MATERIALIZED ($pairsSql),
-         |e AS MATERIALIZED (SELECT custkey_a AS u, custkey_b AS v FROM p
-         |     UNION SELECT custkey_b, custkey_a FROM p),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
-         |SELECT u AS custkey, least(u, MIN(v)) AS cluster_id
-         |FROM reach GROUP BY u ORDER BY custkey""".stripMargin)
+      s"""$clustersSql
+         |SELECT custkey, cluster_id FROM cl ORDER BY custkey""".stripMargin,
+    // survivorship restated over the closure: every rule is a plain
+    // order-independent aggregate (arg_min ≡ Spark's min_by on the
+    // unique custkey)
+    "er_golden_records" ->
+      s"""$clustersSql
+         |SELECT cl.cluster_id AS master_custkey,
+         |  COUNT(*) AS n_members,
+         |  arg_min(c.c_name, c.c_custkey) AS canonical_name,
+         |  MIN(c.c_mktsegment) AS mktsegment,
+         |  MAX(c.c_acctbal) AS best_acctbal
+         |FROM cl JOIN customer c ON cl.custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // arrival batch replayed declaratively; the master-side block gate
+    // is the HAVING, the match is the same levenshtein + segment rule
+    "er_incremental" ->
+      s"""WITH a AS (
+         |  SELECT c_custkey + 10000000 AS id,
+         |    substring(c_name, 1, length(c_name) - 1) || 'X' AS name,
+         |    c_mktsegment AS seg
+         |  FROM customer WHERE c_custkey % 40 = 0
+         |  UNION ALL
+         |  SELECT c_custkey + 20000000,
+         |    'New Prospect ' || CAST(c_custkey AS VARCHAR), c_mktsegment
+         |  FROM customer WHERE c_custkey % 40 = 1),
+         |ab AS (SELECT id, name, seg, substring(name, 1, length(name) - 2) AS bk FROM a),
+         |m AS (SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+         |        substring(c_name, 1, length(c_name) - 2) AS bk FROM customer),
+         |ok AS (SELECT bk FROM m GROUP BY bk HAVING COUNT(*) <= $ErMaxBlock),
+         |p AS (SELECT ab.id AS new_id, m.id AS master_custkey,
+         |        levenshtein(ab.name, m.name) AS edit_dist
+         |      FROM ab JOIN m ON ab.bk = m.bk AND ab.seg = m.seg
+         |      WHERE m.bk IN (SELECT bk FROM ok))
+         |SELECT new_id, master_custkey, edit_dist FROM p
+         |WHERE edit_dist <= $ErMaxEdit
+         |ORDER BY new_id, master_custkey""".stripMargin)
+
+  /** The matched-pair closure as shared CTE prefix (clusters + golden). */
+  private lazy val clustersSql =
+    s"""WITH RECURSIVE p AS MATERIALIZED ($pairsSql),
+       |e AS MATERIALIZED (SELECT custkey_a AS u, custkey_b AS v FROM p
+       |     UNION SELECT custkey_b, custkey_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       |cl AS (SELECT u AS custkey, least(u, MIN(v)) AS cluster_id
+       |       FROM reach GROUP BY u)""".stripMargin
 }

@@ -120,4 +120,33 @@ class LinkageSpec extends SparkSpec {
     val cl = Linkage.customerClusters(spark, dir).as[(Long, Long)].collect()
     assert(cl.nonEmpty && cl.forall { case (k, c) => c <= k })
   }
+
+  test("golden records: one row per merged cluster, min-custkey survivorship") {
+    val dir = "/root/testdata/sf0.001"
+    val members = Linkage.customerClusters(spark, dir).as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val g = Linkage.customerGoldenRecords(spark, dir)
+      .as[(Long, Long, String, String, Double)].collect()
+    assert(g.map(_._1).toSet == members.keySet, "one golden row per cluster")
+    g.foreach { case (master, n, canonical, _, _) =>
+      assert(n >= 2 && n == members(master).size, s"cluster $master size")
+      assert(master == members(master).min)
+      // canonical name = the min member's name (synthetic names embed the key)
+      assert(canonical == f"Customer#$master%09d", canonical)
+    }
+  }
+
+  test("incremental: every twin links its original, prospects link nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Linkage.customerIncremental(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 < 20000000L), "prospect blocks exist nowhere in the master")
+    val linked = out.map(r => (r._1, r._2)).toSet
+    val twinIds = Tables.customer(spark, dir).filter($"c_custkey" % 40 === 0)
+      .select($"c_custkey").as[Long].collect()
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { k =>
+      assert(linked.contains((k + 10000000L, k)), s"twin of $k must link its original") }
+  }
 }

@@ -259,7 +259,12 @@ object Linkage {
     * original (and only same-block, same-segment neighbors), every
     * prospect must link to nothing.
     */
-  def customerIncremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic arrival batch (twins + prospects) — shared by the
+    * batch `er_incremental` query and the streaming replay
+    * (`StreamReplay` / `MicroBatch.erIngestStream`), so the stream's
+    * at-rest tables are gated by the SAME declarative oracle.
+    */
+  private[graft] def customerArrivals(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val twins = cust.filter(col("c_custkey") % 40 === 0)
       .select((col("c_custkey") + 10000000L).as("id"),
@@ -269,9 +274,16 @@ object Linkage {
       .select((col("c_custkey") + 20000000L).as("id"),
         concat(lit("New Prospect "), col("c_custkey")).as("name"),
         col("c_mktsegment").as("seg"))
-    val master = cust.select(col("c_custkey").as("id"),
+    twins.unionByName(prospects)
+  }
+
+  /** The customer master conformed to the linkage schema. */
+  private[graft] def customerMaster(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("id"),
       col("c_name").as("name"), col("c_mktsegment").as("seg"))
-    candidatePairsAcross(twins.unionByName(prospects), master, "id",
+
+  def customerIncremental(spark: SparkSession, dir: String): DataFrame = {
+    candidatePairsAcross(customerArrivals(spark, dir), customerMaster(spark, dir), "id",
         expr("substring(name, 1, length(name) - 2)"), Seq("name", "seg"), ErMaxBlock)
       .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("edit_dist") <= ErMaxEdit && col("a_seg") === col("b_seg"))
@@ -354,27 +366,43 @@ object Linkage {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // arrival batch replayed declaratively; the master-side block gate
     // is the HAVING, the match is the same levenshtein + segment rule
-    "er_incremental" ->
-      s"""WITH a AS (
-         |  SELECT c_custkey + 10000000 AS id,
-         |    substring(c_name, 1, length(c_name) - 1) || 'X' AS name,
-         |    c_mktsegment AS seg
-         |  FROM customer WHERE c_custkey % 40 = 0
-         |  UNION ALL
-         |  SELECT c_custkey + 20000000,
-         |    'New Prospect ' || CAST(c_custkey AS VARCHAR), c_mktsegment
-         |  FROM customer WHERE c_custkey % 40 = 1),
-         |ab AS (SELECT id, name, seg, substring(name, 1, length(name) - 2) AS bk FROM a),
-         |m AS (SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
-         |        substring(c_name, 1, length(c_name) - 2) AS bk FROM customer),
-         |ok AS (SELECT bk FROM m GROUP BY bk HAVING COUNT(*) <= $ErMaxBlock),
-         |p AS (SELECT ab.id AS new_id, m.id AS master_custkey,
-         |        levenshtein(ab.name, m.name) AS edit_dist
-         |      FROM ab JOIN m ON ab.bk = m.bk AND ab.seg = m.seg
-         |      WHERE m.bk IN (SELECT bk FROM ok))
-         |SELECT new_id, master_custkey, edit_dist FROM p
-         |WHERE edit_dist <= $ErMaxEdit
-         |ORDER BY new_id, master_custkey""".stripMargin)
+    "er_incremental" -> incrementalMatchesSql)
+
+  /** Arrival-rig + block-join CTEs, shared by the batch `er_incremental`
+    * oracle and the streaming replay gates (`stream_er_matches` is the
+    * SAME answer built through `MicroBatch.erIngestStream`;
+    * `stream_er_pending` is its complement).
+    */
+  private[graft] lazy val incrementalCtes =
+    s"""WITH a AS (
+       |  SELECT c_custkey + 10000000 AS id,
+       |    substring(c_name, 1, length(c_name) - 1) || 'X' AS name,
+       |    c_mktsegment AS seg
+       |  FROM customer WHERE c_custkey % 40 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 20000000,
+       |    'New Prospect ' || CAST(c_custkey AS VARCHAR), c_mktsegment
+       |  FROM customer WHERE c_custkey % 40 = 1),
+       |ab AS (SELECT id, name, seg, substring(name, 1, length(name) - 2) AS bk FROM a),
+       |m AS (SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+       |        substring(c_name, 1, length(c_name) - 2) AS bk FROM customer),
+       |ok AS (SELECT bk FROM m GROUP BY bk HAVING COUNT(*) <= $ErMaxBlock),
+       |p AS (SELECT ab.id AS new_id, m.id AS master_custkey,
+       |        levenshtein(ab.name, m.name) AS edit_dist
+       |      FROM ab JOIN m ON ab.bk = m.bk AND ab.seg = m.seg
+       |      WHERE m.bk IN (SELECT bk FROM ok))""".stripMargin
+
+  private[graft] lazy val incrementalMatchesSql =
+    s"""$incrementalCtes
+       |SELECT new_id, master_custkey, edit_dist FROM p
+       |WHERE edit_dist <= $ErMaxEdit
+       |ORDER BY new_id, master_custkey""".stripMargin
+
+  private[graft] lazy val incrementalPendingSql =
+    s"""$incrementalCtes
+       |SELECT id, name, seg FROM ab
+       |WHERE id NOT IN (SELECT new_id FROM p WHERE edit_dist <= $ErMaxEdit)
+       |ORDER BY id""".stripMargin
 
   /** The matched-pair closure as shared CTE prefix (clusters + golden). */
   private lazy val clustersSql =

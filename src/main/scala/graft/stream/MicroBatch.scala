@@ -163,6 +163,75 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming record linkage against a GOVERNED master: arrival records
+    * landing as JSON block-join the seeded master snapshot per
+    * micro-batch (`Linkage.candidatePairsAcross` + the levenshtein /
+    * exact-attribute match rule); matches append to the link table,
+    * unmatched arrivals queue in a pending area for stewardship review.
+    * Arrivals deliberately do NOT join the matching master: linking
+    * against the governed snapshot keeps every verdict a pure
+    * per-record function of (arrival, master), so the at-rest tables
+    * are batching-invariant AND replay-invariant — letting arrivals
+    * match earlier arrivals would make the link set depend on trigger
+    * boundaries (and is the stewardship decision, not the pipeline's).
+    * Replay guard: per-id anti-join against both at-rest tables, the
+    * same discipline as `corpusIngestStream`.
+    */
+  def erIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      masterDir: String,
+      matchesDir: String,
+      pendingDir: String,
+      checkpointDir: String,
+      maxBlock: Int = 1000,
+      maxEdit: Int = 1,
+      maxFilesPerTrigger: Int = 1,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.ops.Linkage
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val master = spark.read.parquet(masterDir)
+          // checkpointed: the match set feeds the link append AND the
+          // pending anti-join — without it the block join runs twice
+          val matched = Linkage.candidatePairsAcross(batch, master, "id",
+              expr("substring(name, 1, length(name) - 2)"), Seq("name", "seg"),
+              maxBlock)
+            .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
+            .filter(col("edit_dist") <= maxEdit && col("a_seg") === col("b_seg"))
+            .select(col("id_a").as("new_id"), col("id_b").as("master_custkey"),
+              col("edit_dist"))
+            .localCheckpoint()
+          val freshMatches =
+            if (!new java.io.File(matchesDir).exists) matched
+            else matched.join(
+              spark.read.parquet(matchesDir).select(col("new_id")).distinct(),
+              Seq("new_id"), "left_anti")
+          if (!freshMatches.isEmpty)
+            freshMatches.write.mode("append").parquet(matchesDir)
+          val pending0 = batch.join(
+            matched.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
+          val pending =
+            if (!new java.io.File(pendingDir).exists) pending0
+            else pending0.join(
+              spark.read.parquet(pendingDir).select(col("id")).distinct(),
+              Seq("id"), "left_anti")
+          if (!pending.isEmpty) pending.write.mode("append").parquet(pendingDir)
+          matched.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming SCD2 maintenance: dimension-change events landing as JSON
     * are folded into the Type-2 history table per micro-batch —
     * `Upsert.scd2Apply` once per DISTINCT `effective_day` in the batch,

@@ -73,9 +73,10 @@ object StreamReplay {
     }
 
   private def sourceFingerprint(dir: String): Long =
-    (Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
+    ((Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
       Snapshot.fingerprint(dir, "orders.parquet")) * 1000003L ^
-      Snapshot.fingerprint(dir, "documents.parquet")
+      Snapshot.fingerprint(dir, "documents.parquet")) * 1000003L ^
+      Snapshot.fingerprint(dir, "customer.parquet")
 
   private def replayRoot(spark: SparkSession, dir: String): String = {
     val fp = sourceFingerprint(dir)
@@ -88,6 +89,7 @@ object StreamReplay {
         buildKpi(spark, dir, root)
         buildScd2(spark, dir, root)
         buildQualityCorpus(spark, dir, root)
+        buildEr(spark, dir, root)
         built(spark) = (dir, fp, root)
         root
     }
@@ -196,6 +198,41 @@ object StreamReplay {
       checkpointDir = s"$root/quality_ckpt"))
   }
 
+  /** Arrival records (the typo'd-twin + prospect rig shared with the
+    * batch `er_incremental` query) land in 4 mtime-ordered files, one
+    * per micro-batch → `erIngestStream` links them against the seeded
+    * customer master. The verdict is a pure per-record function of
+    * (arrival, governed master), so the at-rest link and pending
+    * tables are batching-invariant — gated by the SAME declarative
+    * oracle as the batch twin.
+    */
+  private def buildEr(spark: SparkSession, dir: String, root: String): Unit = {
+    import graft.ops.Linkage
+    val landing = Paths.get(root, "er_landing")
+    Files.createDirectories(landing)
+    Linkage.customerMaster(spark, dir)
+      .write.mode("overwrite").parquet(s"$root/er_master")
+    val arrivals = Linkage.customerArrivals(spark, dir).localCheckpoint()
+    val base = System.currentTimeMillis() - 6 * 2000L
+    (0 until 4).foreach { s =>
+      writeLandingFile(
+        arrivals.filter(pmod(col("id"), lit(4L)) === s),
+        landing.resolve(f"arrivals_$s%02d.json"), base + s * 2000L)
+    }
+    arrivals.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.erIngestStream(
+      spark, landing.toString, erSchema,
+      masterDir = s"$root/er_master",
+      matchesDir = s"$root/er_matches",
+      pendingDir = s"$root/er_pending",
+      checkpointDir = s"$root/er_ckpt"))
+  }
+
+  private val erSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("seg", StringType)))
+
   // ---- registered queries -------------------------------------------------
 
   /** The KPI table the stream maintained, read back at rest. */
@@ -224,10 +261,23 @@ object StreamReplay {
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** The link table the stream maintained, read back at rest. */
+  def erMatchesQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${replayRoot(spark, dir)}/er_matches")
+      .orderBy(col("new_id"), col("master_custkey"))
+
+  /** The stewardship queue: arrivals that linked to nothing. */
+  def erPendingQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${replayRoot(spark, dir)}/er_pending")
+      .select(col("id"), col("name"), col("seg"))
+      .orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kpi_state" -> (kpiStateQuery _),
     "stream_scd2_state" -> (scd2StateQuery _),
-    "stream_quality_corpus" -> (qualityCorpusQuery _))
+    "stream_quality_corpus" -> (qualityCorpusQuery _),
+    "stream_er_matches" -> (erMatchesQuery _),
+    "stream_er_pending" -> (erPendingQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -275,5 +325,9 @@ object StreamReplay {
          |SELECT cust_id, status, priority,
          |  q AS valid_from,
          |  LEAD(q) OVER (PARTITION BY cust_id ORDER BY q) AS valid_to
-         |FROM changes ORDER BY cust_id, valid_from""".stripMargin)
+         |FROM changes ORDER BY cust_id, valid_from""".stripMargin,
+    // the SAME declarative statement that gates the batch er_incremental
+    // query — a green hash proves the streamed link table equals it
+    "stream_er_matches" -> graft.ops.Linkage.incrementalMatchesSql,
+    "stream_er_pending" -> graft.ops.Linkage.incrementalPendingSql)
 }

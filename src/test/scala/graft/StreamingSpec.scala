@@ -176,6 +176,46 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq(0L), s"replay duplicated corpus rows: ${after.toSeq}")
   }
 
+  test("streaming ER ingest: matches link the governed master only; wipe-and-replay is a no-op") {
+    val root = Files.createTempDirectory("er_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("seg", StringType)))
+    Seq((1L, "acme corp", "A"), (2L, "bolt llc!", "B"))
+      .toDF("id", "name", "seg")
+      .write.parquet(s"$root/master")
+    def rec(id: Long, name: String, seg: String) =
+      s"""{"id":$id,"name":"$name","seg":"$seg"}"""
+    def run(): Unit = {
+      val q = MicroBatch.erIngestStream(spark, in, schema, s"$root/master",
+        s"$root/matches", s"$root/pending", s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    // batch 1: a typo'd twin of master #1 and an unlinkable prospect
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(rec(10, "acme corq", "A"), rec(11, "fresh name", "A")).mkString("\n"))
+    run()
+    // batch 2: a twin of master #2, and a near-copy of PENDING #11 —
+    // which must stay pending: the stream links the governed master,
+    // never earlier arrivals (batching-invariance)
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(rec(12, "bolt llc?", "B"), rec(13, "fresh namq", "A")).mkString("\n"))
+    run()
+    val matches = spark.read.parquet(s"$root/matches")
+      .select($"new_id", $"master_custkey").as[(Long, Long)].collect().toSet
+    assert(matches == Set((10L, 1L), (12L, 2L)), matches.toString)
+    val pending = spark.read.parquet(s"$root/pending")
+      .select($"id").as[Long].collect().sorted
+    assert(pending.toSeq == Seq(11L, 13L), pending.toSeq.toString)
+    // worst-case at-least-once: wipe the checkpoint, redeliver everything
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    val m2 = spark.read.parquet(s"$root/matches").count()
+    val p2 = spark.read.parquet(s"$root/pending").count()
+    assert(m2 == 2 && p2 == 2, s"replay duplicated rows: matches=$m2 pending=$p2")
+  }
+
   test("streaming winnow ingest: landed docs probe-able by near-copies; redelivery appends nothing") {
     val root = Files.createTempDirectory("winnow_stream").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -139,19 +139,18 @@ object Corpus {
       .repartitionByRange(col("h"), col("doc_id"))
       .sortWithinPartitions(col("h"), col("doc_id"))
     val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
-    val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L
-      it.foreach { r =>
+    val (offs, totalW) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), Long](
+      sorted, 0L,
+      (s, r) => {
         require(r._2 >= 0, s"negative weight ${r._2} for doc ${r._1}")
-        s += r._2
-      }
-      Iterator((i, s))
-    }.collect().sortBy(_._1)
-    val offs = parts.scanLeft(0L)(_ + _._2).init
-    val totalW = parts.map(_._2).sum
+        s + r._2
+      }, _ + _)
     require(totalW > 0, "total weight must be positive")
-    require(totalW <= Long.MaxValue / (2L * m),
-      s"2*m*W = 2*$m*$totalW overflows 64-bit; chunk the draw or downscale weights")
+    // the largest intermediate is 2mW + (W-1) inside nBelow, so the
+    // bound is (2m+1)·W — a plain 2m·W check would let the addition
+    // wrap for W in the top 1/(2m+1) sliver and return WRONG copies
+    require(totalW <= Long.MaxValue / (2L * m + 1),
+      s"(2m+1)*W = ${2L * m + 1}*$totalW overflows 64-bit; chunk the draw or downscale weights")
     val mL = m.toLong
     val out = sorted.mapPartitionsWithIndex { case (i, it) =>
       var cum = offs(i)
@@ -520,18 +519,13 @@ object Corpus {
       .repartitionByRange(col("q_q").desc, col("doc_id"))
       .sortWithinPartitions(col("q_q").desc, col("doc_id"))
     val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
-    val parts = sorted
-      .mapPartitionsWithIndex { case (i, it) =>
-        var n = 0L; var tok = 0L
-        it.foreach { r => n += 1; tok += r._3 }
-        Iterator((i, n, tok))
-      }
-      .collect().sortBy(_._1)
-    val rankOff = parts.scanLeft(0L)(_ + _._2).init
-    val tokOff = parts.scanLeft(0L)(_ + _._3).init
-    val warmupBudget = math.ceil(parts.map(_._3).sum * warmupFrac)
+    val (offs, totals) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), (Long, Long)](
+      sorted, (0L, 0L),
+      { case ((n, tok), r) => (n + 1, tok + r._3) },
+      { case ((a, b), (c, d)) => (a + c, b + d) })
+    val warmupBudget = math.ceil(totals._2 * warmupFrac)
     val out = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var rank = rankOff(i); var cum = tokOff(i)
+      var rank = offs(i)._1; var cum = offs(i)._2
       it.map { case (id, q, toks) =>
         rank += 1; cum += toks
         (id, rank, q / 1000000.0, cum,

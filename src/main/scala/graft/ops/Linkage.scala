@@ -101,10 +101,8 @@ object Linkage {
       .repartitionByRange(col("_2"), col("_1"))
       .sortWithinPartitions(col("_2"), col("_1"))
     val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
-    val counts = sorted.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offs = counts.scanLeft(0L)(_ + _._2).init
+    val (offs, _) = TwoPass.prefixAndTotal(sorted, 0L,
+      (s: Long, _: (Long, String, IndexedSeq[String])) => s + 1, (a: Long, b: Long) => a + b)
     val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
       var r = offs(i)
       it.map { case (id, _, pay) => r += 1; (id, r, pay) }

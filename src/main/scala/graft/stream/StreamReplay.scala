@@ -215,8 +215,12 @@ object StreamReplay {
     val arrivals = Linkage.customerArrivals(spark, dir).localCheckpoint()
     val base = System.currentTimeMillis() - 6 * 2000L
     (0 until 4).foreach { s =>
+      // slice on id div 40: twin ids are ≡0 and prospect ids ≡1 mod 40,
+      // so a mod-4 split on the RAW id would put every twin in file 0
+      // and every prospect in file 1 (two homogeneous batches, two empty
+      // files); div-40 interleaves both kinds through all 4 batches
       writeLandingFile(
-        arrivals.filter(pmod(col("id"), lit(4L)) === s),
+        arrivals.filter(pmod(expr("id div 40"), lit(4L)) === s),
         landing.resolve(f"arrivals_$s%02d.json"), base + s * 2000L)
     }
     arrivals.unpersist(blocking = false)

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.Linkage
 
-class LinkageSpec extends SparkSpec {
+class LinkageSpec extends SparkSpec with PropertyCheck {
+  import org.scalacheck.Gen
   import spark.implicits._
 
   // two true entities with typo'd aliases, one near-name in a different
@@ -107,6 +108,45 @@ class LinkageSpec extends SparkSpec {
       .withColumn("d", levenshtein($"a_name", $"b_name")).filter($"d" <= 1)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(snm.contains((1L, 2L)), "sort order keeps the typo'd record adjacent")
+  }
+
+  test("sortedNeighborhood property: pairs are exactly the w successors of a driver-side sort") {
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      w <- Gen.choose(1, 4)
+      // duplicate-heavy keys: ties must break on id deterministically
+      keys <- Gen.listOfN(n, Gen.oneOf("aa", "ab", "ba", "bb", "c"))
+    } yield (w, keys.zipWithIndex.map { case (k, i) => (i.toLong, k) })
+    forAll(gen) { case (w, rows) =>
+      val df = rows.toDF("id", "name")
+      val got = Linkage.sortedNeighborhoodPairs(df, "id", $"name", Seq("name"), w)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val order = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+      val expect = order.zipWithIndex.flatMap { case (a, i) =>
+        order.slice(i + 1, i + 1 + w).map(b => (a, b))
+      }.toSet
+      assert(got == expect, s"w=$w rows=$rows")
+    }
+  }
+
+  test("clusterWithinBlocks property: ≡ iterative CC on random block-local graphs") {
+    val gen = for {
+      nb <- Gen.choose(1, 4)
+      edges <- Gen.listOfN(12, for {
+        b <- Gen.choose(0, nb - 1)
+        x <- Gen.choose(0, 7)
+        y <- Gen.choose(0, 7)
+        if x != y
+      } yield (b.toString, b * 100L + math.min(x, y), b * 100L + math.max(x, y)))
+    } yield edges.distinct
+    forAll(gen) { edges =>
+      val df = edges.toDF("bk", "id_a", "id_b")
+      val local = Linkage.clusterWithinBlocks(df, "bk", "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val global = graft.llm.Dedup.connectedComponents(df.select($"id_a", $"id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(local == global, edges.toString)
+    }
   }
 
   test("registered customer queries: pairs differ in one trailing digit, clusters = min custkey") {

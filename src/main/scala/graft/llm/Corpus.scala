@@ -431,6 +431,51 @@ object Corpus {
     * the (doc, bucket, tf) aggregate is checkpointed and feeds the
     * distributions AND the per-doc scoring join.
     */
+  /** Distribution drift between two corpus snapshots, per source: total
+    * variation distance over hashed unigram buckets — the monitoring
+    * operator a refreshed training corpus needs ("did source X's
+    * language shift since the last crawl?"). TV = ½·Σ_b |p_b − q_b|
+    * computed EXACTLY as integers: with bucket counts n/m and totals
+    * N/M, the numerator Σ|n_b·M − m_b·N| is a DECIMAL(38,0) sum of
+    * exact products (never a float subtraction of tiny probabilities),
+    * divided once at the end — so the score reproduces bit-for-bit on
+    * any engine and any partitioning, and a drift ALERT threshold
+    * compares deterministically.
+    *
+    * Scale shape: one corpus scan explodes tokens into `buckets` hashed
+    * cells per source (the DSIR bucket trick — vocabulary never
+    * materializes); everything after the (source, bucket) aggregate is
+    * sources×buckets cells, constant in corpus size. Sources absent
+    * from one snapshot emit a null tv (no distribution to compare), not
+    * a crash.
+    */
+  def corpusDrift(docs: DataFrame, textCol: String, sourceCol: String,
+                  snapshotPred: Column, buckets: Int = 64,
+                  salt: String = ":drift:v1"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cells = docs
+      .select(col(sourceCol).as("source"), snapshotPred.as("in_b"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(sha2(concat(col("tok"), lit(salt)), 256), 1, 15), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(when(col("in_b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    cells.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("ta"), col("tb"),
+        abs(col("n_a").cast(dec) * col("tb") - col("n_b").cast(dec) * col("ta"))
+          .as("d"))
+      .groupBy(col("source"), col("ta"), col("tb"))
+      .agg(sum(col("d")).as("num"))
+      .select(col("source"), col("ta").as("tokens_a"), col("tb").as("tokens_b"),
+        when(col("ta") > 0 && col("tb") > 0,
+          round(col("num").cast("double") / (lit(2.0) * col("ta") * col("tb")), 6))
+          .as("tv"))
+  }
+
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
                   targetPred: Column, buckets: Int = 256,
                   keepPermille: Int = 200,
@@ -570,6 +615,12 @@ object Corpus {
 
   private val PpsSampleM = 200
 
+  /** Drift between the even- and odd-doc_id halves, per source. */
+  def driftQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusDrift(Tables.documents(spark, dir), "text", "source",
+      col("doc_id") % 2 === 1)
+      .orderBy(col("source"))
+
   /** Curriculum order over documents. */
   def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
     curriculum(Tables.documents(spark, dir), "text", "doc_id")
@@ -603,7 +654,8 @@ object Corpus {
     "llm_curriculum" -> (curriculumQuery _),
     "llm_contamination_report" -> (contaminationReportQuery _),
     "llm_eval_sample" -> (evalSampleQuery _),
-    "llm_sample_pps" -> (ppsSampleQuery _))
+    "llm_sample_pps" -> (ppsSampleQuery _),
+    "llm_corpus_drift" -> (driftQuery _))
 
   // the hash draw in ANSI SQL (documents.doc_id is BIGINT in both engines,
   // so the string concat matches byte-for-byte)
@@ -753,6 +805,27 @@ object Corpus {
         |FROM documents
         |QUALIFY draw_rank <= 5
         |ORDER BY source, draw_rank""".stripMargin,
+    // the TV numerator replayed in HUGEINT (exact, like Spark's
+    // DECIMAL(38,0)); one double division + round at the end
+    "llm_corpus_drift" ->
+      """WITH t AS (SELECT source, doc_id % 2 = 1 AS in_b,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    CAST(CONCAT('0x', substr(sha256(tok || ':drift:v1'), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(SUM(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM c GROUP BY 1),
+        |terms AS (SELECT c.source, t.ta, t.tb,
+        |    abs(CAST(c.n_a AS HUGEINT) * t.tb - CAST(c.n_b AS HUGEINT) * t.ta) AS d
+        |  FROM c JOIN tot t USING (source))
+        |SELECT source, ta AS tokens_a, tb AS tokens_b,
+        |  CASE WHEN ta > 0 AND tb > 0
+        |       THEN ROUND(CAST(SUM(d) AS DOUBLE) / (2.0 * ta * tb), 6) END AS tv
+        |FROM terms GROUP BY source, ta, tb
+        |ORDER BY source""".stripMargin,
     // the engine's two-pass partition prefix sum stated as one window
     // cumsum; every term is BIGINT, so the point-counting floor divisions
     // replay exactly (// is DuckDB's integer floor division)

@@ -352,6 +352,34 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("corpus drift: identical halves score 0, disjoint vocabularies score 1, layout-invariant") {
+    // source "same": both snapshots draw the same text; "moved": snapshot
+    // A says only "alpha", B only "beta" (disjoint buckets w.h.p.);
+    // "only_a": nothing in snapshot B -> null tv, not a crash
+    val docs = Seq(
+      (0L, "x y z", "same"), (1L, "x y z", "same"),
+      (2L, "alpha alpha", "moved"), (3L, "beta beta", "moved"),
+      (4L, "solo text", "only_a")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.corpusDrift(docs, "text", "source", col("doc_id") % 2 === 1)
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got("same")._4.contains(0.0), got("same").toString)
+    assert(got("moved")._4.contains(1.0), got("moved").toString)
+    assert(got("only_a")._4.isEmpty && got("only_a")._2 == 2, got("only_a").toString)
+    // exact integer numerator: any physical layout yields the same score
+    val again = Corpus.corpusDrift(docs.repartition(7), "text", "source",
+      col("doc_id") % 2 === 1)
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got == again)
+    // known middle case: A = {a:2, b:1}, B = {a:1, b:2} (distinct buckets
+    // w.h.p.) -> TV = |2*3-1*3|/(2*3*3) * 2 terms = 1/3
+    val mid = Seq((0L, "aaa aaa bbb", "m"), (1L, "aaa bbb bbb", "m"))
+      .toDF("doc_id", "text", "source")
+    val tv = Corpus.corpusDrift(mid, "text", "source", col("doc_id") % 2 === 1)
+      .as[(String, Long, Long, Option[Double])].head()._4
+    assert(tv.contains(0.333333), tv.toString)
+  }
+
   test("pps sample: exact size, zero weights excluded, multiplicity, layout-invariant") {
     // one doc outweighs a full stride (w=500 vs W/m≈56) -> copies >= 2
     val d = ((0L until 60L).map(i => (i, 1L + (i % 10))) :+ (60L, 500L) :+ (61L, 0L))

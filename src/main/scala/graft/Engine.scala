@@ -55,6 +55,7 @@ object Engine {
     graft.store.Bucketed.clearBucketCache(spark)
     graft.store.Lake.clearOrcCache(spark)
     graft.llm.TextAnalysis.clearWinnowPostingsCache(spark)
+    graft.llm.Suffix.clearRanksCache(spark)
     graft.stream.StreamReplay.clearReplayCache(spark)
   }
 

@@ -113,6 +113,14 @@ object ExplainAudit {
     // transitions: the sequencing window hashpartitions on user_id (never
     // SinglePartition); everything above the lead() is a tiny aggregate
     show("events_transitions")(Analytics.eventTransitions(spark, dir))
+    // suffix ranks (declarative build, no per-round checkpoints so the
+    // whole doubling stack is visible): every Exchange hashpartitioning
+    // on doc_id — per-document window sorts only, no corpus-wide sort
+    show("llm_suffix_ranks_build")(graft.llm.Suffix.suffixRanks(
+      Tables.documents(spark, dir).filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 0),
+      "text", "doc_id", materializeRounds = false))
 
     // timing repeats to separate plan cost from variance
     def time(name: String)(f: => Long): Unit = {

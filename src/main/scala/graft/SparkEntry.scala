@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, Suffix, TextAnalysis}
 import graft.ops.{Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
@@ -27,6 +27,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Curation.queries, Curation.oracles),
       (Corpus.queries, Corpus.oracles),
+      (Suffix.queries, Suffix.oracles),
       (Joins.queries, Joins.oracles),
       (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),

@@ -1,0 +1,258 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.Tables
+
+/** Common prefix length of the two suffixes of `text` starting at
+  * 1-based character offsets `p1` and `p2` — the LCP kernel of the
+  * suffix-array repetition detector, computed in place on the shared
+  * text so neither suffix is ever materialized as its own string.
+  *
+  * Offsets are UTF-16 code-unit positions (what `split(text, "")`
+  * produces for BMP text — exact for the all-ASCII corpus; documented
+  * bound, asserted in SuffixSpec). One `toString` per row is the only
+  * allocation, bounded by the row's own text length.
+  */
+case class CommonPrefixLen(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "common_prefix_len"
+
+  def compute(text: UTF8String, p1: Long, p2: Long): Long = {
+    val s = text.toString
+    val n = s.length
+    var i = p1.toInt - 1
+    var j = p2.toInt - 1
+    var c = 0L
+    while (i < n && j < n && s.charAt(i) == s.charAt(j)) { i += 1; j += 1; c += 1 }
+    c
+  }
+
+  override def nullSafeEval(t: Any, a: Any, b: Any): Any =
+    compute(t.asInstanceOf[UTF8String], a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a, b) => {
+      val ref = ctx.addReferenceObj("cpl", this, classOf[CommonPrefixLen].getName)
+      s"${ev.value} = $ref.compute($t, $a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CommonPrefixLen =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-document suffix arrays by prefix doubling, and the adjacent-rank
+  * LCP that turns them into an exact longest-repeated-substring
+  * detector.
+  *
+  * This is the exact-substring complement to the windowed span dedup
+  * ([[Dedup.duplicatedSpans]], Lee et al.'s fixed-k policy) and the
+  * winnowing fingerprints ([[TextAnalysis]]): a suffix array answers
+  * "what is the longest passage this document repeats" with no k chosen
+  * in advance, which is the data structure the dedup literature itself
+  * builds (Lee et al. 2022 build corpus-level suffix arrays for exact
+  * substring dedup). The reference pipeline has no counterpart — this is
+  * part of the training-data surface the survey adds on top of it.
+  *
+  * Scale shape: the corpus explodes to one row per character, hash-
+  * partitioned by doc_id, and every subsequent step is a window inside
+  * that one partitioning — ceil(log2 maxLen) doubling rounds of
+  * (lead-by-k, dense_rank), each a per-document sort, none a corpus-wide
+  * one. Documents are the parallel unit: total work is O(chars · log
+  * maxLen), task skew is bounded by the longest single document, and no
+  * stage ever holds a document's pairs — the LCP pass touches only the
+  * len-1 ADJACENT pairs of the suffix order (max over them equals the
+  * max over all pairs — the classic suffix-array LRS identity). At
+  * 100 TB the per-character row tax (~16 bytes overhead per char) is the
+  * honest cost Lee et al. pay too; the build stays embarrassingly
+  * parallel because ranks never cross documents.
+  */
+object Suffix {
+
+  /** Registered queries sample every 10th doc: the output is a per-
+    * suffix dump (one row per character), so the sample keeps the
+    * correctness artifact ~15k rows at sf0.01 while still covering 50+
+    * full documents end to end.
+    */
+  private val SampleMod = 10
+
+  def lcp(text: Column, p1: Column, p2: Column): Column =
+    ColumnBridge.column(CommonPrefixLen(
+      ColumnBridge.expression(text), ColumnBridge.expression(p1), ColumnBridge.expression(p2)))
+
+  /** Seed width: the first round ranks length-16 prefixes directly (a
+    * lead-concat inside the doc partition — one window sort), replacing
+    * the four single-char doubling rounds 1→2→4→8→16. Chosen so the seed
+    * string still packs into UnsafeRow inline storage territory while
+    * typical vocab text already distinguishes most suffix pairs.
+    */
+  private val SeedChars = 16
+
+  /** (doc_id, pos, suffix_rank): the rank of each suffix `text[pos..]`
+    * in its document's lexicographic suffix order (both 1-based).
+    *
+    * Prefix doubling: the seed round ranks length-[[SeedChars]] prefixes
+    * (missing tail chars concat as "" — a proper prefix sorts first,
+    * exactly like string order); each later round refines rank_k to
+    * rank_2k by ranking the pair (rank_k(pos), rank_k(pos+k)) —
+    * `lead(rank, k)` inside the doc partition, -1 past the end.
+    * dense_rank keeps ties dense so the next round's pair comparison
+    * stays exact. All windows share one hash(doc_id) partitioning.
+    *
+    * With `materializeRounds` (the default) every round is an eager
+    * localCheckpoint — the round then reads its parent's materialized
+    * blocks instead of recomputing the window stack, superseded
+    * checkpoints are unpersisted as soon as their successor lands, and a
+    * cheap ties-remaining probe on the fresh blocks stops the loop early
+    * (random-vocab text resolves in one or two refine rounds; only
+    * pathological self-similar documents need the full log₂ maxLen).
+    * Pass false to build the one declarative plan (used by the plan
+    * asserts; identical result, no early exit).
+    */
+  def suffixRanks(docs: DataFrame, textCol: String, idCol: String,
+                  materializeRounds: Boolean = true): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    val byPos = byDoc.orderBy(col("pos"))
+    val seed = concat_ws("",
+      (0 until SeedChars).map(i => coalesce(lead(col("ch"), i).over(byPos), lit(""))): _*)
+    var ranks = docs
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("ch"))
+      .withColumn("seed", seed)
+      .withColumn("r", dense_rank().over(byDoc.orderBy(col("seed"))).cast("long"))
+      .select("doc_id", "pos", "r")
+    if (materializeRounds) ranks = ranks.localCheckpoint()
+    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
+      case row if row.isNullAt(0) => 0
+      case row => row.getInt(0)
+    }
+    def tiesRemain(df: DataFrame): Boolean = df
+      .groupBy(col("doc_id"), col("r")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head().getLong(0) > 1L
+    var k = SeedChars
+    var continue = k < maxLen && (!materializeRounds || tiesRemain(ranks))
+    while (continue) {
+      val refined = ranks
+        .withColumn("r2", lead(col("r"), k, -1L).over(byPos))
+        .withColumn("r", dense_rank().over(byDoc.orderBy(col("r"), col("r2"))).cast("long"))
+        .select("doc_id", "pos", "r")
+      if (materializeRounds) {
+        val next = refined.localCheckpoint()
+        ranks.unpersist(blocking = false)
+        ranks = next
+      } else ranks = refined
+      k *= 2
+      continue = k < maxLen && (!materializeRounds || tiesRemain(ranks))
+    }
+    ranks.withColumnRenamed("r", "suffix_rank")
+  }
+
+  /** (doc_id, lrs_len): length of the longest substring occurring at
+    * least twice in the document (0 when nothing repeats). Adjacent
+    * suffixes in rank order, LCP via [[CommonPrefixLen]] on the shared
+    * text — the join back to `docs` ships each document once per
+    * adjacent pair; bounded by doc length, and the only stage of the
+    * family that carries text after the initial explode.
+    */
+  def longestRepeatedSubstring(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    lrsFromRanks(suffixRanks(docs, textCol, idCol), docs, textCol, idCol)
+
+  private def lrsFromRanks(ranks: DataFrame, docs: DataFrame,
+                           textCol: String, idCol: String): DataFrame = {
+    val byRank = Window.partitionBy("doc_id").orderBy(col("suffix_rank"))
+    val adj = ranks
+      .withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
+      .filter(col("prev_pos").isNotNull)
+    adj
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("t")), Seq("doc_id"))
+      .select(col("doc_id"), lcp(col("t"), col("pos"), col("prev_pos")).as("l"))
+      .groupBy(col("doc_id")).agg(max(col("l")).as("mx"))
+      // len-1 docs have no adjacent pair: re-join the sampled corpus so
+      // they report 0 like the oracle's prev-IS-NULL branch
+      .join(docs.filter(length(col(textCol)) >= 1).select(col(idCol).as("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("mx"), lit(0L)).as("lrs_len"))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  private def sampled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(SampleMod)) === 0)
+
+  /** Both registered queries read ONE rank build per (session, corpus
+    * snapshot) — the same fingerprint-keyed one-entry memo the curation
+    * status frame uses; suffixRanks already returns a checkpointed
+    * frame, so the memo stores it as-is. The library API
+    * (suffixRanks / longestRepeatedSubstring) stays un-memoized.
+    */
+  private val ranksCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
+
+  private[graft] def clearRanksCache(spark: SparkSession): Unit =
+    ranksCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+
+  private def sampledRanks(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
+    ranksCache.get(spark) match {
+      case Some((d, f, df)) if d == dir && f == fp => df
+      case stale =>
+        stale.foreach(_._3.unpersist(blocking = false))
+        val df = suffixRanks(sampled(spark, dir), "text", "doc_id")
+        ranksCache(spark) = (dir, fp, df)
+        df
+    }
+  }
+
+  def suffixArrayQuery(spark: SparkSession, dir: String): DataFrame =
+    sampledRanks(spark, dir)
+      .orderBy(col("doc_id"), col("pos"))
+
+  def lrsQuery(spark: SparkSession, dir: String): DataFrame =
+    lrsFromRanks(sampledRanks(spark, dir), sampled(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_suffix_array" -> (suffixArrayQuery _),
+    "llm_suffix_lrs" -> (lrsQuery _))
+
+  private val suffixesSql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1),
+      |p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos FROM d),
+      |sfx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |               substr(text, CAST(pos AS INT)) AS suf FROM p)""".stripMargin
+
+  /** Suffix order is total (same-document suffixes have distinct
+    * lengths, so they never compare equal), hence row_number equals the
+    * engine's dense_rank and the dump hashes exactly. The LCP oracle
+    * exploits monotonicity: prefixes of length 1..k all match iff the
+    * length-k prefixes match, so COUNTING matching k equals max k.
+    */
+  val oracles: Map[String, String] = Map(
+    "llm_suffix_array" ->
+      s"""$suffixesSql
+         |SELECT doc_id, pos,
+         |       row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS suffix_rank
+         |FROM sfx ORDER BY doc_id, pos""".stripMargin,
+    "llm_suffix_lrs" ->
+      s"""$suffixesSql,
+         |adj AS (SELECT doc_id, suf,
+         |               lag(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS prev
+         |        FROM sfx),
+         |lcps AS (SELECT doc_id,
+         |           CASE WHEN prev IS NULL THEN 0
+         |                ELSE len(list_filter(generate_series(1, least(length(suf), length(prev))),
+         |                         k -> substr(suf, 1, CAST(k AS INT)) = substr(prev, 1, CAST(k AS INT)))) END AS lcp
+         |         FROM adj)
+         |SELECT doc_id, CAST(max(lcp) AS BIGINT) AS lrs_len
+         |FROM lcps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

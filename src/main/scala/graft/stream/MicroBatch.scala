@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.store.Lake
 
 /** Structured Streaming ingestion (SURVEY.md §2.9 T1–T7).
@@ -321,6 +321,135 @@ object MicroBatch {
           // dimension readers may resolve the history at ANY instant —
           // they see the pre- or post-batch snapshot, never a missing path
           if (applied) Versioned.overwrite(current, tableDir)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming sessionization: the streaming twin of `Web.sessionize`
+    * (30-min inactivity gap), folded per micro-batch into two at-rest
+    * tables — a small OPEN-sessions state behind a versioned pointer
+    * (one row per user still inside a session: running idx/count/
+    * start/end plus that user's processed high-watermark) and an
+    * append-only CLOSED-sessions table. Per batch: rows at or below the
+    * user's (ts, event_id) watermark are dropped — the content-keyed
+    * replay guard, so a redelivered batch (or a wiped checkpoint that
+    * re-bundles applied files with fresh ones) re-applies nothing; the
+    * surviving rows sessionize batch-locally (the same lag/sum window
+    * as the batch operator), the user's FIRST local session merges into
+    * their open session when the boundary gap allows, every non-final
+    * session closes (idempotent append: anti-join on (user_id,
+    * start_us)), and each user's final session becomes the new open
+    * row. The open table is per-ACTIVE-user small; the closed table is
+    * append-only — no batch ever rewrites session history.
+    *
+    * In-order contract: landing batches are event-time-sliced, so each
+    * user's events arrive in event-time order ACROSS batches (the same
+    * delivery contract scd2IngestStream documents; the watermark guard
+    * makes redelivery a no-op — it does not reorder a genuinely
+    * out-of-order feed, it drops it). Under that contract the final
+    * (closed ∪ open) table is batching-invariant and equals the batch
+    * operator's one-shot window fold — which is exactly what the
+    * driver's oracle asserts declaratively.
+    */
+  def sessionIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      gapUs: Long,
+      openDir: String,
+      closedDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.store.Versioned
+    import org.apache.spark.sql.expressions.Window
+    val openSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("session_idx", LongType),
+      StructField("n_events", LongType), StructField("start_us", LongType),
+      StructField("end_us", LongType), StructField("hi_us", LongType),
+      StructField("hi_eid", LongType)))
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val open =
+            if (Versioned.exists(openDir)) Versioned.read(spark, openDir)
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), openSchema)
+          val fresh = batch
+            .join(open.select(col("user_id"), col("hi_us"), col("hi_eid")),
+              Seq("user_id"), "left")
+            .filter(col("hi_us").isNull || col("ts_us") > col("hi_us") ||
+              (col("ts_us") === col("hi_us") && col("event_id") > col("hi_eid")))
+            .select("user_id", "event_id", "ts_us")
+          if (!fresh.isEmpty) {
+            val byTime = Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_us"), col("event_id"))
+            val byUser = Window.partitionBy(col("user_id"))
+            val loc = fresh
+              .withColumn("prev_us", lag(col("ts_us"), 1).over(byTime))
+              .withColumn("new_s",
+                when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+                  .otherwise(0))
+              .withColumn("li", sum(col("new_s")).over(
+                byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .groupBy(col("user_id"), col("li"))
+              .agg(count(lit(1)).as("n"), min(col("ts_us")).as("s_us"),
+                max(col("ts_us")).as("e_us"),
+                max(struct(col("ts_us"), col("event_id"))).as("hi"))
+            val j = loc
+              .join(open.select(col("user_id"), col("session_idx").as("o_idx"),
+                col("n_events").as("o_n"), col("start_us").as("o_s"),
+                col("end_us").as("o_e")), Seq("user_id"), "left")
+              // one flag per USER (window max): does the first local
+              // session continue the open one? Every local session's
+              // final idx shifts by it
+              .withColumn("user_merge", max(
+                when(col("li") === 1 && col("o_idx").isNotNull &&
+                  col("s_us") - col("o_e") <= gapUs, 1).otherwise(0)).over(byUser))
+              .withColumn("idx",
+                coalesce(col("o_idx"), lit(0L)) + col("li") - col("user_merge"))
+              .withColumn("n2", when(col("li") === 1 && col("user_merge") === 1,
+                col("o_n") + col("n")).otherwise(col("n")))
+              .withColumn("s2", when(col("li") === 1 && col("user_merge") === 1,
+                col("o_s")).otherwise(col("s_us")))
+              .withColumn("max_li", max(col("li")).over(byUser))
+              .localCheckpoint() // feeds old-open close, new-session close, new open state
+            val closed =
+              j.filter(col("li") === 1 && col("o_idx").isNotNull && col("user_merge") === 0)
+                .select(col("user_id"), col("o_idx").as("session_idx"),
+                  col("o_n").as("n_events"), col("o_s").as("start_us"),
+                  col("o_e").as("end_us"))
+              .unionByName(
+                j.filter(col("li") < col("max_li"))
+                  .select(col("user_id"), col("idx").as("session_idx"),
+                    col("n2").as("n_events"), col("s2").as("start_us"),
+                    col("e_us").as("end_us")))
+            val freshClosed =
+              if (!new java.io.File(closedDir).exists) closed
+              else closed.join(
+                spark.read.parquet(closedDir).select(col("user_id"), col("start_us")),
+                Seq("user_id", "start_us"), "left_anti")
+            if (!freshClosed.isEmpty)
+              freshClosed.write.mode("append").parquet(closedDir)
+            val newOpen = j.filter(col("li") === col("max_li"))
+              .select(col("user_id"), col("idx").as("session_idx"),
+                col("n2").as("n_events"), col("s2").as("start_us"),
+                col("e_us").as("end_us"),
+                col("hi").getField("ts_us").as("hi_us"),
+                col("hi").getField("event_id").as("hi_eid"))
+              .unionByName(open.join(loc.select(col("user_id")).distinct(),
+                Seq("user_id"), "left_anti"))
+            Versioned.overwrite(newOpen, openDir)
+            j.unpersist(blocking = false)
+          }
         }
         ()
       }

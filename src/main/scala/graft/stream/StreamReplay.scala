@@ -73,10 +73,11 @@ object StreamReplay {
     }
 
   private def sourceFingerprint(dir: String): Long =
-    ((Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
+    (((Snapshot.fingerprint(dir, "lineitem.parquet") * 1000003L ^
       Snapshot.fingerprint(dir, "orders.parquet")) * 1000003L ^
       Snapshot.fingerprint(dir, "documents.parquet")) * 1000003L ^
-      Snapshot.fingerprint(dir, "customer.parquet")
+      Snapshot.fingerprint(dir, "customer.parquet")) * 1000003L ^
+      Snapshot.fingerprint(dir, "events.parquet")
 
   private def replayRoot(spark: SparkSession, dir: String): String = {
     val fp = sourceFingerprint(dir)
@@ -90,6 +91,7 @@ object StreamReplay {
         buildScd2(spark, dir, root)
         buildQualityCorpus(spark, dir, root)
         buildEr(spark, dir, root)
+        buildSessions(spark, dir, root)
         built(spark) = (dir, fp, root)
         root
     }
@@ -237,6 +239,42 @@ object StreamReplay {
     StructField("name", StringType),
     StructField("seg", StringType)))
 
+  private val sessionSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType)))
+
+  /** Events in six 5-day slices (the corpus spans one month), ascending
+    * mtimes, one file per micro-batch → `sessionIngestStream`. The
+    * time-sliced landing satisfies the stream's in-order contract (each
+    * user's events ascend across batches), and 30-min sessions
+    * straddling a slice boundary exercise the open-session merge on
+    * every boundary — the final closed ∪ open table must still equal
+    * the batch window fold, which is what the oracle states.
+    */
+  private def buildSessions(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "sess_landing")
+    Files.createDirectories(landing)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        dayofmonth(col("ts")).as("dom"))
+      .localCheckpoint() // one events scan feeds every slice
+    val base = System.currentTimeMillis() - 8 * 2000L
+    (0 until 6).foreach { s =>
+      writeLandingFile(
+        ev.filter(floor((col("dom") - 1) / 5) === s).drop("dom"),
+        landing.resolve(f"sess_$s%02d.json"), base + s * 2000L)
+    }
+    ev.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.sessionIngestStream(
+      spark, landing.toString, sessionSchema,
+      gapUs = 30L * 60 * 1000000,
+      openDir = s"$root/sess_open", closedDir = s"$root/sess_closed",
+      checkpointDir = s"$root/sess_ckpt",
+      maxFilesPerTrigger = 1))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** The KPI table the stream maintained, read back at rest. */
@@ -265,6 +303,20 @@ object StreamReplay {
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Every session the stream produced: the closed table plus the
+    * still-open rows (real sessions, just not yet known-closed —
+    * exactly the rows the batch operator also emits for each user's
+    * last activity).
+    */
+  def sessionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    val cols = Seq(col("user_id"), col("session_idx"), col("n_events"),
+      col("start_us").as("session_start_us"), col("end_us").as("session_end_us"))
+    spark.read.parquet(s"$root/sess_closed").select(cols: _*)
+      .unionByName(Versioned.read(spark, s"$root/sess_open").select(cols: _*))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** The link table the stream maintained, read back at rest. */
   def erMatchesQuery(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${replayRoot(spark, dir)}/er_matches")
@@ -281,7 +333,8 @@ object StreamReplay {
     "stream_scd2_state" -> (scd2StateQuery _),
     "stream_quality_corpus" -> (qualityCorpusQuery _),
     "stream_er_matches" -> (erMatchesQuery _),
-    "stream_er_pending" -> (erPendingQuery _))
+    "stream_er_pending" -> (erPendingQuery _),
+    "stream_sessions" -> (sessionsQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -333,5 +386,25 @@ object StreamReplay {
     // the SAME declarative statement that gates the batch er_incremental
     // query — a green hash proves the streamed link table equals it
     "stream_er_matches" -> graft.ops.Linkage.incrementalMatchesSql,
-    "stream_er_pending" -> graft.ops.Linkage.incrementalPendingSql)
+    "stream_er_pending" -> graft.ops.Linkage.incrementalPendingSql,
+    // the multi-batch open/merge/close fold collapses to the batch
+    // operator's ONE window pass — the same SQL that gates
+    // web_sessionize gates the streamed table (stream ≡ batch, not
+    // stream ≈ spec)
+    "stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |y AS (
+        |  SELECT user_id, tsx,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  epoch_us(MIN(tsx)) AS session_start_us, epoch_us(MAX(tsx)) AS session_end_us
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -611,6 +611,50 @@ class StreamingSpec extends SparkSpec {
     assert(sess == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("session ingest: boundary sessions merge across batches; wipe-and-replay is a no-op") {
+    val root = Files.createTempDirectory("sess_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val M = 60L * 1000000 // one minute in micros
+    def run(): Unit = {
+      val q = MicroBatch.sessionIngestStream(spark, in, schema,
+        gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+        checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def row(e: Long, u: Long, tMin: Long) =
+      s"""{"event_id":$e,"user_id":$u,"ts_us":${tMin * M}}"""
+    // batch 1: user 1 has an open 2-event session ending t=20; user 2
+    // closes one in-batch (gap 0->50 > 30) and leaves one open
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1, 1, 0), row(2, 1, 20), row(3, 2, 0), row(4, 2, 50)).mkString("\n"))
+    run()
+    // batch 2: user 1's t=45 continues the open session (gap 25 <= 30);
+    // user 2's t=100 starts a NEW session (gap 50 > 30); user 3 appears
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(row(5, 1, 45), row(6, 2, 100), row(7, 3, 0)).mkString("\n"))
+    run()
+    def sessions() = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .unionByName(graft.store.Versioned.read(spark, s"$root/open")
+        .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us"))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val want = Seq(
+      (1L, 1L, 3L, 0 * M, 45 * M),   // merged across the batch boundary
+      (2L, 1L, 1L, 0 * M, 0 * M),
+      (2L, 2L, 1L, 50 * M, 50 * M),  // closed by batch 2's gap
+      (2L, 3L, 1L, 100 * M, 100 * M),
+      (3L, 1L, 1L, 0 * M, 0 * M))
+    assert(sessions() == want, s"got ${sessions()}")
+    // wipe the checkpoint: the file source redelivers EVERY file; the
+    // per-user (ts, event_id) watermark must neutralize the whole replay
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    assert(sessions() == want, s"replay changed state: ${sessions()}")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

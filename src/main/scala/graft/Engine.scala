@@ -56,6 +56,7 @@ object Engine {
     graft.store.Lake.clearOrcCache(spark)
     graft.llm.TextAnalysis.clearWinnowPostingsCache(spark)
     graft.llm.Suffix.clearRanksCache(spark)
+    graft.llm.CorpusSuffix.clearRanksCache(spark)
     graft.stream.StreamReplay.clearReplayCache(spark)
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Bpe, Corpus, Curation, Dedup, Multimodal, Similarity, Suffix, TextAnalysis}
+import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, Multimodal, Similarity, Suffix, TextAnalysis}
 import graft.ops.{Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
@@ -28,6 +28,7 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (Corpus.queries, Corpus.oracles),
       (Suffix.queries, Suffix.oracles),
+      (CorpusSuffix.queries, CorpusSuffix.oracles),
       (Joins.queries, Joins.oracles),
       (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),

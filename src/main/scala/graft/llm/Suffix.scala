@@ -51,6 +51,45 @@ case class CommonPrefixLen(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Cross-text LCP: common prefix length of textA's suffix at 1-based
+  * offset pA and textB's suffix at pB — the two-document variant of
+  * [[CommonPrefixLen]], used by the corpus-level suffix array to
+  * measure the exact passage two DIFFERENT documents share. Same
+  * UTF-16 offset semantics (exact for BMP; corpus is ASCII).
+  */
+case class CrossPrefixLen(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cross_prefix_len"
+
+  def compute(ta: UTF8String, pa: Long, tb: UTF8String, pb: Long): Long = {
+    val a = ta.toString
+    val b = tb.toString
+    var i = pa.toInt - 1
+    var j = pb.toInt - 1
+    var c = 0L
+    while (i < a.length && j < b.length && a.charAt(i) == b.charAt(j)) { i += 1; j += 1; c += 1 }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Long],
+      c.asInstanceOf[UTF8String], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val ref = ctx.addReferenceObj("xpl", this, classOf[CrossPrefixLen].getName)
+      s"${ev.value} = $ref.compute($a, $b, $c, $d);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): CrossPrefixLen =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** Per-document suffix arrays by prefix doubling, and the adjacent-rank
   * LCP that turns them into an exact longest-repeated-substring
   * detector.
@@ -96,7 +135,7 @@ object Suffix {
     * string still packs into UnsafeRow inline storage territory while
     * typical vocab text already distinguishes most suffix pairs.
     */
-  private val SeedChars = 16
+  private[llm] val SeedChars = 16
 
   /** (doc_id, pos, suffix_rank): the rank of each suffix `text[pos..]`
     * in its document's lexicographic suffix order (both 1-based).
@@ -255,4 +294,223 @@ object Suffix {
          |         FROM adj)
          |SELECT doc_id, CAST(max(lcp) AS BIGINT) AS lrs_len
          |FROM lcps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}
+
+/** CORPUS-LEVEL suffix array: one suffix rank space across every
+  * document (suffixes never cross document ends), built by the same
+  * prefix doubling as [[Suffix]] but with GLOBAL dense ranks — this is
+  * the data structure Lee et al. 2022 actually build for exact
+  * substring dedup, where the question is "which passages recur
+  * ANYWHERE in the corpus", not "what does one document repeat".
+  *
+  * The scale problem global ranking poses is the one every global
+  * order statistic here poses: an unpartitioned window plans
+  * SinglePartition. The build instead follows the house TwoPass
+  * discipline (Corpus.curriculum / Linkage.sortedNeighborhoodPairs):
+  * each doubling round range-partitions by the (rank, next-rank) key,
+  * sorts within partitions, folds each partition to ONE driver row
+  * (distinct-group count + boundary keys — a numPartitions-sized
+  * artifact), prefix-scans those into per-partition dense-rank bases,
+  * and assigns ranks in a single mapPartitions pass. Equal keys land in
+  * one range partition, and the fold still dedups boundary-equal keys
+  * as belt. Rounds ≤ log2(max DOC length) — document length, not corpus
+  * length, bounds the doubling depth, because suffixes stop at document
+  * ends; the ties-remaining early exit applies, with the caveat that
+  * cross-document IDENTICAL suffixes tie forever (they are the signal —
+  * equal ranks mean equal text), so the loop is also bounded by k.
+  *
+  * The cross-document report then needs suffix-order ADJACENCY: a
+  * global sequence number (same TwoPass shape, count fold), a self
+  * equi-join on s = s−1, a doc_a ≠ doc_b filter, and the codegen'd
+  * [[CrossPrefixLen]] on the two texts. Max shared passage over ALL
+  * cross-doc pairs equals the max over ADJACENT cross-doc pairs: for
+  * any i < j of different docs, the range [i, j] contains a doc-change
+  * boundary, and range-min LCP ≤ that boundary pair's LCP — so scanning
+  * the n−1 adjacencies, never n²/2 pairs, is exact.
+  */
+object CorpusSuffix {
+
+  import org.apache.spark.sql.Dataset
+
+  /** Exact shared-prefix length of textA's suffix at pa and textB's
+    * suffix at pb (1-based char offsets).
+    */
+  def crossLcp(ta: Column, pa: Column, tb: Column, pb: Column): Column =
+    ColumnBridge.column(CrossPrefixLen(
+      ColumnBridge.expression(ta), ColumnBridge.expression(pa),
+      ColumnBridge.expression(tb), ColumnBridge.expression(pb)))
+
+  /** Global dense rank of `key` over (doc_id, pos) rows: range-sorted,
+    * TwoPass boundary-aware distinct fold, one assignment pass. Returns
+    * an EAGERLY checkpointed (doc_id, pos, r) frame and unpersists its
+    * scratch RDD.
+    */
+  private def globalDenseRank[K: Ordering](
+      spark: SparkSession,
+      sortedDs: Dataset[(K, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val sorted = sortedDs.rdd.localCheckpoint() // both TwoPass passes read the runs
+    type S = (Long, Option[K], Option[K]) // (#distinct, first key, last key)
+    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(K, Long, Long), S](
+      sorted, (0L, None, None),
+      (s, row) =>
+        if (s._3.contains(row._1)) s
+        else (s._1 + 1, s._2.orElse(Some(row._1)), Some(row._1)),
+      (a, b) =>
+        if (b._1 == 0) a
+        else if (a._1 == 0) b
+        else (a._1 + b._1 - (if (a._3 == b._2) 1 else 0), a._2, b._3))
+    val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var rank = offs(i)._1
+      var last: Option[K] = offs(i)._3
+      it.map { case (key, d, p) =>
+        if (!last.contains(key)) { rank += 1; last = Some(key) }
+        (d, p, rank)
+      }
+    }.toDF("doc_id", "pos", "r").localCheckpoint()
+    sorted.unpersist(blocking = false)
+    ranked
+  }
+
+  private def tiesRemain(ranks: DataFrame): Boolean = ranks
+    .groupBy(col("r")).agg(count(lit(1)).as("n"))
+    .agg(max(col("n")).as("mx")).head().getLong(0) > 1L
+
+  /** (doc_id, pos, r): GLOBAL dense suffix ranks — r is dense over
+    * suffix VALUES, so cross-document identical suffixes share a rank.
+    */
+  def corpusSuffixRanks(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byDoc = Window.partitionBy("doc_id")
+    val byPos = byDoc.orderBy(col("pos"))
+    val seed = concat_ws("",
+      (0 until Suffix.SeedChars).map(i => coalesce(lead(col("ch"), i).over(byPos), lit(""))): _*)
+    val seeded = docs
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("ch"))
+      .withColumn("seed", seed)
+    var ranks = globalDenseRank[String](spark,
+      seeded.select(col("seed"), col("doc_id"), col("pos")).as[(String, Long, Long)]
+        .repartitionByRange(col("seed"), col("doc_id"), col("pos"))
+        .sortWithinPartitions(col("seed"), col("doc_id"), col("pos")))
+    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
+      case row if row.isNullAt(0) => 0
+      case row => row.getInt(0)
+    }
+    var k = Suffix.SeedChars
+    while (k < maxLen && tiesRemain(ranks)) {
+      val paired = ranks
+        .withColumn("r2", lead(col("r"), k, -1L).over(byPos))
+      val next = globalDenseRank[(Long, Long)](spark,
+        paired.select(struct(col("r"), col("r2")).as("key"), col("doc_id"), col("pos"))
+          .as[((Long, Long), Long, Long)]
+          .repartitionByRange(col("key"), col("doc_id"), col("pos"))
+          .sortWithinPartitions(col("key"), col("doc_id"), col("pos")))
+      ranks.unpersist(blocking = false)
+      ranks = next
+      k *= 2
+    }
+    ranks
+  }
+
+  /** Adjacent pairs in global suffix order between DIFFERENT documents,
+    * with the exact shared-prefix length: (doc_a, pos_a, doc_b, pos_b,
+    * shared_len), where (doc_a, pos_a) is the suffix-order predecessor.
+    * Order within equal suffixes is (r, doc_id, pos) — total and
+    * deterministic.
+    */
+  def crossDocAdjacent(ranks: DataFrame, docs: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    val sorted = ranks.select(col("r"), col("doc_id"), col("pos"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("r"), col("doc_id"), col("pos"))
+      .sortWithinPartitions(col("r"), col("doc_id"), col("pos"))
+      .rdd.localCheckpoint()
+    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), Long](
+      sorted, 0L, (s, _) => s + 1, _ + _)
+    val seq = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var s = offs(i)
+      it.map { case (_, d, p) => s += 1; (s, d, p) }
+    }.toDF("s", "doc_id", "pos").localCheckpoint()
+    sorted.unpersist(blocking = false)
+    val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
+    val a = seq.select((col("s") + 1).as("s"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = seq.select(col("s"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    val lcp = crossLcp(col("ta"), col("pos_a"), col("tb"), col("pos_b"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), lcp.as("shared_len"))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  private val SampleMod = 10
+
+  private def sampled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(SampleMod)) === 0)
+
+  private val ranksCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
+
+  private[graft] def clearRanksCache(spark: SparkSession): Unit =
+    ranksCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+
+  private def sampledRanks(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
+    ranksCache.get(spark) match {
+      case Some((d, f, df)) if d == dir && f == fp => df
+      case stale =>
+        stale.foreach(_._3.unpersist(blocking = false))
+        val df = corpusSuffixRanks(sampled(spark, dir), "text", "doc_id")
+        ranksCache(spark) = (dir, fp, df)
+        df
+    }
+  }
+
+  def corpusSaQuery(spark: SparkSession, dir: String): DataFrame =
+    sampledRanks(spark, dir)
+      .select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Top-20 adjacent cross-document overlaps, longest first. */
+  def crossDocSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    crossDocAdjacent(sampledRanks(spark, dir), sampled(spark, dir), "text", "doc_id")
+      .orderBy(col("shared_len").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_sa" -> (corpusSaQuery _),
+    "llm_cross_doc_spans" -> (crossDocSpansQuery _))
+
+  private val suffixesSql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1),
+      |p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos FROM d),
+      |sfx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |               substr(text, CAST(pos AS INT)) AS suf FROM p)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // dense over suffix VALUES: cross-doc identical suffixes share a rank
+    "llm_corpus_sa" ->
+      s"""$suffixesSql
+         |SELECT doc_id, pos,
+         |       CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+         |FROM sfx ORDER BY doc_id, pos""".stripMargin,
+    "llm_cross_doc_spans" ->
+      s"""$suffixesSql,
+         |ord AS (SELECT doc_id, pos, suf,
+         |               lag(doc_id) OVER w AS p_doc, lag(pos) OVER w AS p_pos,
+         |               lag(suf) OVER w AS p_suf
+         |        FROM sfx WINDOW w AS (ORDER BY suf, doc_id, pos)),
+         |x AS (SELECT p_doc AS doc_a, p_pos AS pos_a, doc_id AS doc_b, pos AS pos_b,
+         |        CAST(len(list_filter(generate_series(1, least(length(suf), length(p_suf))),
+         |             k -> substr(suf, 1, CAST(k AS INT)) = substr(p_suf, 1, CAST(k AS INT)))) AS BIGINT) AS shared_len
+         |      FROM ord WHERE p_doc IS NOT NULL AND p_doc <> doc_id)
+         |SELECT doc_b, doc_a, pos_a, pos_b, shared_len FROM x
+         |ORDER BY shared_len DESC, doc_a, pos_a, doc_b, pos_b LIMIT 20""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, Multimodal, Similarity, Suffix, TextAnalysis}
+import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis}
 import graft.ops.{Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
@@ -29,6 +29,7 @@ object SparkEntry {
       (Corpus.queries, Corpus.oracles),
       (Suffix.queries, Suffix.oracles),
       (CorpusSuffix.queries, CorpusSuffix.oracles),
+      (FrequentItems.queries, FrequentItems.oracles),
       (Joins.queries, Joins.oracles),
       (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),

@@ -45,6 +45,7 @@ import graft.Tables
 case class MisraGriesSummary(
     child: Expression,
     k: Int,
+    withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -53,7 +54,13 @@ case class MisraGriesSummary(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (withCounts)
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false))),
+        containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def prettyName: String = "misra_gries_summary"
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
@@ -98,13 +105,19 @@ case class MisraGriesSummary(
   }
 
   /** Candidate token set, sorted for a stable (if order-inspected)
-    * layout. Counts are deliberately NOT emitted — they are sketch
-    * lower bounds whose exact values depend on merge order.
+    * layout. Counts are emitted only in `withCounts` mode — they are
+    * sketch LOWER BOUNDS whose exact values depend on merge order, so
+    * batch queries leave them out; the streaming state fold needs them
+    * to keep merging across micro-batches.
     */
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     val toks = buf.keysIterator.toArray
     java.util.Arrays.sort(toks, implicitly[Ordering[String]])
-    new GenericArrayData(toks.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
+    if (withCounts)
+      new GenericArrayData(toks.map(t => InternalRow(
+        UTF8String.fromString(t), buf(t)).asInstanceOf[Any]))
+    else
+      new GenericArrayData(toks.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
   }
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
@@ -148,9 +161,28 @@ case class MisraGriesSummary(
   */
 object FrequentItems {
 
-  def mgSummary(token: Column, k: Int): Column =
+  def mgSummary(token: Column, k: Int, withCounts: Boolean = false): Column =
     ColumnBridge.column(
-      MisraGriesSummary(ColumnBridge.expression(token), k).toAggregateExpression())
+      MisraGriesSummary(ColumnBridge.expression(token), k, withCounts).toAggregateExpression())
+
+  /** Driver-side MG merge of two (token → count) summaries — the SAME
+    * rule as [[MisraGriesSummary.merge]], exposed for the streaming
+    * state fold where both sides are bounded at-rest artifacts (≤ k
+    * rows each), so the merge is a driver computation by design.
+    */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val buf = mutable.HashMap.empty[String, Long]
+    a.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    b.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > k) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - (k + 1))
+      buf.filterInPlace((_, c) => c - d > 0)
+      buf.mapValuesInPlace((_, c) => c - d)
+    }
+    buf.toMap
+  }
 
   /** (token, n): tokens with frequency ≥ 1/`pctDenom` of all tokens,
     * exact counts, via the MG-candidates-then-exact-count plan.

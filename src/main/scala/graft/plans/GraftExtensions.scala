@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_rolling_fingerprint", classOf[RollingFingerprint]) {
       case Seq(text, IntLit(w)) => RollingFingerprint(text, w)
     }
+    register(ext, "graft_mg_summary", classOf[graft.llm.MisraGriesSummary]) {
+      case Seq(tok, IntLit(k)) => graft.llm.MisraGriesSummary(tok, k)
+    }
     ext.injectOptimizerRule(_ => FuseVectorKernels)
   }
 }

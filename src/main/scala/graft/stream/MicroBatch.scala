@@ -327,6 +327,86 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming frequent-terms maintenance: documents landing as JSONL
+    * fold into a Misra-Gries summary STATE TABLE (≤ k (token, cnt)
+    * rows behind a versioned pointer) — the sketch-state-at-rest shape
+    * a production pipeline uses when the interesting set must survive
+    * restarts and be queryable mid-stream. Per batch: already-applied
+    * LANDING FILES are dropped (file-grain, like the KPI ledger), the
+    * batch's own MG summary is computed WITH counts (the distributed
+    * TypedImperativeAggregate pass), and the stored summary merges with
+    * it under the SAME mergeable-summaries rule — both sides are ≤ k
+    * rows, so the merge is a bounded driver computation by design.
+    *
+    * The replay ledger lives INSIDE the state snapshot ('file' rows
+    * next to the 'cnt' rows), so summary and ledger flip in ONE
+    * versioned pointer move — there is no crash window between
+    * apply-and-record at all: a replayed batch either sees its files in
+    * the snapshot (no-op) or the snapshot without them (full re-apply
+    * of a merge that never landed). Snapshot size is ≤ k counters plus
+    * one metadata row per landed file — sketch-scale, never
+    * corpus-scale. Retention composes across batches: any token over
+    * N/(k+1) of the TOTAL stream survives every (batch, merge) order,
+    * which is what lets the at-rest candidates drive an exact,
+    * deterministically-gateable frequent-terms answer downstream.
+    */
+  def mgIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      textCol: String,
+      k: Int,
+      stateDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.llm.FrequentItems
+    import graft.store.Versioned
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import spark.implicits._
+          val snap =
+            if (Versioned.exists(stateDir))
+              Versioned.read(spark, stateDir)
+                .collect().map(r => (r.getAs[String]("kind"),
+                  r.getAs[String]("token"), r.getAs[Long]("cnt")))
+            else Array.empty[(String, String, Long)]
+          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          // bounded driver artifact: ≤ maxFilesPerTrigger paths per batch
+          val files = batch.select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).sorted
+          val freshFiles = files.filterNot(appliedFiles)
+          if (freshFiles.nonEmpty) {
+            val delta =
+              if (freshFiles.length == files.length) batch
+              else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
+            val batchSummary = delta
+              .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+              .filter(col("token") =!= "")
+              .agg(FrequentItems.mgSummary(col("token"), k, withCounts = true).as("s"))
+              .select(explode(col("s")).as("e"))
+              .select(col("e.token"), col("e.cnt"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ k rows
+            val stored = snap.collect { case ("cnt", t, c) => t -> c }.toMap
+            val merged = FrequentItems.mergeSummaries(stored, batchSummary, k)
+            val rows =
+              merged.toSeq.sortBy(_._1).map { case (t, c) => ("cnt", t, c) } ++
+              (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+            Versioned.overwrite(rows.toDF("kind", "token", "cnt"), stateDir)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming sessionization: the streaming twin of `Web.sessionize`
     * (30-min inactivity gap), folded per micro-batch into two at-rest
     * tables — a small OPEN-sessions state behind a versioned pointer

@@ -92,6 +92,7 @@ object StreamReplay {
         buildQualityCorpus(spark, dir, root)
         buildEr(spark, dir, root)
         buildSessions(spark, dir, root)
+        buildMgState(spark, dir, root)
         built(spark) = (dir, fp, root)
         root
     }
@@ -275,6 +276,55 @@ object StreamReplay {
       maxFilesPerTrigger = 1))
   }
 
+  /** Documents in four id-sliced JSONL files, one per micro-batch →
+    * `mgIngestStream` folds the Misra-Gries frequent-terms state across
+    * batches (k = 128). The state content is merge-order-dependent IN
+    * GENERAL, but the retention guarantee is not: every ≥ 1% token
+    * survives any batch composition, so the downstream exact recount —
+    * which is what the oracle gates — is batching-invariant.
+    */
+  private def buildMgState(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "mg_landing")
+    Files.createDirectories(landing)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val base = System.currentTimeMillis() - 6 * 2000L
+    (0 until 4).foreach { s =>
+      writeLandingFile(
+        docs.filter(pmod(col("doc_id"), lit(4L)) === s),
+        landing.resolve(f"mg_$s%02d.json"), base + s * 2000L)
+    }
+    docs.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.mgIngestStream(
+      spark, landing.toString,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      textCol = "text", k = 128,
+      stateDir = s"$root/mg_state", checkpointDir = s"$root/mg_ckpt"))
+  }
+
+  /** Exact ≥1% frequent terms from the STREAM-MAINTAINED sketch state:
+    * candidates are the at-rest summary's tokens, the recount is exact
+    * over the same corpus the stream ingested. A green hash proves the
+    * cross-batch merge rule retained every qualifying token — the
+    * mergeable-summaries guarantee, enforced by the driver's gate.
+    */
+  def mgFrequentQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    val candidates = Versioned.read(spark, s"$root/mg_state")
+      .filter(col("kind") === "cnt").select(col("token"))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint()
+    val total = toks.count()
+    toks.join(candidates, Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(100L) >= lit(total))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** The KPI table the stream maintained, read back at rest. */
@@ -334,7 +384,8 @@ object StreamReplay {
     "stream_quality_corpus" -> (qualityCorpusQuery _),
     "stream_er_matches" -> (erMatchesQuery _),
     "stream_er_pending" -> (erPendingQuery _),
-    "stream_sessions" -> (sessionsQuery _))
+    "stream_sessions" -> (sessionsQuery _),
+    "stream_frequent_terms" -> (mgFrequentQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -406,5 +457,9 @@ object StreamReplay {
         |  FROM x)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  epoch_us(MIN(tsx)) AS session_start_us, epoch_us(MAX(tsx)) AS session_end_us
-        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // retention guarantee + exact recount make the cross-batch sketch
+    // fold invisible to the answer: the oracle is the plain exact form
+    // (identical to llm_frequent_terms_mg — stream ≡ batch ≡ declarative)
+    "stream_frequent_terms" -> graft.llm.FrequentItems.oracles("llm_frequent_terms_mg"))
 }

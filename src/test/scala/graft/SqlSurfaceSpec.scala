@@ -24,6 +24,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(SqlSurface.salesKpi(spark, dir)) == rows(Pos.salesKpi(spark, dir)))
   }
 
+  test("SQL graft_mg_summary aggregate ≡ DataFrame mgSummary") {
+    import spark.implicits._
+    val toks = (Seq.fill(40)("hot") ++ (1 to 60).map(i => s"t$i")).toDF("token")
+    toks.createOrReplaceTempView("mg_toks")
+    val viaSql = spark.sql("SELECT graft_mg_summary(token, 5) AS c FROM mg_toks")
+      .selectExpr("explode(c) AS t").as[String].collect().toSet
+    val viaDf = toks.agg(graft.llm.FrequentItems.mgSummary($"token", 5).as("c"))
+      .selectExpr("explode(c) AS t").as[String].collect().toSet
+    assert(viaSql == viaDf && viaSql.contains("hot"))
+  }
+
   test("typed Dataset surface round-trips the record types") {
     import spark.implicits._
     import graft.schema.Records._

@@ -655,6 +655,40 @@ class StreamingSpec extends SparkSpec {
     assert(sessions() == want, s"replay changed state: ${sessions()}")
   }
 
+  test("MG ingest: sketch state folds across batches; wipe-and-replay leaves the snapshot intact") {
+    val root = Files.createTempDirectory("mg_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val q = MicroBatch.mgIngestStream(spark, in, schema, "text", k = 4,
+        stateDir = s"$root/state", checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    // "hot" dominates batch 1 and KEEPS dominating through batch 2's
+    // noise — with k=4 and N=40, retention covers anything over N/5=8
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(doc(1, ("hot " * 12).trim), doc(2, "n1 n2 n3 n4")).mkString("\n"))
+    run()
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(doc(3, ("hot " * 8).trim + " m1 m2 m3 m4"), doc(4, "p1 p2 p3 p4 p5 p6 p7 p8")).mkString("\n"))
+    run()
+    def snap() = graft.store.Versioned.read(spark, s"$root/state")
+      .select($"kind", $"token", $"cnt").as[(String, String, Long)].collect().sorted.toSeq
+    val s1 = snap()
+    val counters = s1.filter(_._1 == "cnt")
+    assert(counters.map(_._2).contains("hot"),
+      s"'hot' (tf=20 > N/(k+1)=8) must survive the cross-batch merge: $s1")
+    assert(counters.size <= 4, s"summary over k: $counters")
+    assert(s1.count(_._1 == "file") == 2, s"two landed files expected: $s1")
+    // wipe the checkpoint: the source redelivers both files; the in-
+    // snapshot file ledger must make the whole replay a no-op
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    assert(snap() == s1, s"replay changed the snapshot: ${snap()} vs $s1")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

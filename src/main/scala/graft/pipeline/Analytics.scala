@@ -274,6 +274,25 @@ object Analytics {
       .na.fill(0.0, EventTypes.map(t => s"${t}_v"))
       .orderBy(col("user_id"))
 
+  /** Unpivot (melt): the wide per-type count columns back to long
+    * (user_id, event_type, n_events) rows via the native `unpivot`
+    * operator — the inverse of [[eventsPivot]], and the oracle states
+    * the algebraic identity unpivot∘pivot ≡ groupBy directly (zero-count
+    * cells, which pivot manufactures and groupBy never sees, are
+    * filtered on the way back). Scale shape: unpivot is a per-row
+    * explode-by-constant — no shuffle of its own; the plan is the pivot
+    * aggregate plus a Generate.
+    */
+  def eventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    eventsPivot(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        EventTypes.map(t => col(s"${t}_n")).toArray,
+        "event_type", "n_events")
+      .withColumn("event_type", regexp_replace(col("event_type"), "_n$", ""))
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Cohort retention: users grouped by first-active day, each later
     * active day recorded as a (cohort_day, day_offset) cell with the
     * distinct-user count and the retention ratio against the cohort's
@@ -398,6 +417,7 @@ object Analytics {
     "basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
     "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
+    "events_unpivot" -> (eventsUnpivot _),
     "events_transitions" -> (eventTransitions _),
     "sales_cube" -> (salesCube _),
     "sales_by_region" -> (salesByRegion _),
@@ -525,6 +545,10 @@ object Analytics {
       s"""SELECT user_id,
          |$pivotColsSql
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // unpivot ∘ pivot ≡ groupBy — the oracle states the identity
+    "events_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sales_by_region" ->
       """SELECT r.r_name AS region,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,

@@ -6,6 +6,20 @@ import graft.pipeline.Analytics
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unpivot of pivot equals the direct groupBy (zero cells filtered)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Analytics.eventsUnpivot(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    val want = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"user_id", $"event_type")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // pivot manufactures zero cells for absent types; the melt must not
+    // resurrect them as rows
+    assert(!got.exists(_._3 == 0L))
+  }
+
   test("event transitions: per-user sequencing, probabilities sum to 1 per from-state") {
     val got = Analytics.eventTransitions(spark, "/root/testdata/sf0.001")
       .as[(String, String, Long, Double)].collect()

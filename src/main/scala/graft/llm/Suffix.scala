@@ -421,8 +421,11 @@ object CorpusSuffix {
     * Order within equal suffixes is (r, doc_id, pos) — total and
     * deterministic.
     */
-  def crossDocAdjacent(ranks: DataFrame, docs: DataFrame,
-                       textCol: String, idCol: String): DataFrame = {
+  /** Global suffix-order sequence numbers: (s, doc_id, pos) with s the
+    * 1-based ordinal of the suffix in (rank, doc_id, pos) order — the
+    * TwoPass count fold, eagerly checkpointed.
+    */
+  private def globalSeq(ranks: DataFrame): DataFrame = {
     val spark = ranks.sparkSession
     import spark.implicits._
     val sorted = ranks.select(col("r"), col("doc_id"), col("pos"))
@@ -437,6 +440,12 @@ object CorpusSuffix {
       it.map { case (_, d, p) => s += 1; (s, d, p) }
     }.toDF("s", "doc_id", "pos").localCheckpoint()
     sorted.unpersist(blocking = false)
+    seq
+  }
+
+  def crossDocAdjacent(ranks: DataFrame, docs: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val seq = globalSeq(ranks)
     val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
     val a = seq.select((col("s") + 1).as("s"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = seq.select(col("s"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
@@ -446,6 +455,64 @@ object CorpusSuffix {
       .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
       .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), lcp.as("shared_len"))
+  }
+
+  /** Per-document MAX shared passage with ANY other document:
+    * (doc_id, max_shared_len). For a suffix i, the best different-doc
+    * partner is its NEAREST different-doc neighbor in suffix order
+    * (range-min LCP is non-increasing with distance), and that nearest
+    * neighbor sits just beyond i's same-doc RUN — so the scan needs only
+    * (a) every ADJACENT pair's LCP, (b) run ids (one TwoPass carry:
+    * global cumsum of doc-change flags), and (c) two run-partitioned
+    * running-min windows (prefix min of the predecessor LCP, suffix min
+    * of the successor LCP — the run's boundary LCP rows seed them, and
+    * the coalesced 0 at the order's edges makes edge runs report 0
+    * without special-casing). Runs are hash partitions — bounded by the
+    * longest same-doc run, never corpus-sized — and nothing here is an
+    * unpartitioned window.
+    */
+  def crossDocMax(ranks: DataFrame, docs: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    val seq = globalSeq(ranks)
+    val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
+    // lp(s) = LCP of suffixes at order positions s-1 and s (0 at s=1)
+    val pred = seq.select((col("s") + 1).as("s"), col("doc_id").as("adoc"), col("pos").as("apos"))
+    val lpF = seq.join(pred, Seq("s"), "left")
+      .join(txt.select(col("tdoc").as("adoc"), col("t").as("ta")), Seq("adoc"), "left")
+      .join(txt.select(col("tdoc").as("doc_id"), col("t").as("tb")), Seq("doc_id"))
+      .select(col("s"), col("doc_id"), col("adoc"),
+        when(col("adoc").isNull, 0L)
+          .otherwise(crossLcp(col("ta"), col("apos"), col("tb"), col("pos"))).as("lp"))
+      .localCheckpoint() // feeds ln shift, chg flags, and the run scan
+    // ln(s) = lp(s+1): the LCP toward the successor (0 at the end)
+    val lnF = lpF.select((col("s") - 1).as("s"), col("lp").as("ln"))
+    val rows = lpF
+      .join(lnF, Seq("s"), "left")
+      .select(col("s"), col("doc_id"), col("lp"), coalesce(col("ln"), lit(0L)).as("ln"),
+        when(col("adoc").isNull || col("adoc") =!= col("doc_id"), 1L).otherwise(0L).as("chg"))
+    // run_id: global cumsum of chg — the TwoPass carry over s order
+    val sortedRows = rows.select(col("s"), col("doc_id"), col("lp"), col("ln"), col("chg"))
+      .as[(Long, Long, Long, Long, Long)]
+      .repartitionByRange(col("s"))
+      .sortWithinPartitions(col("s"))
+      .rdd.localCheckpoint()
+    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long, Long, Long), Long](
+      sortedRows, 0L, (acc, r) => acc + r._5, _ + _)
+    val withRun = sortedRows.mapPartitionsWithIndex { case (i, it) =>
+      var run = offs(i)
+      it.map { case (sq, d, lp, ln, chg) => run += chg; (sq, d, lp, ln, run) }
+    }.toDF("s", "doc_id", "lp", "ln", "run_id").localCheckpoint()
+    sortedRows.unpersist(blocking = false)
+    val byRun = Window.partitionBy("run_id").orderBy(col("s"))
+    val best = withRun
+      .withColumn("dprev", min(col("lp")).over(
+        byRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dnext", min(col("ln")).over(
+        byRun.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("doc_id"), greatest(col("dprev"), col("dnext")).as("b"))
+    best.groupBy(col("doc_id")).agg(max(col("b")).as("max_shared_len"))
   }
 
   // ---- registered queries -------------------------------------------------
@@ -484,9 +551,14 @@ object CorpusSuffix {
       .orderBy(col("shared_len").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
       .limit(20)
 
+  def crossDocMaxQuery(spark: SparkSession, dir: String): DataFrame =
+    crossDocMax(sampledRanks(spark, dir), sampled(spark, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_corpus_sa" -> (corpusSaQuery _),
-    "llm_cross_doc_spans" -> (crossDocSpansQuery _))
+    "llm_cross_doc_spans" -> (crossDocSpansQuery _),
+    "llm_cross_doc_max" -> (crossDocMaxQuery _))
 
   private val suffixesSql =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 1),
@@ -512,5 +584,32 @@ object CorpusSuffix {
          |             k -> substr(suf, 1, CAST(k AS INT)) = substr(p_suf, 1, CAST(k AS INT)))) AS BIGINT) AS shared_len
          |      FROM ord WHERE p_doc IS NOT NULL AND p_doc <> doc_id)
          |SELECT doc_b, doc_a, pos_a, pos_b, shared_len FROM x
-         |ORDER BY shared_len DESC, doc_a, pos_a, doc_b, pos_b LIMIT 20""".stripMargin)
+         |ORDER BY shared_len DESC, doc_a, pos_a, doc_b, pos_b LIMIT 20""".stripMargin,
+    // the same run-partitioned nearest-different-doc-neighbor scan,
+    // stated with (single-node) global windows: lag/lead LCPs, doc-change
+    // cumsum run ids, run-scoped prefix/suffix running minima
+    "llm_cross_doc_max" ->
+      s"""$suffixesSql,
+         |ord AS (SELECT doc_id, suf,
+         |               row_number() OVER w AS s,
+         |               lag(doc_id) OVER w AS pdoc, lag(suf) OVER w AS psuf,
+         |               lead(suf) OVER w AS nsuf
+         |        FROM sfx WINDOW w AS (ORDER BY suf, doc_id, pos)),
+         |l AS (SELECT doc_id, s,
+         |        CASE WHEN psuf IS NULL THEN 0
+         |             ELSE len(list_filter(generate_series(1, least(length(suf), length(psuf))),
+         |                  k -> substr(suf, 1, CAST(k AS INT)) = substr(psuf, 1, CAST(k AS INT)))) END AS lp,
+         |        CASE WHEN nsuf IS NULL THEN 0
+         |             ELSE len(list_filter(generate_series(1, least(length(suf), length(nsuf))),
+         |                  k -> substr(suf, 1, CAST(k AS INT)) = substr(nsuf, 1, CAST(k AS INT)))) END AS ln,
+         |        CASE WHEN pdoc IS NULL OR pdoc <> doc_id THEN 1 ELSE 0 END AS chg
+         |      FROM ord),
+         |r AS (SELECT *, SUM(chg) OVER (ORDER BY s) AS run_id FROM l),
+         |dd AS (SELECT doc_id,
+         |        MIN(lp) OVER (PARTITION BY run_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS dprev,
+         |        MIN(ln) OVER (PARTITION BY run_id ORDER BY s
+         |                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dnext
+         |      FROM r)
+         |SELECT doc_id, CAST(MAX(GREATEST(dprev, dnext)) AS BIGINT) AS max_shared_len
+         |FROM dd GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

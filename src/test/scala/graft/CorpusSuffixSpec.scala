@@ -82,6 +82,42 @@ class CorpusSuffixSpec extends SparkSpec {
     assert(gotMax == bruteCrossLcs(local), s"got $gotMax, want ${bruteCrossLcs(local)}")
   }
 
+  /** Per-doc reference: the longest substring doc `a` shares with ANY
+    * other document.
+    */
+  private def bruteCrossMaxPerDoc(docs: Seq[(Long, String)]): Map[Long, Long] =
+    docs.map { case (ia, a) =>
+      var best = 0L
+      for ((ib, b) <- docs if ib != ia; i <- 0 until a.length; j <- 0 until b.length) {
+        var k = 0
+        while (i + k < a.length && j + k < b.length && a.charAt(i + k) == b.charAt(j + k)) k += 1
+        if (k > best) best = k.toLong
+      }
+      ia -> best
+    }.toMap
+
+  test("crossDocMax equals brute force per document (runs, ties, unrelated docs)") {
+    val docs = fixture.toDF("doc_id", "text")
+    val ranks = CorpusSuffix.corpusSuffixRanks(docs, "text", "doc_id")
+    val got = CorpusSuffix.crossDocMax(ranks, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteCrossMaxPerDoc(fixture)
+    assert(got == want, s"got $got want $want")
+    // twins share their full length; the glacier doc shares only scraps
+    assert(got(1L) == fixture.head._2.length && got(4L) == fixture.head._2.length)
+    assert(got(3L) < 10)
+  }
+
+  test("crossDocMax on real documents matches brute force") {
+    val sample = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+    val local = sample.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ranks = CorpusSuffix.corpusSuffixRanks(sample, "text", "doc_id")
+    val got = CorpusSuffix.crossDocMax(ranks, sample, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteCrossMaxPerDoc(local))
+  }
+
   test("cross_prefix_len edge semantics") {
     val df = Seq(("abcdef", 2L, "xbcde", 2L), ("abc", 1L, "abc", 1L),
                  ("abc", 3L, "zzc", 3L), ("a", 1L, "b", 1L)).toDF("ta", "pa", "tb", "pb")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis}
-import graft.ops.{Joins, Linkage}
+import graft.ops.{Graph, Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
 
@@ -31,6 +31,7 @@ object SparkEntry {
       (CorpusSuffix.queries, CorpusSuffix.oracles),
       (FrequentItems.queries, FrequentItems.oracles),
       (Joins.queries, Joins.oracles),
+      (Graph.queries, Graph.oracles),
       (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),
       (Bpe.queries, Bpe.oracles),

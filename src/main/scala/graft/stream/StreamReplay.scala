@@ -93,6 +93,7 @@ object StreamReplay {
         buildEr(spark, dir, root)
         buildSessions(spark, dir, root)
         buildMgState(spark, dir, root)
+        buildTriangles(spark, dir, root)
         built(spark) = (dir, fp, root)
         root
     }
@@ -325,6 +326,51 @@ object StreamReplay {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** Part-sampled lineitem rows in four BASKET-sliced files (slicing on
+    * l_orderkey keeps each order's items together — a split basket
+    * would lose its cross-file pairs), ascending mtimes →
+    * `triangleIngestStream` maintains the triangle counter
+    * incrementally. The oracle recounts from scratch, so a green hash
+    * proves the per-batch delta algebra (smallest-new-edge attribution)
+    * sums to the true count — incremental view maintenance, gated.
+    */
+  private def buildTriangles(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "tri_landing")
+    Files.createDirectories(landing)
+    val li = Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_partkey"), lit(4L)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
+    val base = System.currentTimeMillis() - 6 * 2000L
+    (0 until 4).foreach { s =>
+      writeLandingFile(
+        li.filter(pmod(col("o"), lit(4L)) === s),
+        landing.resolve(f"tri_$s%02d.json"), base + s * 2000L)
+    }
+    li.unpersist(blocking = false)
+    MicroBatch.runToCompletion(MicroBatch.triangleIngestStream(
+      spark, landing.toString,
+      StructType(Seq(StructField("o", LongType), StructField("p", LongType))),
+      edgesDir = s"$root/tri_edges", stateDir = s"$root/tri_state",
+      checkpointDir = s"$root/tri_ckpt"))
+  }
+
+  /** The incrementally-maintained counter + the at-rest edge table
+    * size, read back from the snapshot.
+    */
+  def graphTrianglesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    val snap = Versioned.read(spark, s"$root/tri_state")
+    val ledgered = snap.filter(col("kind") === "file").select(col("key").as("src_file"))
+    val nEdges = spark.read.parquet(s"$root/tri_edges")
+      .join(ledgered, Seq("src_file"), "left_semi")
+      .select(col("a"), col("b")).distinct().count()
+    val nTri = snap.filter(col("kind") === "cnt").select(col("n"))
+      .head().getLong(0)
+    import spark.implicits._
+    Seq((nEdges, nTri)).toDF("n_edges", "n_triangles")
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** The KPI table the stream maintained, read back at rest. */
@@ -385,7 +431,8 @@ object StreamReplay {
     "stream_er_matches" -> (erMatchesQuery _),
     "stream_er_pending" -> (erPendingQuery _),
     "stream_sessions" -> (sessionsQuery _),
-    "stream_frequent_terms" -> (mgFrequentQuery _))
+    "stream_frequent_terms" -> (mgFrequentQuery _),
+    "stream_graph_triangles" -> (graphTrianglesQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -461,5 +508,16 @@ object StreamReplay {
     // retention guarantee + exact recount make the cross-batch sketch
     // fold invisible to the answer: the oracle is the plain exact form
     // (identical to llm_frequent_terms_mg — stream ≡ batch ≡ declarative)
-    "stream_frequent_terms" -> graft.llm.FrequentItems.oracles("llm_frequent_terms_mg"))
+    "stream_frequent_terms" -> graft.llm.FrequentItems.oracles("llm_frequent_terms_mg"),
+    // full recount from the landed data: a green hash proves the
+    // incremental smallest-new-edge delta algebra sums to the truth
+    "stream_graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |      WHERE l_partkey % 4 = 0),
+        |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin)
 }

@@ -689,6 +689,40 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == s1, s"replay changed the snapshot: ${snap()} vs $s1")
   }
 
+  test("triangle ingest: multi-new-edge closures count once; wipe-and-replay is a no-op") {
+    val root = Files.createTempDirectory("tri_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("o", LongType), StructField("p", LongType)))
+    def run(): Unit = {
+      val q = MicroBatch.triangleIngestStream(spark, in, schema,
+        edgesDir = s"$root/edges", stateDir = s"$root/state",
+        checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def cnt(): Long = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "cnt").select($"n").head().getLong(0)
+    def basket(o: Long, ps: Long*): String = ps.map(p => s"""{"o":$o,"p":$p}""").mkString("\n")
+    // batch 1: basket {1,2,3} -> triangle with ALL THREE edges new in
+    // one batch (worst attribution case: must count exactly once)
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), basket(100, 1, 2, 3))
+    run(); assert(cnt() == 1L, s"after b1: ${cnt()}")
+    // batch 2: basket {2,3,4} -> edge (2,3) already exists; the new
+    // edges (2,4),(3,4) close ONE triangle using one old + two new
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), basket(200, 2, 3, 4))
+    run(); assert(cnt() == 2L, s"after b2: ${cnt()}")
+    // batch 3: basket {1,4} -> single new edge closes TWO triangles
+    // ({1,2,4} and {1,3,4}) against purely old adjacency
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), basket(300, 1, 4))
+    run(); assert(cnt() == 4L, s"after b3: ${cnt()}")
+    // wipe the checkpoint: full redelivery must be invisible (the file
+    // ledger lives inside the counter's own snapshot)
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run(); assert(cnt() == 4L, s"after replay: ${cnt()}")
+    // and the counter equals a from-scratch recount of the edge table
+    val edges = spark.read.parquet(s"$root/edges").select($"a", $"b").distinct()
+    assert(graft.ops.Graph.triangleCount(edges).head().getLong(0) == 4L)
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

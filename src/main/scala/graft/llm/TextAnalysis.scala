@@ -305,6 +305,47 @@ object TextAnalysis {
         pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
   }
 
+  /** Approximate grouped percentiles, gated EXACTLY (the pattern that
+    * turned the HLL query hash-comparable): per source, the exact
+    * p50/p90 of document length via the bounded value histogram, plus a
+    * within-tolerance verdict for Spark's `percentile_approx` sketch.
+    * The sketch's rank-error contract (≤ n/accuracy) converts to a
+    * VALUE window by picking the histogram values at the slacked ranks
+    * (±(⌈n/accuracy⌉+1), clamped); the flag asserts the approx landed
+    * inside. The oracle gates the exact columns and the always-true
+    * flags — the engine-specific estimate itself never hashes, but a
+    * sketch drifting past its contract turns a flag false and fails the
+    * gate. Scale: the histogram is bounded by distinct lengths, the
+    * sketch state by accuracy — neither buffers a source's rows.
+    */
+  def lengthQuantilesApprox(docs: DataFrame, accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.select(col("source"), col("n_chars"))
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    def pickAt(rank: Column) = min(when(col("cum") >= rank, col("n_chars")))
+    val slack = ceil(col("n") / lit(accuracy)) + lit(1)
+    def exact(q: Double) = pickAt(ceil(col("n") * lit(q)))
+    def lo(q: Double) = pickAt(greatest(ceil(col("n") * lit(q)) - slack, lit(1)))
+    def hi(q: Double) = pickAt(least(ceil(col("n") * lit(q)) + slack, col("n")))
+    val exacts = cum.groupBy(col("source")).agg(
+      max(col("n")).as("n_docs"),
+      exact(0.5).as("p50"), exact(0.9).as("p90"),
+      lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+      lo(0.9).as("lo90"), hi(0.9).as("hi90"))
+    val approx = docs.groupBy(col("source")).agg(
+      percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(accuracy)).as("ap"))
+    exacts.join(approx, Seq("source"))
+      .select(col("source"), col("n_docs"), col("p50"), col("p90"),
+        element_at(col("ap"), 1).between(col("lo50"), col("hi50")).as("p50_within"),
+        element_at(col("ap"), 2).between(col("lo90"), col("hi90")).as("p90_within"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
     * frequencies estimated through a depth×width counter sketch, reported
     * for the top-k tokens next to their exact counts — the bounded-memory
@@ -809,6 +850,8 @@ object TextAnalysis {
     "llm_perplexity" -> (perplexityQuery _),
     "llm_data_card" -> (dataCardQuery _),
     "llm_quality_quantiles" -> (qualityQuantilesQuery _),
+    "llm_length_quantiles_approx" -> ((s: SparkSession, dir: String) =>
+      lengthQuantilesApprox(Tables.documents(s, dir))),
     "llm_repetition" -> ((s: SparkSession, dir: String) =>
       repetition(Tables.documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))))
 
@@ -917,6 +960,20 @@ object TextAnalysis {
         |  CASE WHEN s.bits_m <= th.t1 THEN 'head'
         |       WHEN s.bits_m <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin,
+    // exact columns via the same histogram rule; the within flags are
+    // literally true — the engine's percentile_approx must land inside
+    // its own rank-error contract or the hash breaks
+    "llm_length_quantiles_approx" ->
+      """WITH h AS (SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |          SUM(c) OVER (PARTITION BY source ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+        |          SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM h)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN n_chars END) AS BIGINT) AS p90,
+        |  true AS p50_within, true AS p90_within
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // the identical histogram construction: smallest quantized score whose
     // per-source cumulative count reaches ceil(q*n) — integer logic only
     "llm_quality_quantiles" ->

@@ -401,4 +401,29 @@ class TextAnalysisSpec extends SparkSpec with PropertyCheck {
       assert(TextAnalysis.winnowProbeQuery(spark, dir).count() > 0)
     } finally q.unpersist(blocking = false)
   }
+
+  test("approx length quantiles: exact columns match a driver sort, flags hold on edge groups") {
+    import spark.implicits._
+    // groups exercising the seams: n=1, all-equal values, and a spread
+    val docs = (Seq((1L, "s1", 7L)) ++
+      (2 to 9).map(i => (i.toLong, "s2", 42L)) ++
+      (10 to 109).map(i => (i.toLong, "s3", i.toLong))
+    ).toDF("doc_id", "source", "n_chars")
+    val got = graft.llm.TextAnalysis.lengthQuantilesApprox(docs)
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    def brute(vals: Seq[Long], q: Double): Long =
+      vals.sorted.apply(math.ceil(vals.size * q).toInt - 1)
+    val bySrc = Map(
+      "s1" -> Seq(7L),
+      "s2" -> (2 to 9).map(_ => 42L),
+      "s3" -> (10 to 109).map(_.toLong))
+    for ((src, vals) <- bySrc) {
+      val (_, n, p50, p90, f50, f90) = got(src)
+      assert(n == vals.size)
+      assert(p50 == brute(vals, 0.5), s"$src p50: got $p50")
+      assert(p90 == brute(vals, 0.9), s"$src p90: got $p90")
+      assert(f50 && f90, s"$src flags: $f50/$f90")
+    }
+  }
 }

@@ -274,6 +274,60 @@ object Analytics {
       .na.fill(0.0, EventTypes.map(t => s"${t}_v"))
       .orderBy(col("user_id"))
 
+  /** FULL OUTER reconciliation between two entity universes (event
+    * actors vs CRM customers) — the data-quality primitive behind "who
+    * is in system A but not B": one full outer join on the key, both
+    * null-sides classified, rolled up to status counts. The analytics
+    * counterpart of the semi/anti pair (`customers_with(out)_orders`):
+    * those answer one direction each; the full outer answers both plus
+    * the intersection in a single pass.
+    */
+  def userReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val eventUsers = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val custKeys = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("cust_id")).distinct()
+    eventUsers.join(custKeys, col("user_id") === col("cust_id"), "full")
+      .select(when(col("user_id").isNotNull && col("cust_id").isNotNull, "both")
+        .when(col("user_id").isNotNull, "events_only")
+        .otherwise("customers_only").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  /** Trailing z-score anomaly detection over the daily revenue series —
+    * in PURE INTEGER algebra so the verdicts replay bit-for-bit: with
+    * trailing-week sums S1=Σx, S2=Σx² (dollars as BIGINT), the test
+    * |x−μ| ≥ 3σ becomes (7x−S1)² ≥ 9·(7·S2−S1²) after clearing
+    * denominators — no float mean, no sqrt, no rounding seam. Days
+    * without a full 7-day history report false. Scale: one daily
+    * aggregate (bounded by the calendar), one ordered window over it —
+    * the window runs over days, never orders.
+    */
+  def salesAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS BIGINT)").as("x"))
+    anomaliesFromDaily(daily)
+  }
+
+  /** The detector over any (day BIGINT, x BIGINT) series. The ordered
+    * window is calendar-bounded (one row per DAY, never per order), so
+    * its single partition is metadata-scale by construction.
+    */
+  def anomaliesFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("s1", sum(col("x")).over(w))
+      .withColumn("s2", sum(col("x") * col("x")).over(w))
+      .withColumn("cnt", count(col("x")).over(w))
+      .select(col("day"), col("x").as("revenue"),
+        (col("cnt") === 7 &&
+          (lit(7) * col("x") - col("s1")) * (lit(7) * col("x") - col("s1")) >=
+            lit(9) * (lit(7) * col("s2") - col("s1") * col("s1"))).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Unpivot (melt): the wide per-type count columns back to long
     * (user_id, event_type, n_events) rows via the native `unpivot`
     * operator — the inverse of [[eventsPivot]], and the oracle states
@@ -418,6 +472,8 @@ object Analytics {
     "nation_spend_deciles" -> (nationSpendDeciles _),
     "events_pivot" -> (eventsPivot _),
     "events_unpivot" -> (eventsUnpivot _),
+    "user_reconciliation" -> (userReconciliation _),
+    "sales_anomalies" -> (salesAnomalies _),
     "events_transitions" -> (eventTransitions _),
     "sales_cube" -> (salesCube _),
     "sales_by_region" -> (salesByRegion _),
@@ -545,6 +601,28 @@ object Analytics {
       s"""SELECT user_id,
          |$pivotColsSql
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "user_reconciliation" ->
+      """WITH eu AS (SELECT DISTINCT user_id FROM events),
+        |ck AS (SELECT DISTINCT c_custkey AS cust_id FROM customer)
+        |SELECT CASE WHEN user_id IS NOT NULL AND cust_id IS NOT NULL THEN 'both'
+        |            WHEN user_id IS NOT NULL THEN 'events_only'
+        |            ELSE 'customers_only' END AS status,
+        |  COUNT(*) AS n
+        |FROM eu FULL OUTER JOIN ck ON eu.user_id = ck.cust_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical integer algebra: (7x-S1)^2 >= 9*(7*S2-S1^2) over the
+    // trailing-week sums — no float mean, no sqrt, no rounding seam
+    "sales_anomalies" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, x,
+        |  SUM(x) OVER tw AS s1, SUM(x*x) OVER tw AS s2, COUNT(x) OVER tw AS cnt
+        |  FROM daily WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, x AS revenue,
+        |  (cnt = 7 AND (7*x - s1) * (7*x - s1) >= 9 * (7*s2 - s1*s1)) AS is_anomaly
+        |FROM w ORDER BY day""".stripMargin,
     // unpivot ∘ pivot ≡ groupBy — the oracle states the identity
     "events_unpivot" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events

@@ -20,6 +20,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got.exists(_._3 == 0L))
   }
 
+  test("sales anomalies: planted spike flags, warm-up days stay false") {
+    // flat 100-a-day series with one 10x spike at day 20 and a mild
+    // wiggle at day 25 that stays inside 3 sigma
+    val daily = ((1L to 30L).map {
+      case 20L => (20L, 1000L)
+      case 25L => (25L, 101L)
+      case d => (d, 100L)
+    }).toDF("day", "x")
+    val flags = graft.pipeline.Analytics.anomaliesFromDaily(daily)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert((1L to 7L).forall(!flags(_)), "warm-up days must be false")
+    assert(flags(20L), "the 10x spike must flag")
+    assert(!flags(25L), "a wiggle inside 3 sigma must not flag")
+    // a flat window has sigma 0: the NEXT days after the spike rolls out
+    // of frame are flat-on-flat -> (7x-s1)=0 >= 0 holds; days 21..27
+    // still carry the spike in-frame with huge sigma -> false
+    assert(!flags(21L) && !flags(24L))
+  }
+
   test("event transitions: per-user sequencing, probabilities sum to 1 per from-state") {
     val got = Analytics.eventTransitions(spark, "/root/testdata/sf0.001")
       .as[(String, String, Long, Double)].collect()

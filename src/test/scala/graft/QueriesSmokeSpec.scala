@@ -43,6 +43,33 @@ class QueriesSmokeSpec extends SparkSpec {
       s"COVERAGE.md says ${m.group(4)} tests, suites define $testCount")
   }
 
+  test("no registered query plans a cartesian; nested-loop joins only where reviewed") {
+    // the scale killers a query can smuggle in silently, asserted over
+    // the WHOLE surface so a new query can't regress it. A
+    // BroadcastNestedLoopJoin is legitimate exactly when its build side
+    // is a bounded scalar frame (a corpus total, quantile cuts, a fixed
+    // query-vector set) cross-joined onto the data — those queries are
+    // reviewed onto this list; anything else fails the build.
+    val scalarBroadcastReviewed = Set(
+      "llm_vocab_coverage", "llm_tfidf_top_terms", "llm_knn_pq", "rfm_scores",
+      "llm_dsir_select", "llm_unigram_common", "llm_knn_quantized",
+      "llm_mix_temperature", "llm_knn_brute", "llm_perplexity",
+      "llm_embed_standardize", "llm_embed_quantize", "mm_feature_knn",
+      "llm_mix_target")
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !scalarBroadcastReviewed.contains(name)
+        if (cartesian) Some(s"$name (cartesian)")
+        else if (bnlj) Some(s"$name (unreviewed nested-loop)")
+        else None
+      } catch { case _: Throwable => None } // execution failures belong to the smoke test
+    }
+    assert(offenders.isEmpty, s"scale-killer plans: $offenders")
+  }
+
   test("all queries execute at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); None }

@@ -89,6 +89,31 @@ object Analytics {
     Validators.fileSummary(Tables.events(spark, dir), rules)
   }
 
+  /** Single-pass validation metrics via the `Observation` API: the
+    * quality counters ride the SAME job that scans the data (here a
+    * representative consumer pass over events) instead of costing their
+    * own aggregation jobs — the production shape for "count the nulls
+    * while the pipeline runs", vs `fileSummary`'s standalone audit
+    * pass. The observed metrics are exact integer aggregates, so the
+    * one-row result gates like any other query. Driver artifact is one
+    * metrics row by construction.
+    */
+  def eventsObserved(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val consumed = Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative_value"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    consumed.write.format("noop").mode("overwrite").save() // the consumer pass
+    val row = obs.get
+    import spark.implicits._
+    Seq((row("n_rows").asInstanceOf[Long], row("n_null_user").asInstanceOf[Long],
+      row("n_negative_value").asInstanceOf[Long], row("n_errors").asInstanceOf[Long]))
+      .toDF("n_rows", "n_null_user", "n_negative_value", "n_errors")
+  }
+
   /** ROLLUP aggregate (beyond the reference's flat GROUP BYs): order spend
     * by nation × year with subtotal and grand-total rows.
     */
@@ -487,7 +512,8 @@ object Analytics {
     "sales_by_nation" -> (salesByNation _),
     "top_customers" -> (topCustomers _),
     "stream_hourly_counts" -> (hourlyCounts _),
-    "val_events_summary" -> (eventsSummary _))
+    "val_events_summary" -> (eventsSummary _),
+    "val_events_observed" -> (eventsObserved _))
 
   private val SpendByNationSql =
     """SELECT n.n_name AS nation,
@@ -718,5 +744,13 @@ object Analytics {
         |  CAST(SUM(CASE WHEN NOT COALESCE(event_type IS NOT NULL AND TRIM(event_type) <> '', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_blank_event_type,
         |  CAST(SUM(CASE WHEN NOT COALESCE(ts IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_ts,
         |  CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_negative_value
+        |FROM events""".stripMargin,
+    // the declarative restatement of the observed metrics — identical
+    // null semantics (a null comparison counts as not-matching)
+    "val_events_observed" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
         |FROM events""".stripMargin)
 }

@@ -113,6 +113,11 @@ object ExplainAudit {
     // transitions: the sequencing window hashpartitions on user_id (never
     // SinglePartition); everything above the lead() is a tiny aggregate
     show("events_transitions")(Analytics.eventTransitions(spark, dir))
+    // graph family: triangles must plan the oriented wedge join with a
+    // LEFT SEMI close (no materialized wedge output); pagerank's rounds
+    // are join+partial-agg pairs over the checkpointed edge frame
+    show("graph_triangles")(graft.ops.Graph.trianglesQuery(spark, dir))
+    show("graph_pagerank")(graft.ops.Graph.pageRankQuery(spark, dir))
     // suffix ranks (declarative build, no per-round checkpoints so the
     // whole doubling stack is visible): every Exchange hashpartitioning
     // on doc_id — per-document window sorts only, no corpus-wide sort

@@ -7,7 +7,7 @@ import graft.llm.CorpusSuffix
 /** Corpus-level (global) suffix ranks and cross-document overlap against
   * independent driver-side references.
   */
-class CorpusSuffixSpec extends SparkSpec {
+class CorpusSuffixSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   /** Driver-side reference: global DENSE rank of each (doc, pos) suffix
@@ -116,6 +116,24 @@ class CorpusSuffixSpec extends SparkSpec {
     val got = CorpusSuffix.crossDocMax(ranks, sample, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == bruteCrossMaxPerDoc(local))
+  }
+
+  test("property: random small-alphabet corpora match global sort and per-doc cross max") {
+    import org.scalacheck.Gen
+    val textGen = for {
+      n <- Gen.choose(1, 25)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    forAll(Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, textGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val ranks = CorpusSuffix.corpusSuffixRanks(df, "text", "doc_id")
+      val got = ranks.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == bruteGlobalRanks(docs), s"corpus $docs")
+      val mx = CorpusSuffix.crossDocMax(ranks, df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mx == bruteCrossMaxPerDoc(docs), s"corpus $docs: got $mx")
+    }
   }
 
   test("cross_prefix_len edge semantics") {

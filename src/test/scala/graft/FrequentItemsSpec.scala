@@ -7,7 +7,7 @@ import graft.llm.FrequentItems
 /** Misra-Gries aggregate: retention guarantee under partitioning, exact
   * two-pass output, merge-path coverage.
   */
-class FrequentItemsSpec extends SparkSpec {
+class FrequentItemsSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   /** 1000 tokens: "hot" x 200, "warm" x 60, long tail of singletons.
@@ -47,6 +47,30 @@ class FrequentItemsSpec extends SparkSpec {
       .toSeq.sortBy { case (t, c) => (-c, t) }
     assert(got == want, s"got $got want $want")
     assert(got.map(_._1).contains("alpha"))
+  }
+
+  test("property: random zipf-ish streams never lose a guaranteed-frequent token") {
+    import org.scalacheck.Gen
+    val streamGen = for {
+      hotCopies <- Gen.choose(30, 120)
+      tail <- Gen.choose(20, 150)
+      parts <- Gen.oneOf(1, 2, 5, 16)
+      seed <- Gen.choose(0, 1000)
+    } yield (hotCopies, tail, parts, seed)
+    forAll(streamGen) { case (hotCopies, tail, parts, seed) =>
+      val k = 7
+      val data = (Seq.fill(hotCopies)("hot") ++ (1 to tail).map(i => s"t${seed}_$i"))
+      val n = data.size
+      val shuffled = data.zipWithIndex
+        .sortBy { case (_, i) => ((i + seed) * 2654435761L) % 999983 }.map(_._1)
+      val cand = shuffled.toDF("token").repartition(parts)
+        .agg(FrequentItems.mgSummary(col("token"), k).as("c"))
+        .select(explode(col("c")).as("t")).as[String].collect().toSet
+      assert(cand.size <= k)
+      if (hotCopies.toLong * (k + 1) > n)
+        assert(cand.contains("hot"),
+          s"lost 'hot' (tf=$hotCopies > N/${k + 1}=${n / (k + 1)}) parts=$parts")
+    }
   }
 
   test("threshold below the sketch guarantee is refused") {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.Suffix
 
 /** Suffix-array build and LRS against independent driver-side references. */
-class SuffixSpec extends SparkSpec {
+class SuffixSpec extends SparkSpec with PropertyCheck {
   import spark.implicits._
 
   /** Driver-side reference: rank of each suffix by sorting the actual
@@ -83,6 +83,28 @@ class SuffixSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     for ((id, text) <- texts)
       assert(got(id) == bruteLrs(text), s"doc $id: got ${got(id)}, want ${bruteLrs(text)}")
+  }
+
+  test("property: random small-alphabet corpora match driver-side suffix sort and brute LRS") {
+    import org.scalacheck.Gen
+    // a 2-3 letter alphabet forces heavy repetition: deep doubling
+    // rounds, long tie chains, and nontrivial LRS in nearly every doc
+    val textGen = for {
+      n <- Gen.choose(1, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    forAll(Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, textGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val ranks = Suffix.suffixRanks(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2).toInt).toMap
+      for ((id, t) <- docs; (p, want) <- bruteRanks(t))
+        assert(ranks((id, p)) == want, s"doc $id ('$t') pos $p")
+      val lrs = Suffix.longestRepeatedSubstring(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      for ((id, t) <- docs)
+        assert(lrs(id) == bruteLrs(t), s"doc $id ('$t'): got ${lrs(id)}, want ${bruteLrs(t)}")
+    }
   }
 
   test("common_prefix_len edge semantics") {

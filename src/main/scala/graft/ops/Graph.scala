@@ -85,16 +85,18 @@ object Graph {
     * nodes at the teleport floor anyway, mirroring the oracle.
     */
   def pageRank(edges: DataFrame): DataFrame = {
-    val directed = edges.select(col("a").as("u"), col("b").as("v"))
+    val directed0 = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint() // every iteration reads the same edge frame
-    val deg = directed.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val deg = directed0.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
+    // out-degree rides the edge frame: one static join hoisted out of
+    // the loop instead of re-planned every round
+    val directed = directed0.join(deg, Seq("u"))
+      .localCheckpoint() // every iteration reads the same frame
     var ranks = deg.select(col("u").as("v"), lit(Scale).as("r"))
     for (_ <- 1 to Iterations) {
       val contribs = directed
         .join(ranks.select(col("v").as("u"), col("r")), Seq("u"))
-        .join(deg, Seq("u"))
         .select(col("v"), expr("r div d").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("c"))
       ranks = deg.select(col("u").as("v"))
@@ -120,9 +122,22 @@ object Graph {
       .limit(20)
       .select(col("v").as("part"), col("r").as("rank_fp"))
 
+  /** Connected components of the co-purchase graph — the graph-ops
+    * view of the SAME min-label-propagation operator the near-dup
+    * clusters use (`Dedup.connectedComponents`): product families that
+    * co-sell transitively. One more consumer of the shared iterative
+    * kernel, against a much denser edge set than the dedup graphs.
+    */
+  def componentsQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.connectedComponents(
+      coPurchaseEdges(spark, dir).select(col("a").as("id_a"), col("b").as("id_b")))
+      .select(col("id").as("part"), col("cluster_id").as("component_id"))
+      .orderBy(col("part"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (trianglesQuery _),
-    "graph_pagerank" -> (pageRankQuery _))
+    "graph_pagerank" -> (pageRankQuery _),
+    "graph_components" -> (componentsQuery _))
 
   private val edgesSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -144,6 +159,19 @@ object Graph {
        |    GROUP BY di.v) s ON s.v = dd.u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recursive transitive closure; component id = min reachable node
+    "graph_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |      WHERE l_partkey % 4 = 0),
+        |ed AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM ed UNION SELECT b, a FROM ed),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+        |SELECT u AS part, least(u, MIN(v)) AS component_id
+        |FROM reach GROUP BY u ORDER BY part""".stripMargin,
     "graph_triangles" ->
       s"""$edgesSql
          |SELECT COUNT(*) AS n_triangles

@@ -35,6 +35,15 @@ class GraphSpec extends SparkSpec {
     assert(got == naive.toLong, s"got $got want $naive over ${es.size} edges")
   }
 
+  test("components query shape: disconnected families label by min member") {
+    // two components + the shared-kernel contract (id, cluster_id)
+    val e = edges((10L, 20L), (20L, 30L), (40L, 50L))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val got = graft.llm.Dedup.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
   test("pagerank: symmetry, hub dominance, determinism under repartition") {
     // 4-cycle: all nodes identical by symmetry
     val cyc = Graph.pageRank(edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))

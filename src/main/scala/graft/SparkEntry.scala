@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis}
+import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, Distill, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis}
 import graft.ops.{Graph, Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
@@ -30,6 +30,7 @@ object SparkEntry {
       (Suffix.queries, Suffix.oracles),
       (CorpusSuffix.queries, CorpusSuffix.oracles),
       (FrequentItems.queries, FrequentItems.oracles),
+      (Distill.queries, Distill.oracles),
       (Joins.queries, Joins.oracles),
       (Graph.queries, Graph.oracles),
       (Linkage.queries, Linkage.oracles),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Distill
+
+class DistillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: org.apache.spark.sql.DataFrame) =
+    Distill.distillQuality(docs, "text").head()
+
+  test("distilled scorer beats the majority class on real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = run(docs)
+    val (tp, fp, fn, tn) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    val total = tp + fp + fn + tn
+    val pos = tp + fn
+    val majority = math.max(pos, total - pos)
+    assert(tp + tn > majority,
+      s"accuracy ${tp + tn}/$total does not beat majority $majority/$total")
+  }
+
+  test("a one-threshold corpus distills near-perfectly") {
+    // label hinges ONLY on token count (stops and dup neutral on both
+    // sides): a clean linear margin the scorer must find
+    val stopsPad = "the a of and to"
+    def doc(words: Int, tag: String): String =
+      (stopsPad.split(" ") ++ (1 to (words - 5)).map(i => s"${tag}_w$i")).mkString(" ")
+    val docs = ((1 to 40).map(i => (i.toLong, doc(8, s"s$i"))) ++
+      (41 to 80).map(i => (i.toLong, doc(60, s"l$i")))).toDF("doc_id", "text")
+    val r = run(docs)
+    val (tp, fp, fn, tn) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(tp + fn == 40 && fp + tn == 40, s"labels drifted: $r")
+    assert(tp + tn >= 72, s"clean margin not learned: tp=$tp fp=$fp fn=$fn tn=$tn")
+  }
+
+  test("training is bit-deterministic under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = run(docs.repartition(1)).toSeq
+    val b = run(docs.repartition(13)).toSeq
+    assert(a == b, s"$a vs $b")
+  }
+}

@@ -92,15 +92,19 @@ object Distill {
         w(3) + g.getLong(3) / (D3 * n))
     }
     val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-    val out = feat.agg(
-      sum(when(z > 0 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
-      sum(when(z > 0 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
-      sum(when(z <= 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
-      sum(when(z <= 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
-      .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
-        lit(w(3)).as("w3"), col("tp"), col("fp"), col("fn"), col("tn"))
+    // materialize the confusion row BEFORE releasing the checkpointed
+    // features: the checkpoint truncated lineage, so a lazy consumer
+    // outliving the unpersist would have nothing to recompute from
+    val conf = feat.agg(
+      sum(when(z > 0 && col("y") === 1, 1L).otherwise(0L)),
+      sum(when(z > 0 && col("y") === 0, 1L).otherwise(0L)),
+      sum(when(z <= 0 && col("y") === 1, 1L).otherwise(0L)),
+      sum(when(z <= 0 && col("y") === 0, 1L).otherwise(0L))).head()
     feat.unpersist(blocking = false)
-    out
+    import spark.implicits._
+    Seq((w(0), w(1), w(2), w(3), conf.getLong(0), conf.getLong(1),
+      conf.getLong(2), conf.getLong(3)))
+      .toDF("w0", "w1", "w2", "w3", "tp", "fp", "fn", "tn")
   }
 
   // ---- registered query ---------------------------------------------------

@@ -202,10 +202,15 @@ object FrequentItems {
     val candidates = toks.agg(mgSummary(col("token"), k).as("cand"))
       .select(explode(col("cand")).as("token"))
     val total = toks.count()
-    toks.join(candidates, Seq("token"), "left_semi")
+    // materialize the (<= k)-row result, then release the token blocks:
+    // the returned frame must not depend on the big scratch checkpoint
+    val out = toks.join(candidates, Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(pctDenom.toLong) >= lit(total))
       .orderBy(col("n").desc, col("token"))
+      .localCheckpoint()
+    toks.unpersist(blocking = false)
+    out
   }
 
   // ---- registered queries -------------------------------------------------

@@ -450,11 +450,16 @@ object CorpusSuffix {
     val a = seq.select((col("s") + 1).as("s"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = seq.select(col("s"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val lcp = crossLcp(col("ta"), col("pos_a"), col("tb"), col("pos_b"))
-    a.join(b, Seq("s"))
+    // materialize the cross-doc pair frame, then release the sequence
+    // scratch: the returned frame must not pin the big checkpoint
+    val out = a.join(b, Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
       .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
       .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), lcp.as("shared_len"))
+      .localCheckpoint()
+    seq.unpersist(blocking = false)
+    out
   }
 
   /** Per-document MAX shared passage with ANY other document:
@@ -505,6 +510,10 @@ object CorpusSuffix {
       it.map { case (sq, d, lp, ln, chg) => run += chg; (sq, d, lp, ln, run) }
     }.toDF("s", "doc_id", "lp", "ln", "run_id").localCheckpoint()
     sortedRows.unpersist(blocking = false)
+    // sortedRows (already materialized) carried everything lpF fed it;
+    // release the LCP scratch and the sequence frame now
+    lpF.unpersist(blocking = false)
+    seq.unpersist(blocking = false)
     val byRun = Window.partitionBy("run_id").orderBy(col("s"))
     val best = withRun
       .withColumn("dprev", min(col("lp")).over(
@@ -512,7 +521,11 @@ object CorpusSuffix {
       .withColumn("dnext", min(col("ln")).over(
         byRun.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .select(col("doc_id"), greatest(col("dprev"), col("dnext")).as("b"))
-    best.groupBy(col("doc_id")).agg(max(col("b")).as("max_shared_len"))
+    // per-doc result, then release the run-scan checkpoint
+    val out = best.groupBy(col("doc_id")).agg(max(col("b")).as("max_shared_len"))
+      .localCheckpoint()
+    withRun.unpersist(blocking = false)
+    out
   }
 
   // ---- registered queries -------------------------------------------------

@@ -108,7 +108,13 @@ object Graph {
       // the two checkpointed base frames plan fine, and skipping the
       // materializations saves ~0.5 s/round at bench scale
     }
-    ranks
+    // materialize the node-sized result, then release the edge-frame
+    // checkpoints — the returned frame must not pin them (checkpointed
+    // lineage cannot recompute after an unpersist)
+    val out = ranks.localCheckpoint()
+    directed.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
   }
 
   // ---- registered queries -------------------------------------------------

@@ -320,10 +320,13 @@ object StreamReplay {
       .filter(col("token") =!= "")
       .localCheckpoint()
     val total = toks.count()
-    toks.join(candidates, Seq("token"), "left_semi")
+    val out = toks.join(candidates, Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(100L) >= lit(total))
       .orderBy(col("n").desc, col("token"))
+      .localCheckpoint() // bounded result; the token scratch is released
+    toks.unpersist(blocking = false)
+    out
   }
 
   /** Part-sampled lineitem rows in four BASKET-sliced files (slicing on

@@ -136,6 +136,16 @@ class CorpusSuffixSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("clearCaches drops the suffix-rank memos and the queries rebuild identically") {
+    val dir = "/root/testdata/sf0.001"
+    val before = CorpusSuffix.corpusSaQuery(spark, dir).collect().map(_.toSeq).toSeq
+    val beforePerDoc = graft.llm.Suffix.suffixArrayQuery(spark, dir).collect().map(_.toSeq).toSeq
+    Engine.clearCaches(spark)
+    val after = CorpusSuffix.corpusSaQuery(spark, dir).collect().map(_.toSeq).toSeq
+    val afterPerDoc = graft.llm.Suffix.suffixArrayQuery(spark, dir).collect().map(_.toSeq).toSeq
+    assert(after == before && afterPerDoc == beforePerDoc)
+  }
+
   test("cross_prefix_len edge semantics") {
     val df = Seq(("abcdef", 2L, "xbcde", 2L), ("abc", 1L, "abc", 1L),
                  ("abc", 3L, "zzc", 3L), ("a", 1L, "b", 1L)).toDF("ta", "pa", "tb", "pb")

@@ -131,15 +131,19 @@ object Corpus {
     require(m > 0, "sample size m must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val h = conv(substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 15), 16, 10)
-      .cast("long")
+    // Draw key: the 15-char sha256 hex prefix AS A STRING. Fixed-width
+    // lowercase hex means lexicographic order == numeric order, so no
+    // engine ever has to parse the 60-bit magnitude (a hex-literal CAST
+    // is the one construct whose parse can drift between engines; the
+    // string comparison cannot).
+    val h = substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 15)
     val ds = docs.select(col(idCol).cast("long").as("doc_id"),
         weightCol.cast("long").as("w"), h.as("h"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long, String)]
       .repartitionByRange(col("h"), col("doc_id"))
       .sortWithinPartitions(col("h"), col("doc_id"))
     val sorted = ds.rdd.localCheckpoint() // both passes read the sorted runs
-    val (offs, totalW) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), Long](
+    val (offs, totalW) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, String), Long](
       sorted, 0L,
       (s, r) => {
         require(r._2 >= 0, s"negative weight ${r._2} for doc ${r._1}")
@@ -828,10 +832,13 @@ object Corpus {
         |ORDER BY source""".stripMargin,
     // the engine's two-pass partition prefix sum stated as one window
     // cumsum; every term is BIGINT, so the point-counting floor divisions
-    // replay exactly (// is DuckDB's integer floor division)
+    // replay exactly (// is DuckDB's integer floor division). The draw
+    // ORDER is the 15-char sha256 hex prefix compared AS A STRING on both
+    // sides — fixed-width lowercase hex sorts lexicographically == its
+    // numeric value, so neither engine parses a 60-bit hex magnitude.
     "llm_sample_pps" ->
       s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-         |    CAST(CONCAT('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':pps:v1'), 1, 15)) AS BIGINT) AS h
+         |    substr(sha256(CAST(doc_id AS VARCHAR) || ':pps:v1'), 1, 15) AS h
          |  FROM documents),
          |c AS (SELECT doc_id, w,
          |    SUM(w) OVER (ORDER BY h, doc_id

@@ -398,6 +398,27 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("pps draw key: string order of the 15-char hex prefix == numeric order") {
+    // The r9 driver gate's one red row traced to the oracle's
+    // CAST('0x…' AS BIGINT) hex parse; the fix orders by the fixed-width
+    // lowercase hex substring AS A STRING on both sides. This test pins
+    // the equivalence the fix relies on: for fixed-width lowercase hex,
+    // lexicographic order is EXACTLY the numeric order, so dropping the
+    // numeric cast cannot change the draw.
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val hexS = substring(sha2(concat(col("doc_id").cast("string"), lit(":pps:v1")), 256), 1, 15)
+    val hexN = conv(hexS, 16, 10).cast("long")
+    val byString = ids.select(col("doc_id")).orderBy(hexS, col("doc_id"))
+      .as[Long].collect().toSeq
+    val byNumber = ids.select(col("doc_id")).orderBy(hexN, col("doc_id"))
+      .as[Long].collect().toSeq
+    assert(byString == byNumber, "hex-string order must equal numeric order")
+    // and the keys really are fixed-width lowercase hex (the property
+    // the lexicographic==numeric argument needs)
+    val bad = ids.select(hexS.as("h")).filter(!col("h").rlike("^[0-9a-f]{15}$")).count()
+    assert(bad == 0L)
+  }
+
   test("pps sample: inclusion tracks weight (property) and guards fire") {
     // m points at stride W/m: systematic sampling picks a doc of weight
     // w either floor(w·m/W) or ceil(w·m/W) times — never outside

@@ -51,6 +51,23 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1", _.toString) }
       .mkString("{", ",", "}")
+    // one-time build cost, first-class: pass 1 pays every session memo
+    // (suffix ranks, corpus SA, stream replays, IVF index, bucketed
+    // tables); later passes ride the cache. `first` is the cold per-query
+    // time; builds_sec = Σ(first − min) is the total one-time cost the
+    // min-based `queries` column deliberately excludes. Reported
+    // separately so the steady-state contract (`queries` = min) is
+    // unchanged while cold cost is machine-readable, not reverse-
+    // engineered from spread_pct.
+    val firsts = ordered.flatMap { case (name, _) =>
+      sweeps.head(name).toOption.map(name -> _)
+    }
+    val firstJson = firsts
+      .map { case (k, v) => jstr(k) + ":" + v.toString }
+      .mkString("{", ",", "}")
+    val buildsTotal = firsts.map { case (name, f) =>
+      results.toMap.get(name).flatMap(_.toOption).fold(0.0)(m => math.max(0.0, f - m))
+    }.sum
     val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
@@ -60,7 +77,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + BenchSweep.num(v, 1) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"spread_pct":$spreadJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"first":$firstJson,"builds_sec":${BenchSweep.num(buildsTotal, 3)},"spread_pct":$spreadJson,"errors":$errors,"sf":"$sfDir"}"""
     // print FIRST and also persist: the driver reads only the sbt tail, so a
     // post-run log line can push the JSON out of its window (BENCH_r01's
     // `parsed` was null for exactly that reason)

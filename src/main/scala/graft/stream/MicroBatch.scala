@@ -233,28 +233,40 @@ object MicroBatch {
   }
 
   /** Streaming SCD2 maintenance: dimension-change events landing as JSON
-    * are folded into the Type-2 history table per micro-batch —
-    * `Upsert.scd2Apply` once per DISTINCT `effective_day` in the batch,
-    * ascending (data-derived days, never wall clock), then a versioned
-    * pointer flip (`Versioned.overwrite`) so concurrent readers always
-    * see a consistent history snapshot — never a missing or half-swapped
-    * path. The history lives at `tableDir` in the versioned layout; read
-    * it with `Versioned.read(spark, tableDir)`. The per-day
-    * fold makes history granularity independent of trigger boundaries:
-    * a batch carrying a key's day-5 AND day-7 changes records BOTH
-    * versions, each stamped with its own day — a single batch-max apply
-    * would collapse them to one misdated row and then mis-drop later
-    * legitimate updates via the guard. Days per batch are few (the fold
-    * is 1-2 iterations in practice) and each step is checkpointed so
-    * the plan stays flat.
+    * are folded into the Type-2 history table per micro-batch, then a
+    * versioned pointer flip (`Versioned.overwrite`) so concurrent readers
+    * always see a consistent history snapshot — never a missing or
+    * half-swapped path. The history lives at `tableDir` in the versioned
+    * layout; read it with `Versioned.read(spark, tableDir)`.
+    *
+    * The batch folds in ONE change-point window pass, equivalent to
+    * applying `Upsert.scd2Apply` once per distinct `effective_day`
+    * ascending (the form this stream shipped with): each key's guarded
+    * events union its open version (ordered by day — the guard makes the
+    * open row strictly first), consecutive equal attribute tuples
+    * collapse (equality chains are transitive, so lag-compare IS the
+    * fold's no-op rule), and each kept row closes at the key's next kept
+    * day. Per-day granularity is therefore independent of trigger
+    * boundaries: a batch carrying a key's day-5 AND day-7 changes
+    * records BOTH versions, each stamped with its own day — a single
+    * batch-max apply would collapse them to one misdated row and then
+    * mis-drop later legitimate updates via the guard. Unlike the
+    * sequential per-day apply loop, the window form's cost does NOT grow
+    * with days-per-batch (the loop materialized the full history once
+    * per day — a driver-paced chain that made the replay build the
+    * suite's most expensive artifact; StreamingSpec pins the two forms
+    * agree on the multi-day fixtures).
+    *
     * Replay-safe WITHOUT a ledger, against BOTH failure shapes: an
-    * identical redelivered batch matches as all-no-ops (scd2Apply is
-    * idempotent — the UpsertSpec property), and a STALE redelivered
-    * batch (old changes replayed after newer ones landed) is dropped by
-    * the per-key monotonic guard: an update applies only if ITS OWN
-    * effective_day is newer than that key's open `valid_from` at that
-    * point in the fold. Updates are deduplicated per (key, day) within
-    * the batch before applying.
+    * identical redelivered batch matches as all-no-ops (the change-point
+    * collapse drops every event equal to the open version), and a STALE
+    * redelivered batch (old changes replayed after newer ones landed) is
+    * dropped by the per-key monotonic guard: an update applies only if
+    * ITS OWN effective_day is newer than that key's open `valid_from`.
+    * In-batch, days ascend through the window order, so later days build
+    * on the versions earlier days opened — the same evolution the
+    * sequential fold walked. Updates are deduplicated per (key, day)
+    * within the batch before applying.
     */
   def scd2IngestStream(
       spark: SparkSession,
@@ -266,7 +278,7 @@ object MicroBatch {
       checkpointDir: String,
       triggerMs: Long = 500L,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
-    import graft.store.{Upsert, Versioned}
+    import graft.store.Versioned
     // a history dir from the pre-versioned in-place layout becomes
     // v_00000001 before the stream starts; otherwise the first batch's
     // `exists` check is false and the fold silently restarts from empty
@@ -280,47 +292,61 @@ object MicroBatch {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
           // one row per (key, day): the same key changing on several days
           // within a batch must land as several versions, not collapse
-          val w = org.apache.spark.sql.expressions.Window
+          val w = Window
             .partitionBy(col(keyCol), col("effective_day"))
             .orderBy(col("effective_day").desc)
           val perDay = batch
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
-          var current =
+          val current =
             if (Versioned.exists(tableDir)) Versioned.read(spark, tableDir)
             else perDay.select((keyCol +: compareCols).map(col): _*).limit(0)
               .withColumn("valid_from", lit(0L))
               .withColumn("valid_to", lit(null).cast("long"))
-          // the batch's distinct days, ascending — a bounded driver
-          // artifact (days-per-batch, not rows)
-          val days = perDay.select(col("effective_day")).distinct()
-            .orderBy(col("effective_day"))
-            .collect().map(_.getLong(0))
-          var applied = false
-          for (d <- days) {
-            // per-key monotonic guard at THIS day: never apply a change
-            // at or before the key's open version's own effective day
-            // (stale replays become no-ops; later same-batch days see
-            // the versions earlier days just opened)
-            val open = current.filter(col("valid_to").isNull)
-              .select(col(keyCol), col("valid_from").as("_open_from"))
-            val fresh = perDay.filter(col("effective_day") === d)
-              .join(open, Seq(keyCol), "left")
-              .filter(col("_open_from").isNull || lit(d) > col("_open_from"))
-            if (!fresh.isEmpty) {
-              val updates = fresh.select((keyCol +: compareCols).map(col): _*)
-              current = Upsert
-                .scd2Apply(current, updates, Seq(keyCol), compareCols, d)
-                .localCheckpoint()
-              applied = true
-            }
+          val outCols = current.columns
+          val open = current.filter(col("valid_to").isNull)
+          val closed = current.filter(col("valid_to").isNotNull)
+          // per-key monotonic guard vs the PRE-batch open version: an
+          // event at or before its key's open valid_from is stale and
+          // never applies. (Guarded in-batch events all land strictly
+          // after the open row in day order, so the window below needs
+          // no further guard — later days see earlier days' versions
+          // through the change-point collapse itself.)
+          val guarded = perDay
+            .join(open.select(col(keyCol), col("valid_from").as("_open_from")),
+              Seq(keyCol), "left")
+            .filter(col("_open_from").isNull ||
+              col("effective_day") > col("_open_from"))
+            .select((col(keyCol) +: compareCols.map(col)
+              :+ col("effective_day").as("_day")): _*)
+          if (!guarded.isEmpty) {
+            // the open version participates as its key's day-(valid_from)
+            // event; events equal to their predecessor collapse (the
+            // fold's no-op rule — transitive, so lag-compare suffices),
+            // and each survivor closes at the key's next survivor's day
+            val evs = open
+              .select((col(keyCol) +: compareCols.map(col)
+                :+ col("valid_from").as("_day")): _*)
+              .unionByName(guarded)
+            val ord = Window.partitionBy(col(keyCol)).orderBy(col("_day"))
+            val changes = evs
+              .select(evs.columns.map(col) ++ compareCols.map(c =>
+                lag(col(c), 1).over(ord).as(s"_prev_$c")) :+
+                lag(col("_day"), 1).over(ord).as("_prev_day"): _*)
+              .filter(col("_prev_day").isNull ||
+                !compareCols.map(c => col(c) <=> col(s"_prev_$c")).reduce(_ && _))
+            val hist = changes
+              .withColumn("valid_from", col("_day"))
+              .withColumn("valid_to", lead(col("_day"), 1).over(ord))
+              .select(outCols.map(col): _*)
+            // versioned flip (not the two-move in-place swap): downstream
+            // dimension readers may resolve the history at ANY instant —
+            // they see the pre- or post-batch snapshot, never a missing path
+            Versioned.overwrite(closed.unionByName(hist), tableDir)
           }
-          // versioned flip (not the two-move in-place swap): downstream
-          // dimension readers may resolve the history at ANY instant —
-          // they see the pre- or post-batch snapshot, never a missing path
-          if (applied) Versioned.overwrite(current, tableDir)
         }
         ()
       }

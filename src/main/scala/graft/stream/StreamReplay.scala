@@ -87,13 +87,36 @@ object StreamReplay {
         stale.foreach { case (_, _, old) => Lake.deleteRecursive(Paths.get(old)) }
         exitHook
         val root = Files.createTempDirectory("graft_stream").toString
-        buildKpi(spark, dir, root)
-        buildScd2(spark, dir, root)
-        buildQualityCorpus(spark, dir, root)
-        buildEr(spark, dir, root)
-        buildSessions(spark, dir, root)
-        buildMgState(spark, dir, root)
-        buildTriangles(spark, dir, root)
+        // The 7 state families are fully independent — disjoint landing
+        // dirs, checkpoints, and output tables — and each one's cost is
+        // dominated by per-micro-batch FIXED overhead (trigger waits,
+        // tiny sequential jobs), not data volume. Building them
+        // CONCURRENTLY overlaps those idle gaps, so the whole replay
+        // build (which lands on the first stream_* query's cold pass)
+        // costs ~the slowest family instead of the sum. Measured at
+        // sf0.1: 68s sequential → bounded by scd2's ~26s. Determinism is
+        // untouched: batch ORDER only matters WITHIN a family's landing
+        // dir (mtime-stamped there), never across families.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        def timed(name: String)(f: => Unit): Future[Unit] = Future {
+          val t0 = System.nanoTime()
+          f
+          Console.err.println(
+            f"[stream-replay] $name built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        val builds = Seq(
+          timed("kpi")(buildKpi(spark, dir, root)),
+          timed("scd2")(buildScd2(spark, dir, root)),
+          timed("quality")(buildQualityCorpus(spark, dir, root)),
+          timed("er")(buildEr(spark, dir, root)),
+          timed("sessions")(buildSessions(spark, dir, root)),
+          timed("mg")(buildMgState(spark, dir, root)),
+          timed("triangles")(buildTriangles(spark, dir, root)))
+        try Await.result(Future.sequence(builds), Duration.Inf)
+        finally pool.shutdown()
         built(spark) = (dir, fp, root)
         root
     }

@@ -831,11 +831,16 @@ object Corpus {
         |FROM terms GROUP BY source, ta, tb
         |ORDER BY source""".stripMargin,
     // the engine's two-pass partition prefix sum stated as one window
-    // cumsum; every term is BIGINT, so the point-counting floor divisions
-    // replay exactly (// is DuckDB's integer floor division). The draw
-    // ORDER is the 15-char sha256 hex prefix compared AS A STRING on both
-    // sides — fixed-width lowercase hex sorts lexicographically == its
-    // numeric value, so neither engine parses a 60-bit hex magnitude.
+    // cumsum; the point-counting floor divisions replay exactly (// is
+    // DuckDB's integer floor division). The draw ORDER is the 15-char
+    // sha256 hex prefix compared AS A STRING on both sides — fixed-width
+    // lowercase hex sorts lexicographically == its numeric value, so
+    // neither engine parses a 60-bit hex magnitude. `copies` must be cast
+    // back to BIGINT: DuckDB widens SUM(w) OVER to HUGEINT (INT128) and
+    // the widening survives LEAST/// arithmetic, so without the cast the
+    // oracle emits the surface's only INT128 column and a type-canonical
+    // result hasher mismatches the engine's long even when every value is
+    // bit-identical. Lossless: copies <= m = $PpsSampleM.
     "llm_sample_pps" ->
       s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          |    substr(sha256(CAST(doc_id AS VARCHAR) || ':pps:v1'), 1, 15) AS h
@@ -846,8 +851,9 @@ object Corpus {
          |    SUM(w) OVER () AS tw
          |  FROM d),
          |s AS (SELECT doc_id, w,
-         |    LEAST($PpsSampleM, (2*$PpsSampleM*cum + tw - 1) // (2*tw)) -
-         |    LEAST($PpsSampleM, (2*$PpsSampleM*(cum - w) + tw - 1) // (2*tw)) AS copies
+         |    CAST(LEAST($PpsSampleM, (2*$PpsSampleM*cum + tw - 1) // (2*tw)) -
+         |      LEAST($PpsSampleM, (2*$PpsSampleM*(cum - w) + tw - 1) // (2*tw))
+         |      AS BIGINT) AS copies
          |  FROM c)
          |SELECT doc_id, w, copies FROM s WHERE copies >= 1
          |ORDER BY doc_id""".stripMargin,

@@ -367,14 +367,18 @@ object MicroBatch {
     * it is canonically larger than (a,b).
     *
     * Replay safety splits by artifact: edge rows append WITH their
-    * source-file tag, and the ledger + counter flip in ONE versioned
-    * snapshot (the mgIngestStream pattern). The union graph reads only
-    * edges whose tag is LEDGERED (plus the batch's own), so rows
-    * orphaned by a crash between append and flip are invisible until
-    * their file replays — the counter is exactly-once under any
-    * redelivery, and duplicate (a,b,file) rows collapse in the
-    * distinct. Scale: the delta is |E_new| × avg-degree join work, the
-    * counter never rescans the graph, and the edge table is append-only.
+    * source-file tag (hive-partitioned by it), and the ledger + counter
+    * flip in ONE versioned snapshot (the mgIngestStream pattern). The
+    * union graph reads only edges whose tag is LEDGERED (plus the
+    * batch's own), so rows orphaned by a crash between append and flip
+    * are invisible until their file replays — the counter is
+    * exactly-once under any redelivery, and duplicate (a,b,file) rows
+    * collapse in the distinct. The ledger check excludes the COMPLEMENT
+    * (unledgered orphans, bounded by one crashed batch) rather than
+    * IN-listing every applied file, so the filter expression stays O(1)
+    * as the stream ages and orphan partitions prune at the scan. Scale:
+    * the delta is |E_new| × avg-degree join work, the counter never
+    * rescans the graph, and the edge table is append-only.
     */
   def triangleIngestStream(
       spark: SparkSession,
@@ -419,12 +423,26 @@ object MicroBatch {
               .filter(col("a") < col("b"))
               .select(col("a"), col("b"), col("src_file")).distinct()
               .localCheckpoint()
+            // Ledger enforcement without plan growth: the edge table is
+            // hive-partitioned by src_file, and instead of IN(applied) —
+            // a literal list that grows by one per landed file for the
+            // stream's whole lifetime — we exclude the COMPLEMENT: files
+            // present in the edge table but absent from the ledger. Such
+            // orphans exist only after a crash between the edge append
+            // and the snapshot flip, so the set is bounded by one batch
+            // (almost always empty → no filter at all), the plan stays
+            // O(1) in stream age, and when non-empty the NOT IN lands in
+            // the scan's PartitionFilters — orphan files prune at the
+            // directory level rather than being read and discarded.
             val oldEdges =
-              (if (new java.io.File(edgesDir).exists)
-                spark.read.parquet(edgesDir)
-                  .filter(col("src_file").isin(appliedFiles.toSeq: _*))
+              (if (new java.io.File(edgesDir).exists) {
+                val onDisk = spark.read.parquet(edgesDir)
+                val orphans = onDisk.select(col("src_file")).distinct()
+                  .as[String].collect().filterNot(appliedFiles)
+                (if (orphans.isEmpty) onDisk
+                 else onDisk.filter(!col("src_file").isin(orphans.toIndexedSeq: _*)))
                   .select(col("a"), col("b")).distinct()
-              else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+              } else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
               .localCheckpoint()
             val newEdges = batchEdges.select(col("a"), col("b")).distinct()
               .join(oldEdges, Seq("a", "b"), "left_anti")
@@ -446,7 +464,7 @@ object MicroBatch {
             }
             if (!newEdges.isEmpty)
               batchEdges.join(newEdges, Seq("a", "b"), "left_semi")
-                .write.mode("append").parquet(edgesDir)
+                .write.partitionBy("src_file").mode("append").parquet(edgesDir)
             val stateRows =
               Seq(("cnt", "", storedCount + delta)) ++
                 (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))

@@ -419,6 +419,22 @@ class CorpusSpec extends SparkSpec with PropertyCheck {
     assert(bad == 0L)
   }
 
+  test("pps oracle: copies is cast back to BIGINT (the only HUGEINT on the surface)") {
+    // Two rounds of driver hash-red traced (r10 judge) to the oracle's
+    // `copies` being DuckDB HUGEINT: SUM(w) OVER widens to INT128 and the
+    // widening survives LEAST/// arithmetic, so a type-canonical result
+    // hasher mismatched the engine's long while every VALUE was identical.
+    // Pin the fix: the published oracle text must cast copies to BIGINT,
+    // and the engine side must emit LongType so the Arrow types align.
+    val sql = SparkEntry.oracleSql("llm_sample_pps")
+    assert(sql.contains("AS BIGINT) AS copies"),
+      "llm_sample_pps oracle must CAST the copies expression to BIGINT")
+    val d = (0L until 20L).map(i => (i, 1L + i)).toDF("doc_id", "w0")
+    val schema = Corpus.ppsSystematicSample(d, "doc_id", col("w0"), 5).schema
+    assert(schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      s"engine pps output must be all LongType: $schema")
+  }
+
   test("pps sample: inclusion tracks weight (property) and guards fire") {
     // m points at stride W/m: systematic sampling picks a doc of weight
     // w either floor(w·m/W) or ceil(w·m/W) times — never outside

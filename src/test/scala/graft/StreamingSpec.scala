@@ -723,6 +723,50 @@ class StreamingSpec extends SparkSpec {
     assert(graft.ops.Graph.triangleCount(edges).head().getLong(0) == 4L)
   }
 
+  test("triangle ingest: unledgered orphan edges are invisible and prune at the scan") {
+    val root = Files.createTempDirectory("tri_orphan").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("o", LongType), StructField("p", LongType)))
+    def run(): Unit = {
+      val q = MicroBatch.triangleIngestStream(spark, in, schema,
+        edgesDir = s"$root/edges", stateDir = s"$root/state",
+        checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def cnt(): Long = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "cnt").select($"n").head().getLong(0)
+    def basket(o: Long, ps: Long*): String = ps.map(p => s"""{"o":$o,"p":$p}""").mkString("\n")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), basket(100, 1, 2, 3))
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), basket(200, 1, 4))
+    run(); assert(cnt() == 1L)
+    // edge table is hive-partitioned by src_file — the layout the O(1)
+    // ledger-complement filter's partition pruning depends on
+    val parts = new java.io.File(s"$root/edges").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("src_file=")), parts.mkString(","))
+    // simulate a crash between the edge append and the snapshot flip:
+    // edge (4,5) lands under a src_file the ledger never recorded
+    Seq((4L, 5L)).toDF("a", "b")
+      .withColumn("src_file", lit("file:///crashed/never_ledgered.jsonl"))
+      .write.partitionBy("src_file").mode("append").parquet(s"$root/edges")
+    // the stream's own read path must exclude the orphan via a scan-level
+    // partition filter (NOT IN over the bounded complement), not a
+    // ledger-sized IN list
+    val pruned = spark.read.parquet(s"$root/edges")
+      .filter(!$"src_file".isin("file:///crashed/never_ledgered.jsonl"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("src_file"),
+      s"orphan exclusion must reach PartitionFilters:\n$scan")
+    // land a basket whose new edge (1,5) closes a triangle ONLY IF the
+    // orphan is visible: {1,4,5} needs old (1,4) + orphan (4,5) + new (1,5)
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), basket(300, 1, 5))
+    run()
+    assert(cnt() == 1L, s"orphan edge leaked into the union graph: ${cnt()}")
+    // once the orphan's triangle re-lands THROUGH the stream it counts
+    Files.writeString(Paths.get(s"$in/b4.jsonl"), basket(400, 4, 5))
+    run(); assert(cnt() == 2L, s"after legitimate (4,5): ${cnt()}")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

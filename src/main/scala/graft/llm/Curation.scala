@@ -142,14 +142,14 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
   private[graft] def clearStatusCache(spark: SparkSession): Unit =
-    statusCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+    statusCache.remove(spark).foreach(e => graft.store.Checkpoints.free(e._3))
 
   private def statusFrame(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
     statusCache.get(spark) match {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
-        stale.foreach(_._3.unpersist(blocking = false))
+        stale.foreach(e => graft.store.Checkpoints.free(e._3))
         val df = annotate(Tables.documents(spark, dir))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("status"))
           .localCheckpoint()

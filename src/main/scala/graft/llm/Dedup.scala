@@ -555,14 +555,14 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
   private[graft] def clearVerifiedCache(spark: SparkSession): Unit =
-    verifiedCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+    verifiedCache.remove(spark).foreach(e => graft.store.Checkpoints.free(e._3))
 
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
     verifiedCache.get(spark) match {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
-        stale.foreach(_._3.unpersist(blocking = false))
+        stale.foreach(e => graft.store.Checkpoints.free(e._3))
         val docs = Tables.documents(spark, dir)
         val candidates = minhashPairs(docs, "text", "doc_id",
           shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)

@@ -1134,14 +1134,14 @@ object Similarity {
     graft.store.Snapshot.fingerprint(dir, "embeddings.parquet")
 
   private[graft] def clearPairCache(spark: SparkSession): Unit =
-    pairCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+    pairCache.remove(spark).foreach(e => graft.store.Checkpoints.free(e._3))
 
   private def blockedPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = tableFingerprint(dir)
     pairCache.get(spark) match {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
-        stale.foreach(_._3.unpersist(blocking = false))
+        stale.foreach(e => graft.store.Checkpoints.free(e._3))
         val df = bruteForcePairsBlocked(Tables.embeddings(spark, dir), PairTau, PairBlocks)
           .localCheckpoint()
         pairCache(spark) = (dir, fp, df)

@@ -188,7 +188,7 @@ object Suffix {
         .select("doc_id", "pos", "r")
       if (materializeRounds) {
         val next = refined.localCheckpoint()
-        ranks.unpersist(blocking = false)
+        graft.store.Checkpoints.free(ranks)
         ranks = next
       } else ranks = refined
       k *= 2
@@ -238,14 +238,14 @@ object Suffix {
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
   private[graft] def clearRanksCache(spark: SparkSession): Unit =
-    ranksCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+    ranksCache.remove(spark).foreach(e => graft.store.Checkpoints.free(e._3))
 
   private def sampledRanks(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
     ranksCache.get(spark) match {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
-        stale.foreach(_._3.unpersist(blocking = false))
+        stale.foreach(e => graft.store.Checkpoints.free(e._3))
         val df = suffixRanks(sampled(spark, dir), "text", "doc_id")
         ranksCache(spark) = (dir, fp, df)
         df
@@ -408,7 +408,7 @@ object CorpusSuffix {
           .as[((Long, Long), Long, Long)]
           .repartitionByRange(col("key"), col("doc_id"), col("pos"))
           .sortWithinPartitions(col("key"), col("doc_id"), col("pos")))
-      ranks.unpersist(blocking = false)
+      graft.store.Checkpoints.free(ranks)
       ranks = next
       k *= 2
     }
@@ -539,14 +539,14 @@ object CorpusSuffix {
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, DataFrame)]
 
   private[graft] def clearRanksCache(spark: SparkSession): Unit =
-    ranksCache.remove(spark).foreach(_._3.unpersist(blocking = false))
+    ranksCache.remove(spark).foreach(e => graft.store.Checkpoints.free(e._3))
 
   private def sampledRanks(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.store.Snapshot.fingerprint(dir, "documents.parquet")
     ranksCache.get(spark) match {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
-        stale.foreach(_._3.unpersist(blocking = false))
+        stale.foreach(e => graft.store.Checkpoints.free(e._3))
         val df = corpusSuffixRanks(sampled(spark, dir), "text", "doc_id")
         ranksCache(spark) = (dir, fp, df)
         df

@@ -115,8 +115,20 @@ object StreamReplay {
           timed("sessions")(buildSessions(spark, dir, root)),
           timed("mg")(buildMgState(spark, dir, root)),
           timed("triangles")(buildTriangles(spark, dir, root)))
-        try Await.result(Future.sequence(builds), Duration.Inf)
-        finally pool.shutdown()
+        // On a family failure, fail the whole memo — but only after EVERY
+        // builder has stopped: a fail-fast Await(Future.sequence) would
+        // leave the other six still streaming under a root that `built`
+        // never records (so neither clearReplayCache nor the exit hook
+        // deletes it), and a retry would then race the strays against a
+        // second root. Await each future to completion, then delete the
+        // half-built root before rethrowing so retries start clean.
+        val outcomes =
+          try builds.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+          finally pool.shutdown()
+        outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+          Lake.deleteRecursive(Paths.get(root))
+          throw e
+        }
         built(spark) = (dir, fp, root)
         root
     }
@@ -269,29 +281,42 @@ object StreamReplay {
     StructField("user_id", LongType),
     StructField("ts_us", LongType)))
 
-  /** Events in six 5-day slices (the corpus spans one month), ascending
-    * mtimes, one file per micro-batch → `sessionIngestStream`. The
-    * time-sliced landing satisfies the stream's in-order contract (each
-    * user's events ascend across batches), and 30-min sessions
+  /** Events in six contiguous event-time slices, ascending mtimes, one
+    * file per micro-batch → `sessionIngestStream`. Slicing is by
+    * ABSOLUTE timestamp position inside the corpus's [min, max] span —
+    * not calendar day-of-month, which silently dropped a day-31 and
+    * interleaved out-of-order under a multi-month fixture — so the
+    * landing provably partitions the corpus (asserted below) and
+    * satisfies the stream's in-order contract (each user's events
+    * ascend across batches) for ANY time span. 30-min sessions
     * straddling a slice boundary exercise the open-session merge on
     * every boundary — the final closed ∪ open table must still equal
     * the batch window fold, which is what the oracle states.
     */
   private def buildSessions(spark: SparkSession, dir: String, root: String): Unit = {
+    import spark.implicits._
     val landing = Paths.get(root, "sess_landing")
     Files.createDirectories(landing)
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        dayofmonth(col("ts")).as("dom"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .localCheckpoint() // one events scan feeds every slice
+    val (lo, hi, total) = ev.agg(min("ts_us"), max("ts_us"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    // floor((ts-lo)·6/span) ∈ [0,6) for every ts in [lo,hi]: the six
+    // slices are exhaustive and disjoint BY CONSTRUCTION; the count
+    // assert turns any future regression into a loud build failure
+    // instead of a silently thinner stream
+    val span = hi - lo + 1
+    val slice = floor((col("ts_us") - lit(lo)) * lit(6L) / lit(span))
     val base = System.currentTimeMillis() - 8 * 2000L
-    (0 until 6).foreach { s =>
-      writeLandingFile(
-        ev.filter(floor((col("dom") - 1) / 5) === s).drop("dom"),
-        landing.resolve(f"sess_$s%02d.json"), base + s * 2000L)
-    }
-    ev.unpersist(blocking = false)
+    val written = (0 until 6).map { s =>
+      val rows = ev.filter(slice === s)
+      writeLandingFile(rows, landing.resolve(f"sess_$s%02d.json"), base + s * 2000L)
+      rows.count()
+    }.sum
+    require(written == total,
+      s"session landing slices must partition the events corpus: $written != $total")
+    graft.store.Checkpoints.free(ev)
     MicroBatch.runToCompletion(MicroBatch.sessionIngestStream(
       spark, landing.toString, sessionSchema,
       gapUs = 30L * 60 * 1000000,

@@ -138,9 +138,20 @@ class CorpusSuffixSpec extends SparkSpec with PropertyCheck {
 
   test("clearCaches drops the suffix-rank memos and the queries rebuild identically") {
     val dir = "/root/testdata/sf0.001"
+    // cold-start the memos so the block accounting below sees THIS build
+    Engine.clearCaches(spark)
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
     val before = CorpusSuffix.corpusSaQuery(spark, dir).collect().map(_.toSeq).toSeq
     val beforePerDoc = graft.llm.Suffix.suffixArrayQuery(spark, dir).collect().map(_.toSeq).toSeq
+    // the memos hold localCheckpoint-backed frames -> their blocks are
+    // live persistent RDDs the clear must release PROMPTLY (r10 advice:
+    // Dataset.unpersist alone leaves checkpointed blocks to the
+    // ContextCleaner's GC whim)
+    val created = spark.sparkContext.getPersistentRDDs.keySet -- pre
+    assert(created.nonEmpty, "memo build should have checkpointed blocks")
     Engine.clearCaches(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.intersect(created)
+    assert(leaked.isEmpty, s"clearCaches left checkpointed RDD blocks live: $leaked")
     val after = CorpusSuffix.corpusSaQuery(spark, dir).collect().map(_.toSeq).toSeq
     val afterPerDoc = graft.llm.Suffix.suffixArrayQuery(spark, dir).collect().map(_.toSeq).toSeq
     assert(after == before && afterPerDoc == beforePerDoc)

@@ -176,9 +176,17 @@ object Suffix {
       case row if row.isNullAt(0) => 0
       case row => row.getInt(0)
     }
+    // Ties probe DERIVED from the dense_rank invariant: within a doc,
+    // max(r) = #distinct ranks ≤ #positions, equal iff no rank is
+    // shared — so Σ_doc (count − max r) > 0 detects ties with one pass
+    // over the checkpointed blocks and a #docs-wide shuffle of map-side
+    // partials. The previous groupBy(doc_id, r) probe shuffled up to
+    // one row per POSITION per doubling round, which at 100× corpus
+    // scale costs as much as the refinement it guards.
     def tiesRemain(df: DataFrame): Boolean = df
-      .groupBy(col("doc_id"), col("r")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx")).head().getLong(0) > 1L
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) - coalesce(max(col("r")), lit(0L))).as("gap"))
+      .agg(sum(col("gap")).as("g")).head().getLong(0) > 0L
     var k = SeedChars
     var continue = k < maxLen && (!materializeRounds || tiesRemain(ranks))
     while (continue) {
@@ -372,9 +380,13 @@ object CorpusSuffix {
     ranked
   }
 
+  // Globally dense ranks: max(r) = #distinct suffix values ≤ #rows,
+  // equal iff every rank is unique — ONE scalar aggregate (map-side
+  // partials, one row per partition shuffled) replaces the groupBy(r)
+  // probe that shuffled up to one row per distinct rank per round.
   private def tiesRemain(ranks: DataFrame): Boolean = ranks
-    .groupBy(col("r")).agg(count(lit(1)).as("n"))
-    .agg(max(col("n")).as("mx")).head().getLong(0) > 1L
+    .agg((count(lit(1)) - coalesce(max(col("r")), lit(0L))).as("gap"))
+    .head().getLong(0) > 0L
 
   /** (doc_id, pos, r): GLOBAL dense suffix ranks — r is dense over
     * suffix VALUES, so cross-document identical suffixes share a rank.

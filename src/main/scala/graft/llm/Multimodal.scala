@@ -8,15 +8,15 @@ import graft.Tables
   * binary columns + typed metadata, with decode / feature-extraction /
   * resize / frame-sampling stages.
   *
-  * Decode status per modality: IMAGES and AUDIO are REAL — the JDK
-  * itself ships codecs (`javax.imageio` PNG, `javax.sound.sampled` WAV
-  * PCM), so `ImageCodec`/`AudioCodec` genuinely encode and decode bytes,
-  * gated end-to-end by the `mm_image_*`/`mm_audio_*` oracles. VIDEO
-  * remains stubbed (the JDK has no demuxer — environment-forced):
-  * `StubCodec` is a deterministic fake that derives "decoded" attributes
-  * from byte digests, keeping the schema contract, per-partition batch
-  * shape, and typed Dataset API real and oracle-checked; an ffmpeg/JNI
-  * codec plugs into the same seam.
+  * Decode status per modality: ALL THREE are REAL. Images and audio use
+  * codecs the JDK itself ships (`javax.imageio` PNG,
+  * `javax.sound.sampled` WAV PCM); video uses the from-scratch
+  * `VideoCodec` RIFF/AVI muxer+demuxer over uncompressed 8-bit DIB
+  * frames (a container is just structured bytes — no library needed),
+  * each gated end-to-end by `mm_image_*`/`mm_audio_*`/`mm_video_*`
+  * oracles. What stays environment-forced is COMPRESSED video (H.264
+  * etc. need a real codec library); `StubCodec` remains as the generic
+  * digest-based seam where an ffmpeg/JNI decoder would plug in.
   *
   * Scale design: media blobs are processed with mapPartitions so a codec
   * is initialized once per partition, not per record (the Scala analogue
@@ -141,8 +141,8 @@ object Multimodal {
 
   /** REAL audio codec — `javax.sound.sampled` also ships with the JDK:
     * WAV is a lossless PCM container, so 16-bit signed samples round-trip
-    * bit-exactly. With images and audio real, only video remains stubbed
-    * (the JDK has no video demuxer — genuinely environment-forced).
+    * bit-exactly. With `VideoCodec` below, all three modalities decode
+    * for real; only COMPRESSED codecs stay environment-forced.
     */
   object AudioCodec {
 
@@ -195,6 +195,174 @@ object Multimodal {
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => None
           case _: java.io.IOException => None
+        }
+    }
+  }
+
+  /** REAL video codec — a from-scratch RIFF/AVI container writer and
+    * demuxer over UNCOMPRESSED 8-bit grayscale DIB frames ('00db'
+    * chunks, BI_RGB + 256-entry gray palette), needing nothing beyond
+    * `java.nio`. The JDK has no video DECODER, but a video CONTAINER is
+    * just structured bytes: this is the standard AVI layout (RIFF →
+    * hdrl[avih, strl[strh 'vids'/'DIB ', strf BITMAPINFOHEADER+palette]]
+    * → movi['00db'…] → idx1), with bottom-up rows padded to 4-byte
+    * stride exactly as BI_RGB mandates. Uncompressed frames are
+    * lossless, so — like the PNG/WAV codecs — every downstream stat is
+    * a pure integer function the oracle restates in SQL, and a green
+    * hash proves the real demux round-trip bit-exactly. What stays out
+    * of reach in this environment is COMPRESSED codecs (H.264 etc.);
+    * the `decode` seam is where one would plug in.
+    */
+  object VideoCodec {
+
+    /** (width, height, fps numerator/denominator, top-down frames —
+      * frames(f)(y*width+x) is the unsigned-byte sample).
+      */
+    final case class Video(width: Int, height: Int, rate: Int, scale: Int,
+                           frames: Array[Array[Byte]])
+
+    final class Codec {
+      import java.nio.{ByteBuffer, ByteOrder}
+
+      private def fourcc(s: String): Int =
+        (s(0) | (s(1) << 8) | (s(2) << 16) | (s(3) << 24))
+
+      private def stride(w: Int): Int = (w + 3) & ~3
+
+      /** Encode grayscale frames as an uncompressed AVI; `pix(f, x, y)`
+        * must return 0..255. Lossless: `decode` returns exactly `pix`.
+        */
+      def encodeGrayAvi(w: Int, h: Int, rate: Int, scale: Int, nFrames: Int,
+                        pix: (Int, Int, Int) => Int): Array[Byte] = {
+        val rowBytes = stride(w)
+        val frameBytes = rowBytes * h
+        val strfSize = 40 + 256 * 4
+        val strlSize = 4 + (8 + 56) + (8 + strfSize)
+        val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+        val moviSize = 4 + nFrames * (8 + frameBytes)
+        val idx1Size = nFrames * 16
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+        val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(fourcc("RIFF")).putInt(riffSize).putInt(fourcc("AVI "))
+        // ---- LIST hdrl ----
+        buf.putInt(fourcc("LIST")).putInt(hdrlSize).putInt(fourcc("hdrl"))
+        buf.putInt(fourcc("avih")).putInt(56)
+        buf.putInt((1000000L * scale / rate).toInt) // dwMicroSecPerFrame
+          .putInt(0).putInt(0).putInt(0x10)         // maxBytesPerSec, padding, AVIF_HASINDEX
+          .putInt(nFrames).putInt(0).putInt(1)      // totalFrames, initialFrames, streams
+          .putInt(frameBytes).putInt(w).putInt(h)   // suggestedBuffer, width, height
+          .putInt(0).putInt(0).putInt(0).putInt(0)  // reserved[4]
+        // ---- LIST strl ----
+        buf.putInt(fourcc("LIST")).putInt(strlSize).putInt(fourcc("strl"))
+        buf.putInt(fourcc("strh")).putInt(56)
+        buf.putInt(fourcc("vids")).putInt(fourcc("DIB "))
+          .putInt(0).putShort(0).putShort(0)        // flags, priority, language
+          .putInt(0).putInt(scale).putInt(rate)     // initialFrames, scale, rate
+          .putInt(0).putInt(nFrames)                // start, length (frames)
+          .putInt(frameBytes).putInt(-1).putInt(frameBytes) // buffer, quality, sampleSize
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+        buf.putInt(fourcc("strf")).putInt(strfSize)
+        buf.putInt(40).putInt(w).putInt(h)          // biSize, biWidth, biHeight (bottom-up)
+          .putShort(1).putShort(8).putInt(0)        // planes, bitCount, BI_RGB
+          .putInt(frameBytes).putInt(0).putInt(0)   // sizeImage, ppm x/y
+          .putInt(256).putInt(0)                    // clrUsed, clrImportant
+        var i = 0
+        while (i < 256) { // identity gray palette: (b, g, r, reserved)
+          buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+        }
+        // ---- LIST movi ----
+        buf.putInt(fourcc("LIST")).putInt(moviSize).putInt(fourcc("movi"))
+        var f = 0
+        while (f < nFrames) {
+          buf.putInt(fourcc("00db")).putInt(frameBytes)
+          var y = h - 1 // bottom-up row order, as BI_RGB stores them
+          while (y >= 0) {
+            var x = 0
+            while (x < rowBytes) {
+              buf.put(if (x < w) pix(f, x, y).toByte else 0.toByte); x += 1
+            }
+            y -= 1
+          }
+          f += 1
+        }
+        // ---- idx1 ----
+        buf.putInt(fourcc("idx1")).putInt(idx1Size)
+        f = 0
+        while (f < nFrames) {
+          buf.putInt(fourcc("00db")).putInt(0x10) // AVIIF_KEYFRAME
+            .putInt(4 + f * (8 + frameBytes))     // offset from 'movi' fourcc
+            .putInt(frameBytes)
+          f += 1
+        }
+        buf.array()
+      }
+
+      /** Demux + decode, or None for anything that is not a well-formed
+        * uncompressed-gray AVI (junk, other RIFF types like WAV,
+        * truncation, compressed streams, non-gray palettes) — the same
+        * corrupt-routing contract as the PNG/WAV codecs.
+        */
+      def decode(payload: Array[Byte]): Option[Video] =
+        try {
+          val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+          if (buf.remaining() < 12 || buf.getInt() != fourcc("RIFF")) return None
+          val riffSize = buf.getInt()
+          if (riffSize < 4 || riffSize > buf.remaining() || buf.getInt() != fourcc("AVI "))
+            return None
+          var w, h, rate, scale, nFrames = -1
+          var gray8 = false
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          def walk(end: Int): Unit =
+            while (buf.position() + 8 <= end) {
+              val id = buf.getInt(); val size = buf.getInt()
+              val next = buf.position() + size + (size & 1) // chunks pad to even
+              if (next > end) throw new java.io.IOException("truncated chunk")
+              if (id == fourcc("LIST")) { buf.getInt(); walk(next) }
+              else if (id == fourcc("strh") && size >= 56) {
+                val t = buf.getInt(); buf.getInt(); buf.getInt()
+                buf.getShort(); buf.getShort(); buf.getInt()
+                val sc = buf.getInt(); val rt = buf.getInt()
+                if (t == fourcc("vids")) { scale = sc; rate = rt }
+              } else if (id == fourcc("strf") && size >= 40 + 256 * 4) {
+                buf.getInt(); val bw = buf.getInt(); val bh = buf.getInt()
+                buf.getShort(); val bits = buf.getShort(); val comp = buf.getInt()
+                buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
+                if (bits == 8 && comp == 0 && bh > 0) {
+                  w = bw; h = bh
+                  gray8 = (0 until 256).forall { i =>
+                    val b = buf.get(); val g = buf.get(); val r = buf.get(); buf.get()
+                    (b & 0xFF) == i && (g & 0xFF) == i && (r & 0xFF) == i
+                  }
+                }
+              } else if (id == fourcc("avih") && size >= 56) {
+                // dwTotalFrames sits at byte offset 16 of the avih body
+                nFrames = buf.getInt(buf.position() + 16)
+              } else if (id == fourcc("00db") && w > 0 && h > 0) {
+                val rowBytes = stride(w)
+                if (size != rowBytes * h) throw new java.io.IOException("bad frame size")
+                val top = new Array[Byte](w * h)
+                var y = h - 1
+                while (y >= 0) {
+                  var x = 0
+                  while (x < rowBytes) {
+                    val b = buf.get()
+                    if (x < w) top(y * w + x) = b
+                    x += 1
+                  }
+                  y -= 1
+                }
+                frames += top
+              }
+              buf.position(next)
+            }
+          walk(8 + riffSize)
+          if (w <= 0 || h <= 0 || rate <= 0 || scale <= 0 || !gray8 ||
+              frames.isEmpty || (nFrames >= 0 && frames.length != nFrames)) None
+          else Some(Video(w, h, rate, scale, frames.toArray))
+        } catch {
+          case _: java.io.IOException => None
+          case _: java.nio.BufferUnderflowException => None
+          case _: IllegalArgumentException => None
         }
     }
   }
@@ -513,6 +681,117 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---- real video pipeline (VideoCodec) -----------------------------------
+
+  case class VideoMeta(media_id: Long, width: Option[Int], height: Option[Int],
+                       n_frames: Option[Int], fps: Option[Int],
+                       pixel_sum: Option[Long], px_min: Option[Int], px_max: Option[Int])
+  case class VideoFrame(media_id: Long, frame_idx: Int, frame_sum: Long)
+
+  /** Deterministic uncompressed-gray AVIs per document id — real RIFF
+    * containers from the from-scratch muxer: w = 8+(id%3)·4,
+    * h = 8+(id%2)·4, 4+(id%4) frames at 24+(id%2)·6 fps, pixel
+    * (f, x, y) = (id·31 + f·97 + y·w + x) mod 256 — the image lattice
+    * with a frame axis. Uncompressed DIB frames are lossless, so every
+    * demuxed stat is a pure integer function of id the oracle restates.
+    * Ids below `CorruptBelow` carry non-AVI bytes.
+    */
+  def syntheticVideos(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new VideoCodec.Codec
+        ids.map { id =>
+          if (id < CorruptBelow)
+            MediaPayload(id, "video", s"not-an-avi-$id".getBytes("UTF-8"))
+          else {
+            val w = (8 + (id % 3) * 4).toInt
+            val h = (8 + (id % 2) * 4).toInt
+            val n = (4 + (id % 4)).toInt
+            val rate = (24 + (id % 2) * 6).toInt
+            MediaPayload(id, "video", codec.encodeGrayAvi(w, h, rate, 1, n,
+              (f, x, y) => ((id * 31 + f * 97L + y.toLong * w + x) % 256).toInt))
+          }
+        }
+      }
+  }
+
+  /** Demux + decode stage: per-partition codec, corrupt → null metadata
+    * (routed, never dropped).
+    */
+  def decodeVideos(videos: Dataset[MediaPayload]): Dataset[VideoMeta] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      val codec = new VideoCodec.Codec
+      rows.map { r =>
+        codec.decode(r.payload) match {
+          case None => VideoMeta(r.media_id, None, None, None, None, None, None, None)
+          case Some(v) =>
+            var (sum, mn, mx) = (0L, 255, 0)
+            v.frames.foreach { frame =>
+              var i = 0
+              while (i < frame.length) {
+                val px = frame(i) & 0xFF
+                sum += px; if (px < mn) mn = px; if (px > mx) mx = px
+                i += 1
+              }
+            }
+            VideoMeta(r.media_id, Some(v.width), Some(v.height),
+              Some(v.frames.length), Some(v.rate / v.scale),
+              Some(sum), Some(mn), Some(mx))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling over REAL demuxed frames — every `stride`-th frame
+    * (keyframe-stride analogue; all frames here are '00db' keyframes),
+    * reduced to a per-frame sum so the sampled set is oracle-checkable.
+    */
+  def sampleVideoFrames(videos: Dataset[MediaPayload], stride: Int): Dataset[VideoFrame] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      val codec = new VideoCodec.Codec
+      rows.flatMap { r =>
+        codec.decode(r.payload).iterator.flatMap { v =>
+          v.frames.indices.iterator.filter(_ % stride == 0).map { f =>
+            var (sum, i) = (0L, 0)
+            val frame = v.frames(f)
+            while (i < frame.length) { sum += frame(i) & 0xFF; i += 1 }
+            VideoFrame(r.media_id, f, sum)
+          }
+        }
+      }
+    }
+  }
+
+  /** AVI mux → binary shuffle → AVI demux through the oracle gate:
+    * dims, frame count, fps, and pixel stats per clip; corrupt payloads
+    * as null rows. Green hash = the real container round-trip
+    * (muxer, RIFF walker, bottom-up de-padding) is bit-exact.
+    */
+  def videoDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticVideos(spark, dir).toDF(), 8)
+      .as[MediaPayload]
+    decodeVideos(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"), col("pixel_sum"), col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Every-2nd-frame sampling through the gate (one row per kept frame). */
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticVideos(spark, dir).toDF(), 8)
+      .as[MediaPayload]
+    sampleVideoFrames(media, stride = 2).toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_sum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** The pooled (2×2 block-sum) downsample through the gate. */
   def imagePoolQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -531,7 +810,22 @@ object Multimodal {
     "mm_binary_meta" -> (binaryMeta _),
     "mm_image_decode" -> (imageDecodeQuery _),
     "mm_image_pool" -> (imagePoolQuery _),
-    "mm_audio_decode" -> (audioDecodeQuery _))
+    "mm_audio_decode" -> (audioDecodeQuery _),
+    "mm_video_decode" -> (videoDecodeQuery _),
+    "mm_video_frames" -> (videoFramesQuery _))
+
+  // the synthetic-video pixel lattice: the image lattice with a frame
+  // axis (three chained unnests), dims/fps from the id
+  private val videoLatticeSql: String =
+    s"""ids AS (SELECT doc_id AS media_id FROM documents),
+       |dims AS (SELECT media_id, 8 + (media_id % 3) * 4 AS w, 8 + (media_id % 2) * 4 AS h,
+       |                4 + (media_id % 4) AS nf, 24 + (media_id % 2) * 6 AS fps
+       |         FROM ids WHERE media_id >= $CorruptBelow),
+       |fs AS (SELECT media_id, w, h, nf, fps, unnest(range(nf)) AS f FROM dims),
+       |xs AS (SELECT media_id, w, h, nf, fps, f, unnest(range(w)) AS x FROM fs),
+       |xy AS (SELECT media_id, w, h, nf, fps, f, x, unnest(range(h)) AS y FROM xs),
+       |px AS (SELECT media_id, w, h, nf, fps, f,
+       |         (media_id * 31 + f * 97 + y * w + x) % 256 AS v FROM xy)""".stripMargin
 
   // the synthetic-image pixel lattice, restated: dims from the id, one
   // row per (x, y), value = the generation formula. Two chained unnests
@@ -585,6 +879,27 @@ object Multimodal {
          |  CAST(a.mn AS INTEGER) AS s_min, CAST(a.mx AS INTEGER) AS s_max
          |FROM ids i LEFT JOIN agg a USING (media_id)
          |ORDER BY media_id""".stripMargin,
+    // like the image/audio oracles, these never touch an AVI byte: they
+    // restate the frame lattice the muxer wrote and the demuxer read —
+    // a green hash proves the real container round-trip
+    "mm_video_decode" ->
+      s"""WITH $videoLatticeSql,
+         |agg AS (SELECT media_id, MAX(w) AS w, MAX(h) AS h, MAX(nf) AS nf,
+         |          MAX(fps) AS fps, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+         |        FROM px GROUP BY 1)
+         |SELECT i.media_id,
+         |  CAST(a.w AS INTEGER) AS width, CAST(a.h AS INTEGER) AS height,
+         |  CAST(a.nf AS INTEGER) AS n_frames, CAST(a.fps AS INTEGER) AS fps,
+         |  CAST(a.s AS BIGINT) AS pixel_sum,
+         |  CAST(a.mn AS INTEGER) AS px_min, CAST(a.mx AS INTEGER) AS px_max
+         |FROM ids i LEFT JOIN agg a USING (media_id)
+         |ORDER BY media_id""".stripMargin,
+    "mm_video_frames" ->
+      s"""WITH $videoLatticeSql
+         |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(SUM(v) AS BIGINT) AS frame_sum
+         |FROM px WHERE f % 2 = 0 GROUP BY 1, 2
+         |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -156,4 +156,64 @@ class MultimodalSpec extends SparkSpec {
       assert(s == sum.get, s"id $id: block sums don't re-add to pixel_sum")
     }
   }
+
+  test("video codec: AVI mux/demux round-trip is pixel-exact, incl. padded strides") {
+    val codec = new Multimodal.VideoCodec.Codec
+    val rnd = new scala.util.Random(11)
+    // w=10 exercises the 4-byte row stride padding the container mandates
+    for (w <- Seq(8, 10, 16); h <- Seq(6, 9); n <- Seq(1, 5)) {
+      val pix = Array.tabulate(n, h, w)((_, _, _) => rnd.nextInt(256))
+      val bytes = codec.encodeGrayAvi(w, h, 30, 1, n, (f, x, y) => pix(f)(y)(x))
+      val v = codec.decode(bytes).getOrElse(fail(s"decode failed for $w x $h x $n"))
+      assert(v.width == w && v.height == h && v.frames.length == n)
+      assert(v.rate == 30 && v.scale == 1)
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+        assert((v.frames(f)(y * w + x) & 0xFF) == pix(f)(y)(x),
+          s"pixel ($f,$x,$y) of $w x $h")
+    }
+    // corrupt routing: junk, empty, truncation, and a DIFFERENT RIFF
+    // type (a real WAV is RIFF too — the demuxer must not claim it)
+    assert(codec.decode("definitely not an avi".getBytes).isEmpty)
+    assert(codec.decode(Array.emptyByteArray).isEmpty)
+    val whole = codec.encodeGrayAvi(8, 8, 24, 1, 3, (f, x, y) => (f + x + y) % 256)
+    assert(codec.decode(whole.take(whole.length / 2)).isEmpty, "truncated AVI decoded")
+    val wav = new Multimodal.AudioCodec.Codec().encodePcmWav(8000, Array.tabulate(32)(_.toShort))
+    assert(codec.decode(wav).isEmpty, "WAV (RIFF but not AVI) must route as corrupt")
+  }
+
+  test("video pipeline: demuxed stats and frame sampling agree with the generation formula") {
+    val vids = Multimodal.syntheticVideos(spark, "/root/testdata/sf0.001")
+    val meta = Multimodal.decodeVideos(vids)
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Int],
+           Option[Long], Option[Int], Option[Int])]
+      .collect()
+    assert(meta.length > 8)
+    meta.foreach { case (id, w, h, nf, fps, sum, mn, mx) =>
+      if (id < 8) assert(w.isEmpty && nf.isEmpty && sum.isEmpty, s"corrupt id $id decoded")
+      else {
+        val (ww, hh) = ((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt)
+        val n = (4 + (id % 4)).toInt
+        assert(w.contains(ww) && h.contains(hh) && nf.contains(n))
+        assert(fps.contains((24 + (id % 2) * 6).toInt))
+        val vals = for (f <- 0 until n; y <- 0 until hh; x <- 0 until ww)
+          yield (id * 31 + f * 97L + y.toLong * ww + x) % 256
+        assert(sum.contains(vals.sum), s"id $id pixel_sum")
+        assert(mn.contains(vals.min.toInt) && mx.contains(vals.max.toInt))
+      }
+    }
+    // sampling keeps exactly the even frames, each with the formula's sum
+    val frames = Multimodal.sampleVideoFrames(vids, stride = 2)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    meta.filter(_._1 >= 8).foreach { case (id, w, h, nf, _, _, _, _) =>
+      val got = frames(id).sortBy(_._2)
+      assert(got.map(_._2).toSeq == (0 until nf.get by 2),
+        s"id $id sampled frame indices")
+      got.foreach { case (_, f, s) =>
+        val expect = (for (y <- 0 until h.get; x <- 0 until w.get)
+          yield (id * 31 + f * 97L + y.toLong * w.get + x) % 256).sum
+        assert(s == expect, s"id $id frame $f sum")
+      }
+    }
+    assert(!frames.contains(3L), "corrupt ids must yield no sampled frames")
+  }
 }

@@ -765,6 +765,74 @@ object Multimodal {
     }
   }
 
+  case class SceneCut(media_id: Long, frame_idx: Int, delta_sum: Long)
+
+  /** Scene-structured synthetic AVIs: scenes are 2 frames long, and the
+    * pixel base jumps by 131 at each scene boundary —
+    * pix(f, x, y) = (id·31 + (f/2)·131 + y·w + x) mod 256 — so
+    * consecutive frames WITHIN a scene are identical and frames across
+    * a boundary differ at every pixel. 5+(id%4) frames gives every clip
+    * 2-4 scenes. Same dims/fps/corrupt scheme as `syntheticVideos`.
+    */
+  def syntheticSceneVideos(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new VideoCodec.Codec
+        ids.map { id =>
+          if (id < CorruptBelow)
+            MediaPayload(id, "video", s"not-an-avi-$id".getBytes("UTF-8"))
+          else {
+            val w = (8 + (id % 3) * 4).toInt
+            val h = (8 + (id % 2) * 4).toInt
+            val n = (5 + (id % 4)).toInt
+            val rate = (24 + (id % 2) * 6).toInt
+            MediaPayload(id, "video", codec.encodeGrayAvi(w, h, rate, 1, n,
+              (f, x, y) => ((id * 31 + (f / 2) * 131L + y.toLong * w + x) % 256).toInt))
+          }
+        }
+      }
+  }
+
+  /** Shot-boundary detection over REAL demuxed frames: for each
+    * consecutive frame pair, the summed absolute pixel delta; a frame
+    * starts a new shot when the MEAN delta reaches `minMeanDelta`
+    * (delta_sum ≥ minMeanDelta·w·h — integer-exact, no floats). The
+    * standard pixel-difference cut detector every video curation
+    * pipeline runs before keyframe extraction, expressed per-partition
+    * over the demuxer's frames so payloads never shuffle.
+    */
+  def detectSceneCuts(videos: Dataset[MediaPayload], minMeanDelta: Long): Dataset[SceneCut] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      val codec = new VideoCodec.Codec
+      rows.flatMap { r =>
+        codec.decode(r.payload).iterator.flatMap { v =>
+          val px = v.width.toLong * v.height
+          (1 until v.frames.length).iterator.flatMap { f =>
+            val (prev, cur) = (v.frames(f - 1), v.frames(f))
+            var (sum, i) = (0L, 0)
+            while (i < cur.length) {
+              sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); i += 1
+            }
+            if (sum >= minMeanDelta * px) Some(SceneCut(r.media_id, f, sum)) else None
+          }
+        }
+      }
+    }
+  }
+
+  /** Scene cuts through the oracle gate (mean-delta threshold 64). */
+  def videoSceneCutsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticSceneVideos(spark, dir).toDF(), 8)
+      .as[MediaPayload]
+    detectSceneCuts(media, minMeanDelta = 64L).toDF()
+      .select(col("media_id"), col("frame_idx"), col("delta_sum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** AVI mux → binary shuffle → AVI demux through the oracle gate:
     * dims, frame count, fps, and pixel stats per clip; corrupt payloads
     * as null rows. Green hash = the real container round-trip
@@ -812,7 +880,8 @@ object Multimodal {
     "mm_image_pool" -> (imagePoolQuery _),
     "mm_audio_decode" -> (audioDecodeQuery _),
     "mm_video_decode" -> (videoDecodeQuery _),
-    "mm_video_frames" -> (videoFramesQuery _))
+    "mm_video_frames" -> (videoFramesQuery _),
+    "mm_video_scene_cuts" -> (videoSceneCutsQuery _))
 
   // the synthetic-video pixel lattice: the image lattice with a frame
   // axis (three chained unnests), dims/fps from the id
@@ -899,6 +968,26 @@ object Multimodal {
          |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
          |  CAST(SUM(v) AS BIGINT) AS frame_sum
          |FROM px WHERE f % 2 = 0 GROUP BY 1, 2
+         |ORDER BY media_id, frame_idx""".stripMargin,
+    // the scene lattice's consecutive-frame absolute deltas, thresholded
+    // on the integer mean — restates detectSceneCuts over the
+    // scene-structured generator (scene id = f // 2, base jump 131)
+    "mm_video_scene_cuts" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+         |dims AS (SELECT media_id, 8 + (media_id % 3) * 4 AS w, 8 + (media_id % 2) * 4 AS h,
+         |                5 + (media_id % 4) AS nf
+         |         FROM ids WHERE media_id >= $CorruptBelow),
+         |fs AS (SELECT media_id, w, h, unnest(range(1, nf)) AS f FROM dims),
+         |xs AS (SELECT media_id, w, h, f, unnest(range(w)) AS x FROM fs),
+         |xy AS (SELECT media_id, w, h, f, x, unnest(range(h)) AS y FROM xs),
+         |d AS (SELECT media_id, w, h, f,
+         |        abs((media_id * 31 + (f // 2) * 131 + y * w + x) % 256 -
+         |            (media_id * 31 + ((f - 1) // 2) * 131 + y * w + x) % 256) AS dv
+         |      FROM xy)
+         |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(SUM(dv) AS BIGINT) AS delta_sum
+         |FROM d GROUP BY media_id, f, w, h
+         |HAVING SUM(dv) >= 64 * w * h
          |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest

@@ -216,4 +216,29 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(!frames.contains(3L), "corrupt ids must yield no sampled frames")
   }
+
+  test("scene-cut detection fires exactly at scene boundaries of the demuxed frames") {
+    val vids = Multimodal.syntheticSceneVideos(spark, "/root/testdata/sf0.001")
+    val cuts = Multimodal.detectSceneCuts(vids, minMeanDelta = 64L)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    // scenes are 2 frames long: within-scene delta is 0 (below any
+    // threshold), boundary delta is 125 or 131 per pixel (mean >= 125) —
+    // so the detector must fire at exactly the even frame indices >= 2
+    val ids = vids.as[Multimodal.MediaPayload].collect().map(_.media_id).filter(_ >= 8)
+    ids.foreach { id =>
+      val n = (5 + (id % 4)).toInt
+      val expect = (2 until n by 2).toSeq
+      val got = cuts.getOrElse(id, Array.empty).map(_._2).sorted.toSeq
+      assert(got == expect, s"id $id: cuts $got != scene boundaries $expect")
+      val (w, h) = ((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt)
+      cuts(id).foreach { case (_, f, d) =>
+        val exp = (for (y <- 0 until h; x <- 0 until w) yield {
+          val base = (v: Long) => (id * 31 + v * 131L + y.toLong * w + x) % 256
+          math.abs(base(f / 2) - base((f - 1) / 2))
+        }).sum
+        assert(d == exp, s"id $id frame $f delta")
+      }
+    }
+    assert(!cuts.contains(2L), "corrupt ids must yield no cuts")
+  }
 }

@@ -436,11 +436,16 @@ object MicroBatch {
             // directory level rather than being read and discarded.
             val oldEdges =
               (if (new java.io.File(edgesDir).exists) {
+                // the partition VALUES are the hive directory names —
+                // a driver-side listing, no Spark job per batch
+                val orphans = Option(new java.io.File(edgesDir).listFiles()).toSeq.flatten
+                  .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
+                  .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .unescapePathName(f.getName.stripPrefix("src_file=")))
+                  .filterNot(appliedFiles)
                 val onDisk = spark.read.parquet(edgesDir)
-                val orphans = onDisk.select(col("src_file")).distinct()
-                  .as[String].collect().filterNot(appliedFiles)
                 (if (orphans.isEmpty) onDisk
-                 else onDisk.filter(!col("src_file").isin(orphans.toIndexedSeq: _*)))
+                 else onDisk.filter(!col("src_file").isin(orphans: _*)))
                   .select(col("a"), col("b")).distinct()
               } else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
               .localCheckpoint()

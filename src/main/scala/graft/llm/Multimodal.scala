@@ -807,18 +807,27 @@ object Multimodal {
     videos.mapPartitions { rows =>
       val codec = new VideoCodec.Codec
       rows.flatMap { r =>
-        codec.decode(r.payload).iterator.flatMap { v =>
-          val px = v.width.toLong * v.height
-          (1 until v.frames.length).iterator.flatMap { f =>
-            val (prev, cur) = (v.frames(f - 1), v.frames(f))
-            var (sum, i) = (0L, 0)
-            while (i < cur.length) {
-              sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); i += 1
-            }
-            if (sum >= minMeanDelta * px) Some(SceneCut(r.media_id, f, sum)) else None
-          }
-        }
+        codec.decode(r.payload).iterator.flatMap(v =>
+          sceneDeltas(v, minMeanDelta).map { case (f, s) => SceneCut(r.media_id, f, s) })
       }
+    }
+  }
+
+  /** The cut kernel itself — (frame_idx, delta_sum) for every boundary
+    * whose mean absolute pixel delta reaches the threshold; shared by
+    * the batch detector and the streaming scene-index maintenance.
+    * Holds exactly two frames at a time.
+    */
+  private[graft] def sceneDeltas(v: VideoCodec.Video,
+                                 minMeanDelta: Long): Iterator[(Int, Long)] = {
+    val px = v.width.toLong * v.height
+    (1 until v.frames.length).iterator.flatMap { f =>
+      val (prev, cur) = (v.frames(f - 1), v.frames(f))
+      var (sum, i) = (0L, 0)
+      while (i < cur.length) {
+        sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); i += 1
+      }
+      if (sum >= minMeanDelta * px) Some((f, sum)) else None
     }
   }
 

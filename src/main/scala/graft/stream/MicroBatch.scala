@@ -484,6 +484,116 @@ object MicroBatch {
       .start()
   }
 
+  /** Streaming media-scene-index maintenance: AVI payloads land base64
+    * in JSONL micro-batches (the shape a media crawl hands off — opaque
+    * bytes plus an id); each batch demuxes its clips ONCE, right next
+    * to the decoder, appends the detected shot boundaries to a
+    * hive-partitioned (by source file) SCENE INDEX, and advances a
+    * cumulative corrupt-payload counter. Index rows and the
+    * (ledger, counter) snapshot split by artifact exactly like the
+    * triangle stream: rows append tagged with their source file, the
+    * snapshot flips ledger + counter in one pointer move, and the
+    * read side excludes the bounded unledgered complement — replays
+    * are no-ops, crash orphans stay invisible until their file
+    * re-lands, and the counter is exactly-once. Scale: payload bytes
+    * never shuffle (the only wide rows live inside the decode
+    * mapPartitions, which holds two frames at a time); what lands at
+    * rest is (media_id, frame_idx, delta_sum) longs.
+    */
+  def videoIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      scenesDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      minMeanDelta: Long = 64L,
+      maxFilesPerTrigger: Int = 1,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.store.Versioned
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import spark.implicits._
+          val snap =
+            if (Versioned.exists(stateDir))
+              Versioned.read(spark, stateDir)
+                .collect().map(r => (r.getAs[String]("kind"),
+                  r.getAs[String]("key"), r.getAs[Long]("n")))
+            else Array.empty[(String, String, Long)]
+          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val storedCorrupt = snap.collectFirst { case ("corrupt", _, n) => n }.getOrElse(0L)
+          val files = batch.select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).sorted
+          val freshFiles = files.filterNot(appliedFiles)
+          if (freshFiles.nonEmpty) {
+            val rows =
+              if (freshFiles.length == files.length) batch
+              else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
+            // one demux per clip: cut rows AND the corrupt markers come
+            // out of the same pass (checkpointed so neither consumer
+            // re-decodes), all long-sized — frames never leave the task
+            val tagged = rows
+              .select(col("media_id"), unbase64(col("payload_b64")).as("p"),
+                input_file_name().as("src_file"))
+              .as[(Long, Array[Byte], String)]
+              .mapPartitions { it =>
+                val codec = new graft.llm.Multimodal.VideoCodec.Codec
+                it.flatMap { case (id, payload, sf) =>
+                  codec.decode(payload) match {
+                    case None => Iterator.single(("corrupt", id, -1, 0L, sf))
+                    case Some(v) =>
+                      graft.llm.Multimodal.sceneDeltas(v, minMeanDelta)
+                        .map { case (f, s) => ("cut", id, f, s, sf) }
+                  }
+                }
+              }
+              .toDF("kind", "media_id", "frame_idx", "delta_sum", "src_file")
+              .localCheckpoint()
+            val newCorrupt = tagged.filter(col("kind") === "corrupt").count()
+            val cuts = tagged.filter(col("kind") === "cut")
+              .select(col("media_id"), col("frame_idx"), col("delta_sum"), col("src_file"))
+            if (!cuts.isEmpty)
+              cuts.write.partitionBy("src_file").mode("append").parquet(scenesDir)
+            val stateRows =
+              Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
+                (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+            Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
+            graft.store.Checkpoints.free(tagged)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The scene index at rest, ledger-enforced: rows whose source file
+    * the snapshot never recorded (crash orphans, bounded by one batch)
+    * are excluded by the same O(1)-in-stream-age complement filter the
+    * triangle stream reads through.
+    */
+  def readSceneIndex(spark: SparkSession, scenesDir: String, stateDir: String): DataFrame = {
+    import graft.store.Versioned
+    val applied = Versioned.read(spark, stateDir)
+      .filter(col("kind") === "file")
+      .select(col("key")).collect().map(_.getString(0)).toSet
+    val orphans = Option(new java.io.File(scenesDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
+      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.getName.stripPrefix("src_file=")))
+      .filterNot(applied)
+    val onDisk = spark.read.parquet(scenesDir)
+    (if (orphans.isEmpty) onDisk
+     else onDisk.filter(!col("src_file").isin(orphans: _*)))
+      .select(col("media_id"), col("frame_idx"), col("delta_sum"))
+  }
+
   /** Streaming frequent-terms maintenance: documents landing as JSONL
     * fold into a Misra-Gries summary STATE TABLE (≤ k (token, cnt)
     * rows behind a versioned pointer) — the sketch-state-at-rest shape

@@ -99,7 +99,7 @@ object StreamReplay {
         // dir (mtime-stamped there), never across families.
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         def timed(name: String)(f: => Unit): Future[Unit] = Future {
           val t0 = System.nanoTime()
@@ -114,7 +114,8 @@ object StreamReplay {
           timed("er")(buildEr(spark, dir, root)),
           timed("sessions")(buildSessions(spark, dir, root)),
           timed("mg")(buildMgState(spark, dir, root)),
-          timed("triangles")(buildTriangles(spark, dir, root)))
+          timed("triangles")(buildTriangles(spark, dir, root)),
+          timed("video")(buildVideoScenes(spark, dir, root)))
         // On a family failure, fail the whole memo — but only after EVERY
         // builder has stopped: a fail-fast Await(Future.sequence) would
         // leave the other six still streaming under a root that `built`
@@ -406,6 +407,50 @@ object StreamReplay {
       checkpointDir = s"$root/tri_ckpt"))
   }
 
+  /** Scene-structured synthetic AVIs (real RIFF containers, incl. the
+    * planted corrupt payloads) land base64 in four id-sliced JSONL
+    * files, one per micro-batch → `videoIngestStream` demuxes each
+    * batch once and maintains the shot-boundary index + corrupt counter
+    * at rest. The oracle restates the scene lattice declaratively —
+    * the same SQL that gates the batch detector gates the streamed
+    * index (stream ≡ batch).
+    */
+  private def buildVideoScenes(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "video_landing")
+    Files.createDirectories(landing)
+    val vids = graft.llm.Multimodal.syntheticSceneVideos(spark, dir).toDF()
+      .select(col("media_id"), base64(col("payload")).as("payload_b64"))
+      .localCheckpoint()
+    val base = System.currentTimeMillis() - 6 * 2000L
+    (0 until 4).foreach { s =>
+      writeLandingFile(
+        vids.filter(pmod(col("media_id"), lit(4L)) === s),
+        landing.resolve(f"video_$s%02d.json"), base + s * 2000L)
+    }
+    graft.store.Checkpoints.free(vids)
+    MicroBatch.runToCompletion(MicroBatch.videoIngestStream(
+      spark, landing.toString,
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload_b64", StringType))),
+      scenesDir = s"$root/video_scenes", stateDir = s"$root/video_state",
+      checkpointDir = s"$root/video_ckpt"))
+  }
+
+  /** The streamed shot-boundary index at rest, ledger-enforced. */
+  def videoScenesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.readSceneIndex(spark, s"$root/video_scenes", s"$root/video_state")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** The exactly-once corrupt-payload counter from the snapshot. */
+  def videoCorruptQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    Versioned.read(spark, s"$root/video_state")
+      .filter(col("kind") === "corrupt")
+      .select(col("n").as("n_corrupt"))
+  }
+
   /** The incrementally-maintained counter + the at-rest edge table
     * size, read back from the snapshot.
     */
@@ -483,7 +528,9 @@ object StreamReplay {
     "stream_er_pending" -> (erPendingQuery _),
     "stream_sessions" -> (sessionsQuery _),
     "stream_frequent_terms" -> (mgFrequentQuery _),
-    "stream_graph_triangles" -> (graphTrianglesQuery _))
+    "stream_graph_triangles" -> (graphTrianglesQuery _),
+    "stream_video_scenes" -> (videoScenesQuery _),
+    "stream_video_corrupt" -> (videoCorruptQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -570,5 +617,13 @@ object StreamReplay {
         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT COUNT(*)
         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin)
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    // the streamed shot-boundary index must equal the batch detector's
+    // answer under any batching — literally the same oracle
+    "stream_video_scenes" -> graft.llm.Multimodal.oracles("mm_video_scene_cuts"),
+    // every planted corrupt payload counted exactly once across batches
+    // and replays
+    "stream_video_corrupt" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_corrupt
+        |FROM documents WHERE doc_id < 8""".stripMargin)
 }

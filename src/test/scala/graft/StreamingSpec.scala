@@ -767,6 +767,54 @@ class StreamingSpec extends SparkSpec {
     run(); assert(cnt() == 2L, s"after legitimate (4,5): ${cnt()}")
   }
 
+  test("video ingest: scene index and corrupt counter are exactly-once across batches and replays") {
+    val root = Files.createTempDirectory("video_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload_b64", StringType)))
+    val codec = new graft.llm.Multimodal.VideoCodec.Codec
+    def b64(bytes: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(bytes)
+    // clip(id): 4 frames, scenes of length 2 (base jump 200 at frame 2)
+    def clip(id: Long): String = {
+      val avi = codec.encodeGrayAvi(8, 8, 24, 1, 4,
+        (f, x, y) => ((id + (f / 2) * 200L + y * 8 + x) % 256).toInt)
+      s"""{"media_id":$id,"payload_b64":"${b64(avi)}"}"""
+    }
+    def corrupt(id: Long): String =
+      s"""{"media_id":$id,"payload_b64":"${b64(s"junk-$id".getBytes)}"}"""
+    def run(): Unit = {
+      val q = MicroBatch.videoIngestStream(spark, in, schema,
+        scenesDir = s"$root/scenes", stateDir = s"$root/state",
+        checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def corruptCount(): Long = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "corrupt").select($"n").head().getLong(0)
+    def index(): Seq[(Long, Int, Long)] =
+      MicroBatch.readSceneIndex(spark, s"$root/scenes", s"$root/state")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), Seq(clip(10), corrupt(11)).mkString("\n"))
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), Seq(clip(12), corrupt(13)).mkString("\n"))
+    run()
+    assert(corruptCount() == 2L)
+    val idx = index()
+    // each clip cuts exactly at frame 2 (the one scene boundary), with
+    // the kernel's delta sum — pin one value against the formula
+    assert(idx.map(t => (t._1, t._2)) == Seq((10L, 2), (12L, 2)), idx.toString)
+    idx.foreach { case (id, f, d) =>
+      val exp = (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val v = (s: Long) => (id + s * 200L + y * 8 + x) % 256
+        math.abs(v(f / 2) - v((f - 1) / 2))
+      }).sum
+      assert(d == exp, s"id $id delta")
+    }
+    // wipe the checkpoint: full redelivery must change neither artifact
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    assert(corruptCount() == 2L, "corrupt counter double-applied on replay")
+    assert(index() == idx, "scene index changed on replay")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -666,6 +666,76 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Int, energy_sum: Long,
+                         is_silence: Boolean)
+
+  /** Segment-structured synthetic WAVs: 64-sample segments alternate
+    * loud (the full-range PCM formula) and near-silent (samples in
+    * [-3, 3]) — sample i = ((id·7 + i·13) mod 65536) − 32768 on even
+    * segments, ((id + i) mod 7) − 3 on odd. n = 128+(id%3)·64 samples
+    * (2-4 segments), same rate/corrupt scheme as `syntheticAudio`.
+    */
+  def syntheticSegmentedAudio(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new AudioCodec.Codec
+        ids.map { id =>
+          if (id < CorruptBelow)
+            MediaPayload(id, "audio", s"not-a-wav-$id".getBytes("UTF-8"))
+          else {
+            val n = (128 + (id % 3) * 64).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val samples = Array.tabulate(n) { i =>
+              if ((i / 64) % 2 == 0)
+                (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort
+              else ((id + i) % 7 - 3).toShort
+            }
+            MediaPayload(id, "audio", codec.encodePcmWav(rate, samples))
+          }
+        }
+      }
+  }
+
+  /** Energy segmentation over REAL decoded PCM: fixed `windowSamples`
+    * windows, integer sum-of-squares energy per window, silence where
+    * the MEAN energy stays under `minMeanEnergy` (energy_sum <
+    * minMeanEnergy·window — integer-exact). The silence-trim /
+    * voice-activity primitive an audio curation pipeline runs before
+    * transcription; per-partition beside the decoder, so samples never
+    * shuffle — the at-rest rows are longs and a flag.
+    */
+  def audioEnergyWindows(audio: Dataset[MediaPayload], windowSamples: Int,
+                         minMeanEnergy: Long): Dataset[AudioWindow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      val codec = new AudioCodec.Codec
+      rows.flatMap { r =>
+        codec.decode(r.payload).iterator.flatMap { case (_, samples) =>
+          (0 until samples.length / windowSamples).iterator.map { w =>
+            var (sum, i) = (0L, w * windowSamples)
+            val end = i + windowSamples
+            while (i < end) {
+              val v = samples(i).toLong; sum += v * v; i += 1
+            }
+            AudioWindow(r.media_id, w, sum, sum < minMeanEnergy * windowSamples)
+          }
+        }
+      }
+    }
+  }
+
+  /** Windowed energies + silence flags through the oracle gate. */
+  def audioEnergyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticSegmentedAudio(spark, dir).toDF(), 8)
+      .as[MediaPayload]
+    audioEnergyWindows(media, windowSamples = 64, minMeanEnergy = 100L).toDF()
+      .select(col("media_id"), col("window_idx"), col("energy_sum"), col("is_silence"))
+      .orderBy(col("media_id"), col("window_idx"))
+  }
+
   /** WAV encode → binary shuffle → WAV decode through the oracle gate:
     * rate, length, and sample stats per clip; corrupt payloads as null
     * rows. Green hash = the PCM round-trip is bit-exact.
@@ -890,7 +960,8 @@ object Multimodal {
     "mm_audio_decode" -> (audioDecodeQuery _),
     "mm_video_decode" -> (videoDecodeQuery _),
     "mm_video_frames" -> (videoFramesQuery _),
-    "mm_video_scene_cuts" -> (videoSceneCutsQuery _))
+    "mm_video_scene_cuts" -> (videoSceneCutsQuery _),
+    "mm_audio_energy" -> (audioEnergyQuery _))
 
   // the synthetic-video pixel lattice: the image lattice with a frame
   // axis (three chained unnests), dims/fps from the id
@@ -998,6 +1069,25 @@ object Multimodal {
          |FROM d GROUP BY media_id, f, w, h
          |HAVING SUM(dv) >= 64 * w * h
          |ORDER BY media_id, frame_idx""".stripMargin,
+    // the segmented-PCM lattice's windowed sums of squares, silence
+    // thresholded on the integer mean — restates audioEnergyWindows
+    // over the loud/quiet alternation (window == 64-sample segment)
+    "mm_audio_energy" ->
+      s"""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+         |dims AS (SELECT media_id, 128 + (media_id % 3) * 64 AS n
+         |         FROM ids WHERE media_id >= $CorruptBelow),
+         |ws AS (SELECT media_id, unnest(range(n // 64)) AS w FROM dims),
+         |si AS (SELECT media_id, w, unnest(range(64)) AS j FROM ws),
+         |v AS (SELECT media_id, w,
+         |        CASE WHEN w % 2 = 0
+         |             THEN (media_id * 7 + (w * 64 + j) * 13) % 65536 - 32768
+         |             ELSE (media_id + w * 64 + j) % 7 - 3 END AS s
+         |      FROM si)
+         |SELECT media_id, CAST(w AS INTEGER) AS window_idx,
+         |  CAST(SUM(s * s) AS BIGINT) AS energy_sum,
+         |  SUM(s * s) < 100 * 64 AS is_silence
+         |FROM v GROUP BY media_id, w
+         |ORDER BY media_id, window_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -241,4 +241,25 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(!cuts.contains(2L), "corrupt ids must yield no cuts")
   }
+
+  test("audio energy windows: silence flags follow the loud/quiet segment alternation") {
+    val clips = Multimodal.syntheticSegmentedAudio(spark, "/root/testdata/sf0.001")
+    val wins = Multimodal.audioEnergyWindows(clips, windowSamples = 64, minMeanEnergy = 100L)
+      .as[(Long, Int, Long, Boolean)].collect().groupBy(_._1)
+    assert(wins.nonEmpty && !wins.contains(3L), "corrupt ids must yield no windows")
+    wins.foreach { case (id, ws) =>
+      val n = (128 + (id % 3) * 64).toInt
+      assert(ws.map(_._2).sorted.toSeq == (0 until n / 64), s"id $id window set")
+      ws.foreach { case (_, w, e, silent) =>
+        val exp = (0 until 64).map { j =>
+          val i = w * 64 + j
+          val s = if (w % 2 == 0) ((id * 7 + i.toLong * 13) % 65536) - 32768
+                  else (id + i) % 7 - 3
+          s * s
+        }.sum
+        assert(e == exp, s"id $id window $w energy")
+        assert(silent == (w % 2 == 1), s"id $id window $w silence flag")
+      }
+    }
+  }
 }

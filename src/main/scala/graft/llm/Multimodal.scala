@@ -751,6 +751,137 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---- perceptual image hashing (dHash over real decoded pixels) ----------
+
+  /** Variant ids live in a disjoint range so (original, variant) pairs
+    * are trivially identifiable in tests while flowing through the SAME
+    * hash/band machinery as any other image.
+    */
+  private val DHashVariantBase = 1000000000L
+
+  /** Gradient hash over the DECODED raster: sample a 9×7 grid at exact
+    * integer positions x_k = k·(w−1)/8, y_r = r·(h−1)/6 (no
+    * interpolation — implementation-defined resampling would break the
+    * oracle), set bit r·8+k when the right sample exceeds the left.
+    * 56 bits, so the hash stays positive in a signed 64-bit lane on
+    * every engine. Brightness shifts, recompression, and scaling leave
+    * most gradient signs intact — the property perceptual dedup needs
+    * and byte-exact payload dedup lacks.
+    */
+  private[graft] def dHash(w: Int, h: Int, sample: (Int, Int) => Int): Long = {
+    var (hash, r) = (0L, 0)
+    while (r < 7) {
+      val y = r * (h - 1) / 6
+      var k = 0
+      while (k < 8) {
+        val left = sample(k * (w - 1) / 8, y)
+        val right = sample((k + 1) * (w - 1) / 8, y)
+        if (right > left) hash |= 1L << (r * 8 + k)
+        k += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Originals plus planted near-dup variants for the dHash pipeline.
+    * Pixel (x, y) is the first byte of sha256(src:idx:dhash:v1) — the
+    * cross-engine draw every text oracle already relies on — so each
+    * image's gradient-sign pattern is an independent 56-bit draw and
+    * accidental hamming-≤3 pairs have probability ~4·10⁻¹³. (Arithmetic
+    * formulas were measured and rejected: linear keys the bit pattern
+    * on a (base, stride, dims) space with dense hamming neighborhoods —
+    * 73-91k accidental pairs at sf0.1, quadratic in corpus size — and
+    * even a quadratic term reduces mod 2⁸ to a ~2¹⁵ class space.)
+    * Every id%5==0 original also emits a
+    * +2-brightness variant (id + 10⁹) whose gradient signs flip only
+    * where the +2 wraps past 255 — a planted perceptual near-dup that
+    * is NOT byte-identical. Ids below `CorruptBelow` carry non-PNG
+    * bytes, as everywhere.
+    */
+  def syntheticImagesForDHash(spark: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val codec = new ImageCodec.Codec
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        ids.flatMap { id =>
+          if (id < CorruptBelow)
+            Iterator.single(MediaPayload(id, "image", s"not-a-png-$id".getBytes("UTF-8")))
+          else {
+            val w = (8 + (id % 5) * 4).toInt
+            val h = (8 + (id % 3) * 4).toInt
+            def pix(shift: Int)(x: Int, y: Int): Int = {
+              val idx = y.toLong * w + x
+              val d = md.digest(s"$id:$idx:dhash:v1".getBytes("UTF-8"))
+              ((d(0) & 0xFF) + shift) % 256
+            }
+            val orig = MediaPayload(id, "image", codec.encodeGrayPng(w, h, pix(0)))
+            if (id % 5 == 0)
+              Iterator(orig, MediaPayload(id + DHashVariantBase, "image",
+                codec.encodeGrayPng(w, h, pix(2))))
+            else Iterator.single(orig)
+          }
+        }
+      }
+  }
+
+  /** Decode → dHash, one codec per partition; corrupt payloads yield no
+    * hash (they already surface through the decode query's null rows).
+    */
+  def imageDHash(images: Dataset[MediaPayload]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val codec = new ImageCodec.Codec
+      rows.flatMap { r =>
+        codec.decode(r.payload).iterator.map { img =>
+          (r.media_id, dHash(img.getWidth, img.getHeight, (x, y) => codec.sample(img, x, y)))
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Perceptual near-dup pairs via 4×14-bit band blocking (pigeonhole:
+    * hamming ≤ 3 guarantees a shared band, so the equi-join on band
+    * keys is EXHAUSTIVE at the gate — the simhash discipline, applied
+    * to decoded pixels instead of text). Never all-pairs: candidates
+    * are band-key collisions only.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole over 56 bits is exhaustive only to hamming 3")
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L))): _*))
+        .as(Seq("band", "bk")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** dHash extraction through the oracle gate. */
+  def imageDHashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticImagesForDHash(spark, dir).toDF(), 8).as[MediaPayload]
+    imageDHash(media).orderBy(col("media_id"))
+  }
+
+  /** Banded perceptual near-dup pairs through the gate (hamming ≤ 3). */
+  def imageNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = repartitionByModality(
+      syntheticImagesForDHash(spark, dir).toDF(), 8).as[MediaPayload]
+    imageNearDupPairs(imageDHash(media), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- real video pipeline (VideoCodec) -----------------------------------
 
   case class VideoMeta(media_id: Long, width: Option[Int], height: Option[Int],
@@ -961,7 +1092,33 @@ object Multimodal {
     "mm_video_decode" -> (videoDecodeQuery _),
     "mm_video_frames" -> (videoFramesQuery _),
     "mm_video_scene_cuts" -> (videoSceneCutsQuery _),
-    "mm_audio_energy" -> (audioEnergyQuery _))
+    "mm_audio_energy" -> (audioEnergyQuery _),
+    "mm_image_dhash" -> (imageDHashQuery _),
+    "mm_image_neardup" -> (imageNearDupQuery _))
+
+  // the dHash corpus (originals + brightness-shifted variants) restated:
+  // per member, the 9×7 sample grid's gradient bits packed into 56 bits
+  private val dHashSql: String =
+    s"""ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id >= $CorruptBelow),
+       |mem AS (
+       |  SELECT media_id, media_id AS src, 0 AS shift FROM ids
+       |  UNION ALL
+       |  SELECT media_id + $DHashVariantBase, media_id, 2 FROM ids WHERE media_id % 5 = 0),
+       |dims AS (SELECT media_id, src, shift,
+       |           8 + (src % 5) * 4 AS w, 8 + (src % 3) * 4 AS h FROM mem),
+       |rk AS (SELECT media_id, src, shift, w, h, unnest(range(7)) AS r FROM dims),
+       |rkk AS (SELECT media_id, src, shift, w, h, r, unnest(range(8)) AS k FROM rk),
+       |ix AS (SELECT media_id, src, shift, r, k,
+       |         (r*(h-1)//6)*w + (k*(w-1)//8) AS ic,
+       |         (r*(h-1)//6)*w + ((k+1)*(w-1)//8) AS inx
+       |       FROM rkk),
+       |bits AS (SELECT media_id, r, k,
+       |    CASE WHEN (CAST(CONCAT('0x', substr(sha256(CAST(src AS VARCHAR) || ':' || CAST(inx AS VARCHAR) || ':dhash:v1'), 1, 2)) AS INTEGER) + shift) % 256
+       |            > (CAST(CONCAT('0x', substr(sha256(CAST(src AS VARCHAR) || ':' || CAST(ic AS VARCHAR) || ':dhash:v1'), 1, 2)) AS INTEGER) + shift) % 256
+       |         THEN CAST(1 AS BIGINT) << (r*8+k) ELSE 0 END AS bv
+       |  FROM ix),
+       |hash AS (SELECT media_id, CAST(SUM(bv) AS BIGINT) AS dhash
+       |  FROM bits GROUP BY media_id)""".stripMargin
 
   // the synthetic-video pixel lattice: the image lattice with a frame
   // axis (three chained unnests), dims/fps from the id
@@ -1069,6 +1226,24 @@ object Multimodal {
          |FROM d GROUP BY media_id, f, w, h
          |HAVING SUM(dv) >= 64 * w * h
          |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_image_dhash" ->
+      s"""WITH $dHashSql
+         |SELECT media_id, dhash FROM hash ORDER BY media_id""".stripMargin,
+    // the banded pigeonhole join restated: hamming ≤ 3 over 56 bits in
+    // 4×14-bit bands guarantees a shared band key, so candidates are
+    // band collisions, never all-pairs — on either engine
+    "mm_image_neardup" ->
+      s"""WITH $dHashSql,
+         |b AS (SELECT media_id, dhash, unnest(range(4)) AS band FROM hash),
+         |kb AS (SELECT media_id, dhash, band,
+         |         (dhash >> (band*14)) & 16383 AS bk FROM b),
+         |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         |           x.dhash AS ha, y.dhash AS hb
+         |         FROM kb x JOIN kb y ON x.band = y.band AND x.bk = y.bk
+         |           AND x.media_id < y.media_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // the segmented-PCM lattice's windowed sums of squares, silence
     // thresholded on the integer mean — restates audioEnergyWindows
     // over the loud/quiet alternation (window == 64-sample segment)

@@ -242,6 +242,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!cuts.contains(2L), "corrupt ids must yield no cuts")
   }
 
+  test("perceptual dHash: planted brightness variants pair up, nothing else does") {
+    val dir = "/root/testdata/sf0.001"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pixel(src: Long, idx: Long, shift: Int): Int = {
+      val d = md.digest(s"$src:$idx:dhash:v1".getBytes("UTF-8"))
+      ((d(0) & 0xFF) + shift) % 256
+    }
+    def expectedHash(src: Long, shift: Int): Long = {
+      val (w, h) = ((8 + (src % 5) * 4).toInt, (8 + (src % 3) * 4).toInt)
+      Multimodal.dHash(w, h, (x, y) => pixel(src, y.toLong * w + x, shift))
+    }
+    val hashes = Multimodal.imageDHash(Multimodal.syntheticImagesForDHash(spark, dir))
+      .as[(Long, Long)].collect().toMap
+    // the decoded-raster hash equals the formula hash for every member —
+    // the PNG round-trip adds nothing and loses nothing
+    hashes.foreach { case (id, h) =>
+      val (src, shift) = if (id >= 1000000000L) (id - 1000000000L, 2) else (id, 0)
+      assert(h == expectedHash(src, shift), s"id $id hash")
+    }
+    val got = Multimodal.imageNearDupPairs(
+        Multimodal.imageDHash(Multimodal.syntheticImagesForDHash(spark, dir)), 3)
+      .as[(Long, Long, Int)].collect()
+    // exactly the planted (original, variant) pairs whose true hamming
+    // is within the banded guarantee — and no accidental pairs
+    val expect = hashes.keys.filter(id => id >= 8 && id < 1000000000L && id % 5 == 0)
+      .flatMap { id =>
+        val ham = java.lang.Long.bitCount(expectedHash(id, 0) ^ expectedHash(id, 2))
+        if (ham <= 3) Some((id, id + 1000000000L, ham)) else None
+      }.toSet
+    assert(expect.nonEmpty, "fixture must plant discoverable pairs")
+    assert(got.toSet == expect,
+      s"pairs diverge: extra=${got.toSet -- expect} missing=${expect -- got.toSet}")
+  }
+
   test("audio energy windows: silence flags follow the loud/quiet segment alternation") {
     val clips = Multimodal.syntheticSegmentedAudio(spark, "/root/testdata/sf0.001")
     val wins = Multimodal.audioEnergyWindows(clips, windowSamples = 64, minMeanEnergy = 100L)

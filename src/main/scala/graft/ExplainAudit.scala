@@ -102,6 +102,15 @@ object ExplainAudit {
       q.unpersist(blocking = false)
     }
 
+    // round-11 media additions: video/scene/audio are narrow
+    // mapPartitions chains (one modality-spread shuffle, reductions
+    // beside the decoder, long-sized shuffle rows); the dHash near-dup
+    // must read BOTH band-join sides from the checkpointed hash
+    // RDDScan — never two decode scans
+    show("mm_video_scene_cuts")(graft.llm.Multimodal.videoSceneCutsQuery(spark, dir))
+    show("mm_audio_energy")(graft.llm.Multimodal.audioEnergyQuery(spark, dir))
+    show("mm_image_neardup")(graft.llm.Multimodal.imageNearDupQuery(spark, dir))
+
     // round-9 additions: entity resolution — expect the scalar block-size
     // gate (aggregate + LeftSemi) strictly BEFORE the pair equi-join
     // (SortMergeJoin/ShuffledHashJoin on bk, never CartesianProduct or

@@ -873,12 +873,17 @@ object Multimodal {
     imageDHash(media).orderBy(col("media_id"))
   }
 
-  /** Banded perceptual near-dup pairs through the gate (hamming ≤ 3). */
+  /** Banded perceptual near-dup pairs through the gate (hamming ≤ 3).
+    * The hash scan is checkpointed FIRST: the band self-join reads both
+    * sides from the materialized (media_id, dhash) longs instead of
+    * running the decode+hash mapPartitions twice — at corpus scale the
+    * second full decode is the dominant avoidable cost.
+    */
   def imageNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = repartitionByModality(
       syntheticImagesForDHash(spark, dir).toDF(), 8).as[MediaPayload]
-    imageNearDupPairs(imageDHash(media), maxHamming = 3)
+    imageNearDupPairs(imageDHash(media).localCheckpoint(), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
 

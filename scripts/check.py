@@ -48,6 +48,20 @@ def main(out_dir, sf_dir):
             print(f"  [rows-only] {name}: {len(grows)} rows")
             continue
         try:
+            # type audit first: the driver's hasher is TYPE-SENSITIVE while
+            # this harness compares python values — a HUGEINT/DECIMAL output
+            # column passes here but hash-fails the driver gate (two rounds
+            # of llm_sample_pps red until the copies CAST landed). DESCRIBE
+            # is free; make the divergence loud in the dev loop.
+            widened = [
+                (c, t) for c, t, *_ in con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            if widened:
+                print(f"FAIL {name}: oracle outputs driver-hash-unsafe types "
+                      f"{widened} — CAST them (usually AS BIGINT)")
+                n_fail += 1
+                continue
             exp = con.execute(oracle[name])
             ecols = [d[0] for d in exp.description]
             erows = exp.fetchall()

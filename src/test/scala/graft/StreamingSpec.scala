@@ -813,6 +813,13 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(corruptCount() == 2L, "corrupt counter double-applied on replay")
     assert(index() == idx, "scene index changed on replay")
+    // a crash between the index append and the snapshot flip leaves
+    // rows under an unledgered source file — the read side must not
+    // serve them (same complement filter the triangle stream reads through)
+    Seq((99L, 1, 12345L)).toDF("media_id", "frame_idx", "delta_sum")
+      .withColumn("src_file", lit("file:///crashed/never_ledgered.jsonl"))
+      .write.partitionBy("src_file").mode("append").parquet(s"$root/scenes")
+    assert(index() == idx, "unledgered orphan rows leaked into the scene index")
   }
 
   test("streaming negative-interaction alert fires at the threshold (T6)") {

@@ -1,9 +1,9 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import graft.store.Lake
 
 /** Structured Streaming ingestion (SURVEY.md §2.9 T1–T7).
@@ -573,26 +573,181 @@ object MicroBatch {
       .start()
   }
 
-  /** The scene index at rest, ledger-enforced: rows whose source file
-    * the snapshot never recorded (crash orphans, bounded by one batch)
-    * are excluded by the same O(1)-in-stream-age complement filter the
-    * triangle stream reads through.
+  /** A src_file-partitioned stream artifact table at rest,
+    * ledger-enforced: rows whose source file the snapshot never
+    * recorded (crash orphans, bounded by one batch) are excluded by
+    * the same O(1)-in-stream-age complement filter the triangle
+    * stream reads through. Returns an empty frame with `schema` when
+    * the table has no rows yet (a stream can legitimately land files
+    * that produce none).
     */
-  def readSceneIndex(spark: SparkSession, scenesDir: String, stateDir: String): DataFrame = {
+  private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
+                                       stateDir: String,
+                                       schema: StructType): DataFrame = {
     import graft.store.Versioned
+    if (!new java.io.File(tableDir).exists)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val applied = Versioned.read(spark, stateDir)
       .filter(col("kind") === "file")
       .select(col("key")).collect().map(_.getString(0)).toSet
-    val orphans = Option(new java.io.File(scenesDir).listFiles()).toSeq.flatten
+    val orphans = Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
       .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.getName.stripPrefix("src_file=")))
       .filterNot(applied)
-    val onDisk = spark.read.parquet(scenesDir)
+    val onDisk = spark.read.parquet(tableDir)
     (if (orphans.isEmpty) onDisk
      else onDisk.filter(!col("src_file").isin(orphans: _*)))
-      .select(col("media_id"), col("frame_idx"), col("delta_sum"))
+      .select(schema.fieldNames.map(col): _*)
+      // a crash between append and snapshot flip makes the replay
+      // re-append the SAME (deterministic) rows under the same source
+      // file — the distinct collapses them, exactly like the triangle
+      // stream's edge read
+      .distinct()
   }
+
+  /** The scene index at rest (see `readLedgeredTable`). */
+  def readSceneIndex(spark: SparkSession, scenesDir: String, stateDir: String): DataFrame =
+    readLedgeredTable(spark, scenesDir, stateDir, StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("delta_sum", LongType))))
+
+  private val HashTableSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("dhash", LongType)))
+  private val PairTableSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("hamming", IntegerType)))
+
+  /** Streaming incremental PERCEPTUAL dedup: PNG payloads land base64
+    * in JSONL micro-batches; each batch decodes and dHashes its images
+    * once, then finds near-dup pairs with AT LEAST ONE new member —
+    * new×ledgered via the 4×14-bit band join (never all-pairs; the
+    * simhash pigeonhole is exhaustive to hamming ≤ 3) plus new×new
+    * within the batch. Every pair surfaces exactly once, in the batch
+    * where its LATER member lands, so the union over batches equals the
+    * batch detector's full pair set under any batching — which is
+    * exactly what the oracle states (stream ≡ batch, the
+    * `llm_dedup_incremental`/`er_incremental` discipline applied to
+    * decoded pixels). Hash rows and pair rows append tagged with the
+    * batch's source file ((new, new) pairs by the greater id's file —
+    * deterministic under replay); the ledger + corrupt counter flip in
+    * one versioned snapshot; the read side complement-filters both
+    * tables. Per-batch cost: decode of the BATCH only + a band join of
+    * batch hashes against the at-rest hash table (longs, not pixels).
+    */
+  def imageIngestStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      hashesDir: String,
+      pairsDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      maxFilesPerTrigger: Int = 1,
+      triggerMs: Long = 500L): StreamingQuery = {
+    import graft.store.Versioned
+    require(maxHamming <= 3, "4-band pigeonhole over 56 bits is exhaustive only to hamming 3")
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L))): _*))
+          .as(Seq("band", "bk")))
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import spark.implicits._
+          val snap =
+            if (Versioned.exists(stateDir))
+              Versioned.read(spark, stateDir)
+                .collect().map(r => (r.getAs[String]("kind"),
+                  r.getAs[String]("key"), r.getAs[Long]("n")))
+            else Array.empty[(String, String, Long)]
+          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val storedCorrupt = snap.collectFirst { case ("corrupt", _, n) => n }.getOrElse(0L)
+          val files = batch.select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).sorted
+          val freshFiles = files.filterNot(appliedFiles)
+          if (freshFiles.nonEmpty) {
+            val rows =
+              if (freshFiles.length == files.length) batch
+              else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
+            val decoded = rows
+              .select(col("media_id"), unbase64(col("payload_b64")).as("p"),
+                input_file_name().as("src_file"))
+              .as[(Long, Array[Byte], String)]
+              .mapPartitions { it =>
+                val codec = new graft.llm.Multimodal.ImageCodec.Codec
+                it.map { case (id, payload, sf) =>
+                  codec.decode(payload) match {
+                    case None => ("corrupt", id, 0L, sf)
+                    case Some(img) =>
+                      ("hash", id, graft.llm.Multimodal.dHash(
+                        img.getWidth, img.getHeight,
+                        (x, y) => codec.sample(img, x, y)), sf)
+                  }
+                }
+              }
+              .toDF("kind", "media_id", "dhash", "src_file")
+              .localCheckpoint()
+            val newCorrupt = decoded.filter(col("kind") === "corrupt").count()
+            val newH = decoded.filter(col("kind") === "hash")
+              .select(col("media_id"), col("dhash"), col("src_file"))
+            val oldH = readLedgeredTable(spark, hashesDir, stateDir, HashTableSchema)
+            def ham(a: Column, b: Column): Column =
+              bit_count(a.bitwiseXOR(b)).cast("int")
+            val nb = bandsOf(newH)
+            // new×old: the incremental half — band collisions against
+            // the at-rest longs, ids oriented least/greatest, pair
+            // tagged by the NEW member's file
+            val crossPairs = nb.as("n").join(bandsOf(oldH).as("o"),
+                col("n.band") === col("o.band") && col("n.bk") === col("o.bk") &&
+                  col("n.media_id") =!= col("o.media_id"))
+              .select(least(col("n.media_id"), col("o.media_id")).as("id_a"),
+                greatest(col("n.media_id"), col("o.media_id")).as("id_b"),
+                col("n.dhash").as("ha"), col("o.dhash").as("hb"),
+                col("n.src_file"))
+              .distinct()
+            // new×new: within-batch pairs, tagged by the greater id's
+            // file (deterministic across replays)
+            val innerPairs = nb.as("x").join(nb.as("y"),
+                col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+                  col("x.media_id") < col("y.media_id"))
+              .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+                col("x.dhash").as("ha"), col("y.dhash").as("hb"),
+                col("y.src_file"))
+              .distinct()
+            val pairs = crossPairs.unionByName(innerPairs)
+              .withColumn("hamming", ham(col("ha"), col("hb")))
+              .filter(col("hamming") <= maxHamming)
+              .select(col("id_a"), col("id_b"), col("hamming"), col("src_file"))
+            if (!pairs.isEmpty)
+              pairs.write.partitionBy("src_file").mode("append").parquet(pairsDir)
+            if (!newH.isEmpty)
+              newH.write.partitionBy("src_file").mode("append").parquet(hashesDir)
+            val stateRows =
+              Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
+                (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+            Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
+            graft.store.Checkpoints.free(decoded)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The streamed hash table / near-dup pair table at rest. */
+  def readImageHashes(spark: SparkSession, hashesDir: String, stateDir: String): DataFrame =
+    readLedgeredTable(spark, hashesDir, stateDir, HashTableSchema)
+  def readImagePairs(spark: SparkSession, pairsDir: String, stateDir: String): DataFrame =
+    readLedgeredTable(spark, pairsDir, stateDir, PairTableSchema)
 
   /** Streaming frequent-terms maintenance: documents landing as JSONL
     * fold into a Misra-Gries summary STATE TABLE (≤ k (token, cnt)

@@ -99,7 +99,7 @@ object StreamReplay {
         // dir (mtime-stamped there), never across families.
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         def timed(name: String)(f: => Unit): Future[Unit] = Future {
           val t0 = System.nanoTime()
@@ -115,7 +115,8 @@ object StreamReplay {
           timed("sessions")(buildSessions(spark, dir, root)),
           timed("mg")(buildMgState(spark, dir, root)),
           timed("triangles")(buildTriangles(spark, dir, root)),
-          timed("video")(buildVideoScenes(spark, dir, root)))
+          timed("video")(buildVideoScenes(spark, dir, root)),
+          timed("dhash")(buildImageHashes(spark, dir, root)))
         // On a family failure, fail the whole memo — but only after EVERY
         // builder has stopped: a fail-fast Await(Future.sequence) would
         // leave the other six still streaming under a root that `built`
@@ -436,6 +437,52 @@ object StreamReplay {
       checkpointDir = s"$root/video_ckpt"))
   }
 
+  /** The dHash corpus (originals + planted brightness variants, incl.
+    * corrupt payloads) lands base64 in four id-sliced JSONL files, one
+    * per micro-batch → `imageIngestStream` maintains the at-rest hash
+    * table and the incremental near-dup pair table. A variant shares
+    * its original's pmod slice (10⁹ ≡ 0 mod 4), so planted pairs
+    * exercise the within-batch half; cross-slice accidental structure
+    * exercises the new×ledgered half. The oracles are LITERALLY the
+    * batch detector's — every pair surfaces exactly once, in the batch
+    * where its later member lands, so the streamed union equals the
+    * batch answer under any batching.
+    */
+  private def buildImageHashes(spark: SparkSession, dir: String, root: String): Unit = {
+    val landing = Paths.get(root, "dhash_landing")
+    Files.createDirectories(landing)
+    val imgs = graft.llm.Multimodal.syntheticImagesForDHash(spark, dir).toDF()
+      .select(col("media_id"), base64(col("payload")).as("payload_b64"))
+      .localCheckpoint()
+    val base = System.currentTimeMillis() - 6 * 2000L
+    (0 until 4).foreach { s =>
+      writeLandingFile(
+        imgs.filter(pmod(col("media_id"), lit(4L)) === s),
+        landing.resolve(f"dhash_$s%02d.json"), base + s * 2000L)
+    }
+    graft.store.Checkpoints.free(imgs)
+    MicroBatch.runToCompletion(MicroBatch.imageIngestStream(
+      spark, landing.toString,
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload_b64", StringType))),
+      hashesDir = s"$root/dhash_hashes", pairsDir = s"$root/dhash_pairs",
+      stateDir = s"$root/dhash_state", checkpointDir = s"$root/dhash_ckpt"))
+  }
+
+  /** The streamed hash table at rest, ledger-enforced. */
+  def imageHashesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.readImageHashes(spark, s"$root/dhash_hashes", s"$root/dhash_state")
+      .orderBy(col("media_id"))
+  }
+
+  /** The incrementally streamed near-dup pair table at rest. */
+  def imageNearDupStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.readImagePairs(spark, s"$root/dhash_pairs", s"$root/dhash_state")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The streamed shot-boundary index at rest, ledger-enforced. */
   def videoScenesQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = replayRoot(spark, dir)
@@ -530,7 +577,9 @@ object StreamReplay {
     "stream_frequent_terms" -> (mgFrequentQuery _),
     "stream_graph_triangles" -> (graphTrianglesQuery _),
     "stream_video_scenes" -> (videoScenesQuery _),
-    "stream_video_corrupt" -> (videoCorruptQuery _))
+    "stream_video_corrupt" -> (videoCorruptQuery _),
+    "stream_image_hashes" -> (imageHashesQuery _),
+    "stream_image_neardup" -> (imageNearDupStreamQuery _))
 
   val oracles: Map[String, String] = Map(
     // the whole multi-batch additive fold collapses to one GROUP BY —
@@ -625,5 +674,9 @@ object StreamReplay {
     // and replays
     "stream_video_corrupt" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_corrupt
-        |FROM documents WHERE doc_id < 8""".stripMargin)
+        |FROM documents WHERE doc_id < 8""".stripMargin,
+    // the streamed incremental perceptual dedup must equal the batch
+    // detector under any batching — literally the same oracles
+    "stream_image_hashes" -> graft.llm.Multimodal.oracles("mm_image_dhash"),
+    "stream_image_neardup" -> graft.llm.Multimodal.oracles("mm_image_neardup"))
 }

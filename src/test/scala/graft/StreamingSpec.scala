@@ -822,6 +822,67 @@ class StreamingSpec extends SparkSpec {
     assert(index() == idx, "unledgered orphan rows leaked into the scene index")
   }
 
+  test("image ingest: incremental near-dup pairs surface exactly once, any batching") {
+    val root = Files.createTempDirectory("img_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload_b64", StringType)))
+    val codec = new graft.llm.Multimodal.ImageCodec.Codec
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pixel(seed: Long, shift: Int)(x: Int, y: Int): Int = {
+      val d = md.digest(s"$seed:${y * 8 + x}:test".getBytes("UTF-8"))
+      ((d(0) & 0xFF) + shift) % 256
+    }
+    def img(id: Long, seed: Long, shift: Int): String = {
+      val b = java.util.Base64.getEncoder
+        .encodeToString(codec.encodeGrayPng(8, 8, pixel(seed, shift)))
+      s"""{"media_id":$id,"payload_b64":"$b"}"""
+    }
+    def run(): Unit = {
+      val q = MicroBatch.imageIngestStream(spark, in, schema,
+        hashesDir = s"$root/hashes", pairsDir = s"$root/pairs",
+        stateDir = s"$root/state", checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def pairs(): Set[(Long, Long)] =
+      MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state")
+        .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    // batch 1: image 10 and its within-batch brightness variant 11,
+    // plus unrelated 12 and a corrupt payload 13
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), Seq(
+      img(10, seed = 1, shift = 0), img(11, seed = 1, shift = 2),
+      img(12, seed = 2, shift = 0),
+      s"""{"media_id":13,"payload_b64":"${java.util.Base64.getEncoder.encodeToString("junk".getBytes)}"}"""
+    ).mkString("\n"))
+    run()
+    assert(pairs() == Set((10L, 11L)), s"within-batch pair: ${pairs()}")
+    // batch 2: a CROSS-batch variant of 10 and a variant of unrelated 12
+    // -> both halves of the incremental join fire; (10,11) must NOT
+    // re-surface
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), Seq(
+      img(20, seed = 1, shift = 2), img(21, seed = 2, shift = 2)).mkString("\n"))
+    run()
+    // 20 pairs with both 10 (orig) and 11 (same-shift twin -> hamming 0)
+    val expect = Set((10L, 11L), (10L, 20L), (11L, 20L), (12L, 21L))
+    assert(pairs() == expect, s"after batch 2: ${pairs()}")
+    val corrupt = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "corrupt").select($"n").head().getLong(0)
+    assert(corrupt == 1L)
+    // wipe-and-replay is a no-op for both artifacts
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    assert(pairs() == expect, "replay changed the pair table")
+    // a crash-window duplicate append of LEDGERED rows (bit-identical,
+    // as a deterministic replay produces) collapses in the read-side
+    // distinct — copy a real row back in and count full rows
+    val dup = spark.read.parquet(s"$root/pairs")
+      .filter($"id_a" === 10L && $"id_b" === 11L)
+    dup.write.partitionBy("src_file").mode("append").parquet(s"$root/pairs")
+    val rowCount = MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state").count()
+    assert(rowCount == expect.size.toLong,
+      s"duplicate appended rows leaked past the distinct: $rowCount")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

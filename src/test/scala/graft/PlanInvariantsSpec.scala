@@ -45,6 +45,19 @@ class PlanInvariantsSpec extends SparkSpec {
       s"IVF probe did not partition-prune the at-rest index:\n$scan")
   }
 
+  test("perceptual near-dup band join reads checkpointed hashes, never a second decode") {
+    // the expensive stage is decode+dHash; the band self-join must read
+    // both sides from the materialized (media_id, dhash) longs — a plan
+    // that re-runs the decode mapPartitions under the join pays the
+    // full corpus decode twice at scale
+    val plan = SparkEntry.queries("mm_image_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"band join must read the checkpointed hash scan:\n$plan")
+    assert(!plan.contains("MapPartitions"),
+      s"decode leaked under the band join:\n$plan")
+  }
+
   test("winnow probe lists only the probed band partitions of the postings index") {
     // the registered query's own plan is checkpoint-severed, so assert
     // on the split-out lazy plan the checkpoint materializes — the same

@@ -315,9 +315,15 @@ object Multimodal {
           def walk(end: Int): Unit =
             while (buf.position() + 8 <= end) {
               val id = buf.getInt(); val size = buf.getInt()
-              val next = buf.position() + size + (size & 1) // chunks pad to even
-              if (next > end) throw new java.io.IOException("truncated chunk")
-              if (id == fourcc("LIST")) { buf.getInt(); walk(next) }
+              // chunks pad to even; compute in Long so a size near
+              // Int.MaxValue can't overflow past the bounds check. A
+              // negative size would put `next` at or before the chunk
+              // header — the walker would spin on the same chunk forever
+              // instead of routing the payload to None — so reject it
+              // with the other malformed shapes.
+              val next = buf.position().toLong + size + (size & 1)
+              if (size < 0 || next > end) throw new java.io.IOException("bad chunk")
+              if (id == fourcc("LIST")) { buf.getInt(); walk(next.toInt) }
               else if (id == fourcc("strh") && size >= 56) {
                 val t = buf.getInt(); buf.getInt(); buf.getInt()
                 buf.getShort(); buf.getShort(); buf.getInt()
@@ -353,7 +359,7 @@ object Multimodal {
                 }
                 frames += top
               }
-              buf.position(next)
+              buf.position(next.toInt)
             }
           walk(8 + riffSize)
           if (w <= 0 || h <= 0 || rate <= 0 || scale <= 0 || !gray8 ||

@@ -385,6 +385,58 @@ object Lake {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
+  /** In-place upgrade of a table from the flat layout (part files at
+    * the dir root, `partCol` as a plain data column) to hive
+    * partitioning by `partCol`. Resuming a stream over a flat table
+    * without this would mix the two layouts: partition discovery
+    * degrades and `partCol` comes back null for the root-level rows —
+    * which silently breaks any partition-valued filter (the ledger
+    * complement read). Returns true when a migration (or the completion
+    * of a crashed one) ran.
+    *
+    * Crash safety, single writer: root part files are first SWEPT into
+    * a `_flat_legacy` staging dir (per-file atomic moves; Spark readers
+    * skip underscore dirs, so a half-swept table still reads as
+    * whatever subset remains at the root plus the already-partitioned
+    * rows — never duplicated). The rewrite is a dynamic partition
+    * OVERWRITE from the complete staged set, so a crashed rewrite just
+    * re-runs: same input, same partitions replaced. Completion is
+    * published by atomically renaming the staging dir away — a crash
+    * at any earlier point leaves `_flat_legacy` (and possibly root
+    * files) for the next call to resume; a crash after leaves only a
+    * `_flat_trash` dir to re-delete.
+    */
+  def migrateFlatPartitions(spark: SparkSession, dir: String, partCol: String): Boolean = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return false
+    val legacy = root.resolve("_flat_legacy")
+    val trash = root.resolve("_flat_trash")
+    deleteRecursive(trash)
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") || n == "_SUCCESS"
+      }
+      .foreach { f =>
+        if (f.getFileName.toString == "_SUCCESS") Files.delete(f)
+        else {
+          Files.createDirectories(legacy)
+          Files.move(f, legacy.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    if (!Files.exists(legacy)) return false
+    if (!Files.list(legacy).iterator().hasNext) { deleteRecursive(legacy); return false }
+    spark.read.parquet(legacy.toString)
+      .write.partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(dir)
+    Files.move(legacy, trash, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(trash)
+    true
+  }
+
   // ---- registered query ---------------------------------------------------
 
   /** One ORC build per (session, source dir, source fingerprint) — the

@@ -153,7 +153,59 @@ object Upsert {
     */
   def fileLedgerContains(tableDir: String, file: String): Boolean =
     java.nio.file.Files.exists(
-      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file)))
+      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file))) ||
+      fileLedgerHwm(tableDir).exists(FileLedger.basename(file) <= _)
+
+  /** The ledger's compacted high-watermark, if one has been written:
+    * every landing file whose basename is lexicographically at or below
+    * it is applied (see `fileLedgerCompact`).
+    */
+  def fileLedgerHwm(tableDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(tableDir, "_ledger", "HWM")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+  }
+
+  /** Retire marker files behind a high-watermark so the `_ledger` dir
+    * stops growing with stream age — the marker-file twin of the
+    * in-snapshot `FileLedger` compaction, under the same monotone
+    * landing-name contract. `landedBasenames` is the landing dir's
+    * current listing; the watermark only advances over names it proves
+    * are all applied, so in-flight files hold it back. Crash order is
+    * safe either way: HWM is published first (tmp + atomic rename), and
+    * a crash mid-retirement just leaves markers at or below the
+    * watermark for the next compaction to delete — a lingering marker
+    * only re-affirms containment.
+    */
+  def fileLedgerCompact(tableDir: String, landedBasenames: Set[String]): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
+    if (!java.nio.file.Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val markers = java.nio.file.Files.list(dir).iterator().asScala
+      .filter { f =>
+        val n = f.getFileName.toString
+        n.length == 64 && n.forall(c => c.isDigit || ('a' to 'f').contains(c))
+      }.toSeq
+    // marker CONTENT is the full landing path `fileLedgerRecord` wrote
+    val byBase = markers.map { m =>
+      FileLedger.basename(new String(java.nio.file.Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8)) -> m
+    }
+    val prev = FileLedger.State(fileLedgerHwm(tableDir), byBase.map(_._1).toSet)
+    val next = FileLedger.compact(prev, Set.empty, landedBasenames)
+    next.hwm.filterNot(prev.hwm.contains).foreach { w =>
+      val tmp = dir.resolve(".HWM.tmp")
+      java.nio.file.Files.write(tmp,
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, dir.resolve("HWM"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    next.hwm.foreach { w =>
+      byBase.filter(_._1 <= w).foreach(p => java.nio.file.Files.deleteIfExists(p._2))
+    }
+  }
 
   def fileLedgerRecord(tableDir: String, file: String): Unit = {
     val dir = java.nio.file.Paths.get(tableDir, "_ledger")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-import graft.store.Lake
+import graft.store.{FileLedger, Lake}
 
 /** Structured Streaming ingestion (SURVEY.md §2.9 T1–T7).
   *
@@ -372,13 +372,24 @@ object MicroBatch {
     * union graph reads only edges whose tag is LEDGERED (plus the
     * batch's own), so rows orphaned by a crash between append and flip
     * are invisible until their file replays — the counter is
-    * exactly-once under any redelivery, and duplicate (a,b,file) rows
-    * collapse in the distinct. The ledger check excludes the COMPLEMENT
+    * exactly-once under any redelivery, and the replay REPLACES the
+    * orphan partition (dynamic partition overwrite) rather than
+    * appending a duplicate. The ledger check excludes the COMPLEMENT
     * (unledgered orphans, bounded by one crashed batch) rather than
     * IN-listing every applied file, so the filter expression stays O(1)
-    * as the stream ages and orphan partitions prune at the scan. Scale:
-    * the delta is |E_new| × avg-degree join work, the counter never
-    * rescans the graph, and the edge table is append-only.
+    * as the stream ages and orphan partitions prune at the scan. The
+    * ledger itself is compacted behind a high-watermark (`FileLedger`),
+    * so the per-batch snapshot collect and rewrite are bounded by the
+    * open frontier, not stream age. Scale: the delta is |E_new| ×
+    * avg-degree join work, the counter never rescans the graph, and the
+    * edge table is append-only.
+    *
+    * An edge table from before the hive-partitioned layout (src_file as
+    * a plain data column, part files at the dir root) is migrated in
+    * place at stream start (`Lake.migrateFlatPartitions`) — resuming
+    * over a flat table would otherwise mix the two layouts and leave
+    * src_file null for the root-level rows, silently breaking the
+    * ledger complement filter.
     */
   def triangleIngestStream(
       spark: SparkSession,
@@ -390,6 +401,7 @@ object MicroBatch {
       maxFilesPerTrigger: Int = 1,
       triggerMs: Long = 500L): StreamingQuery = {
     import graft.store.Versioned
+    graft.store.Lake.migrateFlatPartitions(spark, edgesDir, "src_file")
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -406,11 +418,11 @@ object MicroBatch {
                 .collect().map(r => (r.getAs[String]("kind"),
                   r.getAs[String]("key"), r.getAs[Long]("n")))
             else Array.empty[(String, String, Long)]
-          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val ledger = FileLedger.fromRows(snap)
           val storedCount = snap.collectFirst { case ("cnt", _, n) => n }.getOrElse(0L)
           val files = batch.select(input_file_name().as("f")).distinct()
             .collect().map(_.getString(0)).sorted
-          val freshFiles = files.filterNot(appliedFiles)
+          val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
             val rows =
               if (freshFiles.length == files.length) batch
@@ -442,7 +454,7 @@ object MicroBatch {
                   .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
                   .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                     .unescapePathName(f.getName.stripPrefix("src_file=")))
-                  .filterNot(appliedFiles)
+                  .filterNot(ledger.applied)
                 val onDisk = spark.read.parquet(edgesDir)
                 (if (orphans.isEmpty) onDisk
                  else onDisk.filter(!col("src_file").isin(orphans: _*)))
@@ -467,12 +479,19 @@ object MicroBatch {
                   struct(least(col("b"), col("c")), greatest(col("b"), col("c"))) > e)
                 .count()
             }
+            // dynamic partition overwrite: a fresh file's partitions are
+            // either absent (normal) or a crashed batch's orphan — the
+            // deterministic replay REPLACES the orphan instead of
+            // appending a second copy, so duplicates never exist at rest
             if (!newEdges.isEmpty)
               batchEdges.join(newEdges, Seq("a", "b"), "left_semi")
-                .write.partitionBy("src_file").mode("append").parquet(edgesDir)
+                .write.partitionBy("src_file")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(edgesDir)
             val stateRows =
               Seq(("cnt", "", storedCount + delta)) ++
-                (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
+                  FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             batchEdges.unpersist(blocking = false)
             oldEdges.unpersist(blocking = false)
@@ -527,11 +546,11 @@ object MicroBatch {
                 .collect().map(r => (r.getAs[String]("kind"),
                   r.getAs[String]("key"), r.getAs[Long]("n")))
             else Array.empty[(String, String, Long)]
-          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val ledger = FileLedger.fromRows(snap)
           val storedCorrupt = snap.collectFirst { case ("corrupt", _, n) => n }.getOrElse(0L)
           val files = batch.select(input_file_name().as("f")).distinct()
             .collect().map(_.getString(0)).sorted
-          val freshFiles = files.filterNot(appliedFiles)
+          val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
             val rows =
               if (freshFiles.length == files.length) batch
@@ -559,11 +578,16 @@ object MicroBatch {
             val newCorrupt = tagged.filter(col("kind") === "corrupt").count()
             val cuts = tagged.filter(col("kind") === "cut")
               .select(col("media_id"), col("frame_idx"), col("delta_sum"), col("src_file"))
+            // dynamic overwrite: a crashed batch's orphan partition is
+            // REPLACED by its deterministic replay, never duplicated
             if (!cuts.isEmpty)
-              cuts.write.partitionBy("src_file").mode("append").parquet(scenesDir)
+              cuts.write.partitionBy("src_file")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(scenesDir)
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
-                (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
+                  FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             graft.store.Checkpoints.free(tagged)
           }
@@ -579,7 +603,17 @@ object MicroBatch {
     * the same O(1)-in-stream-age complement filter the triangle
     * stream reads through. Returns an empty frame with `schema` when
     * the table has no rows yet (a stream can legitimately land files
-    * that produce none).
+    * that produce none), and treats a MISSING snapshot — the table dir
+    * exists but the state pointer never flipped, i.e. a crash inside
+    * the very first batch — as an empty ledger: every on-disk
+    * partition is then an orphan and stays invisible until its file
+    * replays, instead of wedging the stream on a read that throws.
+    *
+    * No dedup pass: the writers REPLACE a fresh file's partitions
+    * (dynamic partition overwrite), so a crashed batch's orphan rows
+    * are overwritten by their deterministic replay and duplicates
+    * never exist at rest — the no-crash read is a plain pruned scan
+    * with no Exchange (pinned by PlanInvariantsSpec).
     */
   private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
                                        stateDir: String,
@@ -587,23 +621,22 @@ object MicroBatch {
     import graft.store.Versioned
     if (!new java.io.File(tableDir).exists)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val applied = Versioned.read(spark, stateDir)
-      .filter(col("kind") === "file")
-      .select(col("key")).collect().map(_.getString(0)).toSet
+    val ledger =
+      if (Versioned.exists(stateDir))
+        FileLedger.fromRows(Versioned.read(spark, stateDir)
+          .filter(col("kind").isin("file", "hwm"))
+          .select(col("kind"), col("key")).collect()
+          .map(r => (r.getString(0), r.getString(1), 0L)).toIndexedSeq)
+      else FileLedger.Empty
     val orphans = Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
       .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.getName.stripPrefix("src_file=")))
-      .filterNot(applied)
+      .filterNot(ledger.applied)
     val onDisk = spark.read.parquet(tableDir)
     (if (orphans.isEmpty) onDisk
      else onDisk.filter(!col("src_file").isin(orphans: _*)))
       .select(schema.fieldNames.map(col): _*)
-      // a crash between append and snapshot flip makes the replay
-      // re-append the SAME (deterministic) rows under the same source
-      // file — the distinct collapses them, exactly like the triangle
-      // stream's edge read
-      .distinct()
   }
 
   /** The scene index at rest (see `readLedgeredTable`). */
@@ -669,11 +702,11 @@ object MicroBatch {
                 .collect().map(r => (r.getAs[String]("kind"),
                   r.getAs[String]("key"), r.getAs[Long]("n")))
             else Array.empty[(String, String, Long)]
-          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val ledger = FileLedger.fromRows(snap)
           val storedCorrupt = snap.collectFirst { case ("corrupt", _, n) => n }.getOrElse(0L)
           val files = batch.select(input_file_name().as("f")).distinct()
             .collect().map(_.getString(0)).sorted
-          val freshFiles = files.filterNot(appliedFiles)
+          val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
             val rows =
               if (freshFiles.length == files.length) batch
@@ -727,13 +760,22 @@ object MicroBatch {
               .withColumn("hamming", ham(col("ha"), col("hb")))
               .filter(col("hamming") <= maxHamming)
               .select(col("id_a"), col("id_b"), col("hamming"), col("src_file"))
+            // dynamic overwrite on both artifacts: a crashed batch's
+            // orphan partitions are REPLACED by their deterministic
+            // replay, so duplicates never exist at rest and the read
+            // side needs no dedup pass at all
             if (!pairs.isEmpty)
-              pairs.write.partitionBy("src_file").mode("append").parquet(pairsDir)
+              pairs.write.partitionBy("src_file")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(pairsDir)
             if (!newH.isEmpty)
-              newH.write.partitionBy("src_file").mode("append").parquet(hashesDir)
+              newH.write.partitionBy("src_file")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(hashesDir)
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
-                (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
+                  FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             graft.store.Checkpoints.free(decoded)
           }
@@ -800,11 +842,11 @@ object MicroBatch {
                 .collect().map(r => (r.getAs[String]("kind"),
                   r.getAs[String]("token"), r.getAs[Long]("cnt")))
             else Array.empty[(String, String, Long)]
-          val appliedFiles = snap.collect { case ("file", f, _) => f }.toSet
+          val ledger = FileLedger.fromRows(snap)
           // bounded driver artifact: ≤ maxFilesPerTrigger paths per batch
           val files = batch.select(input_file_name().as("f")).distinct()
             .collect().map(_.getString(0)).sorted
-          val freshFiles = files.filterNot(appliedFiles)
+          val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
             val delta =
               if (freshFiles.length == files.length) batch
@@ -820,7 +862,8 @@ object MicroBatch {
             val merged = FrequentItems.mergeSummaries(stored, batchSummary, k)
             val rows =
               merged.toSeq.sortBy(_._1).map { case (t, c) => ("cnt", t, c) } ++
-              (appliedFiles ++ freshFiles).toSeq.sorted.map(f => ("file", f, 0L))
+              FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
+                FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(rows.toDF("kind", "token", "cnt"), stateDir)
           }
         }
@@ -1018,6 +1061,9 @@ object MicroBatch {
             Upsert.additivePartitioned(spark, tableDir, delta,
               keys, valueCol, partitionCol)
             fresh.foreach(Upsert.fileLedgerRecord(tableDir, _))
+            // retire the applied-prefix markers behind a high-watermark
+            // so _ledger stays bounded by the open frontier, not stream age
+            Upsert.fileLedgerCompact(tableDir, FileLedger.landedBasenames(landingDir))
           }
         }
         ()

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{FileLedger, Lake, Upsert}
+
+/** The compacted replay ledger (`FileLedger`) and its two storage
+  * forms: in-snapshot rows (the Versioned streams) and marker files
+  * (`Upsert`'s `_ledger`), plus the flat→hive layout migration the
+  * triangle stream runs at start.
+  */
+class FileLedgerSpec extends SparkSpec {
+  import FileLedger.{State, compact}
+
+  private def p(b: String) = s"file:///land/$b"
+
+  test("compact retires the applied prefix behind the watermark; frontier rows survive") {
+    // everything landed is applied -> one watermark, zero file rows
+    val all = compact(State(None, Set.empty), Set(p("a1"), p("a2"), p("a3")),
+      landed = Set("a1", "a2", "a3"))
+    assert(all == State(Some("a3"), Set.empty))
+    // an unapplied landed file below the max holds the watermark back,
+    // and the out-of-order applied file above it stays as a row
+    val gap = compact(State(None, Set.empty), Set(p("a1"), p("a3")),
+      landed = Set("a1", "a2", "a3"))
+    assert(gap == State(Some("a1"), Set(p("a3"))))
+    // the gap fills -> next compaction folds the frontier row away
+    assert(compact(gap, Set(p("a2")), landed = Set("a1", "a2", "a3"))
+      == State(Some("a3"), Set.empty))
+  }
+
+  test("watermark never regresses, and applied() covers retired + frontier + nothing else") {
+    val st = compact(State(Some("b5"), Set(p("b7"))), Set.empty, landed = Set("b6", "b7"))
+    assert(st.hwm.contains("b5"), s"b6 is landed-unapplied, hwm must hold: $st")
+    assert(st.applied(p("b4")) && st.applied(p("b5")), "retired names are applied")
+    assert(st.applied(p("b7")) && !st.applied(p("b6")) && !st.applied(p("b8")))
+    // an empty landing listing (compaction disabled / dir archived
+    // whole) still never regresses the watermark
+    assert(compact(st, Set(p("b6")), landed = Set.empty).hwm.contains("b7"))
+  }
+
+  test("snapshot round-trip: rows encode hwm + frontier and load back identically") {
+    val st = State(Some("c2"), Set(p("c4"), p("c9")))
+    assert(FileLedger.fromRows(FileLedger.toRows(st)) == st)
+    // pre-compaction snapshots (file rows only) load as uncompacted
+    assert(FileLedger.fromRows(Seq(("file", p("c1"), 0L), ("cnt", "x", 3L)))
+      == State(None, Set(p("c1"))))
+  }
+
+  test("marker-file ledger compacts behind HWM; containment honors both forms") {
+    val tbl = Files.createTempDirectory("marker_ledger").toString
+    val land = Files.createTempDirectory("marker_land").toString
+    def landFile(b: String): String = {
+      Files.writeString(Paths.get(land, b), "{}")
+      // record with the URI shape input_file_name() reports
+      s"file://$land/$b"
+    }
+    val f1 = landFile("k1.jsonl"); val f2 = landFile("k2.jsonl")
+    Upsert.fileLedgerRecord(tbl, f1)
+    Upsert.fileLedgerRecord(tbl, f2)
+    assert(Upsert.fileLedgerContains(tbl, f1) && Upsert.fileLedgerContains(tbl, f2))
+    Upsert.fileLedgerCompact(tbl, FileLedger.landedBasenames(land))
+    // both markers retired behind one HWM file
+    import scala.jdk.CollectionConverters._
+    val left = Files.list(Paths.get(tbl, "_ledger")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(left == Seq("HWM"), s"markers must retire: $left")
+    assert(Upsert.fileLedgerHwm(tbl).contains("k2.jsonl"))
+    assert(Upsert.fileLedgerContains(tbl, f1) && Upsert.fileLedgerContains(tbl, f2),
+      "retired files must still test as applied via the watermark")
+    assert(!Upsert.fileLedgerContains(tbl, s"file://$land/k3.jsonl"))
+    // an in-flight landed file holds the watermark at its predecessor
+    Files.writeString(Paths.get(land, "k3.jsonl"), "{}")
+    val f4 = landFile("k4.jsonl")
+    Upsert.fileLedgerRecord(tbl, f4)
+    Upsert.fileLedgerCompact(tbl, FileLedger.landedBasenames(land))
+    assert(Upsert.fileLedgerHwm(tbl).contains("k2.jsonl"), "k3 is pending")
+    assert(Upsert.fileLedgerContains(tbl, f4), "frontier marker must survive")
+    assert(!Upsert.fileLedgerContains(tbl, s"file://$land/k3.jsonl"))
+  }
+
+  test("migrateFlatPartitions rewrites a flat table into hive layout, idempotently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("flat_migrate").toString + "/edges"
+    // the pre-partitioned layout: src_file as a plain data column
+    Seq((1L, 2L, p("e1")), (2L, 3L, p("e1")), (3L, 4L, p("e2")))
+      .toDF("a", "b", "src_file").write.parquet(dir)
+    assert(new java.io.File(dir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "precondition: flat layout")
+    assert(Lake.migrateFlatPartitions(spark, dir, "src_file"))
+    val after = new java.io.File(dir).listFiles().filterNot(_.getName.startsWith("."))
+    assert(after.forall(f => f.isDirectory && f.getName.startsWith("src_file=")),
+      s"root must hold only partition dirs: ${after.map(_.getName).mkString(",")}")
+    val rows = spark.read.parquet(dir).select($"a", $"b", $"src_file")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 2L, p("e1")), (2L, 3L, p("e1")), (3L, 4L, p("e2"))))
+    // second call: nothing flat left, a no-op
+    assert(!Lake.migrateFlatPartitions(spark, dir, "src_file"))
+    assert(spark.read.parquet(dir).count() == 3L)
+    // crash resume: a leftover staged file (the crash-between-sweep-and-
+    // rewrite window) is folded in without duplicating migrated rows
+    Seq((9L, 9L, p("e3"))).toDF("a", "b", "src_file")
+      .write.parquet(s"$dir/_flat_legacy")
+    assert(Lake.migrateFlatPartitions(spark, dir, "src_file"))
+    val rows2 = spark.read.parquet(dir).select($"a", $"b").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(rows2 == Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L)), rows2.toString)
+  }
+
+  test("a fresh readLedgeredTable over a table whose snapshot never flipped serves nothing") {
+    import spark.implicits._
+    // the ADVICE crash window: first-ever batch appended its partitions
+    // and died before the state pointer existed — the read must treat
+    // the whole table as orphaned, not throw
+    val root = Files.createTempDirectory("no_snap").toString
+    Seq((1L, 99L)).toDF("media_id", "dhash")
+      .withColumn("src_file", lit(p("x1")))
+      .write.partitionBy("src_file").parquet(s"$root/hashes")
+    val got = graft.stream.MicroBatch.readImageHashes(
+      spark, s"$root/hashes", s"$root/state")
+    assert(got.count() == 0L, "orphans of a never-flipped snapshot leaked")
+  }
+}

@@ -179,6 +179,20 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.decode(whole.take(whole.length / 2)).isEmpty, "truncated AVI decoded")
     val wav = new Multimodal.AudioCodec.Codec().encodePcmWav(8000, Array.tabulate(32)(_.toShort))
     assert(codec.decode(wav).isEmpty, "WAV (RIFF but not AVI) must route as corrupt")
+    // adversarial chunk sizes: a NEGATIVE size would move the walker
+    // backward onto the same header forever (an executor-task hang, not
+    // a None), and a near-Int.MaxValue size must not overflow past the
+    // bounds check — both must route as corrupt, promptly
+    def aviWithChunkSize(size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String) = s.getBytes("US-ASCII").zipWithIndex
+        .map { case (c, i) => (c & 0xFFL) << (8 * i) }.sum.toInt
+      b.putInt(cc("RIFF")).putInt(16).putInt(cc("AVI "))
+      b.putInt(cc("JUNK")).putInt(size).putInt(0)
+      b.array()
+    }
+    for (s <- Seq(-8, -7, -1, Int.MinValue, Int.MaxValue - 2))
+      assert(codec.decode(aviWithChunkSize(s)).isEmpty, s"chunk size $s must route as corrupt")
   }
 
   test("video pipeline: demuxed stats and frame sampling agree with the generation formula") {

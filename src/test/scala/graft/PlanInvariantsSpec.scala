@@ -58,6 +58,27 @@ class PlanInvariantsSpec extends SparkSpec {
       s"decode leaked under the band join:\n$plan")
   }
 
+  test("ledgered stream table read is a plain pruned scan — no Exchange, no dedup shuffle") {
+    // the stream writers REPLACE a fresh file's partitions (dynamic
+    // partition overwrite), so the at-rest tables never hold crash
+    // duplicates and the read path must not pay a full-table shuffle
+    // for a dedup that can't be needed — at rest-table scale a global
+    // distinct per read would dwarf the query itself
+    val root = java.nio.file.Files.createTempDirectory("ledger_plan").toString
+    import spark.implicits._
+    Seq((1L, 2, 3L), (4L, 5, 6L)).toDF("media_id", "frame_idx", "delta_sum")
+      .withColumn("src_file", lit("file:///landed/b1.jsonl"))
+      .write.partitionBy("src_file").parquet(s"$root/scenes")
+    graft.store.Versioned.overwrite(
+      Seq(("corrupt", "", 0L), ("hwm", "b1.jsonl", 0L)).toDF("kind", "key", "n"),
+      s"$root/state")
+    val df = graft.stream.MicroBatch.readSceneIndex(spark, s"$root/scenes", s"$root/state")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"no-crash ledgered read must not shuffle:\n$plan")
+    assert(df.count() == 2L)
+  }
+
   test("winnow probe lists only the probed band partitions of the postings index") {
     // the registered query's own plan is checkpoint-severed, so assert
     // on the split-out lazy plan the checkpoint materializes — the same

@@ -681,7 +681,9 @@ class StreamingSpec extends SparkSpec {
     assert(counters.map(_._2).contains("hot"),
       s"'hot' (tf=20 > N/(k+1)=8) must survive the cross-batch merge: $s1")
     assert(counters.size <= 4, s"summary over k: $counters")
-    assert(s1.count(_._1 == "file") == 2, s"two landed files expected: $s1")
+    // both landed files retired behind one compacted watermark row
+    assert(s1.filter(t => t._1 == "file" || t._1 == "hwm").map(t => (t._1, t._2))
+      == Seq(("hwm", "b2.jsonl")), s"compacted ledger expected: $s1")
     // wipe the checkpoint: the source redelivers both files; the in-
     // snapshot file ledger must make the whole replay a no-op
     graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
@@ -856,6 +858,24 @@ class StreamingSpec extends SparkSpec {
     ).mkString("\n"))
     run()
     assert(pairs() == Set((10L, 11L)), s"within-batch pair: ${pairs()}")
+    // simulate a crash between the artifact appends and the snapshot
+    // flip for the UPCOMING file: poisoned half-written rows land under
+    // b2's src_file tag with no ledger entry. They must stay invisible
+    // now, and b2's real processing must REPLACE them (dynamic
+    // partition overwrite), not append alongside
+    val b1Path = new java.io.File(s"$root/hashes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
+      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(f.getName.stripPrefix("src_file=")))
+      .head
+    val b2Path = b1Path.replace("b1.jsonl", "b2.jsonl")
+    Seq((999L, 1000L, 0)).toDF("id_a", "id_b", "hamming")
+      .withColumn("src_file", lit(b2Path))
+      .write.partitionBy("src_file").mode("append").parquet(s"$root/pairs")
+    Seq((999L, 42L)).toDF("media_id", "dhash")
+      .withColumn("src_file", lit(b2Path))
+      .write.partitionBy("src_file").mode("append").parquet(s"$root/hashes")
+    assert(pairs() == Set((10L, 11L)), s"unledgered orphan rows leaked: ${pairs()}")
     // batch 2: a CROSS-batch variant of 10 and a variant of unrelated 12
     // -> both halves of the incremental join fire; (10,11) must NOT
     // re-surface
@@ -868,19 +888,29 @@ class StreamingSpec extends SparkSpec {
     val corrupt = graft.store.Versioned.read(spark, s"$root/state")
       .filter($"kind" === "corrupt").select($"n").head().getLong(0)
     assert(corrupt == 1L)
+    // the poisoned orphan rows were REPLACED by b2's deterministic
+    // processing — exact row counts, not just set membership
+    val pairRows = MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state").count()
+    assert(pairRows == expect.size.toLong,
+      s"crash-window orphan rows survived the partition overwrite: $pairRows")
+    val hashRows = MicroBatch.readImageHashes(spark, s"$root/hashes", s"$root/state")
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(hashRows == Seq(10L, 11L, 12L, 20L, 21L),
+      s"hash table rows after orphan replace: $hashRows")
     // wipe-and-replay is a no-op for both artifacts
     graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
     run()
     assert(pairs() == expect, "replay changed the pair table")
-    // a crash-window duplicate append of LEDGERED rows (bit-identical,
-    // as a deterministic replay produces) collapses in the read-side
-    // distinct — copy a real row back in and count full rows
-    val dup = spark.read.parquet(s"$root/pairs")
-      .filter($"id_a" === 10L && $"id_b" === 11L)
-    dup.write.partitionBy("src_file").mode("append").parquet(s"$root/pairs")
-    val rowCount = MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state").count()
-    assert(rowCount == expect.size.toLong,
-      s"duplicate appended rows leaked past the distinct: $rowCount")
+    assert(MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state").count()
+      == expect.size.toLong, "replay duplicated pair rows")
+    // the compacted ledger: both landed files retired behind one
+    // high-watermark row — snapshot size is frontier-bounded, not
+    // stream-age-bounded
+    val ledgerRows = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "file" || $"kind" === "hwm")
+      .select($"kind", $"key").as[(String, String)].collect().toSeq
+    assert(ledgerRows == Seq(("hwm", "b2.jsonl")),
+      s"ledger should compact to one watermark row: $ledgerRows")
   }
 
   test("streaming negative-interaction alert fires at the threshold (T6)") {

@@ -206,23 +206,38 @@ class LedgerReplayPropertySpec extends SparkSpec {
 
   // -- the property ----------------------------------------------------------
 
-  for (fam <- Seq(triangle, video, image, mg, kpi))
-    test(s"${fam.name} ingest: kill+replay at any point converges to the no-crash run") {
-      val ref = Files.createTempDirectory(s"prop_${fam.name}_ref").toString
-      val hurt = Files.createTempDirectory(s"prop_${fam.name}_crash").toString
-      drive(fam, ref, crashAfter = Set.empty)
-      drive(fam, hurt, crashAfter = killPoints)
-      val (a, b) = (fam.artifact(ref), fam.artifact(hurt))
-      assert(a == b, s"${fam.name}: crash run diverged\n ref=$a\n got=$b")
-      assert(a.nonEmpty, s"${fam.name}: degenerate reference artifact")
-      // the converged ledger is COMPACT: landing fully applied -> the
-      // whole history sits behind one watermark, no per-file rows
-      fam.rollbackDirs(ref).foreach { st =>
-        val l = ledgerRows(st, fam.ledgerKey)
-        assert(l == Seq(s"ledger:hwm=b$nFiles.jsonl"),
-          s"${fam.name}: ledger not compacted after catch-up: $l")
-      }
+  private def check(fam: Family): Unit = {
+    val ref = Files.createTempDirectory(s"prop_${fam.name}_ref").toString
+    val hurt = Files.createTempDirectory(s"prop_${fam.name}_crash").toString
+    drive(fam, ref, crashAfter = Set.empty)
+    drive(fam, hurt, crashAfter = killPoints)
+    val (a, b) = (fam.artifact(ref), fam.artifact(hurt))
+    assert(a == b, s"${fam.name}: crash run diverged\n ref=$a\n got=$b")
+    assert(a.nonEmpty, s"${fam.name}: degenerate reference artifact")
+    // the converged ledger is COMPACT: landing fully applied -> the
+    // whole history sits behind one watermark, no per-file rows
+    fam.rollbackDirs(ref).foreach { st =>
+      val l = ledgerRows(st, fam.ledgerKey)
+      assert(l == Seq(s"ledger:hwm=b$nFiles.jsonl"),
+        s"${fam.name}: ledger not compacted after catch-up: $l")
     }
+  }
+
+  test("triangle ingest: kill+replay at any point converges to the no-crash run") {
+    check(triangle)
+  }
+  test("video ingest: kill+replay at any point converges to the no-crash run") {
+    check(video)
+  }
+  test("image ingest: kill+replay at any point converges to the no-crash run") {
+    check(image)
+  }
+  test("mg ingest: kill+replay at any point converges to the no-crash run") {
+    check(mg)
+  }
+  test("kpi ingest: kill+replay at any point converges to the no-crash run") {
+    check(kpi)
+  }
 }
 
 /** Shared tiny helper (basename) without importing store internals. */

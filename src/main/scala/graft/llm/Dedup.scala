@@ -793,6 +793,14 @@ object Dedup {
     "llm_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // EXACT prefix-filtered form (not all-pairs): J(A,B) >= τ forces
+    // |A∩B| >= ceil(τ·max(|A|,|B|)), and two sets with overlap >= o
+    // must share a token inside their first |X| - o + 1 tokens under
+    // any global order (the AllPairs/PPJoin prefix bound; we order by
+    // (df, token) so prefixes hold the RAREST tokens and fan-out stays
+    // small). Candidates = prefix⋈prefix, then the same exact jaccard
+    // verify as before — identical output to the quadratic form
+    // (prototyped equal at sf0.01), DuckDB-tractable at sf0.1.
     "llm_dedup_ngram_jaccard" ->
       s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -800,11 +808,22 @@ object Dedup {
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
+         |ordt AS MATERIALIZED (
+         |  SELECT doc_id, t, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, t) AS rnk
+         |  FROM (SELECT doc_id, t, n, COUNT(*) OVER (PARTITION BY t) AS df FROM tok)),
+         |pref AS MATERIALIZED (
+         |  SELECT doc_id, t FROM ordt
+         |  WHERE rnk <= n - CAST(CEIL($NearDupJaccard * n) AS BIGINT) + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
+         |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY id_a, id_b""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH sh AS MATERIALIZED (
@@ -844,7 +863,9 @@ object Dedup {
          |FROM sym
          |QUALIFY rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
-    // batch×corpus all-pairs at J >= 0.8, distinct batch ids
+    // batch×corpus at J >= 0.8, distinct batch ids — same exact prefix
+    // filter as llm_dedup_ngram_jaccard, with the parity split applied
+    // at candidate generation
     "llm_neardup_incremental" ->
       s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -852,14 +873,31 @@ object Dedup {
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents)
-         |SELECT DISTINCT b.doc_id AS drop_id
-         |FROM sh b, sh c
-         |WHERE b.doc_id % 2 <> 0 AND c.doc_id % 2 = 0
-         |  AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / len(list_distinct(list_concat(b.s, c.s))) >= 0.8
+         |  FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
+         |ordt AS MATERIALIZED (
+         |  SELECT doc_id, t, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, t) AS rnk
+         |  FROM (SELECT doc_id, t, n, COUNT(*) OVER (PARTITION BY t) AS df FROM tok)),
+         |pref AS MATERIALIZED (
+         |  SELECT doc_id, t FROM ordt
+         |  WHERE rnk <= n - CAST(CEIL(0.8 * n) AS BIGINT) + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT b.doc_id AS id_b, c.doc_id AS id_c
+         |  FROM pref b JOIN pref c ON b.t = c.t
+         |  WHERE b.doc_id % 2 <> 0 AND c.doc_id % 2 = 0)
+         |SELECT DISTINCT x.id_b AS drop_id
+         |FROM cand x JOIN sh b ON b.doc_id = x.id_b JOIN sh c ON c.doc_id = x.id_c
+         |WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / len(list_distinct(list_concat(b.s, c.s))) >= 0.8
          |ORDER BY drop_id""".stripMargin,
     // all ORDERED pairs (containment is asymmetric: divide by |a|, a ≠ b
-    // in either order) — the quadratic oracle for the inverted-index plan
+    // in either order). Exact prefix filter, asymmetric form:
+    // containment(a→b) >= τ forces |A∩B| >= ceil(τ·|A|), so some token
+    // of A∩B sits in a's (df,token)-ordered prefix of length
+    // |A| - ceil(τ|A|) + 1 — and that token is in B. Candidates =
+    // a.prefix ⋈ b.ANY-token (the oracle twin of the inverted-index
+    // plan), then the same exact verify. Identical output to the
+    // quadratic form; tractable at sf0.1.
     "llm_dedup_containment" ->
       s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -867,11 +905,22 @@ object Dedup {
          |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
          |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
+         |ordt AS MATERIALIZED (
+         |  SELECT doc_id, t, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, t) AS rnk
+         |  FROM (SELECT doc_id, t, n, COUNT(*) OVER (PARTITION BY t) AS df FROM tok)),
+         |pref AS MATERIALIZED (
+         |  SELECT doc_id, t FROM ordt
+         |  WHERE rnk <= n - CAST(CEIL($MinContainment * n) AS BIGINT) + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id)
+         |SELECT c.id_a, c.id_b,
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
-         |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
-         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= $MinContainment
+         |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= $MinContainment
          |ORDER BY id_a, id_b""".stripMargin,
     // transitive closure over the all-pairs >=0.8 graph: cluster id = min
     // reachable id (same shingle CTE as the pair oracles)

@@ -367,6 +367,26 @@ object Lake {
       target.toString
     }
 
+  /** Archive every landing data file whose basename sits at or below
+    * the replay ledger's watermark — those files are fully applied
+    * (that is what the watermark certifies) and can never be needed
+    * again except as history. This is the retention half of the
+    * compacted-ledger design: `FileLedger.landedBasenames` lists the
+    * landing dir every batch, and archival is what keeps that listing
+    * bounded by the open frontier instead of stream age. Files above
+    * the watermark (in-flight or out-of-order applied) are never
+    * touched, so a checkpoint wipe after archival still replays only
+    * files the ledger covers. Returns the archived paths.
+    */
+  def archiveBehindWatermark(landingDir: String, archiveDir: String,
+                             hwm: String): Seq[String] = {
+    val files = Option(new java.io.File(landingDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filter(_.getName <= hwm)
+      .map(_.getPath)
+    moveFiles(files, archiveDir)
+  }
+
   def archiveByFilenameDate(files: Seq[String], archiveRoot: String): Seq[String] =
     files.flatMap { f =>
       f match {

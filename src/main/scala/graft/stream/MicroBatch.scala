@@ -446,20 +446,13 @@ object MicroBatch {
             // O(1) in stream age, and when non-empty the NOT IN lands in
             // the scan's PartitionFilters — orphan files prune at the
             // directory level rather than being read and discarded.
+            // partition visibility is a driver-side hive-dir listing
+            // (no Spark job): ledger complement + consolidation rule
             val oldEdges =
-              (if (new java.io.File(edgesDir).exists) {
-                // the partition VALUES are the hive directory names —
-                // a driver-side listing, no Spark job per batch
-                val orphans = Option(new java.io.File(edgesDir).listFiles()).toSeq.flatten
-                  .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
-                  .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                    .unescapePathName(f.getName.stripPrefix("src_file=")))
-                  .filterNot(ledger.applied)
-                val onDisk = spark.read.parquet(edgesDir)
-                (if (orphans.isEmpty) onDisk
-                 else onDisk.filter(!col("src_file").isin(orphans: _*)))
+              (if (new java.io.File(edgesDir).exists)
+                visibleLedgered(spark, edgesDir, snap)
                   .select(col("a"), col("b")).distinct()
-              } else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+              else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
               .localCheckpoint()
             val newEdges = batchEdges.select(col("a"), col("b")).distinct()
               .join(oldEdges, Seq("a", "b"), "left_anti")
@@ -490,6 +483,7 @@ object MicroBatch {
                 .mode("overwrite").parquet(edgesDir)
             val stateRows =
               Seq(("cnt", "", storedCount + delta)) ++
+                snap.collect { case r @ ("retired", _, _) => r } ++
                 FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
                   FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
@@ -586,6 +580,7 @@ object MicroBatch {
                 .mode("overwrite").parquet(scenesDir)
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
+                snap.collect { case r @ ("retired", _, _) => r } ++
                 FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
                   FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
@@ -615,28 +610,164 @@ object MicroBatch {
     * never exist at rest — the no-crash read is a plain pruned scan
     * with no Exchange (pinned by PlanInvariantsSpec).
     */
-  private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
-                                       stateDir: String,
-                                       schema: StructType): DataFrame = {
-    import graft.store.Versioned
-    if (!new java.io.File(tableDir).exists)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val ledger =
-      if (Versioned.exists(stateDir))
-        FileLedger.fromRows(Versioned.read(spark, stateDir)
-          .filter(col("kind").isin("file", "hwm"))
-          .select(col("kind"), col("key")).collect()
-          .map(r => (r.getString(0), r.getString(1), 0L)).toIndexedSeq)
-      else FileLedger.Empty
-    val orphans = Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
+  // ---- retired-partition consolidation ------------------------------------
+
+  /** src_file value of the consolidated partition holding every row
+    * whose source file retired at or below watermark `w`. Real values
+    * are landing URIs, so the tag can never collide.
+    */
+  private val RetiredTag = "_retired:"
+  private[graft] def retiredValue(w: String): String = RetiredTag + w
+
+  /** Blessings are keyed by TABLE (dir basename): one stream may
+    * maintain several artifact tables behind one state snapshot (the
+    * image stream's hashes + pairs), and each consolidates on its own
+    * schedule — a shared blessing would let one table's compaction
+    * reclaim another's un-consolidated dirs.
+    */
+  private def tableBase(tableDir: String): String = new java.io.File(tableDir).getName
+  private def blessedOf(rows: Iterable[(String, String, Long)], base: String): Option[String] =
+    rows.collectFirst { case ("retired", k, _) if k.startsWith(base + ":") =>
+      k.stripPrefix(base + ":") }
+
+  /** Is the on-disk partition `v` part of the table's visible state?
+    *  - a consolidated partition: only the BLESSED one (a crashed
+    *    compaction's unblessed staging stays invisible);
+    *  - a per-file partition at or below the blessed watermark: no —
+    *    its rows live in the consolidation now, the dir is just
+    *    un-reclaimed space;
+    *  - otherwise: the ledger decides (unledgered = crash orphan).
+    */
+  private def visiblePartition(ledger: FileLedger.State, blessed: Option[String])
+                              (v: String): Boolean =
+    if (v.startsWith(RetiredTag)) blessed.contains(v.stripPrefix(RetiredTag))
+    else if (blessed.exists(FileLedger.basename(v) <= _)) false
+    else ledger.applied(v)
+
+  private def partitionValues(tableDir: String): Seq[String] =
+    Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
       .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.getName.stripPrefix("src_file=")))
-      .filterNot(ledger.applied)
+
+  /** The visible rows of a src_file-partitioned stream table given its
+    * state snapshot rows: excludes the (bounded) invisible complement —
+    * crash orphans, unblessed consolidations, folded source dirs
+    * awaiting reclaim — via a partition-pruned NOT IN.
+    */
+  private[graft] def visibleLedgered(spark: SparkSession, tableDir: String,
+                                     snap: Iterable[(String, String, Long)]): DataFrame = {
+    val ledger = FileLedger.fromRows(snap)
+    val excluded = partitionValues(tableDir)
+      .filterNot(visiblePartition(ledger, blessedOf(snap, tableBase(tableDir))))
     val onDisk = spark.read.parquet(tableDir)
-    (if (orphans.isEmpty) onDisk
-     else onDisk.filter(!col("src_file").isin(orphans: _*)))
+    if (excluded.isEmpty) onDisk
+    else onDisk.filter(!col("src_file").isin(excluded: _*))
+  }
+
+  private def readSnap(spark: SparkSession, stateDir: String): Seq[(String, String, Long)] = {
+    import graft.store.Versioned
+    if (!Versioned.exists(stateDir)) Seq.empty
+    else Versioned.read(spark, stateDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+  }
+
+  /** Archive the landing files this stream's ledger has retired behind
+    * its watermark (see `Lake.archiveBehindWatermark`) — the retention
+    * call that keeps the per-batch landing listing bounded. Safe at any
+    * time: only files the snapshot certifies as applied move.
+    */
+  def archiveRetiredLanding(spark: SparkSession, landingDir: String,
+                            archiveDir: String, stateDir: String): Seq[String] =
+    FileLedger.fromRows(readSnap(spark, stateDir)).hwm
+      .map(Lake.archiveBehindWatermark(landingDir, archiveDir, _))
+      .getOrElse(Seq.empty)
+
+  private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
+                                       stateDir: String,
+                                       schema: StructType): DataFrame = {
+    if (!new java.io.File(tableDir).exists)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    visibleLedgered(spark, tableDir, readSnap(spark, stateDir))
       .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Consolidate a ledgered stream table's RETIRED partitions — every
+    * per-file dir whose basename sits at or below the compacted
+    * ledger's watermark, plus any previously blessed consolidation —
+    * into ONE `_retired:<hwm>` partition. Without this, a
+    * partition-per-landed-file table ages into millions of tiny hive
+    * dirs (listing cost, file-count pressure, driver partition
+    * discovery) even though the ledger itself stays one row; with it,
+    * the at-rest layout is O(open frontier + 1) partitions at any
+    * stream age, and the retired mass sits in one well-packed dir.
+    *
+    * Single-writer contract (run between batches or while the stream is
+    * stopped — the same discipline every `Versioned` writer has), but
+    * crash-safe at every point against READERS and against its own
+    * retry:
+    *  1. the consolidated partition is staged in a sibling temp dir and
+    *     MOVED in (one dir rename) — never a read-write overwrite of
+    *     the table root, never partial files under the live dir;
+    *  2. until the state snapshot blesses `hwm`, the new dir is
+    *     invisible (`visiblePartition`) and the folded sources still
+    *     serve — a crash before the bless loses nothing and a retry
+    *     rebuilds the same dir from the same sources;
+    *  3. after the bless, the folded sources are invisible and their
+    *     deletion is pure space reclaim — a crash mid-delete leaves
+    *     dirs the next call (or read) ignores, and the
+    *     `blessed == hwm` fast path finishes the cleanup.
+    * Returns true when it consolidated (or completed a cleanup).
+    */
+  def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
+    import graft.store.{Lake, Versioned}
+    import java.nio.file.{Files, Paths}
+    if (!new java.io.File(tableDir).exists || !Versioned.exists(stateDir)) return false
+    val snapDf = Versioned.read(spark, stateDir)
+    val snapCols = snapDf.columns.toSeq
+    val snap = snapDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+    val ledger = FileLedger.fromRows(snap)
+    val base = tableBase(tableDir)
+    val blessed = blessedOf(snap, base)
+    val hwm = ledger.hwm.getOrElse(return false)
+    def dirOf(v: String) = Paths.get(tableDir, "src_file=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+    def reclaim(bless: Option[String]): Boolean = {
+      val dead = partitionValues(tableDir).filter { v =>
+        if (v.startsWith(RetiredTag)) !bless.contains(v.stripPrefix(RetiredTag))
+        else bless.exists(FileLedger.basename(v) <= _)
+      }
+      dead.foreach(v => Lake.deleteRecursive(dirOf(v)))
+      dead.nonEmpty
+    }
+    if (blessed.contains(hwm)) return reclaim(blessed) // crashed-delete cleanup only
+    val folds = partitionValues(tableDir).filter { v =>
+      if (v.startsWith(RetiredTag)) blessed.contains(v.stripPrefix(RetiredTag))
+      else FileLedger.basename(v) <= hwm && ledger.applied(v)
+    }
+    if (folds.isEmpty) return false
+    // stage next to the table (readers never see it), then one rename in
+    val tmp = s"$tableDir.compact_tmp"
+    Lake.deleteRecursive(Paths.get(tmp))
+    spark.read.parquet(tableDir)
+      .filter(col("src_file").isin(folds: _*))
+      .drop("src_file")
+      .withColumn("src_file", lit(retiredValue(hwm)))
+      .write.partitionBy("src_file").parquet(tmp)
+    val staged = Paths.get(tmp, "src_file=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(retiredValue(hwm)))
+    val target = dirOf(retiredValue(hwm))
+    Lake.deleteRecursive(target) // a crashed attempt's unblessed staging
+    Files.move(staged, target)
+    Lake.deleteRecursive(Paths.get(tmp))
+    // bless: same snapshot, retired row replaced — one pointer flip
+    import spark.implicits._
+    val rows = snap.filterNot(r => r._1 == "retired" && r._2.startsWith(base + ":")) :+
+      (("retired", s"$base:$hwm", 0L))
+    Versioned.overwrite(rows.toDF(snapCols: _*), stateDir)
+    reclaim(Some(hwm))
+    true
   }
 
   /** The scene index at rest (see `readLedgeredTable`). */
@@ -774,6 +905,7 @@ object MicroBatch {
                 .mode("overwrite").parquet(hashesDir)
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
+                snap.collect { case r @ ("retired", _, _) => r } ++
                 FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
                   FileLedger.landedBasenames(landingDir)))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)

@@ -505,23 +505,13 @@ object StreamReplay {
     val root = replayRoot(spark, dir)
     val snap = Versioned.read(spark, s"$root/tri_state")
     // the ledger is compacted behind a high-watermark, so "ledgered"
-    // is a predicate (hwm + frontier rows), not a joinable row set —
-    // exclude the unledgered COMPLEMENT exactly like the stream's own
-    // read path (bounded by one crashed batch, usually empty)
-    val ledger = graft.store.FileLedger.fromRows(
-      snap.filter(col("kind").isin("file", "hwm"))
-        .select(col("kind"), col("key")).collect()
-        .map(r => (r.getString(0), r.getString(1), 0L)).toIndexedSeq)
-    val orphans = Option(new java.io.File(s"$root/tri_edges").listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
-      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(f.getName.stripPrefix("src_file=")))
-      .filterNot(ledger.applied)
-    val onDisk = spark.read.parquet(s"$root/tri_edges")
-    val nEdges =
-      (if (orphans.isEmpty) onDisk
-       else onDisk.filter(!col("src_file").isin(orphans: _*)))
-        .select(col("a"), col("b")).distinct().count()
+    // is a predicate (hwm + frontier rows + consolidation blessing),
+    // not a joinable row set — read through the stream's own shared
+    // visibility rule (ledger complement, bounded by one crashed batch)
+    val snapRows = snap.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+    val nEdges = MicroBatch.visibleLedgered(spark, s"$root/tri_edges", snapRows)
+      .select(col("a"), col("b")).distinct().count()
     val nTri = snap.filter(col("kind") === "cnt").select(col("n"))
       .head().getLong(0)
     import spark.implicits._

@@ -109,6 +109,48 @@ class FileLedgerSpec extends SparkSpec {
     assert(rows2 == Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L)), rows2.toString)
   }
 
+  test("landing archival behind the watermark: applied files move, replay stays a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("archive_land").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val q = graft.stream.MicroBatch.mgIngestStream(spark, in, schema, "text", k = 3,
+        stateDir = s"$root/state", checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def snap() = graft.store.Versioned.read(spark, s"$root/state")
+      .select($"kind", $"token", $"cnt").as[(String, String, Long)].collect().sorted.toSeq
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), """{"doc_id":1,"text":"hot hot hot"}""")
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), """{"doc_id":2,"text":"hot cold"}""")
+    run()
+    val s1 = snap()
+    // both applied -> both archive; the landing dir empties
+    val moved = graft.stream.MicroBatch.archiveRetiredLanding(
+      spark, in, s"$root/archive", s"$root/state")
+    assert(moved.size == 2 && FileLedger.landedBasenames(in).isEmpty,
+      s"archival moved $moved")
+    assert(Files.exists(Paths.get(s"$root/archive/b1.jsonl")))
+    // a wiped checkpoint now has NOTHING to redeliver; state unchanged
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    run()
+    assert(snap() == s1, "replay after archival changed state")
+    // the stream continues past the archived prefix; the watermark
+    // advances over the new file without regressing
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), """{"doc_id":3,"text":"hot warm"}""")
+    run()
+    val hwm = snap().collectFirst { case ("hwm", w, _) => w }
+    assert(hwm.contains("b3.jsonl"), s"watermark after archival+catchup: ${snap()}")
+    // an in-flight (unapplied) file above the watermark never moves
+    Files.writeString(Paths.get(s"$in/b4.jsonl"), """{"doc_id":4,"text":"x"}""")
+    val moved2 = graft.stream.MicroBatch.archiveRetiredLanding(
+      spark, in, s"$root/archive", s"$root/state")
+    assert(moved2.map(FileLedger.basename) == Seq("b3.jsonl") &&
+      FileLedger.landedBasenames(in) == Set("b4.jsonl"), s"second archival: $moved2")
+  }
+
   test("a fresh readLedgeredTable over a table whose snapshot never flipped serves nothing") {
     import spark.implicits._
     // the ADVICE crash window: first-ever batch appended its partitions

@@ -571,7 +571,34 @@ object StreamReplay {
       .select(col("id"), col("name"), col("seg"))
       .orderBy(col("id"))
 
+  /** The scene index read back AFTER at-rest consolidation
+    * (`MicroBatch.compactLedgeredTable` folds every retired per-file
+    * partition into one blessed `_retired:<hwm>` dir) — registered
+    * against LITERALLY the uncompacted query's oracle, so the driver's
+    * hash gate re-proves every round that consolidation is
+    * content-invariant. First call pays the one-time fold; later calls
+    * fast-path out (nothing new behind the watermark).
+    */
+  def videoScenesCompactedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.compactLedgeredTable(spark, s"$root/video_scenes", s"$root/video_state")
+    videoScenesQuery(spark, dir)
+  }
+
+  /** Triangle counter + edge census with the edge table consolidated —
+    * the incremental delta algebra and the ledger visibility rule must
+    * both survive the layout change (same oracle as the uncompacted
+    * query).
+    */
+  def graphTrianglesCompactedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.compactLedgeredTable(spark, s"$root/tri_edges", s"$root/tri_state")
+    graphTrianglesQuery(spark, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_video_scenes_compacted" -> (videoScenesCompactedQuery _),
+    "stream_graph_triangles_compacted" -> (graphTrianglesCompactedQuery _),
     "stream_kpi_state" -> (kpiStateQuery _),
     "stream_scd2_state" -> (scd2StateQuery _),
     "stream_quality_corpus" -> (qualityCorpusQuery _),
@@ -682,5 +709,17 @@ object StreamReplay {
     // the streamed incremental perceptual dedup must equal the batch
     // detector under any batching — literally the same oracles
     "stream_image_hashes" -> graft.llm.Multimodal.oracles("mm_image_dhash"),
-    "stream_image_neardup" -> graft.llm.Multimodal.oracles("mm_image_neardup"))
+    "stream_image_neardup" -> graft.llm.Multimodal.oracles("mm_image_neardup"),
+    // consolidation is content-invariant: the compacted reads are gated
+    // by the SAME oracles as their uncompacted twins
+    "stream_video_scenes_compacted" -> graft.llm.Multimodal.oracles("mm_video_scene_cuts"),
+    "stream_graph_triangles_compacted" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |      WHERE l_partkey % 4 = 0),
+        |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin)
 }

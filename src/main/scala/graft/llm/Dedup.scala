@@ -736,6 +736,47 @@ object Dedup {
     "llm_substring_strip" -> (substringStripQuery _),
     "llm_dedup_clusters" -> (clustersQuery _))
 
+  /** Shared oracle fragment: 3-gram shingle sets plus EXACT
+    * prefix-filtered near-dup pair generation at J ≥ `NearDupJaccard`,
+    * ending in CTE `f(id_a, id_b, j)` with id_a < id_b. Soundness (the
+    * AllPairs/PPJoin prefix bound): J(A,B) ≥ τ forces
+    * |A∩B| ≥ ceil(τ·max(|A|,|B|)), and two sets with overlap ≥ o must
+    * share an element among their first |X| − o + 1 under ANY global
+    * token order — ordering by (df, token) puts the RAREST shingles in
+    * the prefixes, so the candidate join fans out on rare tokens
+    * instead of N²/2 pairs, and the exact jaccard verify then runs
+    * only on survivors. Every oracle built on `f` is therefore
+    * identical in output to its quadratic `FROM sh a, sh b` ancestor
+    * (prototyped row-equal at sf0.01) while staying DuckDB-tractable
+    * at sf0.1 (~20 s instead of tens of minutes).
+    */
+  private val JaccardPrefixCtes: String =
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+       |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+       |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+       |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+       |  FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
+       |ordt AS MATERIALIZED (
+       |  SELECT doc_id, t, n,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, t) AS rnk
+       |  FROM (SELECT doc_id, t, n, COUNT(*) OVER (PARTITION BY t) AS df FROM tok)),
+       |pref AS MATERIALIZED (
+       |  SELECT doc_id, t FROM ordt
+       |  WHERE rnk <= n - CAST(CEIL($NearDupJaccard * n) AS BIGINT) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+       |f AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_substring_dup" ->
       """WITH toks AS MATERIALIZED (
@@ -826,33 +867,12 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
          |ORDER BY id_a, id_b""".stripMargin,
     "llm_dedup_minhash" ->
-      s"""WITH sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
-         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents)
-         |SELECT DISTINCT b.doc_id AS drop_id
-         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
-         |ORDER BY drop_id""".stripMargin,
+      s"""WITH $JaccardPrefixCtes
+         |SELECT DISTINCT id_b AS drop_id FROM f ORDER BY drop_id""".stripMargin,
     // all-pairs + symmetrize + per-doc window: the ranked-retrieval twin
     // of the minhash oracle (same threshold, same exact jaccard)
     "llm_similar_docs" ->
-      s"""WITH sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
-         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents),
-         |p AS MATERIALIZED (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.s, b.s))) AS j
-         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id),
-         |f AS MATERIALIZED (SELECT * FROM p WHERE j >= $NearDupJaccard),
+      s"""WITH $JaccardPrefixCtes,
          |sym AS (
          |  SELECT id_a AS doc_id, id_b AS similar_id, j FROM f
          |  UNION ALL SELECT id_b, id_a, j FROM f)
@@ -925,18 +945,8 @@ object Dedup {
     // transitive closure over the all-pairs >=0.8 graph: cluster id = min
     // reachable id (same shingle CTE as the pair oracles)
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
-         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents),
-         |p AS MATERIALIZED (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard),
-         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      s"""WITH RECURSIVE $JaccardPrefixCtes,
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM f UNION SELECT id_b, id_a FROM f),
          |reach(u, v) AS (
          |  SELECT u, v FROM e
          |  UNION

@@ -426,7 +426,8 @@ object Lake {
     * files) for the next call to resume; a crash after leaves only a
     * `_flat_trash` dir to re-delete.
     */
-  def migrateFlatPartitions(spark: SparkSession, dir: String, partCol: String): Boolean = {
+  def migrateFlatPartitions(spark: SparkSession, dir: String, partCol: String,
+                            fillMissing: Option[String] = None): Boolean = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return false
     val legacy = root.resolve("_flat_legacy")
@@ -448,7 +449,16 @@ object Lake {
       }
     if (!Files.exists(legacy)) return false
     if (!Files.list(legacy).iterator().hasNext) { deleteRecursive(legacy); return false }
-    spark.read.parquet(legacy.toString)
+    val flat = spark.read.parquet(legacy.toString)
+    // a flat table from before the partition column existed at all
+    // (e.g. the closed-sessions table predating batch keys) migrates
+    // under the caller's sentinel value
+    val staged =
+      if (flat.columns.contains(partCol)) flat
+      else flat.withColumn(partCol, lit(fillMissing.getOrElse(
+        throw new IllegalStateException(
+          s"flat table at $dir lacks '$partCol' and no fillMissing value was given"))))
+    staged
       .write.partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(dir)

@@ -1016,10 +1016,15 @@ object MicroBatch {
     * surviving rows sessionize batch-locally (the same lag/sum window
     * as the batch operator), the user's FIRST local session merges into
     * their open session when the boundary gap allows, every non-final
-    * session closes (idempotent append: anti-join on (user_id,
-    * start_us)), and each user's final session becomes the new open
-    * row. The open table is per-ACTIVE-user small; the closed table is
-    * append-only — no batch ever rewrites session history.
+    * session closes (idempotent via a deterministic per-batch partition
+    * key + dynamic overwrite — a crashed batch's replay REPLACES its
+    * own partial append, no history read), and each user's final
+    * session becomes the new open row. The open table is
+    * per-ACTIVE-user small; the closed table is append-only — no batch
+    * ever rewrites or even READS session history (per-batch cost is
+    * O(batch), independent of stream age). A pre-batch-key flat closed
+    * table migrates in place at stream start under the `_legacy`
+    * partition.
     *
     * In-order contract: landing batches are event-time-sliced, so each
     * user's events arrive in event-time order ACROSS batches (the same
@@ -1042,6 +1047,7 @@ object MicroBatch {
       triggerMs: Long = 500L): StreamingQuery = {
     import graft.store.Versioned
     import org.apache.spark.sql.expressions.Window
+    Lake.migrateFlatPartitions(spark, closedDir, "batch_key", fillMissing = Some("_legacy"))
     val openSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("session_idx", LongType),
       StructField("n_events", LongType), StructField("start_us", LongType),
@@ -1109,13 +1115,24 @@ object MicroBatch {
                   .select(col("user_id"), col("idx").as("session_idx"),
                     col("n2").as("n_events"), col("s2").as("start_us"),
                     col("e_us").as("end_us")))
-            val freshClosed =
-              if (!new java.io.File(closedDir).exists) closed
-              else closed.join(
-                spark.read.parquet(closedDir).select(col("user_id"), col("start_us")),
-                Seq("user_id", "start_us"), "left_anti")
-            if (!freshClosed.isEmpty)
-              freshClosed.write.mode("append").parquet(closedDir)
+            // Idempotent close WITHOUT reading session history: the
+            // batch's closures are a deterministic function of (open
+            // state, fresh rows), and a crash before the open-table
+            // flip replays with both unchanged — so tagging them with a
+            // key derived from the batch's own max (ts_us, event_id)
+            // (strictly increasing across committed batches under the
+            // in-order contract; event ids are unique) lets dynamic
+            // partition overwrite REPLACE the crashed append instead of
+            // anti-joining every batch against the WHOLE closed table —
+            // that guard read O(stream-age) rows per batch.
+            val mk = fresh.agg(max(struct(col("ts_us"), col("event_id"))).as("m"))
+              .select(col("m.ts_us"), col("m.event_id")).head()
+            val batchKey = s"b_${mk.getLong(0)}_${mk.getLong(1)}"
+            if (!closed.isEmpty)
+              closed.withColumn("batch_key", lit(batchKey))
+                .write.partitionBy("batch_key")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(closedDir)
             val newOpen = j.filter(col("li") === col("max_li"))
               .select(col("user_id"), col("idx").as("session_idx"),
                 col("n2").as("n_events"), col("s2").as("start_us"),

@@ -42,7 +42,8 @@ class LedgerReplayPropertySpec extends SparkSpec {
       stream: (SparkSession, String) => StreamingQuery,
       rollbackDirs: String => Seq[String],
       artifact: String => Seq[String],
-      ledgerKey: String = "key")
+      ledgerKey: String = "key",
+      fileLedgered: Boolean = true) // sessions dedup by content watermark, not files
 
   private val nFiles = 4
   private val killPoints = Set(1, 3)
@@ -183,6 +184,44 @@ class LedgerReplayPropertySpec extends SparkSpec {
         .collect().sorted.map(_.toString).toSeq ++ ledgerRows(s"$root/state", "token"),
     ledgerKey = "token")
 
+  private val sessSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts_us", LongType)))
+
+  /** Content-keyed rather than file-ledgered: the open table IS the
+    * versioned state (per-user watermarks), and closed rows commit via
+    * the deterministic batch-key overwrite — the same kill window
+    * (closed partition appended, open pointer not yet flipped) maps to
+    * the same rollback simulation.
+    */
+  private def sessions = Family(
+    "sessions",
+    land = (in, i) => {
+      val M = 60L * 1000000
+      // each file advances both users in event-time order; user 1's
+      // t jumps by 40 min on file 3 (closes a session mid-stream)
+      def row(e: Long, u: Long, tMin: Long) =
+        s"""{"event_id":$e,"user_id":$u,"ts_us":${tMin * M}}"""
+      val t0 = if (i >= 3) i * 100L else i * 10L
+      jl(Seq(row(i * 10L, 1, t0), row(i * 10L + 1, 2, t0 + 5)), in, i)
+    },
+    stream = (sp, root) => MicroBatch.sessionIngestStream(sp, s"$root/in", sessSchema,
+      gapUs = 30L * 60L * 1000000, openDir = s"$root/open",
+      closedDir = s"$root/closed", checkpointDir = s"$root/ckpt"),
+    rollbackDirs = root => Seq(s"$root/open"),
+    artifact = root => {
+      val closed =
+        if (!new java.io.File(s"$root/closed").exists) Seq.empty
+        else spark.read.parquet(s"$root/closed")
+          .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+          .as[(Long, Long, Long, Long, Long)].collect().sorted.map(_.toString).toSeq
+      val open = Versioned.read(spark, s"$root/open")
+        .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.map(_.toString).toSeq
+      ("closed:" +: closed) ++ ("open:" +: open)
+    },
+    fileLedgered = false)
+
   private val posSchema = StructType(Seq(
     StructField("product_id", LongType), StructField("date", StringType),
     StructField("total_sales", DoubleType)))
@@ -216,7 +255,7 @@ class LedgerReplayPropertySpec extends SparkSpec {
     assert(a.nonEmpty, s"${fam.name}: degenerate reference artifact")
     // the converged ledger is COMPACT: landing fully applied -> the
     // whole history sits behind one watermark, no per-file rows
-    fam.rollbackDirs(ref).foreach { st =>
+    if (fam.fileLedgered) fam.rollbackDirs(ref).foreach { st =>
       val l = ledgerRows(st, fam.ledgerKey)
       assert(l == Seq(s"ledger:hwm=b$nFiles.jsonl"),
         s"${fam.name}: ledger not compacted after catch-up: $l")
@@ -237,6 +276,9 @@ class LedgerReplayPropertySpec extends SparkSpec {
   }
   test("kpi ingest: kill+replay at any point converges to the no-crash run") {
     check(kpi)
+  }
+  test("sessions ingest: kill+replay at any point converges to the no-crash run") {
+    check(sessions)
   }
 }
 

@@ -834,37 +834,11 @@ object Dedup {
     "llm_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
-    // EXACT prefix-filtered form (not all-pairs): J(A,B) >= τ forces
-    // |A∩B| >= ceil(τ·max(|A|,|B|)), and two sets with overlap >= o
-    // must share a token inside their first |X| - o + 1 tokens under
-    // any global order (the AllPairs/PPJoin prefix bound; we order by
-    // (df, token) so prefixes hold the RAREST tokens and fan-out stays
-    // small). Candidates = prefix⋈prefix, then the same exact jaccard
-    // verify as before — identical output to the quadratic form
-    // (prototyped equal at sf0.01), DuckDB-tractable at sf0.1.
+    // the shared EXACT prefix-filtered pair set, reported with scores
+    // (soundness note on JaccardPrefixCtes)
     "llm_dedup_ngram_jaccard" ->
-      s"""WITH sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
-         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
-         |  FROM documents),
-         |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t, len(s) AS n FROM sh),
-         |ordt AS MATERIALIZED (
-         |  SELECT doc_id, t, n,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, t) AS rnk
-         |  FROM (SELECT doc_id, t, n, COUNT(*) OVER (PARTITION BY t) AS df FROM tok)),
-         |pref AS MATERIALIZED (
-         |  SELECT doc_id, t FROM ordt
-         |  WHERE rnk <= n - CAST(CEIL($NearDupJaccard * n) AS BIGINT) + 1),
-         |cand AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id)
-         |SELECT c.id_a, c.id_b,
-         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= $NearDupJaccard
+      s"""WITH $JaccardPrefixCtes
+         |SELECT id_a, id_b, j AS jaccard FROM f
          |ORDER BY id_a, id_b""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH $JaccardPrefixCtes

@@ -30,13 +30,20 @@ package graft.store
   *
   * Naming contract (documented, standard landing-zone discipline — the
   * same one `Lake.archiveByFilenameDate`'s `pos_YYYYMMDD` names
-  * presume): files arrive with lexicographically increasing basenames
-  * (date/sequence stamps). A file landing LATER with a name at or below
-  * the watermark is indistinguishable from a checkpoint-wipe redelivery
-  * of a retired file — the ledger must treat it as applied — so
-  * non-monotone producers must disable compaction (pass an empty
-  * landing listing: the watermark then never advances and the ledger
-  * degrades gracefully to the uncompacted per-file form).
+  * presume): files arrive with LEXICOGRAPHICALLY increasing basenames.
+  * That means zero-padded or fixed-width date/sequence stamps —
+  * naturally-numbered names break it (`b10` sorts BELOW `b4`, so a
+  * `b10.jsonl` landing after the watermark reached `b4.jsonl` would be
+  * silently treated as already applied). A file landing later with a
+  * name at or below the watermark is indistinguishable from a
+  * checkpoint-wipe redelivery of a retired file — the ledger must
+  * treat it as applied — so producers that cannot guarantee the
+  * ordering must disable compaction: every ingest stream takes a
+  * `compactLedger = false` flag that skips `compact` entirely and
+  * keeps the uncompacted per-file ledger. (An EMPTY landing listing is
+  * NOT an opt-out — with nothing pending the watermark advances over
+  * everything applied, which is exactly right after archival empties
+  * the landing dir.)
   */
 object FileLedger {
 

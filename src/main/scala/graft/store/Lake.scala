@@ -211,11 +211,10 @@ object Lake {
     // __HIVE_DEFAULT_PARTITION__, timestamps' :ss suffix, doubles in
     // scientific notation) and a non-matching filter would silently
     // report dirs as compacted while rewriting nothing.
-    val hot = Files.list(root).iterator().asScala
+    val hot = listDir(root).iterator
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
       .filter { p =>
-        Files.list(p).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
+        listDir(p).count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
       }
       .map { p =>
         val dirName = p.getFileName.toString
@@ -380,10 +379,11 @@ object Lake {
     */
   def archiveBehindWatermark(landingDir: String, archiveDir: String,
                              hwm: String): Seq[String] = {
-    val files = Option(new java.io.File(landingDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .filter(_.getName <= hwm)
-      .map(_.getPath)
+    // one definition of "landing data file" — FileLedger's — so archival
+    // and watermark advancement can never disagree about what counts
+    val files = FileLedger.landedBasenames(landingDir).toSeq
+      .filter(_ <= hwm)
+      .map(b => s"$landingDir/$b")
     moveFiles(files, archiveDir)
   }
 
@@ -398,6 +398,16 @@ object Lake {
         case _ => None
       }
     }
+
+  /** Materialized, handle-closing directory listing — `Files.list`
+    * returns a stream holding an open descriptor until closed.
+    */
+  private[graft] def listDir(p: Path): Seq[Path] = {
+    if (!Files.exists(p)) return Seq.empty
+    val st = Files.list(p)
+    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
+    finally st.close()
+  }
 
   private[graft] def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
@@ -433,8 +443,7 @@ object Lake {
     val legacy = root.resolve("_flat_legacy")
     val trash = root.resolve("_flat_trash")
     deleteRecursive(trash)
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(Files.isRegularFile(_))
       .filter { f =>
         val n = f.getFileName.toString
@@ -448,7 +457,7 @@ object Lake {
         }
       }
     if (!Files.exists(legacy)) return false
-    if (!Files.list(legacy).iterator().hasNext) { deleteRecursive(legacy); return false }
+    if (listDir(legacy).isEmpty) { deleteRecursive(legacy); return false }
     val flat = spark.read.parquet(legacy.toString)
     // a flat table from before the partition column existed at all
     // (e.g. the closed-sessions table predating batch keys) migrates

@@ -152,9 +152,15 @@ object Upsert {
     * has; single-writer, documented, one batch wide.
     */
   def fileLedgerContains(tableDir: String, file: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file))) ||
+    fileLedgerHasMarker(tableDir, file) ||
       fileLedgerHwm(tableDir).exists(FileLedger.basename(file) <= _)
+
+  /** Marker-file probe alone — callers that batch many files hoist one
+    * `fileLedgerHwm` read and use this per file.
+    */
+  def fileLedgerHasMarker(tableDir: String, file: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file)))
 
   /** The ledger's compacted high-watermark, if one has been written:
     * every landing file whose basename is lexicographically at or below
@@ -181,12 +187,11 @@ object Upsert {
   def fileLedgerCompact(tableDir: String, landedBasenames: Set[String]): Unit = {
     val dir = java.nio.file.Paths.get(tableDir, "_ledger")
     if (!java.nio.file.Files.exists(dir)) return
-    import scala.jdk.CollectionConverters._
-    val markers = java.nio.file.Files.list(dir).iterator().asScala
+    val markers = Lake.listDir(dir)
       .filter { f =>
         val n = f.getFileName.toString
         n.length == 64 && n.forall(c => c.isDigit || ('a' to 'f').contains(c))
-      }.toSeq
+      }
     // marker CONTENT is the full landing path `fileLedgerRecord` wrote
     val byBase = markers.map { m =>
       FileLedger.basename(new String(java.nio.file.Files.readAllBytes(m),
@@ -235,12 +240,9 @@ object Upsert {
   def ledgerHasLegacyBatchIds(tableDir: String): Boolean = {
     val dir = java.nio.file.Paths.get(tableDir, "_ledger")
     if (!java.nio.file.Files.exists(dir)) false
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala.exists { f =>
-        val n = f.getFileName.toString
-        n.nonEmpty && n.length < 64 && n.forall(_.isDigit)
-      }
+    else Lake.listDir(dir).exists { f =>
+      val n = f.getFileName.toString
+      n.nonEmpty && n.length < 64 && n.forall(_.isDigit)
     }
   }
 

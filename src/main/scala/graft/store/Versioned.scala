@@ -70,9 +70,8 @@ object Versioned {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
     else {
-      import scala.jdk.CollectionConverters._
       val cur = currentVersion(root)
-      Files.list(p).iterator().asScala
+      Lake.listDir(p).iterator
         .map(_.getFileName.toString)
         .filter(_.startsWith("v_"))
         .map(_.drop(2).toLong)
@@ -144,12 +143,10 @@ object Versioned {
       return false
     }
     if (!Files.exists(p)) return false
-    import scala.jdk.CollectionConverters._
-    def rootDataFiles = Files.list(p).iterator().asScala
+    def rootDataFiles = Lake.listDir(p)
       .filter(Files.isRegularFile(_))
       .filter { f => val n = f.getFileName.toString
         n.endsWith(".parquet") || n == "_SUCCESS" }
-      .toSeq
     val target = Paths.get(root, vname(1L))
     val pending = rootDataFiles
     val resuming = Files.exists(marker)
@@ -191,8 +188,7 @@ object Versioned {
     // expire: everything at or below (next - 1 - keep)
     val horizon = next - 1L - keep
     if (horizon > 0) {
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(root)).iterator().asScala
+      Lake.listDir(Paths.get(root)).iterator
         .filter(p => p.getFileName.toString.startsWith("v_"))
         .filter(p => p.getFileName.toString.drop(2).toLong <= horizon)
         .foreach(Lake.deleteRecursive)

@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import graft.store.{FileLedger, Lake}
 
 /** Structured Streaming ingestion (SURVEY.md §2.9 T1–T7).
@@ -399,7 +399,8 @@ object MicroBatch {
       stateDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      compactLedger: Boolean = true): StreamingQuery = {
     import graft.store.Versioned
     graft.store.Lake.migrateFlatPartitions(spark, edgesDir, "src_file")
     val src = spark.readStream
@@ -424,6 +425,7 @@ object MicroBatch {
             .collect().map(_.getString(0)).sorted
           val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
+            dropFreshOrphans(edgesDir, freshFiles)
             val rows =
               if (freshFiles.length == files.length) batch
               else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
@@ -484,8 +486,10 @@ object MicroBatch {
             val stateRows =
               Seq(("cnt", "", storedCount + delta)) ++
                 snap.collect { case r @ ("retired", _, _) => r } ++
-                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
-                  FileLedger.landedBasenames(landingDir)))
+                FileLedger.toRows(
+                  if (compactLedger) FileLedger.compact(ledger, freshFiles.toSet,
+                    FileLedger.landedBasenames(landingDir))
+                  else FileLedger.State(ledger.hwm, ledger.files ++ freshFiles))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             batchEdges.unpersist(blocking = false)
             oldEdges.unpersist(blocking = false)
@@ -522,7 +526,8 @@ object MicroBatch {
       checkpointDir: String,
       minMeanDelta: Long = 64L,
       maxFilesPerTrigger: Int = 1,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      compactLedger: Boolean = true): StreamingQuery = {
     import graft.store.Versioned
     val src = spark.readStream
       .schema(schema)
@@ -546,6 +551,7 @@ object MicroBatch {
             .collect().map(_.getString(0)).sorted
           val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
+            dropFreshOrphans(scenesDir, freshFiles)
             val rows =
               if (freshFiles.length == files.length) batch
               else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
@@ -581,8 +587,10 @@ object MicroBatch {
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
                 snap.collect { case r @ ("retired", _, _) => r } ++
-                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
-                  FileLedger.landedBasenames(landingDir)))
+                FileLedger.toRows(
+                  if (compactLedger) FileLedger.compact(ledger, freshFiles.toSet,
+                    FileLedger.landedBasenames(landingDir))
+                  else FileLedger.State(ledger.hwm, ledger.files ++ freshFiles))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             graft.store.Checkpoints.free(tagged)
           }
@@ -650,6 +658,26 @@ object MicroBatch {
       .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(f.getName.stripPrefix("src_file=")))
 
+  /** Delete the crash-orphan partitions a batch's FRESH files may have
+    * left behind before (re)writing them. Dynamic partition overwrite
+    * alone replaces an orphan only when the replay produces rows for
+    * the same partition — but a replay under DIFFERENT batch slicing
+    * (checkpoint wiped while new files landed, maxFilesPerTrigger > 1)
+    * can legitimately produce ZERO rows for a file whose crashed
+    * attempt wrote some (e.g. a pair whose other member is no longer in
+    * the same batch): the `isEmpty` guard would then skip the write and
+    * the orphan would become VISIBLE once the file's ledger row lands.
+    * Driver-side, bounded by files-per-batch; the partitions are
+    * unledgered at this point, so deletion is invisible to readers.
+    */
+  private def dropFreshOrphans(tableDir: String, freshFiles: Seq[String]): Unit = {
+    val dir = new java.io.File(tableDir)
+    if (dir.exists) freshFiles.foreach { f =>
+      graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(tableDir, "src_file=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f)))
+    }
+  }
+
   /** The visible rows of a src_file-partitioned stream table given its
     * state snapshot rows: excludes the (bounded) invisible complement —
     * crash orphans, unblessed consolidations, folded source dirs
@@ -673,15 +701,37 @@ object MicroBatch {
   }
 
   /** Archive the landing files this stream's ledger has retired behind
-    * its watermark (see `Lake.archiveBehindWatermark`) — the retention
-    * call that keeps the per-batch landing listing bounded. Safe at any
-    * time: only files the snapshot certifies as applied move.
+    * the PREVIOUS snapshot's watermark (see
+    * `Lake.archiveBehindWatermark`) — the retention call that keeps the
+    * per-batch landing listing bounded.
+    *
+    * Why the previous version, not the live one: a batch flips its
+    * state snapshot INSIDE foreachBatch, and Spark commits the source
+    * offsets only after foreachBatch returns. A crash in that window
+    * makes the file source REPLAY the batch from its recorded file
+    * paths — the ledger skips re-applying it, but the source must still
+    * be able to READ the files, so the files covered only by the LIVE
+    * watermark may not move yet. Files behind the previous flip's
+    * watermark belong to batches whose offsets committed before the
+    * next batch started (the micro-batch execution order), so they can
+    * never be re-read. `Versioned.overwrite`'s keep >= 1 guarantees the
+    * previous version is still retained. First-flip streams archive
+    * nothing yet.
     */
   def archiveRetiredLanding(spark: SparkSession, landingDir: String,
-                            archiveDir: String, stateDir: String): Seq[String] =
-    FileLedger.fromRows(readSnap(spark, stateDir)).hwm
+                            archiveDir: String, stateDir: String): Seq[String] = {
+    import graft.store.Versioned
+    val prevHwm = for {
+      cur <- Versioned.currentVersion(stateDir)
+      if cur >= 2
+      row <- Versioned.readVersion(spark, stateDir, cur - 1)
+        .collect().map(r => (r.getString(0), r.getString(1), 0L))
+        .collectFirst { case ("hwm", w, _) => w }
+    } yield row
+    prevHwm
       .map(Lake.archiveBehindWatermark(landingDir, archiveDir, _))
       .getOrElse(Seq.empty)
+  }
 
   private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
                                        stateDir: String,
@@ -809,7 +859,8 @@ object MicroBatch {
       checkpointDir: String,
       maxHamming: Int = 3,
       maxFilesPerTrigger: Int = 1,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      compactLedger: Boolean = true): StreamingQuery = {
     import graft.store.Versioned
     require(maxHamming <= 3, "4-band pigeonhole over 56 bits is exhaustive only to hamming 3")
     val src = spark.readStream
@@ -839,6 +890,8 @@ object MicroBatch {
             .collect().map(_.getString(0)).sorted
           val freshFiles = files.filterNot(ledger.applied)
           if (freshFiles.nonEmpty) {
+            dropFreshOrphans(hashesDir, freshFiles)
+            dropFreshOrphans(pairsDir, freshFiles)
             val rows =
               if (freshFiles.length == files.length) batch
               else batch.filter(input_file_name().isInCollection(freshFiles.toIndexedSeq))
@@ -906,8 +959,10 @@ object MicroBatch {
             val stateRows =
               Seq(("corrupt", "", storedCorrupt + newCorrupt)) ++
                 snap.collect { case r @ ("retired", _, _) => r } ++
-                FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
-                  FileLedger.landedBasenames(landingDir)))
+                FileLedger.toRows(
+                  if (compactLedger) FileLedger.compact(ledger, freshFiles.toSet,
+                    FileLedger.landedBasenames(landingDir))
+                  else FileLedger.State(ledger.hwm, ledger.files ++ freshFiles))
             Versioned.overwrite(stateRows.toDF("kind", "key", "n"), stateDir)
             graft.store.Checkpoints.free(decoded)
           }
@@ -955,7 +1010,8 @@ object MicroBatch {
       stateDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      triggerMs: Long = 500L): StreamingQuery = {
+      triggerMs: Long = 500L,
+      compactLedger: Boolean = true): StreamingQuery = {
     import graft.llm.FrequentItems
     import graft.store.Versioned
     val src = spark.readStream
@@ -994,8 +1050,10 @@ object MicroBatch {
             val merged = FrequentItems.mergeSummaries(stored, batchSummary, k)
             val rows =
               merged.toSeq.sortBy(_._1).map { case (t, c) => ("cnt", t, c) } ++
-              FileLedger.toRows(FileLedger.compact(ledger, freshFiles.toSet,
-                FileLedger.landedBasenames(landingDir)))
+              FileLedger.toRows(
+                if (compactLedger) FileLedger.compact(ledger, freshFiles.toSet,
+                  FileLedger.landedBasenames(landingDir))
+                else FileLedger.State(ledger.hwm, ledger.files ++ freshFiles))
             Versioned.overwrite(rows.toDF("kind", "token", "cnt"), stateDir)
           }
         }
@@ -1052,7 +1110,7 @@ object MicroBatch {
       StructField("user_id", LongType), StructField("session_idx", LongType),
       StructField("n_events", LongType), StructField("start_us", LongType),
       StructField("end_us", LongType), StructField("hi_us", LongType),
-      StructField("hi_eid", LongType)))
+      StructField("hi_eid", LongType), StructField("commit_key", StringType)))
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1062,10 +1120,14 @@ object MicroBatch {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val open =
+          val open0 =
             if (Versioned.exists(openDir)) Versioned.read(spark, openDir)
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), openSchema)
+          // pre-commit_key snapshots read as null keys (legacy upgrade)
+          val open =
+            if (open0.columns.contains("commit_key")) open0
+            else open0.withColumn("commit_key", lit(null).cast("string"))
           val fresh = batch
             .join(open.select(col("user_id"), col("hi_us"), col("hi_eid")),
               Seq("user_id"), "left")
@@ -1116,18 +1178,36 @@ object MicroBatch {
                     col("n2").as("n_events"), col("s2").as("start_us"),
                     col("e_us").as("end_us")))
             // Idempotent close WITHOUT reading session history: the
-            // batch's closures are a deterministic function of (open
-            // state, fresh rows), and a crash before the open-table
-            // flip replays with both unchanged — so tagging them with a
-            // key derived from the batch's own max (ts_us, event_id)
-            // (strictly increasing across committed batches under the
-            // in-order contract; event ids are unique) lets dynamic
-            // partition overwrite REPLACE the crashed append instead of
-            // anti-joining every batch against the WHOLE closed table —
-            // that guard read O(stream-age) rows per batch.
+            // batch's closures land under a zero-padded key from the
+            // batch's max (ts_us, event_id) — strictly increasing
+            // across COMMITTED batches (the open flip records it as
+            // commit_key) — and any closed partition with a key ABOVE
+            // the open table's last committed key is a crashed batch's
+            // orphan, deleted here before the write. That stays correct
+            // under ANY replay slicing (a wiped checkpoint re-bundling
+            // the crashed file with fresh ones produces a different key
+            // — the stale partition is removed, not shadowed), where
+            // overwrite-by-same-key alone would leak the old partition.
+            // The old guard anti-joined against the WHOLE closed table
+            // every batch: O(stream-age) per batch; this is a bounded
+            // driver-side dir listing.
+            val lastCommitted: Option[String] =
+              if (!Versioned.exists(openDir)) Some("") // nothing ever committed
+              else {
+                val r = open.agg(max(col("commit_key"))).head()
+                if (r.isNullAt(0)) None // legacy snapshot: skip orphan cleanup
+                else Some(r.getString(0))
+              }
+            lastCommitted.foreach { lk =>
+              Option(new java.io.File(closedDir).listFiles()).toSeq.flatten
+                .filter(f => f.isDirectory && f.getName.startsWith("batch_key=b_"))
+                .filter(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(f.getName.stripPrefix("batch_key=")) > lk)
+                .foreach(f => Lake.deleteRecursive(f.toPath))
+            }
             val mk = fresh.agg(max(struct(col("ts_us"), col("event_id"))).as("m"))
               .select(col("m.ts_us"), col("m.event_id")).head()
-            val batchKey = s"b_${mk.getLong(0)}_${mk.getLong(1)}"
+            val batchKey = f"b_${mk.getLong(0)}%020d_${mk.getLong(1)}%020d"
             if (!closed.isEmpty)
               closed.withColumn("batch_key", lit(batchKey))
                 .write.partitionBy("batch_key")
@@ -1139,6 +1219,7 @@ object MicroBatch {
                 col("e_us").as("end_us"),
                 col("hi").getField("ts_us").as("hi_us"),
                 col("hi").getField("event_id").as("hi_eid"))
+              .withColumn("commit_key", lit(batchKey))
               .unionByName(open.join(loc.select(col("user_id")).distinct(),
                 Seq("user_id"), "left_anti"))
             Versioned.overwrite(newOpen, openDir)
@@ -1178,7 +1259,8 @@ object MicroBatch {
       tableDir: String,
       checkpointDir: String,
       triggerMs: Long = 500L,
-      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      maxFilesPerTrigger: Int = 16,
+      compactLedger: Boolean = true): StreamingQuery = {
     import graft.store.Upsert
     // a pre-file-grain ledger (batch-id markers) cannot say WHICH files
     // it applied — continuing would re-apply them on redelivery; the
@@ -1202,7 +1284,12 @@ object MicroBatch {
           // bounded driver artifact: ≤ maxFilesPerTrigger paths per batch
           val files = batch.select(input_file_name().as("f")).distinct()
             .collect().map(_.getString(0)).sorted
-          val fresh = files.filterNot(Upsert.fileLedgerContains(tableDir, _))
+          // hoist the watermark read: one HWM decode per batch, then a
+          // marker-exists probe per file
+          val hwm = Upsert.fileLedgerHwm(tableDir)
+          val fresh = files.filterNot(f =>
+            hwm.exists(FileLedger.basename(f) <= _) ||
+              Upsert.fileLedgerHasMarker(tableDir, f))
           if (fresh.nonEmpty) {
             val delta =
               if (fresh.length == files.length) batch
@@ -1212,7 +1299,8 @@ object MicroBatch {
             fresh.foreach(Upsert.fileLedgerRecord(tableDir, _))
             // retire the applied-prefix markers behind a high-watermark
             // so _ledger stays bounded by the open frontier, not stream age
-            Upsert.fileLedgerCompact(tableDir, FileLedger.landedBasenames(landingDir))
+            if (compactLedger)
+              Upsert.fileLedgerCompact(tableDir, FileLedger.landedBasenames(landingDir))
           }
         }
         ()

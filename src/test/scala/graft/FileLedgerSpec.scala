@@ -127,18 +127,23 @@ class FileLedgerSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$in/b2.jsonl"), """{"doc_id":2,"text":"hot cold"}""")
     run()
     val s1 = snap()
-    // both applied -> both archive; the landing dir empties
+    // archival lags ONE snapshot flip: b2 is covered only by the LIVE
+    // watermark — if the last batch's source-offset commit was lost,
+    // the source must still be able to re-read it — so only b1 (behind
+    // the PREVIOUS flip's watermark) moves
     val moved = graft.stream.MicroBatch.archiveRetiredLanding(
       spark, in, s"$root/archive", s"$root/state")
-    assert(moved.size == 2 && FileLedger.landedBasenames(in).isEmpty,
-      s"archival moved $moved")
+    assert(moved.map(FileLedger.basename) == Seq("b1.jsonl"), s"archival moved $moved")
     assert(Files.exists(Paths.get(s"$root/archive/b1.jsonl")))
-    // a wiped checkpoint now has NOTHING to redeliver; state unchanged
+    assert(FileLedger.landedBasenames(in) == Set("b2.jsonl"))
+    // a wiped checkpoint redelivers only the unarchived tail; the
+    // ledger makes that a no-op and the state is unchanged
     graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
     run()
     assert(snap() == s1, "replay after archival changed state")
     // the stream continues past the archived prefix; the watermark
-    // advances over the new file without regressing
+    // advances over the new file without regressing, and the next
+    // archival picks up the file the previous flip retired
     Files.writeString(Paths.get(s"$in/b3.jsonl"), """{"doc_id":3,"text":"hot warm"}""")
     run()
     val hwm = snap().collectFirst { case ("hwm", w, _) => w }
@@ -147,8 +152,40 @@ class FileLedgerSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$in/b4.jsonl"), """{"doc_id":4,"text":"x"}""")
     val moved2 = graft.stream.MicroBatch.archiveRetiredLanding(
       spark, in, s"$root/archive", s"$root/state")
-    assert(moved2.map(FileLedger.basename) == Seq("b3.jsonl") &&
-      FileLedger.landedBasenames(in) == Set("b4.jsonl"), s"second archival: $moved2")
+    assert(moved2.map(FileLedger.basename) == Seq("b2.jsonl") &&
+      FileLedger.landedBasenames(in) == Set("b3.jsonl", "b4.jsonl"),
+      s"second archival: $moved2")
+  }
+
+  test("compactLedger=false keeps the uncompacted per-file ledger (non-monotone naming opt-out)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("nocompact").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val q = graft.stream.MicroBatch.mgIngestStream(spark, in, schema, "text", k = 3,
+        stateDir = s"$root/state", checkpointDir = s"$root/ckpt",
+        compactLedger = false)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), """{"doc_id":1,"text":"x y"}""")
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), """{"doc_id":2,"text":"x z"}""")
+    run()
+    val rows = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "file" || $"kind" === "hwm")
+      .select($"kind", $"token").as[(String, String)].collect().sorted.toSeq
+    assert(rows.map(_._1) == Seq("file", "file") &&
+      rows.map(t => FileLedger.basename(t._2)) == Seq("b1.jsonl", "b2.jsonl"),
+      s"opt-out must keep per-file rows and never write a watermark: $rows")
+    // a naturally-numbered tenth file is applied, not watermark-shadowed
+    Files.writeString(Paths.get(s"$in/b10.jsonl"), """{"doc_id":10,"text":"x w"}""")
+    run()
+    val after = graft.store.Versioned.read(spark, s"$root/state")
+      .filter($"kind" === "file").select($"token").as[String]
+      .collect().map(FileLedger.basename).sorted.toSeq
+    assert(after == Seq("b1.jsonl", "b10.jsonl", "b2.jsonl"), s"b10 must apply: $after")
   }
 
   test("a fresh readLedgeredTable over a table whose snapshot never flipped serves nothing") {

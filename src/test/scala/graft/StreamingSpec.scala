@@ -913,6 +913,104 @@ class StreamingSpec extends SparkSpec {
       s"ledger should compact to one watermark row: $ledgerRows")
   }
 
+  test("image ingest: crash + RE-SLICED replay leaves no stale pair rows (empty-result replacement)") {
+    // The reviewer scenario for the isEmpty-guard hole: a crashed batch
+    // bundling TWO files wrote a cross-file pair tagged by the greater
+    // id's file; the replay arrives re-sliced one file per batch, and
+    // the batch holding the greater id alone finds NO pair — the
+    // orphan partition must be DELETED (dropFreshOrphans), not skipped,
+    // or it becomes visible stale data once its file's ledger row lands.
+    val root = Files.createTempDirectory("img_reslice").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload_b64", StringType)))
+    val codec = new graft.llm.Multimodal.ImageCodec.Codec
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pix(seed: Long, shift: Int)(x: Int, y: Int): Int = {
+      val d = md.digest(s"$seed:${y * 8 + x}:rs".getBytes("UTF-8"))
+      ((d(0) & 0xFF) + shift) % 256
+    }
+    def img(id: Long, seed: Long, shift: Int): String = {
+      val b = java.util.Base64.getEncoder
+        .encodeToString(codec.encodeGrayPng(8, 8, pix(seed, shift)))
+      s"""{"media_id":$id,"payload_b64":"$b"}"""
+    }
+    def run(mft: Int): Unit = {
+      val q = MicroBatch.imageIngestStream(spark, in, schema,
+        hashesDir = s"$root/hashes", pairsDir = s"$root/pairs",
+        stateDir = s"$root/state", checkpointDir = s"$root/ckpt",
+        maxFilesPerTrigger = mft)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), img(10, seed = 1, shift = 0))
+    run(mft = 2)
+    // b2 holds the GREATER id (100), b3 its near-dup twin (50): bundled
+    // in one batch, the (50,100) pair is tagged b2 (greater id's file)
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), img(100, seed = 9, shift = 0))
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), img(50, seed = 9, shift = 2))
+    run(mft = 2)
+    def pairRows() = MicroBatch.readImagePairs(spark, s"$root/pairs", s"$root/state")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSeq.sorted
+    assert(pairRows() == Seq((50L, 100L)), s"bundled batch: ${pairRows()}")
+    // crash between the artifact appends and the snapshot flip: roll
+    // the state pointer back past the {b2,b3} batch and wipe the
+    // checkpoint — the pair partition tagged b2 is now an orphan
+    val n = graft.store.Versioned.currentVersion(s"$root/state").get
+    Files.writeString(Paths.get(s"$root/state/CURRENT"), (n - 1).toString)
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    // replay RE-SLICED one file per batch: the {b2} batch finds no pair
+    // (50 is not visible yet) and must REMOVE the stale b2 partition;
+    // the {b3} batch then re-finds (50,100) tagged b3 — exactly once
+    run(mft = 1)
+    assert(pairRows() == Seq((50L, 100L)),
+      s"re-sliced replay duplicated or lost the pair: ${pairRows()}")
+    val hashes = MicroBatch.readImageHashes(spark, s"$root/hashes", s"$root/state")
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(hashes == Seq(10L, 50L, 100L), s"hash rows: $hashes")
+  }
+
+  test("session ingest: crash + RE-BUNDLED replay leaves no duplicate closed sessions") {
+    // The batch-key close is exactly-once even when the replay bundles
+    // the crashed file with a NEW one (different batch key): partitions
+    // above the open table's last committed key are crashed orphans and
+    // are deleted before the rewrite.
+    val root = Files.createTempDirectory("sess_rebundle").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val M = 60L * 1000000
+    def run(mft: Int): Unit = {
+      val q = MicroBatch.sessionIngestStream(spark, in, schema,
+        gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+        checkpointDir = s"$root/ckpt", maxFilesPerTrigger = mft)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def row(e: Long, u: Long, tMin: Long) =
+      s"""{"event_id":$e,"user_id":$u,"ts_us":${tMin * M}}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"), row(1, 1, 0))
+    run(mft = 1)
+    // b2 closes user 1's first session (gap 100 > 30)
+    Files.writeString(Paths.get(s"$in/b2.jsonl"), row(2, 1, 100))
+    run(mft = 1)
+    def closedRows() = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(closedRows() == Seq((1L, 1L, 1L, 0L, 0L)), s"setup: ${closedRows()}")
+    // crash: closed partition for b2's batch written, open flip lost
+    val n = graft.store.Versioned.currentVersion(s"$root/open").get
+    Files.writeString(Paths.get(s"$root/open/CURRENT"), (n - 1).toString)
+    graft.store.Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
+    // a NEW file lands before the restart; the replay bundles b2 with
+    // b3 into ONE batch whose key differs from the crashed write's
+    Files.writeString(Paths.get(s"$in/b3.jsonl"), row(3, 1, 200))
+    run(mft = 4)
+    // t=200 closes the t=100 session too; history must hold each
+    // session exactly once — the crashed b_<key(b2)> partition is gone
+    assert(closedRows() == Seq((1L, 1L, 1L, 0L, 0L), (1L, 2L, 1L, 100 * M, 100 * M)),
+      s"re-bundled replay duplicated closures: ${closedRows()}")
+  }
+
   test("streaming negative-interaction alert fires at the threshold (T6)") {
     val root = Files.createTempDirectory("alert").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

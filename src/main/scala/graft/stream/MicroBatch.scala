@@ -451,11 +451,10 @@ object MicroBatch {
             // partition visibility is a driver-side hive-dir listing
             // (no Spark job): ledger complement + consolidation rule
             val oldEdges =
-              (if (new java.io.File(edgesDir).exists)
-                visibleLedgered(spark, edgesDir, snap)
-                  .select(col("a"), col("b")).distinct()
-              else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
-              .localCheckpoint()
+              visibleLedgered(spark, edgesDir, snap)
+                .map(_.select(col("a"), col("b")).distinct())
+                .getOrElse(spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+                .localCheckpoint()
             val newEdges = batchEdges.select(col("a"), col("b")).distinct()
               .join(oldEdges, Seq("a", "b"), "left_anti")
               .localCheckpoint()
@@ -682,15 +681,26 @@ object MicroBatch {
     * state snapshot rows: excludes the (bounded) invisible complement —
     * crash orphans, unblessed consolidations, folded source dirs
     * awaiting reclaim — via a partition-pruned NOT IN.
+    *
+    * Returns None when the table holds NO data partitions at all —
+    * missing dir, or a dir whose only partitions a first-batch crash
+    * replay just deleted (`dropFreshOrphans` before any snapshot flip).
+    * The schema-less `spark.read.parquet` below would otherwise throw
+    * "Unable to infer schema" on that empty-but-existing dir, and since
+    * the state never advanced, every restart would rethrow — a
+    * permanently wedged stream. Callers substitute their own typed
+    * empty frame.
     */
   private[graft] def visibleLedgered(spark: SparkSession, tableDir: String,
-                                     snap: Iterable[(String, String, Long)]): DataFrame = {
+                                     snap: Iterable[(String, String, Long)]): Option[DataFrame] = {
+    val parts = partitionValues(tableDir)
+    if (parts.isEmpty) return None
     val ledger = FileLedger.fromRows(snap)
-    val excluded = partitionValues(tableDir)
+    val excluded = parts
       .filterNot(visiblePartition(ledger, blessedOf(snap, tableBase(tableDir))))
     val onDisk = spark.read.parquet(tableDir)
-    if (excluded.isEmpty) onDisk
-    else onDisk.filter(!col("src_file").isin(excluded: _*))
+    Some(if (excluded.isEmpty) onDisk
+         else onDisk.filter(!col("src_file").isin(excluded: _*)))
   }
 
   private def readSnap(spark: SparkSession, stateDir: String): Seq[(String, String, Long)] = {
@@ -735,12 +745,11 @@ object MicroBatch {
 
   private[graft] def readLedgeredTable(spark: SparkSession, tableDir: String,
                                        stateDir: String,
-                                       schema: StructType): DataFrame = {
-    if (!new java.io.File(tableDir).exists)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+                                       schema: StructType): DataFrame =
     visibleLedgered(spark, tableDir, readSnap(spark, stateDir))
-      .select(schema.fieldNames.map(col): _*)
-  }
+      .map(_.select(schema.fieldNames.map(col): _*))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
   /** Consolidate a ledgered stream table's RETIRED partitions — every
     * per-file dir whose basename sits at or below the compacted
@@ -1191,28 +1200,69 @@ object MicroBatch {
             // The old guard anti-joined against the WHOLE closed table
             // every batch: O(stream-age) per batch; this is a bounded
             // driver-side dir listing.
+            def committedBatchDirs(): Seq[java.io.File] =
+              Option(new java.io.File(closedDir).listFiles()).toSeq.flatten
+                .filter(f => f.isDirectory && f.getName.startsWith("batch_key=b_"))
             val lastCommitted: Option[String] =
-              if (!Versioned.exists(openDir)) Some("") // nothing ever committed
-              else {
+              if (!Versioned.exists(openDir)) {
+                // Defense-in-depth: with no open snapshot, every b_
+                // partition is "above the watermark" and would be mass-
+                // deleted. A single crashed FIRST batch can leave at most
+                // ONE b_ partition; two or more means the open-state dir
+                // was lost OUT OF BAND (retention misconfig, manual
+                // cleanup) while closed history survived — refuse to
+                // destroy the closed table and make the operator decide.
+                if (committedBatchDirs().size > 1)
+                  throw new IllegalStateException(
+                    s"$openDir is missing but $closedDir holds " +
+                      s"${committedBatchDirs().size} committed batch_key=b_* " +
+                      "partitions — a state unreachable from a single crashed " +
+                      "batch. Refusing the first-batch orphan sweep (it would " +
+                      "delete the whole closed-session table). Restore the open " +
+                      "snapshot, or rebuild both tables from the landing history.")
+                Some("") // nothing ever committed
+              } else {
                 val r = open.agg(max(col("commit_key"))).head()
-                if (r.isNullAt(0)) None // legacy snapshot: skip orphan cleanup
+                if (r.isNullAt(0)) None // legacy snapshot: anti-join dedup below
                 else Some(r.getString(0))
               }
             lastCommitted.foreach { lk =>
-              Option(new java.io.File(closedDir).listFiles()).toSeq.flatten
-                .filter(f => f.isDirectory && f.getName.startsWith("batch_key=b_"))
+              committedBatchDirs()
                 .filter(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                   .unescapePathName(f.getName.stripPrefix("batch_key=")) > lk)
                 .foreach(f => Lake.deleteRecursive(f.toPath))
             }
+            // Legacy upgrade window (commit_key-less open snapshot, at
+            // most the ONE transitional batch): the old flat layout
+            // deduped crash replays via an anti-join on (user_id,
+            // start_us); a crash mid-append under THAT scheme leaves
+            // partial closures now migrated into batch_key=_legacy, and
+            // the replay would re-close the same sessions under a b_
+            // key. Retain the old guard for exactly this batch — the
+            // flip below stamps commit_key, so every later batch uses
+            // the O(1) orphan sweep instead.
+            val closedDeduped =
+              if (lastCommitted.isEmpty && new java.io.File(closedDir).exists)
+                closed.join(
+                  spark.read.parquet(closedDir).select(col("user_id"), col("start_us")),
+                  Seq("user_id", "start_us"), "left_anti")
+              else closed
             val mk = fresh.agg(max(struct(col("ts_us"), col("event_id"))).as("m"))
               .select(col("m.ts_us"), col("m.event_id")).head()
             val batchKey = f"b_${mk.getLong(0)}%020d_${mk.getLong(1)}%020d"
-            if (!closed.isEmpty)
-              closed.withColumn("batch_key", lit(batchKey))
-                .write.partitionBy("batch_key")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite").parquet(closedDir)
+            // Single-partition fast path: every closure in this batch
+            // shares the ONE literal batch_key, so the write targets
+            // the partition directory itself — a plain parquet write of
+            // a fresh dir — instead of `partitionBy` + dynamic
+            // partition overwrite, whose staging/commit machinery
+            // dominated the per-batch cost (~4 s/batch measured at
+            // r12). Hive partition discovery restores batch_key from
+            // the dir name on read, exactly as the partitionBy layout
+            // did. Closure rows are 5 longs and bounded by the batch's
+            // active users, so one output file is the right shape.
+            if (!closedDeduped.isEmpty)
+              closedDeduped.coalesce(1).write
+                .mode("overwrite").parquet(s"$closedDir/batch_key=$batchKey")
             val newOpen = j.filter(col("li") === col("max_li"))
               .select(col("user_id"), col("idx").as("session_idx"),
                 col("n2").as("n_events"), col("s2").as("start_us"),

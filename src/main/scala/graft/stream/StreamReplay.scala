@@ -511,7 +511,7 @@ object StreamReplay {
     val snapRows = snap.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
     val nEdges = MicroBatch.visibleLedgered(spark, s"$root/tri_edges", snapRows)
-      .select(col("a"), col("b")).distinct().count()
+      .map(_.select(col("a"), col("b")).distinct().count()).getOrElse(0L)
     val nTri = snap.filter(col("kind") === "cnt").select(col("n"))
       .head().getLong(0)
     import spark.implicits._

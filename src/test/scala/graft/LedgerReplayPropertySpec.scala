@@ -58,7 +58,23 @@ class LedgerReplayPropertySpec extends SparkSpec {
       Files.writeString(Paths.get(stateRoot, "CURRENT"), (n - 1).toString)
     }
 
-  private def drive(fam: Family, root: String, crashAfter: Set[Int]): Unit = {
+  /** The harsher window: a crash BEFORE the very first state flip — the
+    * artifact partitions exist but the pointer never did. `rollback`
+    * can't reach it (no earlier version); deleting the single-version
+    * state dir simulates it exactly. The replay's orphan drop then
+    * empties the artifact table entirely — the dir exists with zero
+    * data partitions — which is the window that used to wedge
+    * `visibleLedgered` on schema inference (ADVICE r12, high).
+    */
+  private def hardRollback(stateRoot: String): Unit =
+    Versioned.currentVersion(stateRoot) match {
+      case Some(n) if n >= 2 =>
+        Files.writeString(Paths.get(stateRoot, "CURRENT"), (n - 1).toString)
+      case _ => Lake.deleteRecursive(Paths.get(stateRoot))
+    }
+
+  private def drive(fam: Family, root: String, crashAfter: Set[Int],
+                    hard: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(s"$root/in"))
     var q = fam.stream(spark, root)
     for (i <- 1 to nFiles) {
@@ -66,7 +82,7 @@ class LedgerReplayPropertySpec extends SparkSpec {
       q.processAllAvailable()
       if (crashAfter(i)) {
         q.stop(); q.awaitTermination()
-        fam.rollbackDirs(root).foreach(rollback)
+        fam.rollbackDirs(root).foreach(if (hard) hardRollback else rollback)
         Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
         q = fam.stream(spark, root)
       }

@@ -267,7 +267,7 @@ object Corpus {
     }
     val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
     val total = docs.agg(count(lit(1)).as("n_total"))
-    val rates = counts.crossJoin(total)
+    val rates = counts.crossJoin(broadcast(total))
       .withColumn("keep_rate",
         least(lit(1.0), lit(budgetFrac) * col("n_total") * wCol / (lit(wSum) * col("n_s"))))
       .select(col(stratumCol), col("keep_rate"))

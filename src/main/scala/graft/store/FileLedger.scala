@@ -44,6 +44,17 @@ package graft.store
   * NOT an opt-out — with nothing pending the watermark advances over
   * everything applied, which is exactly right after archival empties
   * the landing dir.)
+  *
+  * Filesystem seam: the landing/table listings here (and in `Lake` /
+  * the `MicroBatch` partition sweeps) go through `java.io.File` because
+  * this build targets a local filesystem. All of them are bounded,
+  * driver-side, single-directory listings, so porting to object
+  * storage / HDFS is mechanical: swap each for
+  * `org.apache.hadoop.fs.FileSystem.get(conf).listStatus(path)` (or
+  * `globStatus`) — the Hadoop client Spark already ships — with no
+  * change to what is listed or how often. Nothing here walks trees or
+  * assumes atomic POSIX rename beyond what the surrounding contracts
+  * already document per call site.
   */
 object FileLedger {
 

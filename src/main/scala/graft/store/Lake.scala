@@ -13,6 +13,16 @@ import graft.expr.Cleansing
   * hand-rolls per micro-batch (transformation.py:131-168) but expressed as
   * `partitionBy`, which Spark turns into a distributed, partition-pruned
   * layout for free.
+  *
+  * Filesystem seam: the move/archive/migrate helpers below use
+  * `java.nio.file`/`java.io.File` — correct for the local-FS target
+  * this build runs on. Every call is a bounded driver-side listing or a
+  * single-directory rename, so an object-store/HDFS port is a
+  * mechanical swap to `org.apache.hadoop.fs.FileSystem`
+  * (`listStatus`/`rename`/`delete`) with the same per-call semantics;
+  * the one behavioral caveat is that `rename` is not atomic on S3-style
+  * stores, so the staged-move patterns here would ride on a committer
+  * (or a manifest flip like `Versioned`) there.
   */
 object Lake {
 

@@ -1200,9 +1200,11 @@ object MicroBatch {
             // The old guard anti-joined against the WHOLE closed table
             // every batch: O(stream-age) per batch; this is a bounded
             // driver-side dir listing.
-            def committedBatchDirs(): Seq[java.io.File] =
+            def batchPartitionDirs(): Seq[java.io.File] =
               Option(new java.io.File(closedDir).listFiles()).toSeq.flatten
-                .filter(f => f.isDirectory && f.getName.startsWith("batch_key=b_"))
+                .filter(f => f.isDirectory && f.getName.startsWith("batch_key="))
+            def committedBatchDirs(): Seq[java.io.File] =
+              batchPartitionDirs().filter(_.getName.startsWith("batch_key=b_"))
             val lastCommitted: Option[String] =
               if (!Versioned.exists(openDir)) {
                 // Defense-in-depth: with no open snapshot, every b_
@@ -1240,11 +1242,21 @@ object MicroBatch {
             // the replay would re-close the same sessions under a b_
             // key. Retain the old guard for exactly this batch — the
             // flip below stamps commit_key, so every later batch uses
-            // the O(1) orphan sweep instead.
+            // the O(1) orphan sweep instead. Guarded on actual DATA
+            // partitions (not bare dir existence) and read with an
+            // explicit two-column schema: a closedDir that exists but
+            // holds zero partitions — or a partition dir a crashed
+            // write left fileless — must fall through to `closed`
+            // unchanged, not throw "Unable to infer schema" on every
+            // restart (the visibleLedgered empty-table wedge class,
+            // made uniform here).
             val closedDeduped =
-              if (lastCommitted.isEmpty && new java.io.File(closedDir).exists)
+              if (lastCommitted.isEmpty && batchPartitionDirs().nonEmpty)
                 closed.join(
-                  spark.read.parquet(closedDir).select(col("user_id"), col("start_us")),
+                  spark.read.schema(StructType(Seq(
+                      StructField("user_id", LongType),
+                      StructField("start_us", LongType))))
+                    .parquet(closedDir).select(col("user_id"), col("start_us")),
                   Seq("user_id", "start_us"), "left_anti")
               else closed
             val mk = fresh.agg(max(struct(col("ts_us"), col("event_id"))).as("m"))

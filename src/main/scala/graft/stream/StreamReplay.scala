@@ -596,9 +596,33 @@ object StreamReplay {
     graphTrianglesQuery(spark, dir)
   }
 
+  /** The image near-dup pair table read back AFTER consolidation — the
+    * third `compactLedgeredTable` consumer joins the video/triangle
+    * twins under the driver's hash gate (the same oracle as the
+    * uncompacted read). Both image tables share ONE state snapshot, so
+    * the fold is exercised on a two-table ledger: each table blesses
+    * its own `retired:<base>:<hwm>` row.
+    */
+  def imageNearDupCompactedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.compactLedgeredTable(spark, s"$root/dhash_pairs", s"$root/dhash_state")
+    imageNearDupStreamQuery(spark, dir)
+  }
+
+  /** The streamed hash table after consolidation — same oracle as the
+    * uncompacted read (content-invariance, gated).
+    */
+  def imageHashesCompactedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayRoot(spark, dir)
+    MicroBatch.compactLedgeredTable(spark, s"$root/dhash_hashes", s"$root/dhash_state")
+    imageHashesQuery(spark, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_video_scenes_compacted" -> (videoScenesCompactedQuery _),
     "stream_graph_triangles_compacted" -> (graphTrianglesCompactedQuery _),
+    "stream_image_neardup_compacted" -> (imageNearDupCompactedQuery _),
+    "stream_image_hashes_compacted" -> (imageHashesCompactedQuery _),
     "stream_kpi_state" -> (kpiStateQuery _),
     "stream_scd2_state" -> (scd2StateQuery _),
     "stream_quality_corpus" -> (qualityCorpusQuery _),
@@ -713,6 +737,8 @@ object StreamReplay {
     // consolidation is content-invariant: the compacted reads are gated
     // by the SAME oracles as their uncompacted twins
     "stream_video_scenes_compacted" -> graft.llm.Multimodal.oracles("mm_video_scene_cuts"),
+    "stream_image_neardup_compacted" -> graft.llm.Multimodal.oracles("mm_image_neardup"),
+    "stream_image_hashes_compacted" -> graft.llm.Multimodal.oracles("mm_image_dhash"),
     "stream_graph_triangles_compacted" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |      WHERE l_partkey % 4 = 0),

@@ -26,12 +26,16 @@ import graft.stream.MicroBatch
   * one-batch redelivery a real crash produces, so passing here covers
   * both). The first kill point fires while the snapshot has a single
   * version — checkpoint loss alone, no pointer to roll back — and the
-  * never-flipped-pointer window has its own FileLedgerSpec case. The
-  * kpi family has no
-  * versioned snapshot — its ledger is marker files that flip AFTER the
-  * data commit — so its kill is checkpoint loss alone (rolling its
-  * ledger back would simulate the documented one-batch-wide
-  * non-transactional gap, not the contract).
+  * never-flipped-pointer window has its own FileLedgerSpec case PLUS
+  * the HARD variant below (`hard = true`): the single-version state dir
+  * is deleted outright, so the replay's orphan drop empties the
+  * artifact table entirely before any flip — the `visibleLedgered`
+  * None-path window. Families without a versioned pointer take
+  * checkpoint loss as their whole crash model (`rollbackDirs` empty):
+  * kpi's ledger is marker files that flip AFTER the data commit, and
+  * er/quality are plain appends deduped per-id against their own
+  * at-rest tables — rolling anything back there would simulate the
+  * documented non-transactional gap, not the contract.
   */
 class LedgerReplayPropertySpec extends SparkSpec {
   import spark.implicits._
@@ -43,7 +47,8 @@ class LedgerReplayPropertySpec extends SparkSpec {
       rollbackDirs: String => Seq[String],
       artifact: String => Seq[String],
       ledgerKey: String = "key",
-      fileLedgered: Boolean = true) // sessions dedup by content watermark, not files
+      fileLedgered: Boolean = true, // sessions dedup by content watermark, not files
+      setup: String => Unit = _ => ()) // once per run root, before the first stream start
 
   private val nFiles = 4
   private val killPoints = Set(1, 3)
@@ -76,6 +81,7 @@ class LedgerReplayPropertySpec extends SparkSpec {
   private def drive(fam: Family, root: String, crashAfter: Set[Int],
                     hard: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(s"$root/in"))
+    fam.setup(root)
     var q = fam.stream(spark, root)
     for (i <- 1 to nFiles) {
       fam.land(s"$root/in", i)
@@ -259,13 +265,114 @@ class LedgerReplayPropertySpec extends SparkSpec {
       rows ++ hwm
     })
 
+  private val erSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("seg", StringType)))
+
+  /** Plain parquet appends deduped per-id against the at-rest tables —
+    * no versioned pointer exists, so the WHOLE crash model is
+    * checkpoint loss (`rollbackDirs` empty, like kpi): the real
+    * append-committed-but-offsets-not window is a one-batch redelivery,
+    * a subset of the full-history redelivery the wipe produces.
+    */
+  private def er = Family(
+    "er",
+    land = (in, i) => jl(Seq(
+      // block key = name minus last 2 chars: "cust${i}X" shares master
+      // "cust${i}0"'s block at edit distance 1 (match); "pros${i}Z" has
+      // no master block (pending)
+      s"""{"id":${100 + i},"name":"cust${i}X","seg":"a"}""",
+      s"""{"id":${200 + i},"name":"pros${i}Z","seg":"a"}"""), in, i),
+    stream = (sp, root) => MicroBatch.erIngestStream(sp, s"$root/in", erSchema,
+      masterDir = s"$root/master", matchesDir = s"$root/matches",
+      pendingDir = s"$root/pending", checkpointDir = s"$root/ckpt"),
+    rollbackDirs = _ => Seq.empty,
+    artifact = root => {
+      val m = spark.read.parquet(s"$root/matches")
+        .select($"new_id", $"master_custkey", $"edit_dist".cast("long"))
+        .as[(Long, Long, Long)].collect().sorted.map(t => s"match:$t").toSeq
+      val p = spark.read.parquet(s"$root/pending")
+        .select($"id", $"name", $"seg")
+        .as[(Long, String, String)].collect().sorted.map(t => s"pending:$t").toSeq
+      m ++ p
+    },
+    fileLedgered = false,
+    setup = root => Seq((1L, "cust10", "a"), (2L, "cust20", "a"),
+        (3L, "cust30", "a"), (4L, "cust40", "a")).toDF("id", "name", "seg")
+      .write.mode("overwrite").parquet(s"$root/master"))
+
+  private val scd2Schema = StructType(Seq(
+    StructField("cust_id", LongType), StructField("effective_day", LongType),
+    StructField("status", StringType), StructField("priority", StringType)))
+
+  /** Versioned history, NO file ledger: convergence rests on the per-key
+    * monotonic guard (stale redelivered days never apply) plus the
+    * change-point collapse (identical redelivery is all-no-ops). The
+    * kill window is the documented one — history flipped, offsets lost
+    * — simulated by the shared pointer rollback + checkpoint wipe.
+    */
+  private def scd2 = Family(
+    "scd2",
+    land = (in, i) => jl(Seq(
+      // cust 1 changes every file; cust 2 changes on files 1 and 3 and
+      // repeats the open attributes on files 2 and 4 (no-op events)
+      s"""{"cust_id":1,"effective_day":$i,"status":"s$i","priority":"p"}""",
+      s"""{"cust_id":2,"effective_day":$i,"status":"v${(i + 1) / 2}","priority":"p"}"""),
+      in, i),
+    stream = (sp, root) => MicroBatch.scd2IngestStream(sp, s"$root/in", scd2Schema,
+      keyCol = "cust_id", compareCols = Seq("status", "priority"),
+      tableDir = s"$root/hist", checkpointDir = s"$root/ckpt",
+      maxFilesPerTrigger = 1),
+    rollbackDirs = root => Seq(s"$root/hist"),
+    artifact = root => Versioned.read(spark, s"$root/hist")
+      .select($"cust_id", $"status", $"priority", $"valid_from", $"valid_to")
+      .collect().map(_.toString).sorted.toSeq,
+    fileLedgered = false)
+
+  /** Corpus side deduped per-id (effectively-once), quarantine side an
+    * at-least-once DLQ by CONTRACT — so the artifact takes the reject
+    * SET, which must converge even where row counts may not.
+    */
+  private def quality = Family(
+    "quality",
+    land = (in, i) => {
+      val words = (1 to 28).map(w => f"w${i}word$w%02d").mkString(" ")
+      jl(Seq(
+        // 30 words, awl ~7, two stopwords, zero dup: passes every rule
+        s"""{"doc_id":${10 * i},"text":"the and $words"}""",
+        s"""{"doc_id":${10 * i + 1},"text":"tiny"}"""), in, i)
+    },
+    stream = (sp, root) => MicroBatch.qualityGatedIngestStream(sp, s"$root/in",
+      docSchema, textCol = "text", idCol = "doc_id",
+      corpusDir = s"$root/corpus", rejectDir = s"$root/reject",
+      checkpointDir = s"$root/ckpt"),
+    rollbackDirs = _ => Seq.empty,
+    artifact = root => {
+      val c = spark.read.parquet(s"$root/corpus")
+        .select($"doc_id", $"text")
+        .as[(Long, String)].collect().sorted.map(t => s"corpus:$t").toSeq
+      val r = spark.read.json(s"$root/reject")
+        .select($"doc_id").distinct()
+        .as[Long].collect().sorted.map(id => s"reject:$id").toSeq
+      c ++ r
+    },
+    fileLedgered = false)
+
+  // NOT foldable here: `stream_exact_uniques`/`stream_approx_uniques`
+  // are STATELESS batch aggregations over the events table (the
+  // `stream_` prefix is their gate name, kept for surface stability) —
+  // no at-rest state table, ledger, or checkpoint exists, so there is
+  // nothing to kill or replay; their correctness is fully carried by
+  // the driver's per-round oracle rows.
+
   // -- the property ----------------------------------------------------------
 
-  private def check(fam: Family): Unit = {
+  private def check(fam: Family, kills: Set[Int] = killPoints,
+                    hard: Boolean = false): Unit = {
     val ref = Files.createTempDirectory(s"prop_${fam.name}_ref").toString
     val hurt = Files.createTempDirectory(s"prop_${fam.name}_crash").toString
     drive(fam, ref, crashAfter = Set.empty)
-    drive(fam, hurt, crashAfter = killPoints)
+    drive(fam, hurt, crashAfter = kills, hard = hard)
     val (a, b) = (fam.artifact(ref), fam.artifact(hurt))
     assert(a == b, s"${fam.name}: crash run diverged\n ref=$a\n got=$b")
     assert(a.nonEmpty, s"${fam.name}: degenerate reference artifact")
@@ -295,6 +402,41 @@ class LedgerReplayPropertySpec extends SparkSpec {
   }
   test("sessions ingest: kill+replay at any point converges to the no-crash run") {
     check(sessions)
+  }
+  test("er ingest: kill+replay at any point converges to the no-crash run") {
+    check(er)
+  }
+  test("scd2 ingest: kill+replay at any point converges to the no-crash run") {
+    check(scd2)
+  }
+  test("quality ingest: kill+replay at any point converges to the no-crash run") {
+    check(quality)
+  }
+
+  // -- the hard window: crash BEFORE the very first state flip ---------------
+  // The artifact partitions exist but the pointer never did; the
+  // replay's orphan drop then EMPTIES the artifact table (dir present,
+  // zero data partitions) — the window that wedged `visibleLedgered` on
+  // schema inference until it learned to return None there. These two
+  // fail if that empty-table path is ever reverted.
+
+  test("triangle ingest: hard first-batch crash (state lost pre-flip) recovers") {
+    check(triangle, kills = Set(1), hard = true)
+  }
+  test("image ingest: hard first-batch crash (state lost pre-flip) recovers") {
+    check(image, kills = Set(1), hard = true)
+  }
+
+  test("visibleLedgered: existing dir with zero data partitions is None, not a schema-inference throw") {
+    val dir = Files.createTempDirectory("vl_empty").toString
+    // the shape dropFreshOrphans leaves behind: the table dir survives
+    // (with at most stray marker files), every partition deleted
+    Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+    assert(MicroBatch.visibleLedgered(spark, dir, Seq.empty).isEmpty,
+      "empty-but-existing table must read as None (the first-batch-crash wedge)")
+    // and the typed read substitutes the caller's empty frame
+    val df = MicroBatch.readLedgeredTable(spark, dir, s"$dir/nostate", triSchema)
+    assert(df.schema == triSchema && df.count() == 0)
   }
 }
 

@@ -655,6 +655,44 @@ class StreamingSpec extends SparkSpec {
     assert(sessions() == want, s"replay changed state: ${sessions()}")
   }
 
+  test("session ingest: legacy upgrade batch over a DATALESS closed dir runs, not a schema-inference wedge") {
+    // the one transitional batch: a commit_key-less open snapshot takes
+    // the old (user_id, start_us) anti-join path — which must be guarded
+    // on actual data partitions, because a closedDir that exists with a
+    // fileless batch_key dir (crashed legacy write, deleted part files)
+    // would otherwise throw 'Unable to infer schema' on EVERY restart
+    val root = Files.createTempDirectory("sess_legacy_empty").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val M = 60L * 1000000
+    // legacy open snapshot: pre-commit_key schema, one open session
+    graft.store.Versioned.overwrite(
+      Seq((1L, 1L, 2L, 0L, 10 * M, 10 * M, 2L))
+        .toDF("user_id", "session_idx", "n_events", "start_us", "end_us",
+          "hi_us", "hi_eid"),
+      s"$root/open")
+    // closedDir exists, holds a partition dir with ZERO data files
+    Files.createDirectories(Paths.get(s"$root/closed/batch_key=_legacy"))
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      s"""{"event_id":5,"user_id":1,"ts_us":${100 * M}}""")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val q = MicroBatch.sessionIngestStream(spark, in, schema,
+      gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+      checkpointDir = s"$root/ckpt")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    // the 90-min gap closed the legacy open session; the new open row is
+    // commit_key-stamped, so every later batch takes the O(1) sweep path
+    val closed = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(closed == Seq((1L, 1L, 2L, 0L, 10 * M)), s"got $closed")
+    val open = graft.store.Versioned.read(spark, s"$root/open")
+      .select($"user_id", $"session_idx", $"n_events", $"commit_key".isNotNull)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(open == Seq((1L, 2L, 1L, true)), s"got $open")
+  }
+
   test("MG ingest: sketch state folds across batches; wipe-and-replay leaves the snapshot intact") {
     val root = Files.createTempDirectory("mg_ingest").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

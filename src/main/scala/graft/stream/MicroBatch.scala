@@ -1102,6 +1102,31 @@ object MicroBatch {
     * operator's one-shot window fold — which is exactly what the
     * driver's oracle asserts declaratively.
     */
+  /** The session batch's closed-partition key, forced STRICTLY above
+    * the open snapshot's last committed key. The derived key (batch
+    * max (ts_us, event_id), zero-padded) increases naturally for
+    * in-order landings, but a batch of late events for BRAND-NEW users
+    * (no per-user hi-watermark exists to drop them) can derive a key
+    * BELOW the watermark — and had that batch crashed between the
+    * closed write and the open flip, its orphan partition would sort
+    * below `lastCommitted` and survive the above-watermark sweep, so a
+    * re-sliced replay writing under a different key would leave it
+    * behind as duplicate closed sessions. Suffixing the last committed
+    * key instead ("_r" appends, and appending is strictly-greater in
+    * the lexicographic order the sweep compares with) restores the
+    * sweep's invariant — every uncommitted partition sits above the
+    * watermark — while staying deterministic under same-slicing replay
+    * (same open state + same batch → same key → same-partition
+    * overwrite). Runs of consecutive late batches chain suffixes
+    * ("…_r_r"); any in-order batch resets to its derived key.
+    */
+  private[graft] def monotonicBatchKey(derived: String,
+                                       lastCommitted: Option[String]): String =
+    lastCommitted match {
+      case Some(lk) if derived <= lk => lk + "_r"
+      case _ => derived
+    }
+
   def sessionIngestStream(
       spark: SparkSession,
       landingDir: String,
@@ -1189,8 +1214,11 @@ object MicroBatch {
             // Idempotent close WITHOUT reading session history: the
             // batch's closures land under a zero-padded key from the
             // batch's max (ts_us, event_id) — strictly increasing
-            // across COMMITTED batches (the open flip records it as
-            // commit_key) — and any closed partition with a key ABOVE
+            // across COMMITTED batches BY CONSTRUCTION (the open flip
+            // records it as commit_key, and `monotonicBatchKey` forces
+            // a late new-user batch's key above the watermark rather
+            // than assuming event time ascends) — and any closed
+            // partition with a key ABOVE
             // the open table's last committed key is a crashed batch's
             // orphan, deleted here before the write. That stays correct
             // under ANY replay slicing (a wiped checkpoint re-bundling
@@ -1261,7 +1289,8 @@ object MicroBatch {
               else closed
             val mk = fresh.agg(max(struct(col("ts_us"), col("event_id"))).as("m"))
               .select(col("m.ts_us"), col("m.event_id")).head()
-            val batchKey = f"b_${mk.getLong(0)}%020d_${mk.getLong(1)}%020d"
+            val batchKey = monotonicBatchKey(
+              f"b_${mk.getLong(0)}%020d_${mk.getLong(1)}%020d", lastCommitted)
             // Single-partition fast path: every closure in this batch
             // shares the ONE literal batch_key, so the write targets
             // the partition directory itself — a plain parquet write of

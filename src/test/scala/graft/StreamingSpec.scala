@@ -655,6 +655,65 @@ class StreamingSpec extends SparkSpec {
     assert(sessions() == want, s"replay changed state: ${sessions()}")
   }
 
+  test("monotonicBatchKey: late-deriving batches key above the watermark, in-order batches reset") {
+    // in-order: derived above the last committed key passes through
+    assert(MicroBatch.monotonicBatchKey("b_09", Some("b_05")) == "b_09")
+    // nothing committed yet / legacy snapshot: derived passes through
+    assert(MicroBatch.monotonicBatchKey("b_09", Some("")) == "b_09")
+    assert(MicroBatch.monotonicBatchKey("b_09", None) == "b_09")
+    // late new-user batch deriving BELOW (or AT) the watermark: suffix —
+    // strictly above in the lexicographic order the orphan sweep uses
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05")) == "b_05_r")
+    assert(MicroBatch.monotonicBatchKey("b_05", Some("b_05")) == "b_05_r")
+    // consecutive late batches chain, staying strictly monotonic
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05_r")) == "b_05_r_r")
+    assert("b_05_r_r" > "b_05_r" && "b_05_r" > "b_05")
+  }
+
+  test("session ingest: late new-user batch commits ABOVE the watermark (orphan sweep stays sound)") {
+    // user 2's events are HOURS behind user 1's, and user 2 is brand-new
+    // (no per-user hi-watermark drops them) — the derived batch key
+    // would sort below batch 1's commit key, putting a would-be crash
+    // orphan below the sweep's watermark; the monotonic key must land
+    // the partition strictly above it instead
+    val root = Files.createTempDirectory("sess_late_batch").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val M = 60L * 1000000
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    def run(): Unit = {
+      val q = MicroBatch.sessionIngestStream(spark, in, schema,
+        gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+        checkpointDir = s"$root/ckpt")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def row(e: Long, u: Long, tMin: Long) =
+      s"""{"event_id":$e,"user_id":$u,"ts_us":${tMin * M}}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(row(1, 1, 1000), row(2, 1, 1001)).mkString("\n"))
+    run()
+    def maxCommitKey() = graft.store.Versioned.read(spark, s"$root/open")
+      .agg(max($"commit_key")).as[String].head()
+    val k1 = maxCommitKey()
+    // batch 2: new user 2, all events far in the past; the 90-min
+    // in-batch gap closes one session, so a partition IS written
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(row(3, 2, 10), row(4, 2, 100)).mkString("\n"))
+    run()
+    val k2 = maxCommitKey()
+    assert(k2 > k1, s"late batch's commit key must exceed the watermark: $k2 <= $k1")
+    assert(k2 == k1 + "_r", s"expected suffix form, got $k2 vs $k1")
+    val dirs = Option(new java.io.File(s"$root/closed").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("batch_key=")).map(_.getName).sorted
+    assert(dirs == Seq(s"batch_key=$k2"), s"closed layout: $dirs")
+    // and the closure itself is the late user's session
+    val closed = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(closed == Seq((2L, 1L, 1L, 10 * M, 10 * M)), s"got $closed")
+  }
+
   test("session ingest: legacy upgrade batch over a DATALESS closed dir runs, not a schema-inference wedge") {
     // the one transitional batch: a commit_key-less open snapshot takes
     // the old (user_id, start_us) anti-join path — which must be guarded

@@ -426,6 +426,17 @@ class LedgerReplayPropertySpec extends SparkSpec {
   test("image ingest: hard first-batch crash (state lost pre-flip) recovers") {
     check(image, kills = Set(1), hard = true)
   }
+  // video/mg take no hard case on purpose: neither reads its own
+  // artifact table INSIDE the batch (video demuxes per-clip, mg's
+  // state is the snapshot itself), so the emptied-table window has no
+  // in-batch read to wedge — the at-rest read path they share is
+  // pinned by the unit test below.
+  test("sessions ingest: hard first-batch crash (open state lost pre-flip) recovers") {
+    // openDir deleted with no version to roll back to: the replay takes
+    // the missing-open branch (single crashed first batch -> watermark
+    // "" -> full reprocess), not the out-of-band refusal
+    check(sessions, kills = Set(1), hard = true)
+  }
 
   test("visibleLedgered: existing dir with zero data partitions is None, not a schema-inference throw") {
     val dir = Files.createTempDirectory("vl_empty").toString

@@ -1117,13 +1117,25 @@ object MicroBatch {
     * sweep's invariant — every uncommitted partition sits above the
     * watermark — while staying deterministic under same-slicing replay
     * (same open state + same batch → same key → same-partition
-    * overwrite). Runs of consecutive late batches chain suffixes
-    * ("…_r_r"); any in-order batch resets to its derived key.
+    * overwrite). The suffix is a fixed-width counter, BUMPED (not
+    * chained) across consecutive late batches: "base_r0000000001" →
+    * "base_r0000000002" stays strictly increasing at CONSTANT name
+    * length, where a per-batch append ("…_r_r…") would grow the
+    * partition dir name 2 chars per late batch and — because the key
+    * is deterministic — wedge the stream permanently on the
+    * filesystem's name-length limit once a long enough late backfill
+    * ran. Any in-order batch resets to its derived key.
     */
+  private val BumpSuffix = "_r(\\d{10})$".r
   private[graft] def monotonicBatchKey(derived: String,
                                        lastCommitted: Option[String]): String =
     lastCommitted match {
-      case Some(lk) if derived <= lk => lk + "_r"
+      case Some(lk) if derived <= lk =>
+        BumpSuffix.findFirstMatchIn(lk) match {
+          case Some(m) =>
+            f"${lk.substring(0, m.start)}_r${m.group(1).toLong + 1}%010d"
+          case None => f"${lk}_r${1}%010d"
+        }
       case _ => derived
     }
 
@@ -1238,17 +1250,26 @@ object MicroBatch {
                 // Defense-in-depth: with no open snapshot, every b_
                 // partition is "above the watermark" and would be mass-
                 // deleted. A single crashed FIRST batch can leave at most
-                // ONE b_ partition; two or more means the open-state dir
-                // was lost OUT OF BAND (retention misconfig, manual
-                // cleanup) while closed history survived — refuse to
-                // destroy the closed table and make the operator decide.
-                if (committedBatchDirs().size > 1)
+                // ONE b_ partition and NEVER a _legacy one (legacy
+                // migration implies a prior deployment, which had an
+                // open snapshot); anything else — two b_ dirs, or a
+                // migrated batch_key=_legacy history — means the
+                // open-state dir was lost OUT OF BAND (retention
+                // misconfig, manual cleanup) while closed history
+                // survived. Proceeding would mass-delete b_ partitions
+                // and/or silently re-close every legacy session as a
+                // duplicate; refuse and make the operator decide.
+                val parts = batchPartitionDirs()
+                val oneCrashedBatch = parts.isEmpty ||
+                  (parts.size == 1 && parts.head.getName.startsWith("batch_key=b_"))
+                if (!oneCrashedBatch)
                   throw new IllegalStateException(
                     s"$openDir is missing but $closedDir holds " +
-                      s"${committedBatchDirs().size} committed batch_key=b_* " +
-                      "partitions — a state unreachable from a single crashed " +
-                      "batch. Refusing the first-batch orphan sweep (it would " +
-                      "delete the whole closed-session table). Restore the open " +
+                      s"${parts.size} batch_key=* partition(s) " +
+                      s"(${parts.map(_.getName).sorted.mkString(", ")}) — a state " +
+                      "unreachable from a single crashed batch. Refusing the " +
+                      "first-batch orphan sweep (it would delete or duplicate " +
+                      "committed closed-session history). Restore the open " +
                       "snapshot, or rebuild both tables from the landing history.")
                 Some("") // nothing ever committed
               } else {

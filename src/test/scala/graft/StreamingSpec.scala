@@ -663,11 +663,18 @@ class StreamingSpec extends SparkSpec {
     assert(MicroBatch.monotonicBatchKey("b_09", None) == "b_09")
     // late new-user batch deriving BELOW (or AT) the watermark: suffix —
     // strictly above in the lexicographic order the orphan sweep uses
-    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05")) == "b_05_r")
-    assert(MicroBatch.monotonicBatchKey("b_05", Some("b_05")) == "b_05_r")
-    // consecutive late batches chain, staying strictly monotonic
-    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05_r")) == "b_05_r_r")
-    assert("b_05_r_r" > "b_05_r" && "b_05_r" > "b_05")
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05")) == "b_05_r0000000001")
+    assert(MicroBatch.monotonicBatchKey("b_05", Some("b_05")) == "b_05_r0000000001")
+    // consecutive late batches BUMP the fixed-width counter (constant
+    // key length — a chained append would grow the dir name per late
+    // batch until the filesystem's name limit wedged the stream)
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05_r0000000001"))
+      == "b_05_r0000000002")
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05_r0000000002"))
+      == "b_05_r0000000003")
+    assert("b_05_r0000000002" > "b_05_r0000000001" && "b_05_r0000000001" > "b_05")
+    // an in-order batch after a bumped run resets to its derived key
+    assert(MicroBatch.monotonicBatchKey("b_09", Some("b_05_r0000000002")) == "b_09")
   }
 
   test("session ingest: late new-user batch commits ABOVE the watermark (orphan sweep stays sound)") {
@@ -703,7 +710,7 @@ class StreamingSpec extends SparkSpec {
     run()
     val k2 = maxCommitKey()
     assert(k2 > k1, s"late batch's commit key must exceed the watermark: $k2 <= $k1")
-    assert(k2 == k1 + "_r", s"expected suffix form, got $k2 vs $k1")
+    assert(k2 == k1 + "_r0000000001", s"expected suffix form, got $k2 vs $k1")
     val dirs = Option(new java.io.File(s"$root/closed").listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("batch_key=")).map(_.getName).sorted
     assert(dirs == Seq(s"batch_key=$k2"), s"closed layout: $dirs")
@@ -712,6 +719,45 @@ class StreamingSpec extends SparkSpec {
       .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(closed == Seq((2L, 1L, 1L, 10 * M, 10 * M)), s"got $closed")
+  }
+
+  test("session ingest: lost open snapshot over migrated legacy history REFUSES the first-batch sweep") {
+    // open state lost out of band while a batch_key=_legacy history
+    // survives: a single crashed FIRST batch can never produce this
+    // (legacy migration implies a prior deployment, which had an open
+    // snapshot), so proceeding would re-close every legacy session as
+    // a duplicate — the stream must refuse, loudly, and leave the
+    // closed table untouched
+    val root = Files.createTempDirectory("sess_lost_open").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val M = 60L * 1000000
+    Seq((1L, 1L, 2L, 0L, 10 * M))
+      .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .write.parquet(s"$root/closed/batch_key=_legacy")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      s"""{"event_id":9,"user_id":1,"ts_us":${500 * M}}""")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val q = MicroBatch.sessionIngestStream(spark, in, schema,
+      gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+      checkpointDir = s"$root/ckpt")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    var c: Throwable = ex; var found = false; var depth = 0
+    while (c != null && depth < 10 && !found) {
+      found = c.isInstanceOf[IllegalStateException] && c.getMessage != null &&
+        c.getMessage.contains("unreachable from a single crashed batch")
+      c = c.getCause; depth += 1
+    }
+    assert(found, s"expected the refusal IllegalStateException, got: $ex")
+    // the legacy history survives the refusal byte-identical in content
+    val kept = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, 1L, 2L, 0L, 10 * M)), s"legacy history touched: $kept")
   }
 
   test("session ingest: legacy upgrade batch over a DATALESS closed dir runs, not a schema-inference wedge") {

@@ -111,7 +111,15 @@ object Upsert {
       else {
         val touched = deltaAgg.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSeq
-        val existing = spark.read.parquet(tableDir)
+        // schema-pinned to the delta's own projection (this operator
+        // wrote the table from exactly these columns/types): a crashed
+        // first write can leave tableDir existing but DATALESS, where
+        // a schema-less read throws on EVERY retry/replay — with the
+        // kpi stream re-applying each restart, a permanent wedge. The
+        // declared schema reads the empty table as an empty frame and
+        // the merge degrades to the fresh-table write.
+        val existing = spark.read.schema(deltaAgg.select(cols: _*).schema)
+          .parquet(tableDir)
           .filter(col(partitionCol).isInCollection(touched))
           .select(cols: _*)
         additive(existing, deltaAgg.select(cols: _*), fullKeys, valueCol)

@@ -93,7 +93,13 @@ object MicroBatch {
           val fresh =
             if (!new java.io.File(corpusDir).exists) batch.drop("_ch")
             else {
-              val corpus = spark.read.parquet(corpusDir)
+              // schema-pinned: the corpus holds exactly the landing
+              // columns (written from batch minus _ch), and a crashed
+              // first append can leave the dir existing but DATALESS —
+              // a schema-less read would then throw on every restart
+              // (the visibleLedgered wedge class); with the declared
+              // schema it reads as empty and the gates no-op
+              val corpus = spark.read.schema(schema).parquet(corpusDir)
               val notExact = batch.join(
                   corpus.select(Dedup.normHash(col(textCol)).as("_ch")).distinct(),
                   Seq("_ch"), "left_anti")
@@ -152,7 +158,10 @@ object MicroBatch {
           val accepted =
             if (!new java.io.File(corpusDir).exists) accepted0
             else accepted0.join(
-              spark.read.parquet(corpusDir).select(col(idCol)).distinct(),
+              // id-only declared schema: dataless dir (crashed first
+              // append) reads empty instead of wedging on inference
+              spark.read.schema(StructType(schema.fields.filter(_.name == idCol)))
+                .parquet(corpusDir).select(col(idCol)).distinct(),
               Seq(idCol), "left_anti")
           if (!accepted.isEmpty) accepted.write.mode("append").parquet(corpusDir)
           val rejected = judged.filter(col("pass") === 0).drop("pass")
@@ -210,10 +219,16 @@ object MicroBatch {
             .select(col("id_a").as("new_id"), col("id_b").as("master_custkey"),
               col("edit_dist"))
             .localCheckpoint()
+          // both replay-guard reads are schema-pinned to the single id
+          // column they need: a crashed first append can leave either
+          // dir existing but DATALESS, and a schema-less read would
+          // then throw on every restart (the visibleLedgered wedge
+          // class); the declared schema reads empty instead
           val freshMatches =
             if (!new java.io.File(matchesDir).exists) matched
             else matched.join(
-              spark.read.parquet(matchesDir).select(col("new_id")).distinct(),
+              spark.read.schema(StructType(Seq(StructField("new_id", LongType))))
+                .parquet(matchesDir).select(col("new_id")).distinct(),
               Seq("new_id"), "left_anti")
           if (!freshMatches.isEmpty)
             freshMatches.write.mode("append").parquet(matchesDir)
@@ -222,7 +237,8 @@ object MicroBatch {
           val pending =
             if (!new java.io.File(pendingDir).exists) pending0
             else pending0.join(
-              spark.read.parquet(pendingDir).select(col("id")).distinct(),
+              spark.read.schema(StructType(schema.fields.filter(_.name == "id")))
+                .parquet(pendingDir).select(col("id")).distinct(),
               Seq("id"), "left_anti")
           if (!pending.isEmpty) pending.write.mode("append").parquet(pendingDir)
           matched.unpersist(blocking = false)
@@ -1540,7 +1556,13 @@ object MicroBatch {
           val fresh =
             if (!new java.io.File(postingsDir).exists) postings
             else postings.join(
-              spark.read.parquet(postingsDir)
+              // declared (doc_id, band) schema — band is the partition
+              // column, taken from dir names with the declared type —
+              // so a dataless dir (crashed first append) reads empty
+              // instead of wedging on schema inference every restart
+              spark.read.schema(StructType(Seq(
+                  StructField("doc_id", LongType), StructField("band", LongType))))
+                .parquet(postingsDir)
                 .filter(col("band").isInCollection(hit.toIndexedSeq))
                 .select(col("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")

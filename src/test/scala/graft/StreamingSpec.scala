@@ -252,6 +252,75 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(postings).count() == nRows, "redelivery duplicated postings")
   }
 
+  test("append-table streams tolerate existing-but-DATALESS output dirs (crashed-first-append wedge class)") {
+    // a crash during the very first append can leave the output dir
+    // existing with zero data files (_temporary only); the replay then
+    // re-reads it as the dedup gate — a schema-less read would throw
+    // 'Unable to infer schema' on EVERY restart (permanent wedge, the
+    // visibleLedgered class). Every gate read is schema-pinned now;
+    // this drives each one over a pre-created empty dir.
+    val root = Files.createTempDirectory("dataless_dirs").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def land(in: String, name: String, rows: Seq[String]): Unit = {
+      Files.createDirectories(Paths.get(in))
+      Files.writeString(Paths.get(in, name), rows.mkString("\n"))
+    }
+    val good = "the morning light settles across the quiet harbor town and " +
+      "fishing boats drift out past the old stone pier while gulls wheel " +
+      "over nets spread to dry along the wall"
+
+    // corpus ingest: near-dup gate reads the corpus with the landing schema
+    Files.createDirectories(Paths.get(s"$root/c/corpus"))
+    land(s"$root/c/in", "b1.jsonl", Seq(s"""{"doc_id":1,"text":"$good"}"""))
+    val qc = MicroBatch.corpusIngestStream(spark, s"$root/c/in", docSchema,
+      "text", "doc_id", s"$root/c/corpus", s"$root/c/ckpt")
+    qc.processAllAvailable(); qc.stop(); qc.awaitTermination()
+    assert(spark.read.parquet(s"$root/c/corpus").count() == 1)
+
+    // quality-gated ingest: id anti-join over the corpus
+    Files.createDirectories(Paths.get(s"$root/q/corpus"))
+    land(s"$root/q/in", "b1.jsonl", Seq(s"""{"doc_id":7,"text":"$good"}"""))
+    val qq = MicroBatch.qualityGatedIngestStream(spark, s"$root/q/in", docSchema,
+      "text", "doc_id", s"$root/q/corpus", s"$root/q/reject", s"$root/q/ckpt")
+    qq.processAllAvailable(); qq.stop(); qq.awaitTermination()
+    assert(spark.read.parquet(s"$root/q/corpus").count() == 1)
+
+    // er ingest: id anti-joins over matches AND pending
+    val erSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("seg", StringType)))
+    Seq((1L, "acme corp", "A")).toDF("id", "name", "seg")
+      .write.parquet(s"$root/e/master")
+    Files.createDirectories(Paths.get(s"$root/e/matches"))
+    Files.createDirectories(Paths.get(s"$root/e/pending"))
+    land(s"$root/e/in", "b1.jsonl",
+      Seq(s"""{"id":10,"name":"acme corq","seg":"A"}""",
+        s"""{"id":11,"name":"fresh name","seg":"A"}"""))
+    val qe = MicroBatch.erIngestStream(spark, s"$root/e/in", erSchema,
+      s"$root/e/master", s"$root/e/matches", s"$root/e/pending", s"$root/e/ckpt")
+    qe.processAllAvailable(); qe.stop(); qe.awaitTermination()
+    assert(spark.read.parquet(s"$root/e/matches").count() == 1)
+    assert(spark.read.parquet(s"$root/e/pending").count() == 1)
+
+    // winnow ingest: doc-id guard over the banded postings
+    Files.createDirectories(Paths.get(s"$root/w/postings"))
+    land(s"$root/w/in", "b1.jsonl", Seq(s"""{"doc_id":3,"text":"$good"}"""))
+    val qw = MicroBatch.winnowIngestStream(spark, s"$root/w/in", docSchema,
+      s"$root/w/postings", s"$root/w/ckpt")
+    qw.processAllAvailable(); qw.stop(); qw.awaitTermination()
+    assert(spark.read.parquet(s"$root/w/postings").count() > 0)
+
+    // the kpi stream's per-batch merge reads the table it maintains
+    Files.createDirectories(Paths.get(s"$root/k/tbl"))
+    graft.store.Upsert.additivePartitioned(spark, s"$root/k/tbl",
+      Seq((1L, "2024-07-01", 5L)).toDF("product_id", "date", "total_qty"),
+      keys = Seq("product_id"), valueCol = "total_qty", partitionCol = "date")
+    val kpi = spark.read.parquet(s"$root/k/tbl")
+      .select($"product_id", $"total_qty").as[(Long, Long)].collect().toSeq
+    assert(kpi == Seq((1L, 5L)), kpi.toString)
+  }
+
   test("streaming additive KPI: partition-scoped merge per batch, untouched dates byte-identical, redelivery no-op") {
     val root = Files.createTempDirectory("kpi_stream").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -98,7 +98,13 @@ object MicroBatch {
               // first append can leave the dir existing but DATALESS —
               // a schema-less read would then throw on every restart
               // (the visibleLedgered wedge class); with the declared
-              // schema it reads as empty and the gates no-op
+              // schema it reads as empty and the gates no-op.
+              // Trade-off (applies to every pinned gate read here): a
+              // corpus written under a DIFFERENT landing schema now
+              // reads its missing columns as null instead of failing
+              // resolution — schema migrations must conform or rewrite
+              // the table first, the same declared-schema contract the
+              // landing read itself imposes.
               val corpus = spark.read.schema(schema).parquet(corpusDir)
               val notExact = batch.join(
                   corpus.select(Dedup.normHash(col(textCol)).as("_ch")).distinct(),
@@ -227,6 +233,11 @@ object MicroBatch {
           val freshMatches =
             if (!new java.io.File(matchesDir).exists) matched
             else matched.join(
+              // new_id is LongType REGARDLESS of the caller's id field:
+              // candidatePairsAcross casts the id to long, and matches
+              // are written from that cast — pinning to the landing
+              // schema's id type here would MISMATCH the parquet files
+              // for any non-Long id deployment
               spark.read.schema(StructType(Seq(StructField("new_id", LongType))))
                 .parquet(matchesDir).select(col("new_id")).distinct(),
               Seq("new_id"), "left_anti")
@@ -1559,9 +1570,13 @@ object MicroBatch {
               // declared (doc_id, band) schema — band is the partition
               // column, taken from dir names with the declared type —
               // so a dataless dir (crashed first append) reads empty
-              // instead of wedging on schema inference every restart
-              spark.read.schema(StructType(Seq(
-                  StructField("doc_id", LongType), StructField("band", LongType))))
+              // instead of wedging on schema inference every restart.
+              // doc_id's type follows the caller's schema (postings are
+              // written from the batch column verbatim); band is always
+              // the Long pmod above.
+              spark.read.schema(StructType(
+                  schema.fields.filter(_.name == "doc_id").toSeq :+
+                    StructField("band", LongType)))
                 .parquet(postingsDir)
                 .filter(col("band").isInCollection(hit.toIndexedSeq))
                 .select(col("doc_id")).distinct(),

@@ -77,6 +77,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"no-crash ledgered read must not shuffle:\n$plan")
     assert(df.count() == 2L)
+    // and the SAME contract survives at-rest consolidation: the blessed
+    // _retired partition is an ordinary hive dir, so the read stays a
+    // plain pruned scan — no Exchange, identical content
+    assert(graft.stream.MicroBatch.compactLedgeredTable(
+      spark, s"$root/scenes", s"$root/state"), "consolidation did not run")
+    val dfc = graft.stream.MicroBatch.readSceneIndex(spark, s"$root/scenes", s"$root/state")
+    val planC = dfc.queryExecution.executedPlan.toString
+    assert(!planC.contains("Exchange"),
+      s"consolidated ledgered read must not shuffle:\n$planC")
+    assert(dfc.count() == 2L)
   }
 
   test("winnow probe lists only the probed band partitions of the postings index") {

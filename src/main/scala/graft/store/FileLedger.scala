@@ -46,15 +46,13 @@ package graft.store
   * the landing dir.)
   *
   * Filesystem seam: the landing/table listings here (and in `Lake` /
-  * the `MicroBatch` partition sweeps) go through `java.io.File` because
-  * this build targets a local filesystem. All of them are bounded,
-  * driver-side, single-directory listings, so porting to object
-  * storage / HDFS is mechanical: swap each for
-  * `org.apache.hadoop.fs.FileSystem.get(conf).listStatus(path)` (or
-  * `globStatus`) — the Hadoop client Spark already ships — with no
-  * change to what is listed or how often. Nothing here walks trees or
-  * assumes atomic POSIX rename beyond what the surrounding contracts
-  * already document per call site.
+  * the `MicroBatch` partition sweeps) go through [[Fs]] — the Hadoop
+  * `FileContext` client — so a landing dir may be local, HDFS, or
+  * object storage by path scheme. All of them are bounded, driver-side,
+  * single-directory listings (S3 listing is strongly consistent, so
+  * watermark advancement over a listing holds there; see Fs's
+  * atomicity matrix). Nothing here walks trees or assumes atomic
+  * rename beyond what the surrounding contracts document per call site.
   */
 object FileLedger {
 
@@ -81,9 +79,9 @@ object FileLedger {
     * this is bounded by the landing retention, not stream age.
     */
   def landedBasenames(landingDir: String): Set[String] =
-    Option(new java.io.File(landingDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .map(_.getName).toSet
+    Fs.list(landingDir)
+      .filter(e => e.isFile && !e.name.startsWith(".") && !e.name.startsWith("_"))
+      .map(_.name).toSet
 
   /** Fold newly applied files in and advance the watermark as far as
     * the landing listing allows: to the largest applied basename with

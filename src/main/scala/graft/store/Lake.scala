@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expr.Cleansing
@@ -14,15 +14,18 @@ import graft.expr.Cleansing
   * `partitionBy`, which Spark turns into a distributed, partition-pruned
   * layout for free.
   *
-  * Filesystem seam: the move/archive/migrate helpers below use
-  * `java.nio.file`/`java.io.File` — correct for the local-FS target
-  * this build runs on. Every call is a bounded driver-side listing or a
-  * single-directory rename, so an object-store/HDFS port is a
-  * mechanical swap to `org.apache.hadoop.fs.FileSystem`
-  * (`listStatus`/`rename`/`delete`) with the same per-call semantics;
-  * the one behavioral caveat is that `rename` is not atomic on S3-style
-  * stores, so the staged-move patterns here would ride on a committer
-  * (or a manifest flip like `Versioned`) there.
+  * Filesystem seam: the move/archive/migrate helpers below go through
+  * [[Fs]] (Hadoop `FileContext`), so a table path may be local, HDFS,
+  * or object storage by scheme. Every call is a bounded driver-side
+  * listing or a single rename. Atomicity, per Fs's matrix: the staged
+  * two-move swaps (`atomicOverwrite`/`compact`/`optimize`) assume an
+  * atomic DIRECTORY rename — true on POSIX and HDFS, FALSE on S3
+  * (copy+delete, O(objects)); on an object store those swaps must be
+  * replaced by the pointer-flip layout [[Versioned]] provides (which
+  * is why every uncoordinated-reader table here already sits behind
+  * it). Per-file moves (`moveFiles`, archive helpers) are atomic on
+  * POSIX/HDFS and small-object copies on S3 — correct under the
+  * single-writer contract either way.
   */
 object Lake {
 
@@ -118,12 +121,9 @@ object Lake {
     * startup): if exactly that state is found, the backup is restored,
     * so the swap windows are self-healing across restarts.
     */
-  def recoverSwap(dir: String): Unit = {
-    val dest = Paths.get(dir)
-    val bak = Paths.get(dir + ".old")
-    if (!Files.exists(dest) && Files.exists(bak))
-      Files.move(bak, dest, StandardCopyOption.ATOMIC_MOVE)
-  }
+  def recoverSwap(dir: String): Unit =
+    if (!Fs.exists(dir) && Fs.exists(dir + ".old"))
+      Fs.rename(dir + ".old", dir)
 
   /** J4 at rest: table swap — write the merged result to a temp dir, then
     * move it over the target. The parquet analogue of the reference's
@@ -144,12 +144,11 @@ object Lake {
     recoverSwap(dest)
     val tmp = dest + ".staging"
     result.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val destPath = Paths.get(dest)
-    val bak = Paths.get(dest + ".old")
-    deleteRecursive(bak)
-    if (Files.exists(destPath)) Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(bak)
+    val bak = dest + ".old"
+    Fs.delete(bak)
+    if (Fs.exists(dest)) Fs.rename(dest, bak)
+    Fs.rename(tmp, dest)
+    Fs.delete(bak)
   }
 
   /** Small-file compaction: streaming appends write one file per
@@ -183,12 +182,11 @@ object Lake {
     val writer = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
-    val destPath = Paths.get(tableDir)
-    val bak = Paths.get(tableDir + ".old")
-    deleteRecursive(bak)
-    Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(bak)
+    val bak = tableDir + ".old"
+    Fs.delete(bak)
+    Fs.rename(tableDir, bak)
+    Fs.rename(tmp, tableDir)
+    Fs.delete(bak)
   }
 
   /** INCREMENTAL compaction: rewrite only the partition dirs whose
@@ -211,8 +209,6 @@ object Lake {
     */
   def compactPartitions(spark: SparkSession, tableDir: String, partitionCol: String,
                         maxFilesPerPartition: Int = 4): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(tableDir)
     val prefix = s"$partitionCol="
     // (escaped dir name, display value) of every over-threshold dir. The
     // dirs themselves are the read targets — the value string is never
@@ -221,15 +217,14 @@ object Lake {
     // __HIVE_DEFAULT_PARTITION__, timestamps' :ss suffix, doubles in
     // scientific notation) and a non-matching filter would silently
     // report dirs as compacted while rewriting nothing.
-    val hot = listDir(root).iterator
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
-      .filter { p =>
-        listDir(p).count(_.getFileName.toString.endsWith(".parquet")) > maxFilesPerPartition
+    val hot = Fs.list(tableDir).iterator
+      .filter(e => e.isDir && e.name.startsWith(prefix))
+      .filter { e =>
+        Fs.list(e.path).count(_.name.endsWith(".parquet")) > maxFilesPerPartition
       }
-      .map { p =>
-        val dirName = p.getFileName.toString
-        (dirName, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(dirName.stripPrefix(prefix)))
+      .map { e =>
+        (e.name, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(e.name.stripPrefix(prefix)))
       }
       .toSeq.sortBy(_._2)
     // partition type as the WHOLE table infers it: a single all-null dir
@@ -278,12 +273,11 @@ object Lake {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val tmp = tableDir + ".compacting"
     ZOrder.writeZOrdered(spark.read.parquet(tableDir), tmp, colA, colB, bits, nFiles)
-    val destPath = Paths.get(tableDir)
-    val bak = Paths.get(tableDir + ".old")
-    deleteRecursive(bak)
-    Files.move(destPath, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), destPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(bak)
+    val bak = tableDir + ".old"
+    Fs.delete(bak)
+    Fs.rename(tableDir, bak)
+    Fs.rename(tmp, tableDir)
+    Fs.delete(bak)
   }
 
   /** Data skipping on NON-partition columns: a per-file min/max manifest,
@@ -311,7 +305,7 @@ object Lake {
     // paths are stored RELATIVE to the table dir (everything after the
     // last "<dirname>/"), so the manifest survives the atomic dir swap
     // maintenance performs (optimize writes it inside the staging dir)
-    val base = java.util.regex.Pattern.quote(Paths.get(tableDir).getFileName.toString)
+    val base = java.util.regex.Pattern.quote(FileLedger.basename(tableDir.stripSuffix("/")))
     df.groupBy(regexp_replace(input_file_name(), s"^.*$base/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -370,10 +364,10 @@ object Lake {
   /** Plain file move into a zone (discovery-time rejection, side areas). */
   def moveFiles(files: Seq[String], destDir: String): Seq[String] =
     files.map { f =>
-      val target = Paths.get(destDir, Paths.get(f).getFileName.toString)
-      Files.createDirectories(target.getParent)
-      Files.move(Paths.get(f), target, StandardCopyOption.REPLACE_EXISTING)
-      target.toString
+      val target = s"$destDir/${FileLedger.basename(f)}"
+      Fs.mkdirs(destDir)
+      Fs.renameOverwrite(f, target)
+      target
     }
 
   /** Archive every landing data file whose basename sits at or below
@@ -401,29 +395,23 @@ object Lake {
     files.flatMap { f =>
       f match {
         case PosName(y, m, d) =>
-          val target = Paths.get(s"$archiveRoot/$y-$m-$d/${Paths.get(f).getFileName}")
-          Files.createDirectories(target.getParent)
-          Files.move(Paths.get(f), target, StandardCopyOption.REPLACE_EXISTING)
-          Some(target.toString)
+          val dir = s"$archiveRoot/$y-$m-$d"
+          val target = s"$dir/${FileLedger.basename(f)}"
+          Fs.mkdirs(dir)
+          Fs.renameOverwrite(f, target)
+          Some(target)
         case _ => None
       }
     }
 
-  /** Materialized, handle-closing directory listing — `Files.list`
-    * returns a stream holding an open descriptor until closed.
+  /** `java.nio.Path` compat shims over the [[Fs]] seam for the
+    * remaining local-path call sites (stream sweeps, session-scoped
+    * cache roots); same semantics, one FS client.
     */
-  private[graft] def listDir(p: Path): Seq[Path] = {
-    if (!Files.exists(p)) return Seq.empty
-    val st = Files.list(p)
-    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
-    finally st.close()
-  }
+  private[graft] def listDir(p: Path): Seq[Path] =
+    Fs.list(p.toString).map(e => java.nio.file.Paths.get(e.path))
 
-  private[graft] def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+  private[graft] def deleteRecursive(p: Path): Unit = Fs.delete(p.toString)
 
   /** In-place upgrade of a table from the flat layout (part files at
     * the dir root, `partCol` as a plain data column) to hive
@@ -448,27 +436,23 @@ object Lake {
     */
   def migrateFlatPartitions(spark: SparkSession, dir: String, partCol: String,
                             fillMissing: Option[String] = None): Boolean = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return false
-    val legacy = root.resolve("_flat_legacy")
-    val trash = root.resolve("_flat_trash")
-    deleteRecursive(trash)
-    listDir(root)
-      .filter(Files.isRegularFile(_))
-      .filter { f =>
-        val n = f.getFileName.toString
-        n.endsWith(".parquet") || n == "_SUCCESS"
-      }
-      .foreach { f =>
-        if (f.getFileName.toString == "_SUCCESS") Files.delete(f)
+    if (!Fs.exists(dir)) return false
+    val legacy = s"$dir/_flat_legacy"
+    val trash = s"$dir/_flat_trash"
+    Fs.delete(trash)
+    Fs.list(dir)
+      .filter(_.isFile)
+      .filter { e => e.name.endsWith(".parquet") || e.name == "_SUCCESS" }
+      .foreach { e =>
+        if (e.name == "_SUCCESS") Fs.deleteIfExists(e.path)
         else {
-          Files.createDirectories(legacy)
-          Files.move(f, legacy.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+          Fs.mkdirs(legacy)
+          Fs.renameOverwrite(e.path, s"$legacy/${e.name}")
         }
       }
-    if (!Files.exists(legacy)) return false
-    if (listDir(legacy).isEmpty) { deleteRecursive(legacy); return false }
-    val flat = spark.read.parquet(legacy.toString)
+    if (!Fs.exists(legacy)) return false
+    if (Fs.list(legacy).isEmpty) { Fs.delete(legacy); return false }
+    val flat = spark.read.parquet(legacy)
     // a flat table from before the partition column existed at all
     // (e.g. the closed-sessions table predating batch keys) migrates
     // under the caller's sentinel value
@@ -481,8 +465,8 @@ object Lake {
       .write.partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(dir)
-    Files.move(legacy, trash, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(trash)
+    Fs.rename(legacy, trash)
+    Fs.delete(trash)
     true
   }
 
@@ -499,23 +483,20 @@ object Lake {
 
   private lazy val orcExitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      orcBuilt.values.foreach { case (_, _, root) =>
-        deleteRecursive(Paths.get(root))
-      }))
+      orcBuilt.values.foreach { case (_, _, root) => Fs.delete(root) }))
 
   private[graft] def clearOrcCache(spark: SparkSession): Unit =
-    orcBuilt.remove(spark).foreach { case (_, _, root) =>
-      deleteRecursive(Paths.get(root))
-    }
+    orcBuilt.remove(spark).foreach { case (_, _, root) => Fs.delete(root) }
 
   private def orcRoot(spark: SparkSession, dir: String): String = {
     val fp = Snapshot.fingerprint(dir, "orders.parquet")
     orcBuilt.get(spark) match {
       case Some((d, f, root)) if d == dir && f == fp => root
       case stale =>
-        stale.foreach { case (_, _, old) => deleteRecursive(Paths.get(old)) }
+        stale.foreach { case (_, _, old) => Fs.delete(old) }
         orcExitHook
-        val root = Files.createTempDirectory("graft_orc").toString
+        // driver-local scratch by design (session-scoped memo table)
+        val root = java.nio.file.Files.createTempDirectory("graft_orc").toString
         writeOrcPartitioned(graft.Tables.orders(spark, dir), "o_orderstatus", s"$root/orders")
         orcBuilt(spark) = (dir, fp, root)
         root

@@ -12,18 +12,10 @@ package graft.store
   */
 private[graft] object Snapshot {
 
-  def fingerprint(dir: String, table: String): Long = {
-    val root = java.nio.file.Paths.get(dir, table)
-    if (!java.nio.file.Files.exists(root)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (p.toString.hashCode.toLong * 1000003L)
-          ^ java.nio.file.Files.size(p)
-          ^ java.lang.Long.rotateLeft(
-              java.nio.file.Files.getLastModifiedTime(p).toMillis, 17))
-        .foldLeft(17L)(_ ^ _)
-    }
-  }
+  def fingerprint(dir: String, table: String): Long =
+    Fs.listFilesRecursive(s"$dir/$table")
+      .map(e => (e.path.hashCode.toLong * 1000003L)
+        ^ e.len
+        ^ java.lang.Long.rotateLeft(e.mtime, 17))
+      .foldLeft(17L)(_ ^ _)
 }

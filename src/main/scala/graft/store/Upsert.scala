@@ -107,7 +107,7 @@ object Upsert {
     val cols = fullKeys.map(col) :+ col(valueCol)
     val deltaAgg = delta.groupBy(fullKeys.map(col): _*).agg(sum(col(valueCol)).as(valueCol))
     val merged =
-      if (!new java.io.File(tableDir).exists) deltaAgg.select(cols: _*)
+      if (!Fs.exists(tableDir)) deltaAgg.select(cols: _*)
       else {
         val touched = deltaAgg.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSeq
@@ -167,19 +167,14 @@ object Upsert {
     * `fileLedgerHwm` read and use this per file.
     */
   def fileLedgerHasMarker(tableDir: String, file: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(tableDir, "_ledger", fileLedgerKey(file)))
+    Fs.exists(s"$tableDir/_ledger/${fileLedgerKey(file)}")
 
   /** The ledger's compacted high-watermark, if one has been written:
     * every landing file whose basename is lexicographically at or below
     * it is applied (see `fileLedgerCompact`).
     */
-  def fileLedgerHwm(tableDir: String): Option[String] = {
-    val p = java.nio.file.Paths.get(tableDir, "_ledger", "HWM")
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-  }
+  def fileLedgerHwm(tableDir: String): Option[String] =
+    Fs.readStringIfExists(s"$tableDir/_ledger/HWM").map(_.trim).filter(_.nonEmpty)
 
   /** Retire marker files behind a high-watermark so the `_ledger` dir
     * stops growing with stream age — the marker-file twin of the
@@ -193,44 +188,30 @@ object Upsert {
     * only re-affirms containment.
     */
   def fileLedgerCompact(tableDir: String, landedBasenames: Set[String]): Unit = {
-    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
-    if (!java.nio.file.Files.exists(dir)) return
-    val markers = Lake.listDir(dir)
-      .filter { f =>
-        val n = f.getFileName.toString
-        n.length == 64 && n.forall(c => c.isDigit || ('a' to 'f').contains(c))
+    val dir = s"$tableDir/_ledger"
+    if (!Fs.exists(dir)) return
+    val markers = Fs.list(dir)
+      .filter { e =>
+        e.name.length == 64 && e.name.forall(c => c.isDigit || ('a' to 'f').contains(c))
       }
     // marker CONTENT is the full landing path `fileLedgerRecord` wrote
     val byBase = markers.map { m =>
-      FileLedger.basename(new String(java.nio.file.Files.readAllBytes(m),
-        java.nio.charset.StandardCharsets.UTF_8)) -> m
+      FileLedger.basename(Fs.readString(m.path)) -> m.path
     }
     val prev = FileLedger.State(fileLedgerHwm(tableDir), byBase.map(_._1).toSet)
     val next = FileLedger.compact(prev, Set.empty, landedBasenames)
+    // HWM publish = pointer flip (atomic POSIX/HDFS; tiny-object copy
+    // on S3 — Fs atomicity matrix), then marker retirement is pure reclaim
     next.hwm.filterNot(prev.hwm.contains).foreach { w =>
-      val tmp = dir.resolve(".HWM.tmp")
-      java.nio.file.Files.write(tmp,
-        w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, dir.resolve("HWM"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Fs.writeStringAtomic(s"$dir/HWM", w)
     }
     next.hwm.foreach { w =>
-      byBase.filter(_._1 <= w).foreach(p => java.nio.file.Files.deleteIfExists(p._2))
+      byBase.filter(_._1 <= w).foreach(p => Fs.deleteIfExists(p._2))
     }
   }
 
-  def fileLedgerRecord(tableDir: String, file: String): Unit = {
-    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
-    java.nio.file.Files.createDirectories(dir)
-    val key = fileLedgerKey(file)
-    val tmp = dir.resolve(s".$key.tmp")
-    java.nio.file.Files.write(tmp,
-      file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, dir.resolve(key),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  def fileLedgerRecord(tableDir: String, file: String): Unit =
+    Fs.writeStringAtomic(s"$tableDir/_ledger/${fileLedgerKey(file)}", file)
 
   private def fileLedgerKey(file: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -245,14 +226,10 @@ object Upsert {
     * Callers check once at stream start and fail fast with a migration
     * message instead.
     */
-  def ledgerHasLegacyBatchIds(tableDir: String): Boolean = {
-    val dir = java.nio.file.Paths.get(tableDir, "_ledger")
-    if (!java.nio.file.Files.exists(dir)) false
-    else Lake.listDir(dir).exists { f =>
-      val n = f.getFileName.toString
-      n.nonEmpty && n.length < 64 && n.forall(_.isDigit)
+  def ledgerHasLegacyBatchIds(tableDir: String): Boolean =
+    Fs.list(s"$tableDir/_ledger").exists { e =>
+      e.name.nonEmpty && e.name.length < 64 && e.name.forall(_.isDigit)
     }
-  }
 
   /** Exactly-once upgrade of the additive merge: the reference's MERGE
     * double-counts on replay (T5, at-least-once). Tagging each delta with

@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Lock-free table overwrite: versioned directories + an atomically
@@ -20,6 +18,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * that no writer will ever mutate. Concurrent readers across unlimited
   * swaps see either the old or the new version, never a missing path
   * (VersionedSpec drives 100 swaps under a reader thread).
+  *
+  * All metadata ops go through the [[Fs]] seam. Deployability (Fs's
+  * atomicity matrix): the pointer flip is a FILE rename — atomic on
+  * POSIX and HDFS; on S3 a direct pointer PUT is the atomic equivalent
+  * and the rename form stays correct for a single writer. The staged
+  * snapshot dir is never renamed at all (it is written in place and
+  * only ever referenced by the pointer), so THIS table layout — unlike
+  * the in-place `Lake` swaps — carries no directory-rename assumption
+  * and is the object-store-deployable form.
   *
   * Retention: `overwrite` keeps the last `keep` superseded versions and
   * deletes older ones. A reader that resolved the pointer keeps reading
@@ -42,16 +49,81 @@ object Versioned {
 
   private def vname(n: Long): String = f"v_$n%08d"
 
-  /** The live version number, if the table exists. */
-  def currentVersion(root: String): Option[Long] = {
-    val p = Paths.get(root, Pointer)
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p)).trim.toLong)
+  // ---- single-writer enforcement --------------------------------------
+
+  private val LockName = "_WRITER_LOCK"
+
+  /** How long a writer's lock file is presumed live. The guarded writes
+    * are bounded-state snapshots (frontier-sized ledgers, open-session
+    * tables), seconds not hours, so a lock older than the lease is a
+    * crashed writer's leftover and is broken with a stderr warning; a
+    * YOUNGER lock is a live contender and the caller fails fast —
+    * the misdeployed-second-writer contract. Tests/operators can tune
+    * via -Dgraft.writer.lease.ms.
+    */
+  private def leaseMs: Long =
+    sys.props.get("graft.writer.lease.ms").map(_.toLong).getOrElse(30L * 60 * 1000)
+
+  /** Reentrancy: the lock is a per-TABLE writer claim, and one logical
+    * writer may nest (compactLedgeredTable holds the state dir's lock
+    * across its own Versioned.overwrite of the same dir).
+    */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
   }
+
+  /** Best-effort single-writer lock/lease around a table mutation: an
+    * exclusive `_WRITER_LOCK` create under `root`, held for the
+    * duration of `f`. Contention with a live lock is a LOUD refusal —
+    * a second concurrent writer would corrupt the read-modify-write
+    * sequences this guards (snapshot folds, blessing flips), so it
+    * must fail fast rather than interleave. A lock older than the
+    * lease is a crashed writer's (a crash between create and the
+    * finally-release) and is broken. Best-effort by design: the
+    * create is not a true mutex on every store (Fs.createExclusive),
+    * and crash-correctness NEVER depends on it — every guarded
+    * primitive is already crash-safe single-writer; the lock only
+    * converts a deployment error (two writers) from silent corruption
+    * into an immediate error.
+    */
+  def withWriterLock[T](root: String)(f: => T): T = {
+    if (held.get()(root)) return f
+    val lock = s"$root/$LockName"
+    def tryAcquire(): Boolean = Fs.createExclusive(lock,
+      s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
+    Fs.mkdirs(root)
+    if (!tryAcquire()) {
+      val age = Fs.mtime(lock).map(System.currentTimeMillis() - _)
+      if (age.exists(_ <= leaseMs))
+        throw new IllegalStateException(
+          s"another writer holds $lock (age ${age.get} ms < lease $leaseMs ms). " +
+            "Versioned tables are single-writer; refusing to interleave. " +
+            "If the previous writer is known dead, delete the lock file or " +
+            "lower -Dgraft.writer.lease.ms.")
+      // stale (or vanished between probe and stat): break and retry once
+      Console.err.println(
+        s"[versioned] breaking stale writer lock $lock (age ${age.getOrElse(-1L)} ms)")
+      Fs.deleteIfExists(lock)
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"lost the race re-acquiring $lock after breaking a stale lease — " +
+            "a live contender exists; refusing.")
+    }
+    held.set(held.get() + root)
+    try f
+    finally {
+      held.set(held.get() - root)
+      Fs.deleteIfExists(lock)
+    }
+  }
+
+  /** The live version number, if the table exists. */
+  def currentVersion(root: String): Option[Long] =
+    Fs.readStringIfExists(s"$root/$Pointer").map(_.trim.toLong)
 
   /** Absolute path of the live snapshot dir, if the table exists. */
   def currentPath(root: String): Option[String] =
-    currentVersion(root).map(n => Paths.get(root, vname(n)).toString)
+    currentVersion(root).map(n => s"$root/${vname(n)}")
 
   def exists(root: String): Boolean = currentPath(root).isDefined
 
@@ -67,12 +139,11 @@ object Versioned {
     * time-travel to (current plus the retained superseded snapshots).
     */
   def listVersions(root: String): Seq[Long] = {
-    val p = Paths.get(root)
-    if (!Files.exists(p)) Seq.empty
+    if (!Fs.exists(root)) Seq.empty
     else {
       val cur = currentVersion(root)
-      Lake.listDir(p).iterator
-        .map(_.getFileName.toString)
+      Fs.list(root).iterator
+        .map(_.name)
         .filter(_.startsWith("v_"))
         .map(_.drop(2).toLong)
         // an on-disk version NEWER than the pointer is a crashed writer's
@@ -86,11 +157,10 @@ object Versioned {
     * `VERSION AS OF`. Fails loudly for expired or never-written versions.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val p = Paths.get(root, vname(version))
     if (!listVersions(root).contains(version))
       throw new IllegalStateException(
         s"version $version of $root is not retained (have: ${listVersions(root).mkString(",")})")
-    spark.read.parquet(p.toString)
+    spark.read.parquet(s"$root/${vname(version)}")
   }
 
   /** Time-based retention, the production complement of `overwrite`'s
@@ -102,15 +172,12 @@ object Versioned {
     */
   def vacuum(root: String, retainMillis: Long, nowMillis: Long = System.currentTimeMillis()): Seq[Long] = {
     val cur = currentVersion(root).getOrElse(return Seq.empty)
-    import scala.jdk.CollectionConverters._
     val expired = listVersions(root).filter(_ < cur).filter { n =>
-      val newest = Files.walk(Paths.get(root, vname(n))).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(f => Files.getLastModifiedTime(f).toMillis)
-        .foldLeft(0L)(math.max)
+      val newest = Fs.listFilesRecursive(s"$root/${vname(n)}")
+        .foldLeft(0L)((m, e) => math.max(m, e.mtime))
       nowMillis - newest > retainMillis
     }
-    expired.foreach(n => Lake.deleteRecursive(Paths.get(root, vname(n))))
+    expired.foreach(n => Fs.delete(s"$root/${vname(n)}"))
     expired
   }
 
@@ -132,66 +199,61 @@ object Versioned {
     * into the same v dir and flips the pointer. Without the marker, a
     * v_00000001 next to (or without) legacy root files is a crashed
     * `overwrite`'s staging — never adopted, never mixed into; it stays an
-    * orphan for `overwrite` to clean.
+    * orphan for `overwrite` to clean. The per-file moves are file
+    * renames (atomic POSIX/HDFS; on S3 each is a small-object copy —
+    * adoption is a one-time upgrade run under the single-writer
+    * contract, not a read-path dependency).
     */
   def adoptLegacy(root: String): Boolean = {
-    val p = Paths.get(root)
-    val marker = p.resolve("_ADOPTING")
+    val marker = s"$root/_ADOPTING"
     if (currentVersion(root).isDefined) {
       // crash between pointer flip and marker cleanup: finish the cleanup
-      Files.deleteIfExists(marker)
+      Fs.deleteIfExists(marker)
       return false
     }
-    if (!Files.exists(p)) return false
-    def rootDataFiles = Lake.listDir(p)
-      .filter(Files.isRegularFile(_))
-      .filter { f => val n = f.getFileName.toString
-        n.endsWith(".parquet") || n == "_SUCCESS" }
-    val target = Paths.get(root, vname(1L))
+    if (!Fs.exists(root)) return false
+    def rootDataFiles = Fs.list(root)
+      .filter(_.isFile)
+      .filter { e => e.name.endsWith(".parquet") || e.name == "_SUCCESS" }
+    val target = s"$root/${vname(1L)}"
     val pending = rootDataFiles
-    val resuming = Files.exists(marker)
+    val resuming = Fs.exists(marker)
     // not a legacy table: no data files at the root and no adoption to
     // finish (an empty dir, or a crashed first overwrite's orphan v dir)
-    if (!resuming && pending.forall(_.getFileName.toString == "_SUCCESS")) return false
+    if (!resuming && pending.forall(_.name == "_SUCCESS")) return false
     if (!resuming) {
       // fresh adoption: any pre-existing v_00000001 is a crashed
       // overwrite's partial staging — rebuild, never mix into it
-      Lake.deleteRecursive(target)
-      Files.write(marker, Array.emptyByteArray)
+      Fs.delete(target)
+      Fs.writeString(marker, "")
     }
-    Files.createDirectories(target)
-    pending.foreach(f =>
-      Files.move(f, target.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
-    val tmp = Paths.get(root, s".$Pointer.tmp")
-    Files.write(tmp, "1".getBytes)
-    Files.move(tmp, Paths.get(root, Pointer),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(marker)
+    Fs.mkdirs(target)
+    pending.foreach(e => Fs.renameOverwrite(e.path, s"$target/${e.name}"))
+    Fs.writeStringAtomic(s"$root/$Pointer", "1")
+    Fs.deleteIfExists(marker)
     true
   }
 
   /** Replace the table: stage the full result as the next version dir,
     * flip the pointer atomically, expire versions older than the last
-    * `keep` superseded ones. Returns the new version number.
+    * `keep` superseded ones. Returns the new version number. Runs under
+    * [[withWriterLock]]: a concurrent second writer fails fast instead
+    * of racing version numbering / retention.
     */
-  def overwrite(df: DataFrame, root: String, keep: Int = 3): Long = {
+  def overwrite(df: DataFrame, root: String, keep: Int = 3): Long = withWriterLock(root) {
     require(keep >= 1, "keep >= 1: the just-superseded version must survive in-flight readers")
-    Files.createDirectories(Paths.get(root))
     val next = currentVersion(root).getOrElse(0L) + 1L
-    val target = Paths.get(root, vname(next))
-    Lake.deleteRecursive(target) // orphan from a crashed writer, if any
-    df.write.mode(SaveMode.Overwrite).parquet(target.toString)
-    val tmp = Paths.get(root, s".$Pointer.tmp")
-    Files.write(tmp, next.toString.getBytes)
-    Files.move(tmp, Paths.get(root, Pointer),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val target = s"$root/${vname(next)}"
+    Fs.delete(target) // orphan from a crashed writer, if any
+    df.write.mode(SaveMode.Overwrite).parquet(target)
+    Fs.writeStringAtomic(s"$root/$Pointer", next.toString)
     // expire: everything at or below (next - 1 - keep)
     val horizon = next - 1L - keep
     if (horizon > 0) {
-      Lake.listDir(Paths.get(root)).iterator
-        .filter(p => p.getFileName.toString.startsWith("v_"))
-        .filter(p => p.getFileName.toString.drop(2).toLong <= horizon)
-        .foreach(Lake.deleteRecursive)
+      Fs.list(root).iterator
+        .filter(_.name.startsWith("v_"))
+        .filter(_.name.drop(2).toLong <= horizon)
+        .foreach(e => Fs.delete(e.path))
     }
     next
   }

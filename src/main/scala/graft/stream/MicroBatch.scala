@@ -91,7 +91,7 @@ object MicroBatch {
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
           val fresh =
-            if (!new java.io.File(corpusDir).exists) batch.drop("_ch")
+            if (!graft.store.Fs.exists(corpusDir)) batch.drop("_ch")
             else {
               // schema-pinned: the corpus holds exactly the landing
               // columns (written from batch minus _ch), and a crashed
@@ -162,7 +162,7 @@ object MicroBatch {
             Seq(idCol))
           val accepted0 = judged.filter(col("pass") === 1).drop(ruleCols: _*)
           val accepted =
-            if (!new java.io.File(corpusDir).exists) accepted0
+            if (!graft.store.Fs.exists(corpusDir)) accepted0
             else accepted0.join(
               // id-only declared schema: dataless dir (crashed first
               // append) reads empty instead of wedging on inference
@@ -231,7 +231,7 @@ object MicroBatch {
           // then throw on every restart (the visibleLedgered wedge
           // class); the declared schema reads empty instead
           val freshMatches =
-            if (!new java.io.File(matchesDir).exists) matched
+            if (!graft.store.Fs.exists(matchesDir)) matched
             else matched.join(
               // new_id is LongType REGARDLESS of the caller's id field:
               // candidatePairsAcross casts the id to long, and matches
@@ -246,7 +246,7 @@ object MicroBatch {
           val pending0 = batch.join(
             matched.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
           val pending =
-            if (!new java.io.File(pendingDir).exists) pending0
+            if (!graft.store.Fs.exists(pendingDir)) pending0
             else pending0.join(
               spark.read.schema(StructType(schema.fields.filter(_.name == "id")))
                 .parquet(pendingDir).select(col("id")).distinct(),
@@ -659,7 +659,7 @@ object MicroBatch {
     * schedule — a shared blessing would let one table's compaction
     * reclaim another's un-consolidated dirs.
     */
-  private def tableBase(tableDir: String): String = new java.io.File(tableDir).getName
+  private def tableBase(tableDir: String): String = FileLedger.basename(tableDir.stripSuffix("/"))
   private def blessedOf(rows: Iterable[(String, String, Long)], base: String): Option[String] =
     rows.collectFirst { case ("retired", k, _) if k.startsWith(base + ":") =>
       k.stripPrefix(base + ":") }
@@ -679,10 +679,10 @@ object MicroBatch {
     else ledger.applied(v)
 
   private def partitionValues(tableDir: String): Seq[String] =
-    Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
-      .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(f.getName.stripPrefix("src_file=")))
+    graft.store.Fs.list(tableDir)
+      .filter(e => e.isDir && e.name.startsWith("src_file="))
+      .map(e => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(e.name.stripPrefix("src_file=")))
 
   /** Delete the crash-orphan partitions a batch's FRESH files may have
     * left behind before (re)writing them. Dynamic partition overwrite
@@ -696,13 +696,11 @@ object MicroBatch {
     * Driver-side, bounded by files-per-batch; the partitions are
     * unledgered at this point, so deletion is invisible to readers.
     */
-  private def dropFreshOrphans(tableDir: String, freshFiles: Seq[String]): Unit = {
-    val dir = new java.io.File(tableDir)
-    if (dir.exists) freshFiles.foreach { f =>
-      graft.store.Lake.deleteRecursive(java.nio.file.Paths.get(tableDir, "src_file=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f)))
+  private def dropFreshOrphans(tableDir: String, freshFiles: Seq[String]): Unit =
+    if (graft.store.Fs.exists(tableDir)) freshFiles.foreach { f =>
+      graft.store.Fs.delete(s"$tableDir/src_file=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f))
     }
-  }
 
   /** The visible rows of a src_file-partitioned stream table given its
     * state snapshot rows: excludes the (bounded) invisible complement —
@@ -805,10 +803,29 @@ object MicroBatch {
     *     `blessed == hwm` fast path finishes the cleanup.
     * Returns true when it consolidated (or completed a cleanup).
     */
-  def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
-    import graft.store.{Lake, Versioned}
-    import java.nio.file.{Files, Paths}
-    if (!new java.io.File(tableDir).exists || !Versioned.exists(stateDir)) return false
+  /** Serialize consolidations per STATE dir: two tables may share one
+    * snapshot (the image stream's hashes + pairs), and the fold below
+    * is an unsynchronized read-modify-write of that snapshot — two
+    * interleaved flips could drop each other's just-written blessing
+    * row, un-blessing a consolidated dir whose per-file sources were
+    * already reclaimed. In-JVM a per-stateDir monitor serializes; cross
+    * process the Versioned writer lock makes a second writer fail fast
+    * instead of interleave.
+    */
+  private val compactionLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean =
+    compactionLocks.getOrElseUpdate(stateDir, new Object).synchronized {
+      graft.store.Versioned.withWriterLock(stateDir) {
+        compactLedgeredTableLocked(spark, tableDir, stateDir)
+      }
+    }
+
+  private def compactLedgeredTableLocked(spark: SparkSession, tableDir: String,
+                                         stateDir: String): Boolean = {
+    import graft.store.{Fs, Versioned}
+    if (!Fs.exists(tableDir) || !Versioned.exists(stateDir)) return false
     val snapDf = Versioned.read(spark, stateDir)
     val snapCols = snapDf.columns.toSeq
     val snap = snapDf.collect()
@@ -817,14 +834,14 @@ object MicroBatch {
     val base = tableBase(tableDir)
     val blessed = blessedOf(snap, base)
     val hwm = ledger.hwm.getOrElse(return false)
-    def dirOf(v: String) = Paths.get(tableDir, "src_file=" +
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+    def dirOf(v: String) = s"$tableDir/src_file=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
     def reclaim(bless: Option[String]): Boolean = {
       val dead = partitionValues(tableDir).filter { v =>
         if (v.startsWith(RetiredTag)) !bless.contains(v.stripPrefix(RetiredTag))
         else bless.exists(FileLedger.basename(v) <= _)
       }
-      dead.foreach(v => Lake.deleteRecursive(dirOf(v)))
+      dead.foreach(v => Fs.delete(dirOf(v)))
       dead.nonEmpty
     }
     if (blessed.contains(hwm)) return reclaim(blessed) // crashed-delete cleanup only
@@ -834,19 +851,23 @@ object MicroBatch {
     }
     if (folds.isEmpty) return false
     // stage next to the table (readers never see it), then one rename in
+    // (a DIRECTORY rename: atomic POSIX/HDFS; on S3 this primitive is a
+    // copy — the staged dir stays invisible either way because only the
+    // snapshot bless publishes it, so the move need not be atomic, just
+    // complete-before-bless)
     val tmp = s"$tableDir.compact_tmp"
-    Lake.deleteRecursive(Paths.get(tmp))
+    Fs.delete(tmp)
     spark.read.parquet(tableDir)
       .filter(col("src_file").isin(folds: _*))
       .drop("src_file")
       .withColumn("src_file", lit(retiredValue(hwm)))
       .write.partitionBy("src_file").parquet(tmp)
-    val staged = Paths.get(tmp, "src_file=" +
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(retiredValue(hwm)))
+    val staged = s"$tmp/src_file=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(retiredValue(hwm))
     val target = dirOf(retiredValue(hwm))
-    Lake.deleteRecursive(target) // a crashed attempt's unblessed staging
-    Files.move(staged, target)
-    Lake.deleteRecursive(Paths.get(tmp))
+    Fs.delete(target) // a crashed attempt's unblessed staging
+    Fs.rename(staged, target)
+    Fs.delete(tmp)
     // bless: same snapshot, retired row replaced — one pointer flip
     import spark.implicits._
     val rows = snap.filterNot(r => r._1 == "retired" && r._2.startsWith(base + ":")) :+
@@ -1160,7 +1181,19 @@ object MicroBatch {
       case Some(lk) if derived <= lk =>
         BumpSuffix.findFirstMatchIn(lk) match {
           case Some(m) =>
-            f"${lk.substring(0, m.start)}_r${m.group(1).toLong + 1}%010d"
+            val next = m.group(1).toLong + 1
+            // the fixed-width counter is what keeps bumped keys strictly
+            // increasing ("_r0000000002" > "_r0000000001" lexically); an
+            // 11-digit overflow would SILENTLY invert the order
+            // ("_r10000000000" < "_r9999999999") and the orphan sweep's
+            // above-watermark invariant with it — duplicate closed
+            // sessions, no error. Unreachable in practice (10^10
+            // consecutive late batches), but exhaustion must be a loud
+            // stop, not silent data duplication.
+            require(next <= 9999999999L,
+              s"monotonicBatchKey counter exhausted bumping past $lk — " +
+                "10^10 consecutive late batches; widen the suffix before resuming")
+            f"${lk.substring(0, m.start)}_r$next%010d"
           case None => f"${lk}_r${1}%010d"
         }
       case _ => derived
@@ -1267,11 +1300,11 @@ object MicroBatch {
             // The old guard anti-joined against the WHOLE closed table
             // every batch: O(stream-age) per batch; this is a bounded
             // driver-side dir listing.
-            def batchPartitionDirs(): Seq[java.io.File] =
-              Option(new java.io.File(closedDir).listFiles()).toSeq.flatten
-                .filter(f => f.isDirectory && f.getName.startsWith("batch_key="))
-            def committedBatchDirs(): Seq[java.io.File] =
-              batchPartitionDirs().filter(_.getName.startsWith("batch_key=b_"))
+            def batchPartitionDirs(): Seq[graft.store.Fs.Entry] =
+              graft.store.Fs.list(closedDir)
+                .filter(e => e.isDir && e.name.startsWith("batch_key="))
+            def committedBatchDirs(): Seq[graft.store.Fs.Entry] =
+              batchPartitionDirs().filter(_.name.startsWith("batch_key=b_"))
             val lastCommitted: Option[String] =
               if (!Versioned.exists(openDir)) {
                 // Defense-in-depth: with no open snapshot, every b_
@@ -1287,13 +1320,19 @@ object MicroBatch {
                 // and/or silently re-close every legacy session as a
                 // duplicate; refuse and make the operator decide.
                 val parts = batchPartitionDirs()
+                // a bump-suffixed key is UNREACHABLE from a first batch:
+                // the first batch sees watermark "" and monotonicBatchKey
+                // never bumps against it, so a _r########## partition
+                // proves committed history existed — i.e. the open dir
+                // was lost out of band, not a first-batch crash
                 val oneCrashedBatch = parts.isEmpty ||
-                  (parts.size == 1 && parts.head.getName.startsWith("batch_key=b_"))
+                  (parts.size == 1 && parts.head.name.startsWith("batch_key=b_") &&
+                    BumpSuffix.findFirstMatchIn(parts.head.name).isEmpty)
                 if (!oneCrashedBatch)
                   throw new IllegalStateException(
                     s"$openDir is missing but $closedDir holds " +
                       s"${parts.size} batch_key=* partition(s) " +
-                      s"(${parts.map(_.getName).sorted.mkString(", ")}) — a state " +
+                      s"(${parts.map(_.name).sorted.mkString(", ")}) — a state " +
                       "unreachable from a single crashed batch. Refusing the " +
                       "first-batch orphan sweep (it would delete or duplicate " +
                       "committed closed-session history). Restore the open " +
@@ -1306,9 +1345,9 @@ object MicroBatch {
               }
             lastCommitted.foreach { lk =>
               committedBatchDirs()
-                .filter(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                  .unescapePathName(f.getName.stripPrefix("batch_key=")) > lk)
-                .foreach(f => Lake.deleteRecursive(f.toPath))
+                .filter(e => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(e.name.stripPrefix("batch_key=")) > lk)
+                .foreach(e => graft.store.Fs.delete(e.path))
             }
             // Legacy upgrade window (commit_key-less open snapshot, at
             // most the ONE transitional batch): the old flat layout
@@ -1565,7 +1604,7 @@ object MicroBatch {
             .localCheckpoint() // one winnow pass feeds prune list, guard, write
           val hit = postings.select(col("band")).distinct().collect().map(_.getLong(0))
           val fresh =
-            if (!new java.io.File(postingsDir).exists) postings
+            if (!graft.store.Fs.exists(postingsDir)) postings
             else postings.join(
               // declared (doc_id, band) schema — band is the partition
               // column, taken from dir names with the declared type —

@@ -744,6 +744,14 @@ class StreamingSpec extends SparkSpec {
     assert("b_05_r0000000002" > "b_05_r0000000001" && "b_05_r0000000001" > "b_05")
     // an in-order batch after a bumped run resets to its derived key
     assert(MicroBatch.monotonicBatchKey("b_09", Some("b_05_r0000000002")) == "b_09")
+    // counter exhaustion fails LOUDLY: an 11-digit bump would sort BELOW
+    // the 10-digit watermark and silently break the orphan-sweep
+    // invariant (duplicate closed sessions), so the boundary must throw
+    assert(MicroBatch.monotonicBatchKey("b_03", Some("b_05_r9999999998"))
+      == "b_05_r9999999999")
+    intercept[IllegalArgumentException] {
+      MicroBatch.monotonicBatchKey("b_03", Some("b_05_r9999999999"))
+    }
   }
 
   test("session ingest: late new-user batch commits ABOVE the watermark (orphan sweep stays sound)") {
@@ -827,6 +835,44 @@ class StreamingSpec extends SparkSpec {
       .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(kept == Seq((1L, 1L, 2L, 0L, 10 * M)), s"legacy history touched: $kept")
+  }
+
+  test("session ingest: lost open snapshot over a BUMP-SUFFIXED partition REFUSES the sweep") {
+    // a _r########## key is unreachable from a first batch (the first
+    // batch sees watermark "" and monotonicBatchKey never bumps), so a
+    // single bump-suffixed partition under a missing open dir proves
+    // committed history was lost out of band — the one-crashed-batch
+    // sweep would DELETE that committed partition; it must refuse
+    val root = Files.createTempDirectory("sess_lost_open_bump").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val M = 60L * 1000000
+    Seq((1L, 1L, 2L, 0L, 10 * M))
+      .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .write.parquet(s"$root/closed/batch_key=b_${"0" * 18}600000000_${"0" * 19}2_r0000000001")
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      s"""{"event_id":9,"user_id":1,"ts_us":${500 * M}}""")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val q = MicroBatch.sessionIngestStream(spark, in, schema,
+      gapUs = 30 * M, openDir = s"$root/open", closedDir = s"$root/closed",
+      checkpointDir = s"$root/ckpt")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    var c: Throwable = ex; var found = false; var depth = 0
+    while (c != null && depth < 10 && !found) {
+      found = c.isInstanceOf[IllegalStateException] && c.getMessage != null &&
+        c.getMessage.contains("unreachable from a single crashed batch")
+      c = c.getCause; depth += 1
+    }
+    assert(found, s"expected the refusal IllegalStateException, got: $ex")
+    // the committed bumped partition survives the refusal
+    val kept = spark.read.parquet(s"$root/closed")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, 1L, 2L, 0L, 10 * M)), s"committed history touched: $kept")
   }
 
   test("session ingest: legacy upgrade batch over a DATALESS closed dir runs, not a schema-inference wedge") {

@@ -170,4 +170,29 @@ class VersionedSpec extends SparkSpec {
     assert(!Versioned.adoptLegacy(s"$root/missing"))
     Lake.deleteRecursive(Paths.get(root))
   }
+
+  test("writer lock: a live contender is refused loudly; a stale lease is broken; release is clean") {
+    val root = Files.createTempDirectory("versioned_lock").toString
+    // a LIVE lock (fresh mtime) must fail a second writer fast
+    graft.store.Fs.writeString(s"$root/_WRITER_LOCK", "contender@now")
+    val ex = intercept[IllegalStateException] {
+      Versioned.overwrite(Seq((1, "a")).toDF("k", "v"), root)
+    }
+    assert(ex.getMessage.contains("single-writer"), ex.getMessage)
+    assert(!Versioned.exists(root), "refused write must not flip a pointer")
+    // a STALE lock (older than the lease) is a crashed writer's — broken
+    Files.setLastModifiedTime(Paths.get(root, "_WRITER_LOCK"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 31L * 60 * 1000))
+    assert(Versioned.overwrite(Seq((1, "a")).toDF("k", "v"), root) == 1L)
+    // the lock releases on completion: the next writer proceeds normally
+    assert(!Files.exists(Paths.get(root, "_WRITER_LOCK")), "lock must release")
+    assert(Versioned.overwrite(Seq((2, "b")).toDF("k", "v"), root) == 2L)
+    // reentrancy: a holder's nested overwrite of the same root proceeds
+    Versioned.withWriterLock(root) {
+      assert(Versioned.overwrite(Seq((3, "c")).toDF("k", "v"), root) == 3L)
+    }
+    assert(Versioned.read(spark, root).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    Lake.deleteRecursive(Paths.get(root))
+  }
 }

@@ -680,8 +680,22 @@ object Similarity {
     * dying at the broadcast limit. Results are identical by construction
     * (SimilaritySpec asserts equality against bruteForcePairs).
     */
-  def bruteForcePairsBlocked(corpus: DataFrame, minCosine: Double, nBlocks: Int): DataFrame = {
+  def bruteForcePairsBlocked(corpus: DataFrame, minCosine: Double, nBlocks: Int,
+                             maxRows: Long = 100000L): DataFrame = {
     require(nBlocks > 0, "nBlocks must be positive")
+    // Self-enforcing scale gate (the Linkage.candidatePairs discipline,
+    // lifted to the whole-corpus quadratic): this scan is THE documented
+    // O(n²) in the engine — kept as the oracle-exact twin of the LSH
+    // path — and a caller pointing it at a grown corpus must get a loud
+    // refusal BEFORE the n²/2 dot products launch, not a melted cluster.
+    // One scalar count (memoized callers pay it once per session); the
+    // default bound caps the scan at ~5·10⁹ comparisons.
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"bruteForcePairsBlocked is the exact QUADRATIC scan: $n rows exceeds " +
+        s"the $maxRows-row gate (~${n * n / 2} comparisons). Use the banded " +
+        "hyperplane-LSH path (embeddingNearDupsLsh / llm_embed_neardup_lsh) " +
+        "at this scale, or raise maxRows deliberately.")
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val scans = (0 until nBlocks).map { blk =>
       val slice = corpus

@@ -270,6 +270,19 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("blocked all-pairs REFUSES a corpus above the quadratic-scan gate") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    // the gate trips BEFORE any pair fan-out, naming the LSH twin
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairsBlocked(emb, 0.35, 4, maxRows = n - 1)
+    }
+    assert(ex.getMessage.contains("QUADRATIC") &&
+      ex.getMessage.contains("llm_embed_neardup_lsh"), ex.getMessage)
+    // at (or under) the bound the scan proceeds unchanged
+    assert(Similarity.bruteForcePairsBlocked(emb, 0.35, 4, maxRows = n).count() > 0)
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

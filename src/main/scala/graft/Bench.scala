@@ -8,47 +8,76 @@ object Bench {
     // interleaved (all queries pass 1, then pass 2) so one stall cannot
     // cover both measurements of the same query; the min is steady state.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Stabilization (r14 verdict: totals drifted 15% round-over-round
+    // with zero per-query regressions — pure box noise): a query's min
+    // is only trusted once a SECOND observation lands within
+    // `minGapPct` of it; queries whose fastest two samples disagree by
+    // more get extra interleaved passes (bounded) until they agree, so
+    // the reported min is corroborated steady state, not a lucky draw.
+    val minGapPct = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINGAP", "25").toDouble
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXEXTRA", "4").toInt
     // optional focus list for targeted experiments: "q1,q2"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // a sweep records Right(sec) on success, Left(error) on failure — a
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    // a sample is Right(sec) on success, Left(error) on failure — a
     // query that starts throwing must NOT silently improve the total
-    val sweeps = (1 to passes).map { _ =>
-      ordered.map { case (name, fn) =>
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    var firsts = Map.empty[String, Double]
+    def sweep(names: Set[String]): Unit =
+      ordered.filter { case (n, _) => names(n) }.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        val r =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        name -> r
-      }.toMap
+        try {
+          fn(spark, sfDir).count()
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errs.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    val all = ordered.map(_._1).toSet
+    (1 to passes).foreach { p =>
+      sweep(all)
+      if (p == 1) firsts = times.view.mapValues(_.head).toMap
     }
+    def minGap(ts: Vector[Double]): Double = {
+      val s = ts.sorted
+      if (s.size < 2 || s.head <= 0) Double.PositiveInfinity
+      else (s(1) - s.head) / s.head * 100.0
+    }
+    var extra = 0
+    var unstable = all.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
+    while (unstable.nonEmpty && extra < maxExtra) {
+      sweep(unstable)
+      extra += 1
+      unstable = unstable.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
+    }
+    val loadEnd = osBean.getSystemLoadAverage
     // failed = any sweep errored; reported as value -1 plus an errors map,
     // and excluded from the total (a partial total plus explicit errors is
     // machine-detectable; a silently shrunken one is not)
     val results = ordered.map { case (name, _) =>
-      val rs = sweeps.map(_(name))
-      val errs = rs.collect { case Left(e) => e }
-      name -> (if (errs.nonEmpty) Left(errs.head) else Right(rs.collect { case Right(t) => t }.min))
+      name -> (errs.get(name) match {
+        case Some(e) => Left(e)
+        case None => Right(times(name).min)
+      })
     }
-    // per-query noise spread (max/min - 1, %): the reader's evidence for
-    // separating "min moved" (real regression) from "max wandered"
-    // (shared-box noise) without a separate BenchSweep run
+    // per-query noise spread (max/min - 1, %) over ALL samples — the
+    // historical field; min_gap_pct below is the stability verdict (how
+    // closely the best two samples agree)
     val spreads = ordered.flatMap { case (name, _) =>
-      val ts = sweeps.map(_(name)).collect { case Right(t) => t }
-      if (ts.size == passes && ts.min > 0)
-        Some(name -> (ts.max - ts.min) / ts.min * 100.0)
+      val ts = times(name)
+      if (ts.size >= 2 && ts.min > 0) Some(name -> (ts.max - ts.min) / ts.min * 100.0)
       else None
     }
-    // escape ALL control chars — an exception message with a tab or \r
-    // would otherwise emit invalid JSON, the exact machine-unreadable
-    // failure this line exists to prevent
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val gaps = ordered.flatMap { case (name, _) =>
+      val g = minGap(times(name))
+      if (g.isFinite) Some(name -> g) else None
+    }
+    import BenchSweep.{jstr, num}
     val qs = results.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1", _.toString) }
       .mkString("{", ",", "}")
     // one-time build cost, first-class: pass 1 pays every session memo
@@ -59,25 +88,23 @@ object Bench {
     // separately so the steady-state contract (`queries` = min) is
     // unchanged while cold cost is machine-readable, not reverse-
     // engineered from spread_pct.
-    val firsts = ordered.flatMap { case (name, _) =>
-      sweeps.head(name).toOption.map(name -> _)
-    }
-    val firstJson = firsts
+    val firstJson = firsts.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v.toString }
       .mkString("{", ",", "}")
     val buildsTotal = firsts.map { case (name, f) =>
       results.toMap.get(name).flatMap(_.toOption).fold(0.0)(m => math.max(0.0, f - m))
     }.sum
-    val errors = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
+    val errorsJson = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
-    // comma-decimal locale would corrupt the JSON line
     val spreadJson = spreads
-      .map { case (k, v) => jstr(k) + ":" + BenchSweep.num(v, 1) }
+      .map { case (k, v) => jstr(k) + ":" + num(v, 1) }
+      .mkString("{", ",", "}")
+    val gapJson = gaps
+      .map { case (k, v) => jstr(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"first":$firstJson,"builds_sec":${BenchSweep.num(buildsTotal, 3)},"spread_pct":$spreadJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     // print FIRST and also persist: the driver reads only the sbt tail, so a
     // post-run log line can push the JSON out of its window (BENCH_r01's
     // `parsed` was null for exactly that reason)

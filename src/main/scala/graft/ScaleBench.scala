@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: measure, instead of argue, how the
+  * superlinear-risk operators grow with data size.
+  *
+  * A derived dataset is generated at k× sf0.1 by DETERMINISTIC
+  * replication + key remap (no new testdata): copy i offsets every key
+  * by i·10⁹ and re-identifies content so copies do not interact —
+  * document text is Caesar-shifted per copy (length-exact, so token
+  * structure, dup graphs, shingle statistics replicate per copy with
+  * zero cross-copy collisions) and customer names carry a per-copy
+  * prefix (ER blocks replicate instead of inflating). The scaled corpus
+  * therefore has the SAME statistical shape per copy, and the measured
+  * exponent isolates the ENGINE's growth (shuffle sort costs, doubling
+  * rounds, candidate volumes) from workload-shape drift. That is the
+  * honest scaling question — "same data distribution, 10× the rows" —
+  * and also its limit: hotspots that grow with corpus size (one giant
+  * LSH block, a corpus-spanning duplicate family) are BOUNDED here by
+  * construction, which is exactly what the caps/gates in those
+  * operators enforce in production.
+  *
+  * Output: one JSON line per run — per query × scale, cold time (first
+  * call after Engine.clearCaches; includes the memoized builds where
+  * the superlinearity would live) and warm time (min of `passes`
+  * repeats) — written to `scale_curves.json` for the PERF.md table.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` (env knobs:
+  * SPARK_GRAFT_SCALES=1,3,10; SPARK_GRAFT_SCALE_ONLY=q1,q2;
+  * SPARK_GRAFT_BENCH_OUT=scale_curves.json).
+  */
+object ScaleBench {
+
+  private val Off = 1000000000L
+
+  /** The queries whose growth class VERDICT r14 flagged for measurement:
+    * suffix arrays (prefix-doubling rounds), dedup candidate volumes,
+    * ER blocking, winnowing probes, distributed BPE, and the fixed-point
+    * graph operators.
+    */
+  private val Targets = Seq(
+    "llm_suffix_array", "llm_corpus_sa", "llm_suffix_lrs",
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_containment",
+    "er_customer_pairs", "er_customer_clusters", "er_incremental",
+    "llm_winnow_overlap", "llm_winnow_probe",
+    "llm_bpe_merges_dist",
+    "graph_pagerank", "graph_components", "graph_triangles")
+
+  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val hi = lo.toUpperCase
+    val s = ((shift % 26) + 26) % 26
+    if (s == 0) c
+    else translate(c, lo + hi,
+      lo.drop(s) + lo.take(s) + hi.drop(s) + hi.take(s))
+  }
+
+  /** Build (or reuse) the k× derived dir. Deterministic: content is a
+    * pure function of (source fingerprint, k), recorded in a marker so
+    * reruns and testdata rewrites rebuild exactly when needed.
+    */
+  def ensureScaled(spark: SparkSession, srcDir: String, k: Int): String = {
+    require(k >= 1 && k <= 26, "1 <= k <= 26 (Caesar shifts must stay distinct)")
+    val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k"
+    val marker = s"$dest/_SCALE_OK"
+    val fp = Seq("lineitem", "orders", "customer", "documents", "embeddings",
+        "events", "part", "supplier")
+      .map(t => graft.store.Snapshot.fingerprint(srcDir, s"$t.parquet"))
+      .foldLeft(17L)((a, b) => a * 1000003L ^ b)
+    val want = s"$fp/$k"
+    if (graft.store.Fs.readStringIfExists(marker).contains(want)) return dest
+    graft.store.Fs.delete(dest)
+    def copies(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.read(spark, srcDir, name)
+      (0 until k).map(i => remap(base, i)).reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dest/$name.parquet")
+    }
+    def off(c: String, i: Int)(df: DataFrame) =
+      df.withColumn(c, col(c) + lit(i * Off))
+    copies("documents") { (df, i) =>
+      off("doc_id", i)(df).withColumn("text", caesar(col("text"), i))
+    }
+    copies("customer") { (df, i) =>
+      off("c_custkey", i)(df)
+        .withColumn("c_name", concat(lit(s"c${i}_"), col("c_name")))
+    }
+    copies("lineitem") { (df, i) =>
+      off("l_orderkey", i)(off("l_partkey", i)(off("l_suppkey", i)(df)))
+    }
+    copies("orders") { (df, i) => off("o_orderkey", i)(off("o_custkey", i)(df)) }
+    copies("part") { (df, i) => off("p_partkey", i)(df) }
+    copies("supplier") { (df, i) => off("s_suppkey", i)(df) }
+    copies("events") { (df, i) => off("event_id", i)(off("user_id", i)(df)) }
+    copies("embeddings") { (df, i) => off("vec_id", i)(df) }
+    Seq("nation", "region").foreach { t =>
+      Tables.read(spark, srcDir, t)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dest/$t.parquet")
+    }
+    graft.store.Fs.writeStringAtomic(marker, want)
+    dest
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (spark, srcDir) = BenchSweep.buildSession()
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val targets = Targets.filter(t => only.forall(_.contains(t)))
+      .filter(SparkEntry.queries.contains)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val results = scales.map { k =>
+      val dir = ensureScaled(spark, srcDir, k)
+      val docRows = Tables.documents(spark, dir).count()
+      val liRows = Tables.lineitem(spark, dir).count()
+      Engine.clearCaches(spark)
+      // cold pass: first call per query pays the memoized builds — the
+      // doubling rounds / index builds where superlinearity would live
+      val cold = targets.map { q =>
+        val t0 = System.nanoTime()
+        val r = try { SparkEntry.queries(q)(spark, dir).count();
+          Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        q -> r
+      }.toMap
+      val warmSweeps = (1 to passes).map { _ =>
+        targets.map { q =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(q)(spark, dir).count();
+            q -> Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => q -> None }
+        }.toMap
+      }
+      val warm = targets.map { q =>
+        q -> warmSweeps.flatMap(_(q)).sorted.headOption
+      }.toMap
+      (k, docRows, liRows, cold, warm)
+    }
+    import BenchSweep.{jstr, num}
+    val body = targets.map { q =>
+      val per = results.map { case (k, _, _, cold, warm) =>
+        val c = cold(q).fold(e => s""""error":${jstr(e)}""", t => s""""cold":${num(t, 3)}""")
+        val w = warm(q).fold("")(t => s""","warm":${num(t, 3)}""")
+        s""""x$k":{$c$w}"""
+      }.mkString(",")
+      jstr(q) + s":{$per}"
+    }.mkString("{", ",", "}")
+    val sizes = results.map { case (k, d, l, _, _) =>
+      s""""x$k":{"documents":$d,"lineitem":$l}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_curves","scales":[${scales.mkString(",")}],"passes":$passes,"sizes":$sizes,"queries":$body,"src":"$srcDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "scale_curves.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

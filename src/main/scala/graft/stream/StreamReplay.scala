@@ -104,15 +104,33 @@ object StreamReplay {
   private def codeFingerprint(): Long = {
     val loc = MicroBatch.getClass.getProtectionDomain.getCodeSource.getLocation
     val base = Paths.get(loc.toURI)
-    val root = if (Files.isDirectory(base)) base.resolve("graft") else base
-    if (!Files.exists(root)) return 0L
     import scala.jdk.CollectionConverters._
-    Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => (p.toString.hashCode.toLong * 1000003L)
-        ^ Files.size(p)
-        ^ java.lang.Long.rotateLeft(Files.getLastModifiedTime(p).toMillis, 17))
-      .foldLeft(31L)(_ ^ _)
+    if (Files.isDirectory(base)) {
+      // classes dir (plain JVM / tests): RELATIVE path + size + mtime —
+      // mtimes only move on recompile, which is exactly the staleness
+      // signal wanted
+      val root = base.resolve("graft")
+      if (!Files.exists(root)) return 0L
+      Files.walk(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString.hashCode.toLong * 1000003L)
+          ^ Files.size(p)
+          ^ java.lang.Long.rotateLeft(Files.getLastModifiedTime(p).toMillis, 17))
+        .foldLeft(31L)(_ ^ _)
+    } else {
+      // jar: `sbt runMain` repackages the SAME classes into a jar under
+      // a RANDOM per-run target/bg-jobs path, so neither the jar path
+      // nor its mtime is usable — fingerprint entry name + size + CRC
+      // (content-derived, central-directory read only), which is
+      // identical across repackagings of unchanged code
+      val zf = new java.util.zip.ZipFile(base.toFile)
+      try zf.entries().asScala
+        .filter(e => !e.isDirectory && e.getName.startsWith("graft/"))
+        .map(e => (e.getName.hashCode.toLong * 1000003L)
+          ^ e.getSize ^ java.lang.Long.rotateLeft(e.getCrc, 17))
+        .foldLeft(31L)(_ ^ _)
+      finally zf.close()
+    }
   }
 
   private def cacheEnabled: Boolean =

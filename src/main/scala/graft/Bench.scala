@@ -49,7 +49,12 @@ object Bench {
       else (s(1) - s.head) / s.head * 100.0
     }
     var extra = 0
-    var unstable = all.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
+    // single-pass runs are an explicit quick-look request: one sample can
+    // never self-corroborate, so stabilization would re-run EVERY query
+    // maxExtra times against the caller's intent — skip it entirely
+    var unstable =
+      if (passes < 2) Set.empty[String]
+      else all.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
     while (unstable.nonEmpty && extra < maxExtra) {
       sweep(unstable)
       extra += 1

@@ -66,7 +66,7 @@ object ScaleBench {
     val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k"
     val marker = s"$dest/_SCALE_OK"
     val fp = Seq("lineitem", "orders", "customer", "documents", "embeddings",
-        "events", "part", "supplier")
+        "events", "part", "supplier", "nation", "region")
       .map(t => graft.store.Snapshot.fingerprint(srcDir, s"$t.parquet"))
       .foldLeft(17L)((a, b) => a * 1000003L ^ b)
     val want = s"$fp/$k"

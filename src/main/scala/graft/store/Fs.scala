@@ -87,10 +87,21 @@ object Fs {
     def isFile: Boolean = !isDir
   }
 
-  private lazy val conf: Configuration = {
-    val c = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  /** (came-from-a-session, conf, default FileContext). Cached, but a
+    * cache built BEFORE any SparkSession existed upgrades once a
+    * session appears: otherwise a pre-session Fs call (a pre-flight
+    * exists probe during setup) would permanently pin a bare
+    * `Configuration()` without the session's `spark.hadoop.*`
+    * credentials or the cluster `fs.defaultFS`. Session-derived confs
+    * never downgrade.
+    */
+  @volatile private var cachedEnv: (Boolean, Configuration, FileContext) = null
+
+  private def env: (Boolean, Configuration, FileContext) = {
+    val sess = SparkSession.getActiveSession
+    val cur = cachedEnv
+    if (cur != null && (cur._1 || sess.isEmpty)) return cur
+    val c = sess.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
     // The default local AbstractFileSystem binding is LocalFs — a
     // ChecksumFs that shadows every file with a `.name.crc` sibling and
     // fails reads over files other writers (java.nio, Spark tasks)
@@ -98,14 +109,16 @@ object Fs {
     // through this seam and through Spark/java.nio stay byte-identical.
     // This mutates OUR conf copy only, never Spark's.
     c.set("fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.local.RawLocalFs")
-    c
+    val e = (sess.isDefined, c, FileContext.getFileContext(c))
+    cachedEnv = e
+    e
   }
 
-  private lazy val defaultFc: FileContext = FileContext.getFileContext(conf)
+  private def conf: Configuration = env._2
 
   private def fc(path: String): FileContext = {
     val uri = new HPath(path).toUri
-    if (uri.getScheme == null) defaultFc else FileContext.getFileContext(uri, conf)
+    if (uri.getScheme == null) env._3 else FileContext.getFileContext(uri, conf)
   }
 
   private def hp(path: String): HPath = new HPath(path)

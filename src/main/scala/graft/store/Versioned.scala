@@ -86,6 +86,23 @@ object Versioned {
     * converts a deployment error (two writers) from silent corruption
     * into an immediate error.
     */
+  /** A lock is stale when its lease expired OR its recorded pid is
+    * provably dead on THIS host (a kill -9 mid-write must not block the
+    * restarted writer for a whole lease — the restart-after-crash path
+    * is the common one). A pid from another host (or an unparseable
+    * lock) can't be liveness-checked and falls back to the lease.
+    */
+  private def lockIsStale(lock: String): Boolean = {
+    val age = Fs.mtime(lock).map(System.currentTimeMillis() - _)
+    if (age.forall(_ > leaseMs)) return true // expired, or vanished meanwhile
+    Fs.readStringIfExists(lock).flatMap(_.split('@').headOption)
+      .flatMap(p => scala.util.Try(p.toLong).toOption)
+      .exists { pid =>
+        val h = ProcessHandle.of(pid)
+        !h.isPresent || !h.get().isAlive
+      }
+  }
+
   def withWriterLock[T](root: String)(f: => T): T = {
     if (held.get()(root)) return f
     val lock = s"$root/$LockName"
@@ -93,17 +110,21 @@ object Versioned {
       s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
     Fs.mkdirs(root)
     if (!tryAcquire()) {
-      val age = Fs.mtime(lock).map(System.currentTimeMillis() - _)
-      if (age.exists(_ <= leaseMs))
+      if (!lockIsStale(lock))
         throw new IllegalStateException(
-          s"another writer holds $lock (age ${age.get} ms < lease $leaseMs ms). " +
-            "Versioned tables are single-writer; refusing to interleave. " +
-            "If the previous writer is known dead, delete the lock file or " +
-            "lower -Dgraft.writer.lease.ms.")
-      // stale (or vanished between probe and stat): break and retry once
-      Console.err.println(
-        s"[versioned] breaking stale writer lock $lock (age ${age.getOrElse(-1L)} ms)")
-      Fs.deleteIfExists(lock)
+          s"another LIVE writer holds $lock. Versioned tables are " +
+            "single-writer; refusing to interleave. If the previous writer " +
+            "is known dead, delete the lock file or lower " +
+            "-Dgraft.writer.lease.ms.")
+      // Stale: break it via rename-aside — the rename is the arbiter
+      // (exactly one contender's rename of the same src can succeed), so
+      // two contenders judging the same lock stale cannot both break-
+      // then-acquire: the rename loser falls through to tryAcquire and
+      // sees the winner's fresh lock.
+      Console.err.println(s"[versioned] breaking stale writer lock $lock")
+      val aside = s"$lock.stale.${java.util.UUID.randomUUID()}"
+      try { Fs.rename(lock, aside); Fs.deleteIfExists(aside) }
+      catch { case _: Exception => () } // lost the rename race — fine
       if (!tryAcquire())
         throw new IllegalStateException(
           s"lost the race re-acquiring $lock after breaking a stale lease — " +

@@ -815,12 +815,44 @@ object MicroBatch {
   private val compactionLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean =
+  /** Read-only probe: is there ANY consolidation or reclaim work? Runs
+    * OUTSIDE the locks so the steady state — every retired partition
+    * already folded and blessed (e.g. a JVM adopting the shared replay
+    * cache another JVM already consolidated) — costs one snapshot read
+    * and zero lock traffic. Mirrors the locked body's three outcomes;
+    * the body re-derives everything under the lock, so a stale probe
+    * only costs a lock round-trip, never correctness.
+    */
+  private def compactionPending(spark: SparkSession, tableDir: String,
+                                stateDir: String): Boolean = {
+    val snap = readSnap(spark, stateDir)
+    val ledger = FileLedger.fromRows(snap)
+    val blessed = blessedOf(snap, tableBase(tableDir))
+    ledger.hwm match {
+      case None => false
+      case Some(hwm) if blessed.contains(hwm) =>
+        partitionValues(tableDir).exists { v =>
+          if (v.startsWith(RetiredTag)) !blessed.contains(v.stripPrefix(RetiredTag))
+          else blessed.exists(FileLedger.basename(v) <= _)
+        }
+      case Some(hwm) =>
+        partitionValues(tableDir).exists { v =>
+          if (v.startsWith(RetiredTag)) blessed.contains(v.stripPrefix(RetiredTag))
+          else FileLedger.basename(v) <= hwm && ledger.applied(v)
+        }
+    }
+  }
+
+  def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
+    if (!graft.store.Fs.exists(tableDir) ||
+        !graft.store.Versioned.exists(stateDir)) return false
+    if (!compactionPending(spark, tableDir, stateDir)) return false
     compactionLocks.getOrElseUpdate(stateDir, new Object).synchronized {
       graft.store.Versioned.withWriterLock(stateDir) {
         compactLedgeredTableLocked(spark, tableDir, stateDir)
       }
     }
+  }
 
   private def compactLedgeredTableLocked(spark: SparkSession, tableDir: String,
                                          stateDir: String): Boolean = {

@@ -134,7 +134,20 @@ object StreamReplay {
   }
 
   private def cacheEnabled: Boolean =
-    sys.env.getOrElse("SPARK_GRAFT_REPLAY_CACHE", "1") != "0"
+    sys.props.get("graft.replay.cache")
+      .orElse(sys.env.get("SPARK_GRAFT_REPLAY_CACHE"))
+      .forall(_ != "0")
+
+  /** Test hook: drop the in-JVM memo AND the persisted entry for `dir`,
+    * so the next query provably re-runs the full streaming build (the
+    * rebuild-determinism property needs a real rebuild to test — with
+    * the persistent cache, `clearReplayCache` alone just re-adopts).
+    */
+  private[graft] def dropPersistentCache(spark: SparkSession, dir: String): Unit = {
+    clearReplayCache(spark)
+    val key = f"r_${sourceFingerprint(dir)}%016x_${codeFingerprint()}%016x"
+    Lake.deleteRecursive(cacheBase.resolve(key))
+  }
 
   private def cacheBase: Path =
     Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_replay_cache")
@@ -151,6 +164,12 @@ object StreamReplay {
         val cached = cacheBase.resolve(key)
         if (cacheEnabled && Files.exists(cached.resolve("_COMPLETE"))) {
           Console.err.println(s"[stream-replay] adopting cached root $cached")
+          // bump the root's mtime: the 24h reap below must test LAST USE,
+          // not build time, or a long-lived adopter could lose its root
+          // to another JVM's cleanup mid-session
+          try Files.setLastModifiedTime(cached,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
           built(spark) = (dir, fp, cached.toString, false)
           return cached.toString
         }
@@ -159,11 +178,16 @@ object StreamReplay {
             Files.createDirectories(cacheBase)
             // reap: any sibling is stale by construction (different code
             // or data) once old enough that no concurrent JVM still reads
-            // it; crashed builds leave .building dirs reaped the same way
-            Lake.listDir(cacheBase)
-              .filter(p => Files.getLastModifiedTime(p).toMillis <
-                System.currentTimeMillis() - 24L * 3600 * 1000)
-              .foreach(Lake.deleteRecursive)
+            // it (adoption refreshes the mtime above); crashed builds
+            // leave .building dirs reaped the same way. Per-entry Try:
+            // a concurrent reaper may delete between list and stat.
+            Lake.listDir(cacheBase).foreach { p =>
+              scala.util.Try {
+                if (Files.getLastModifiedTime(p).toMillis <
+                    System.currentTimeMillis() - 24L * 3600 * 1000)
+                  Lake.deleteRecursive(p)
+              }
+            }
             Files.createTempDirectory(cacheBase, s"$key.building.").toString
           } else Files.createTempDirectory("graft_stream").toString
         // The 7 state families are fully independent — disjoint landing

@@ -54,9 +54,32 @@ class StreamReplaySpec extends SparkSpec {
     assert(openPerKey.values.forall(_ == 1), "a key has more than one open version")
   }
 
-  test("clearing the replay cache rebuilds identical state") {
+  test("dropping BOTH cache layers rebuilds identical state; clearCaches alone re-adopts") {
     val before = StreamReplay.kpiStateQuery(spark, dir).count()
+    // layer 1: the in-JVM memo — clearing it re-adopts the PERSISTED
+    // root (cross-JVM reuse is the point), same content
     Engine.clearCaches(spark)
     assert(StreamReplay.kpiStateQuery(spark, dir).count() == before)
+    // layer 2: drop the persisted entry too — the next query must run
+    // the full streaming build again and land on identical state (the
+    // rebuild-determinism property needs a REAL rebuild to mean anything)
+    StreamReplay.dropPersistentCache(spark, dir)
+    assert(StreamReplay.kpiStateQuery(spark, dir).count() == before)
+  }
+
+  test("cache-disabled mode builds an owned temp root and clearCaches deletes it") {
+    sys.props("graft.replay.cache") = "0"
+    try {
+      StreamReplay.dropPersistentCache(spark, dir)
+      assert(StreamReplay.kpiStateQuery(spark, dir).count() > 0)
+      val owned = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+        .toArray.map(_.toString).filter(_.contains("graft_stream"))
+      assert(owned.nonEmpty, "owned temp root expected under /tmp/graft_stream*")
+      Engine.clearCaches(spark) // owned root must be deleted with the memo
+      val after = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+        .toArray.map(_.toString).filter(_.contains("graft_stream"))
+      assert(after.length < owned.length,
+        s"owned replay root survived clearCaches: ${after.length} of ${owned.length}")
+    } finally sys.props.remove("graft.replay.cache")
   }
 }

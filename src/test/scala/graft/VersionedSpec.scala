@@ -180,17 +180,24 @@ class VersionedSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("single-writer"), ex.getMessage)
     assert(!Versioned.exists(root), "refused write must not flip a pointer")
+    // a FRESH lock whose recorded pid is provably dead on this host is a
+    // kill -9'd writer's — broken immediately, not after the lease
+    // (restart-after-crash must not stall 30 min)
+    graft.store.Fs.writeString(s"$root/_WRITER_LOCK",
+      s"999999999@${System.currentTimeMillis()}")
+    assert(Versioned.overwrite(Seq((0, "z")).toDF("k", "v"), root) == 1L)
     // a STALE lock (older than the lease) is a crashed writer's — broken
+    graft.store.Fs.writeString(s"$root/_WRITER_LOCK", "contender@now")
     Files.setLastModifiedTime(Paths.get(root, "_WRITER_LOCK"),
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 31L * 60 * 1000))
-    assert(Versioned.overwrite(Seq((1, "a")).toDF("k", "v"), root) == 1L)
+    assert(Versioned.overwrite(Seq((1, "a")).toDF("k", "v"), root) == 2L)
     // the lock releases on completion: the next writer proceeds normally
     assert(!Files.exists(Paths.get(root, "_WRITER_LOCK")), "lock must release")
-    assert(Versioned.overwrite(Seq((2, "b")).toDF("k", "v"), root) == 2L)
+    assert(Versioned.overwrite(Seq((2, "b")).toDF("k", "v"), root) == 3L)
     // reentrancy: a holder's nested overwrite of the same root proceeds
     Versioned.withWriterLock(root) {
-      assert(Versioned.overwrite(Seq((3, "c")).toDF("k", "v"), root) == 3L)
+      assert(Versioned.overwrite(Seq((3, "c")).toDF("k", "v"), root) == 4L)
     }
     assert(Versioned.read(spark, root).as[(Int, String)].collect().toSeq == Seq((3, "c")))
     Lake.deleteRecursive(Paths.get(root))

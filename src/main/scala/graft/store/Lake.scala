@@ -140,16 +140,17 @@ object Lake {
     * pointer flip remove the missing-path window entirely (the
     * scd2 stream table and the inventory merge state use it).
     */
-  def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit = {
-    recoverSwap(dest)
-    val tmp = dest + ".staging"
-    result.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val bak = dest + ".old"
-    Fs.delete(bak)
-    if (Fs.exists(dest)) Fs.rename(dest, bak)
-    Fs.rename(tmp, dest)
-    Fs.delete(bak)
-  }
+  def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit =
+    Versioned.withSiblingLock(dest) {
+      recoverSwap(dest)
+      val tmp = dest + ".staging"
+      result.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val bak = dest + ".old"
+      Fs.delete(bak)
+      if (Fs.exists(dest)) Fs.rename(dest, bak)
+      Fs.rename(tmp, dest)
+      Fs.delete(bak)
+    }
 
   /** Small-file compaction: streaming appends write one file per
     * micro-batch per partition dir, and a day of 1-minute triggers turns
@@ -167,7 +168,7 @@ object Lake {
     */
   def compact(spark: SparkSession, tableDir: String,
               targetRowsPerFile: Long = 1000000L,
-              partitionCols: Seq[String] = Nil): Unit = {
+              partitionCols: Seq[String] = Nil): Unit = Versioned.withSiblingLock(tableDir) {
     recoverSwap(tableDir)
     val df = spark.read.parquet(tableDir)
     val rows = df.count()
@@ -208,7 +209,8 @@ object Lake {
     * needing work, not rows).
     */
   def compactPartitions(spark: SparkSession, tableDir: String, partitionCol: String,
-                        maxFilesPerPartition: Int = 4): Seq[String] = {
+                        maxFilesPerPartition: Int = 4): Seq[String] =
+      Versioned.withSiblingLock(tableDir) {
     val prefix = s"$partitionCol="
     // (escaped dir name, display value) of every over-threshold dir. The
     // dirs themselves are the read targets — the value string is never
@@ -267,7 +269,8 @@ object Lake {
     * readers never see a layout/manifest mismatch.
     */
   def optimize(spark: SparkSession, tableDir: String, colA: String, colB: String,
-               targetRowsPerFile: Long = 1000000L, bits: Int = 21): Unit = {
+               targetRowsPerFile: Long = 1000000L, bits: Int = 21): Unit =
+      Versioned.withSiblingLock(tableDir) {
     recoverSwap(tableDir)
     val rows = spark.read.parquet(tableDir).count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
@@ -435,7 +438,8 @@ object Lake {
     * `_flat_trash` dir to re-delete.
     */
   def migrateFlatPartitions(spark: SparkSession, dir: String, partCol: String,
-                            fillMissing: Option[String] = None): Boolean = {
+                            fillMissing: Option[String] = None): Boolean =
+      Versioned.withSiblingLock(dir) {
     if (!Fs.exists(dir)) return false
     val legacy = s"$dir/_flat_legacy"
     val trash = s"$dir/_flat_trash"

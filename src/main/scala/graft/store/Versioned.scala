@@ -103,16 +103,30 @@ object Versioned {
       }
   }
 
-  def withWriterLock[T](root: String)(f: => T): T = {
-    if (held.get()(root)) return f
-    val lock = s"$root/$LockName"
+  def withWriterLock[T](root: String)(f: => T): T =
+    withLockFile(s"$root/$LockName", root, Fs.mkdirs(root))(f)
+
+  /** The same lock/lease discipline with the lock file BESIDE the
+    * guarded directory (`<dir>.lock`) — for the in-place swap family
+    * ([[Lake.atomicOverwrite]]/`compact`/`optimize`), whose mutation
+    * MOVES the directory itself, so a lock inside it would travel with
+    * the swap.
+    */
+  def withSiblingLock[T](dir: String)(f: => T): T = {
+    val d = dir.stripSuffix("/")
+    val parent = d.substring(0, math.max(0, d.lastIndexOf('/')))
+    withLockFile(s"$d.lock", d, if (parent.nonEmpty) Fs.mkdirs(parent))(f)
+  }
+
+  private def withLockFile[T](lock: String, key: String, prep: => Unit)(f: => T): T = {
+    if (held.get()(key)) return f
     def tryAcquire(): Boolean = Fs.createExclusive(lock,
       s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
-    Fs.mkdirs(root)
+    prep
     if (!tryAcquire()) {
       if (!lockIsStale(lock))
         throw new IllegalStateException(
-          s"another LIVE writer holds $lock. Versioned tables are " +
+          s"another LIVE writer holds $lock. This table is " +
             "single-writer; refusing to interleave. If the previous writer " +
             "is known dead, delete the lock file or lower " +
             "-Dgraft.writer.lease.ms.")
@@ -130,10 +144,10 @@ object Versioned {
           s"lost the race re-acquiring $lock after breaking a stale lease — " +
             "a live contender exists; refusing.")
     }
-    held.set(held.get() + root)
+    held.set(held.get() + key)
     try f
     finally {
-      held.set(held.get() - root)
+      held.set(held.get() - key)
       Fs.deleteIfExists(lock)
     }
   }

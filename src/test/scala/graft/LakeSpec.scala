@@ -383,4 +383,23 @@ class LakeSpec extends SparkSpec {
     // and the next invocation transparently rebuilds
     assert(Lake.orcRoundtripQuery(spark, dir).count() == nRows)
   }
+
+  test("in-place swap family fails fast under a live sibling writer lock") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("lake_lock").toString + "/t"
+    Seq((1, "a")).toDF("k", "v").write.parquet(tdir)
+    // a LIVE contender's lock beside the table: the swap must refuse
+    // loudly and leave the table untouched
+    graft.store.Fs.writeString(tdir + ".lock", "contender@now")
+    val ex = intercept[IllegalStateException] {
+      Lake.atomicOverwrite(spark, Seq((2, "b")).toDF("k", "v"), tdir)
+    }
+    assert(ex.getMessage.contains("single-writer"), ex.getMessage)
+    assert(spark.read.parquet(tdir).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // released/removed lock: the swap proceeds; its own lock cleans up
+    graft.store.Fs.deleteIfExists(tdir + ".lock")
+    Lake.atomicOverwrite(spark, Seq((2, "b")).toDF("k", "v"), tdir)
+    assert(spark.read.parquet(tdir).as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    assert(!graft.store.Fs.exists(tdir + ".lock"), "sibling lock must release")
+  }
 }

@@ -116,11 +116,18 @@ object ScaleBench {
       val liRows = Tables.lineitem(spark, dir).count()
       Engine.clearCaches(spark)
       // cold pass: first call per query pays the memoized builds — the
-      // doubling rounds / index builds where superlinearity would live
+      // doubling rounds / index builds where superlinearity would live.
+      // The result ROW COUNT is recorded alongside: for the queries
+      // whose output is per-copy-local (dedup pairs, ER pairs, winnow
+      // spans…), rows(x_k) = k·rows(x_1) EXACTLY is measured evidence
+      // that the derived corpus replicates structure instead of
+      // inflating it — the premise the exponent fit rests on.
       val cold = targets.map { q =>
         val t0 = System.nanoTime()
-        val r = try { SparkEntry.queries(q)(spark, dir).count();
-          Right((System.nanoTime() - t0) / 1e9) }
+        val r = try {
+          val n = SparkEntry.queries(q)(spark, dir).count()
+          Right(((System.nanoTime() - t0) / 1e9, n))
+        }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         q -> r
@@ -141,7 +148,8 @@ object ScaleBench {
     import BenchSweep.{jstr, num}
     val body = targets.map { q =>
       val per = results.map { case (k, _, _, cold, warm) =>
-        val c = cold(q).fold(e => s""""error":${jstr(e)}""", t => s""""cold":${num(t, 3)}""")
+        val c = cold(q).fold(e => s""""error":${jstr(e)}""",
+          { case (t, n) => s""""cold":${num(t, 3)},"rows":$n""" })
         val w = warm(q).fold("")(t => s""","warm":${num(t, 3)}""")
         s""""x$k":{$c$w}"""
       }.mkString(",")

@@ -88,7 +88,14 @@ class LedgerReplayPropertySpec extends SparkSpec {
       q.processAllAvailable()
       if (crashAfter(i)) {
         q.stop(); q.awaitTermination()
-        fam.rollbackDirs(root).foreach(if (hard) hardRollback else rollback)
+        fam.rollbackDirs(root).foreach { st =>
+          (if (hard) hardRollback _ else rollback _)(st)
+          // a SIGKILL'd writer also leaves its _WRITER_LOCK (the finally
+          // never ran) with a now-dead pid: the restarted writer must
+          // break it immediately — not corrupt, not stall a lease
+          graft.store.Fs.writeString(s"$st/_WRITER_LOCK",
+            s"999999999@${System.currentTimeMillis()}")
+        }
         Lake.deleteRecursive(Paths.get(s"$root/ckpt"))
         q = fam.stream(spark, root)
       }

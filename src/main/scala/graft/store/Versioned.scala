@@ -72,57 +72,73 @@ object Versioned {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
+
+  /** Staleness verdict, pid-liveness first, lease second:
+    *  - a SAME-HOST pid that is provably ALIVE is never stale — a
+    *    legitimately long rewrite (whole-table compact/optimize) must
+    *    not have its lock broken just because it outran the lease;
+    *  - a same-host pid that is provably DEAD is stale immediately —
+    *    a kill -9 mid-write must not block the restarted writer for a
+    *    whole lease (restart-after-crash is the common path);
+    *  - anything unverifiable (another host, unparseable/torn content,
+    *    vanished file) falls back to the lease age.
+    * Residual: a recycled same-host pid reads as alive and blocks until
+    * an operator deletes the lock — the conservative direction.
+    */
+  private def lockIsStale(lock: String): Boolean = {
+    val parts = Fs.readStringIfExists(lock).map(_.split('@')).getOrElse(Array.empty)
+    val sameHost = parts.length < 3 || parts(2) == localHost
+    val pidAlive: Option[Boolean] =
+      if (!sameHost) None
+      else parts.headOption.flatMap(p => scala.util.Try(p.toLong).toOption)
+        .map { pid =>
+          val h = ProcessHandle.of(pid)
+          h.isPresent && h.get().isAlive
+        }
+    pidAlive match {
+      case Some(alive) => !alive
+      case None =>
+        Fs.mtime(lock).map(System.currentTimeMillis() - _).forall(_ > leaseMs)
+    }
+  }
+
   /** Best-effort single-writer lock/lease around a table mutation: an
     * exclusive `_WRITER_LOCK` create under `root`, held for the
     * duration of `f`. Contention with a live lock is a LOUD refusal —
     * a second concurrent writer would corrupt the read-modify-write
     * sequences this guards (snapshot folds, blessing flips), so it
-    * must fail fast rather than interleave. A lock older than the
-    * lease is a crashed writer's (a crash between create and the
-    * finally-release) and is broken. Best-effort by design: the
-    * create is not a true mutex on every store (Fs.createExclusive),
-    * and crash-correctness NEVER depends on it — every guarded
-    * primitive is already crash-safe single-writer; the lock only
-    * converts a deployment error (two writers) from silent corruption
-    * into an immediate error.
+    * must fail fast rather than interleave; staleness is decided
+    * pid-liveness-first, lease second ([[lockIsStale]]). Best-effort by
+    * design: the create is not a true mutex on every store
+    * (Fs.createExclusive), and crash-correctness NEVER depends on it —
+    * every guarded primitive is already crash-safe single-writer; the
+    * lock only converts a deployment error (two writers) from silent
+    * corruption into an immediate error.
     */
-  /** A lock is stale when its lease expired OR its recorded pid is
-    * provably dead on THIS host (a kill -9 mid-write must not block the
-    * restarted writer for a whole lease — the restart-after-crash path
-    * is the common one). A pid from another host (or an unparseable
-    * lock) can't be liveness-checked and falls back to the lease.
-    */
-  private def lockIsStale(lock: String): Boolean = {
-    val age = Fs.mtime(lock).map(System.currentTimeMillis() - _)
-    if (age.forall(_ > leaseMs)) return true // expired, or vanished meanwhile
-    Fs.readStringIfExists(lock).flatMap(_.split('@').headOption)
-      .flatMap(p => scala.util.Try(p.toLong).toOption)
-      .exists { pid =>
-        val h = ProcessHandle.of(pid)
-        !h.isPresent || !h.get().isAlive
-      }
-  }
-
   def withWriterLock[T](root: String)(f: => T): T =
-    withLockFile(s"$root/$LockName", root, Fs.mkdirs(root))(f)
+    withLockFile(s"$root/$LockName")(f)
 
   /** The same lock/lease discipline with the lock file BESIDE the
     * guarded directory (`<dir>.lock`) — for the in-place swap family
     * ([[Lake.atomicOverwrite]]/`compact`/`optimize`), whose mutation
     * MOVES the directory itself, so a lock inside it would travel with
-    * the swap.
+    * the swap. Distinct lock FILE ⇒ distinct reentrancy key: holding a
+    * dir's in-dir writer lock does not implicitly grant its sibling
+    * swap lock (cross-process they are independent files, so treating
+    * them as one in-process would skip a real acquisition).
     */
-  def withSiblingLock[T](dir: String)(f: => T): T = {
-    val d = dir.stripSuffix("/")
-    val parent = d.substring(0, math.max(0, d.lastIndexOf('/')))
-    withLockFile(s"$d.lock", d, if (parent.nonEmpty) Fs.mkdirs(parent))(f)
-  }
+  def withSiblingLock[T](dir: String)(f: => T): T =
+    withLockFile(s"${dir.stripSuffix("/")}.lock")(f)
 
-  private def withLockFile[T](lock: String, key: String, prep: => Unit)(f: => T): T = {
-    if (held.get()(key)) return f
-    def tryAcquire(): Boolean = Fs.createExclusive(lock,
-      s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
-    prep
+  private def withLockFile[T](lock: String)(f: => T): T = {
+    if (held.get()(lock)) return f
+    // lock content: pid@epoch-ms@host — createExclusive creates missing
+    // parent dirs itself, so no separate mkdirs is needed
+    val myClaim = s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}@$localHost"
+    def tryAcquire(): Boolean = Fs.createExclusive(lock, myClaim)
     if (!tryAcquire()) {
       if (!lockIsStale(lock))
         throw new IllegalStateException(
@@ -144,11 +160,14 @@ object Versioned {
           s"lost the race re-acquiring $lock after breaking a stale lease — " +
             "a live contender exists; refusing.")
     }
-    held.set(held.get() + key)
+    held.set(held.get() + lock)
     try f
     finally {
-      held.set(held.get() - key)
-      Fs.deleteIfExists(lock)
+      held.set(held.get() - lock)
+      // ownership-checked release: if OUR lock was (wrongly or rightly)
+      // broken and replaced while we ran, deleting blindly would free
+      // the CURRENT holder's lock and let a third writer in silently
+      if (Fs.readStringIfExists(lock).contains(myClaim)) Fs.deleteIfExists(lock)
     }
   }
 

@@ -180,6 +180,18 @@ class VersionedSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("single-writer"), ex.getMessage)
     assert(!Versioned.exists(root), "refused write must not flip a pointer")
+    // a lock whose pid is provably ALIVE on this host is never broken,
+    // even past the lease — a legitimately long rewrite must not have
+    // its lock stolen mid-swap (lease only governs unverifiable locks)
+    graft.store.Fs.writeString(s"$root/_WRITER_LOCK",
+      s"${ProcessHandle.current().pid()}@0")
+    Files.setLastModifiedTime(Paths.get(root, "_WRITER_LOCK"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 31L * 60 * 1000))
+    intercept[IllegalStateException] {
+      Versioned.overwrite(Seq((9, "x")).toDF("k", "v"), root)
+    }
+    assert(!Versioned.exists(root), "live-pid lock must refuse, not break")
     // a FRESH lock whose recorded pid is provably dead on this host is a
     // kill -9'd writer's — broken immediately, not after the lease
     // (restart-after-crash must not stall 30 min)

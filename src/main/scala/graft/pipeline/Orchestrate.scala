@@ -44,7 +44,7 @@ object Orchestrate {
   }
 
   private def baseName(p: String): String =
-    java.nio.file.Paths.get(p).getFileName.toString
+    graft.store.FileLedger.basename(p)
 
   /** One-job file gate: per-file rule verdicts from a single aggregate over
     * the combined scan, grouped by input filename. Returns the basenames of
@@ -55,7 +55,8 @@ object Orchestrate {
   /** input_file_name() returns a URI-encoded path ("my data" →
     * "my%20data"); decode percent escapes only (NOT URLDecoder, which
     * also corrupts legitimate '+' into spaces) so names compare equal to
-    * java.nio basenames and an encodable character can't dodge quarantine.
+    * the Fs listing's basenames and an encodable character can't dodge
+    * quarantine.
     */
   private def percentDecode(s: String): String =
     if (!s.contains('%')) s
@@ -89,8 +90,8 @@ object Orchestrate {
       lakeRoot: String,
       notify: String => Unit = _ => ()): RunReport = {
     try {
-      val files = Option(new java.io.File(landingDir).listFiles())
-        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv")).map(_.getPath).toSeq
+      val files = graft.store.Fs.list(landingDir)
+        .filter(e => e.isFile && e.name.endsWith(".csv")).map(_.path)
       if (files.isEmpty) {
         notify("no input files")
         return RunReport(0, 0, transformed = false, None)
@@ -152,8 +153,8 @@ object Orchestrate {
       nowEpoch: Double,
       notify: String => Unit = _ => ()): RunReport = {
     try {
-      val files = Option(new java.io.File(landingDir).listFiles())
-        .getOrElse(Array.empty).filter(_.getName.endsWith(".jsonl")).map(_.getPath).toSeq
+      val files = graft.store.Fs.list(landingDir)
+        .filter(e => e.isFile && e.name.endsWith(".jsonl")).map(_.path)
       if (files.isEmpty) { notify("no input files"); return RunReport(0, 0, transformed = false, None) }
       // One job for all file gates. Required-field rules subsume the old
       // per-file missingColumns check: a schema'd JSON read always exposes
@@ -164,12 +165,7 @@ object Orchestrate {
         spark.read.schema(graft.schema.Schemas.inventory).json(files: _*),
         Inventory.inventoryRules(nowEpoch) ++ requiredRules)
       val (valid, quarantined) = files.partition(f => !bad(baseName(f)))
-      quarantined.foreach { f =>
-        val target = java.nio.file.Paths.get(
-          Lake.zone(lakeRoot, Lake.Zones.Rejected), java.nio.file.Paths.get(f).getFileName.toString)
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
-      }
+      Lake.moveFiles(quarantined, Lake.zone(lakeRoot, Lake.Zones.Rejected))
       if (valid.isEmpty) { notify("all files quarantined"); return RunReport(0, quarantined.size, transformed = false, None) }
       val raw = spark.read.schema(graft.schema.Schemas.inventory).json(valid: _*)
       val deduped = Inventory.latestPerKey(raw, "inventory_id", Seq("last_updated"))
@@ -190,12 +186,7 @@ object Orchestrate {
       // no staging checkpoint needed: the plan reads snapshot v_n and
       // writes v_n+1 — distinct paths, so Spark's self-read guard is moot
       withRetry() { graft.store.Versioned.overwrite(merged, statePath) }
-      valid.foreach { f =>
-        val target = java.nio.file.Paths.get(
-          Lake.zone(lakeRoot, Lake.Zones.Archive), java.nio.file.Paths.get(f).getFileName.toString)
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
-      }
+      Lake.moveFiles(valid, Lake.zone(lakeRoot, Lake.Zones.Archive))
       RunReport(valid.size, quarantined.size, transformed = true, None)
     } catch {
       case NonFatal(e) =>

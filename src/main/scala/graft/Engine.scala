@@ -53,6 +53,7 @@ object Engine {
     graft.llm.Dedup.clearVerifiedCache(spark)
     graft.llm.Curation.clearStatusCache(spark)
     graft.store.Bucketed.clearBucketCache(spark)
+    graft.store.CatalogTable.clearCatalogCache(spark)
     graft.store.Lake.clearOrcCache(spark)
     graft.llm.TextAnalysis.clearWinnowPostingsCache(spark)
     graft.llm.Suffix.clearRanksCache(spark)

@@ -48,13 +48,23 @@ object ScaleBench {
     "llm_bpe_merges_dist",
     "graph_pagerank", "graph_components", "graph_triangles")
 
+  /** Per-copy content re-identification: Caesar-shift letters by
+    * `shift % 26` and rotate digits by `shift / 26` — two independent
+    * dimensions, so copies stay pairwise collision-free up to 26×10
+    * copies while every transform remains length-exact (token structure,
+    * shingle statistics, dup graphs replicate per copy). Copies 0-25 use
+    * digit rotation 0, so derived dirs for k ≤ 26 are bit-identical to
+    * the r15 sweeps' — old and new curve points stay comparable.
+    */
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val hi = lo.toUpperCase
+    val dg = "0123456789"
     val s = ((shift % 26) + 26) % 26
-    if (s == 0) c
-    else translate(c, lo + hi,
-      lo.drop(s) + lo.take(s) + hi.drop(s) + hi.take(s))
+    val d = (shift / 26) % 10
+    if (s == 0 && d == 0) c
+    else translate(c, lo + hi + dg,
+      lo.drop(s) + lo.take(s) + hi.drop(s) + hi.take(s) + dg.drop(d) + dg.take(d))
   }
 
   /** Build (or reuse) the k× derived dir. Deterministic: content is a
@@ -62,7 +72,8 @@ object ScaleBench {
     * reruns and testdata rewrites rebuild exactly when needed.
     */
   def ensureScaled(spark: SparkSession, srcDir: String, k: Int): String = {
-    require(k >= 1 && k <= 26, "1 <= k <= 26 (Caesar shifts must stay distinct)")
+    require(k >= 1 && k <= 260,
+      "1 <= k <= 260 (letter-shift × digit-rotation pairs must stay distinct)")
     val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k"
     val marker = s"$dest/_SCALE_OK"
     val fp = Seq("lineitem", "orders", "customer", "documents", "embeddings",

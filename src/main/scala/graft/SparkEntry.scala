@@ -35,6 +35,7 @@ object SparkEntry {
       (Graph.queries, Graph.oracles),
       (Linkage.queries, Linkage.oracles),
       (Bucketed.queries, Bucketed.oracles),
+      (graft.store.CatalogTable.queries, graft.store.CatalogTable.oracles),
       (Bpe.queries, Bpe.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (Lake.queries, Lake.oracles),

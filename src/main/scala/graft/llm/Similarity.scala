@@ -308,13 +308,36 @@ object Similarity {
     corpus.select(col("vec_id"),
       VectorExprs.pqCodes(col("embedding"), codebooks).as("codes"))
 
+  /** The loud bound on driver-held PER-QUERY index artifacts (ADC LUTs,
+    * residual coarse terms): queries are an index lookup's SMALL side by
+    * contract — the artifacts are built on the driver and broadcast like
+    * a join build side — and this gate makes the contract self-enforcing
+    * instead of assumed (the `bruteForcePairsBlocked` discipline, r15
+    * verdict #5). At the default bound the largest artifact is
+    * ~100k queries × m×nlist longs ≈ low GBs of broadcast — already past
+    * where a batched or corpus-side plan wins.
+    */
+  private def requireQuerySide(queries: DataFrame, op: String, maxRows: Long): Unit = {
+    val n = queries.count()
+    require(n <= maxRows,
+      s"$op builds DRIVER-HELD per-query artifacts (LUTs/coarse terms, " +
+        s"broadcast to every probe); the query side is the small side by " +
+        s"contract, but this query set has $n rows > the $maxRows-row gate. " +
+        "Chunk the query set and union the per-chunk top-k results, or use " +
+        "a corpus-side path (knnIvf / bruteforce with a joined query table) " +
+        "— or raise maxQueryRows deliberately.")
+  }
+
   /** Per-query ADC lookup tables: lut[s][c] = ⟨quantized query slice,
     * codebook entry⟩ in exact integers. Queries are an index lookup's
     * small side — the LUTs are built on the driver and broadcast, the
     * same artifact pattern as `collectCentroids` (m × nlist longs per
-    * query ≈ bytes, not rows).
+    * query ≈ bytes, not rows) — and [[requireQuerySide]] enforces the
+    * smallness before anything is collected.
     */
-  def pqLuts(queries: DataFrame, codebooks: Array[Array[Array[Long]]]): DataFrame = {
+  def pqLuts(queries: DataFrame, codebooks: Array[Array[Array[Long]]],
+             maxQueryRows: Long = 100000L): DataFrame = {
+    requireQuerySide(queries, "Similarity.pqLuts", maxQueryRows)
     val spark = queries.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -470,7 +493,11 @@ object Similarity {
   def knnIvfPqResidual(corpus: DataFrame, queries: DataFrame,
                        coarse: Array[Array[Long]],
                        books: Array[Array[Array[Long]]],
-                       nprobe: Int, k: Int): DataFrame = {
+                       nprobe: Int, k: Int,
+                       maxQueryRows: Long = 100000L): DataFrame = {
+    // gated HERE too (not just inside pqLuts below): the residual coarse
+    // terms are collected first, before pqLuts would get a chance to refuse
+    requireQuerySide(queries, "Similarity.knnIvfPqResidual", maxQueryRows)
     val spark = corpus.sparkSession
     import spark.implicits._
     val coarseD = coarse.map(_.map(_ / QuantScale))

@@ -1,0 +1,123 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2 K9 closed by demonstration, not citation: the reference
+  * registers hive partitions with Athena DDL after every landing batch
+  * (ref s3toathena.py:44-89, lambda_function.py:199-252 — `MSCK`-style
+  * `ALTER TABLE ADD PARTITION` calls); Spark's native replacement is an
+  * external catalog table over the lake layout plus ONE
+  * `spark.catalog.recoverPartitions` (the MSCK REPAIR analogue) — after
+  * which every reader goes through `spark.table(name)` with partition
+  * pruning, no per-batch DDL.
+  *
+  * The proof is oracle-shaped: `web_engagement_catalog` computes the
+  * exact `web_engagement` result, but through the CATALOG read of a
+  * date-partitioned lake write of the same events. An external
+  * partitioned table with UNRECOVERED partitions reads as zero rows, so
+  * the green hash IS the demonstration that the partition registration
+  * round-trips end-to-end.
+  */
+object CatalogTable {
+
+  // Same memo discipline as Bucketed/orcRoot: one partitioned write +
+  // registration per (session, source dir, source fingerprint); rebuilds
+  // drop the stale registration and root, one exit hook reaps live roots.
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
+
+  private def sourceFingerprint(dir: String): Long =
+    Snapshot.fingerprint(dir, "events.parquet")
+
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      built.values.foreach { case (_, _, root) =>
+        Lake.deleteRecursive(java.nio.file.Paths.get(root))
+      }))
+
+  /** Catalog names must be session-unique (shared metastore). */
+  private def tableName(spark: SparkSession): String =
+    s"graft_events_cat_${java.lang.Integer.toHexString(System.identityHashCode(spark))}"
+
+  private[graft] def clearCatalogCache(spark: SparkSession): Unit =
+    built.remove(spark).foreach { case (_, _, oldRoot) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark)}")
+      Lake.deleteRecursive(java.nio.file.Paths.get(oldRoot))
+    }
+
+  /** The registered catalog table, built/registered on first use:
+    * date-partitioned lake write → external-table DDL → ONE
+    * `recoverPartitions`. Returns the catalog name to `spark.table`.
+    */
+  private def registeredEvents(spark: SparkSession, dir: String): String = {
+    val name = tableName(spark)
+    val fp = sourceFingerprint(dir)
+    if (!built.get(spark).exists(e => e._1 == dir && e._2 == fp)) {
+      clearCatalogCache(spark)
+      exitHook
+      val root = Files.createTempDirectory("graft_catalog").toString
+      val data = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+      data.write.partitionBy("event_date").parquet(s"$root/events")
+      // external-table DDL over the layout: schema declared (never
+      // inferred — the Athena-table shape), partition column last
+      val colDdl = data.schema.filterNot(_.name == "event_date")
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"CREATE TABLE $name ($colDdl, event_date DATE) USING PARQUET " +
+          s"PARTITIONED BY (event_date) LOCATION '$root/events'")
+      // the MSCK REPAIR / ALTER TABLE ADD PARTITION replacement: one
+      // catalog-side listing, no per-batch DDL
+      spark.catalog.recoverPartitions(name)
+      built(spark) = (dir, fp, root)
+    }
+    name
+  }
+
+  // must stay identical to Web.engagement's range — the oracle is shared
+  private val RangeStart = "2024-01-05"
+  private val RangeEnd = "2024-01-20"
+
+  /** `web_engagement` recomputed through the catalog: the range predicate
+    * lands on the PARTITION column, so the catalog read prunes to the
+    * 16 registered date partitions instead of scanning the table.
+    */
+  def engagementCatalogQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.table(registeredEvents(spark, dir))
+      .filter(col("event_date").between(lit(RangeStart), lit(RangeEnd)))
+      .groupBy(col("user_id"))
+      .agg(
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("total_events"),
+        countDistinct(col("props")).as("unique_pages"),
+        min(col("event_type")).as("entry_event"),
+        max(col("event_type")).as("exit_event"))
+      .withColumn("session_duration_sec",
+        (col("session_end_us") - col("session_start_us")) / lit(1000000.0))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_engagement_catalog" -> (engagementCatalogQuery _))
+
+  val oracles: Map[String, String] = Map(
+    // byte-for-byte the web_engagement oracle: same rows through the
+    // catalog path proves the registration, not a new computation
+    "web_engagement_catalog" ->
+      s"""SELECT user_id,
+         |  epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS session_start_us,
+         |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS session_end_us,
+         |  COUNT(*) AS total_events,
+         |  COUNT(DISTINCT props) AS unique_pages,
+         |  MIN(event_type) AS entry_event,
+         |  MAX(event_type) AS exit_event,
+         |  (epoch_us(MAX(CAST(ts AS TIMESTAMP))) - epoch_us(MIN(CAST(ts AS TIMESTAMP)))) / 1000000.0 AS session_duration_sec
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '$RangeStart' AND DATE '$RangeEnd'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

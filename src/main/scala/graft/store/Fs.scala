@@ -87,20 +87,22 @@ object Fs {
     def isFile: Boolean = !isDir
   }
 
-  /** (came-from-a-session, conf, default FileContext). Cached, but a
-    * cache built BEFORE any SparkSession existed upgrades once a
-    * session appears: otherwise a pre-session Fs call (a pre-flight
-    * exists probe during setup) would permanently pin a bare
+  /** (origin session if any, conf, default FileContext). Keyed by the
+    * ORIGIN SESSION, not a came-from-a-session flag: a cache built
+    * before any SparkSession existed upgrades once a session appears
+    * (otherwise a pre-flight exists probe would permanently pin a bare
     * `Configuration()` without the session's `spark.hadoop.*`
-    * credentials or the cluster `fs.defaultFS`. Session-derived confs
-    * never downgrade.
+    * credentials or the cluster `fs.defaultFS`), AND a later DIFFERENT
+    * session — new credentials, new defaultFS — re-derives instead of
+    * serving the first session's conf forever (r15 verdict hardening).
+    * Once a session-derived conf exists it never downgrades to bare.
     */
-  @volatile private var cachedEnv: (Boolean, Configuration, FileContext) = null
+  @volatile private var cachedEnv: (Option[SparkSession], Configuration, FileContext) = null
 
-  private def env: (Boolean, Configuration, FileContext) = {
+  private def env: (Option[SparkSession], Configuration, FileContext) = {
     val sess = SparkSession.getActiveSession
     val cur = cachedEnv
-    if (cur != null && (cur._1 || sess.isEmpty)) return cur
+    if (cur != null && (sess.isEmpty || cur._1.contains(sess.get))) return cur
     val c = sess.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
     // The default local AbstractFileSystem binding is LocalFs — a
     // ChecksumFs that shadows every file with a `.name.crc` sibling and
@@ -109,10 +111,16 @@ object Fs {
     // through this seam and through Spark/java.nio stay byte-identical.
     // This mutates OUR conf copy only, never Spark's.
     c.set("fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.local.RawLocalFs")
-    val e = (sess.isDefined, c, FileContext.getFileContext(c))
+    val e = (sess, c, FileContext.getFileContext(c))
     cachedEnv = e
     e
   }
+
+  /** Test hook: drop the cached env so a conf mutation made directly on
+    * `sparkContext.hadoopConfiguration` (e.g. registering a mock scheme)
+    * is picked up by the next derivation.
+    */
+  private[graft] def resetEnvCacheForTests(): Unit = cachedEnv = null
 
   private def conf: Configuration = env._2
 
@@ -220,15 +228,32 @@ object Fs {
     * atomically; so local paths take `java.nio`'s ATOMIC_MOVE and
     * remote schemes take `FileContext.rename(OVERWRITE)` — atomic
     * server-side on HDFS, copy+delete on S3 (class-doc matrix).
+    *
+    * Cross-device local moves (a landing dir and a lake zone on
+    * different mounts) cannot be atomic anywhere — `rename(2)` itself
+    * returns EXDEV — so ATOMIC_MOVE falls back to copy+delete there.
+    * That is safe for every caller: the same-directory pointer
+    * publishes ([[writeStringAtomic]], `CURRENT` flips) stage the tmp
+    * BESIDE the destination and so can never cross a mount, which
+    * means the fallback is only ever taken by the bulk-move family
+    * (archive/quarantine/landing moves) where pre-seam `Files.move`
+    * had exactly this copy+delete behavior.
     */
   def renameOverwrite(src: String, dst: String): Unit = {
     val scheme = fc(dst).makeQualified(hp(dst)).toUri.getScheme
-    if (scheme == null || scheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(plain(hp(src))), java.nio.file.Paths.get(plain(hp(dst))),
+    if (scheme == null || scheme == "file") {
+      val s = java.nio.file.Paths.get(plain(hp(src)))
+      val d = java.nio.file.Paths.get(plain(hp(dst)))
+      try java.nio.file.Files.move(s, d,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    else fc(src).rename(hp(src), hp(dst), Options.Rename.OVERWRITE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(s, d,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    } else fc(src).rename(hp(src), hp(dst), Options.Rename.OVERWRITE)
   }
 
   /** Recursive delete, idempotent on a missing path. */
@@ -246,26 +271,114 @@ object Fs {
   def mkdirs(path: String): Unit =
     fc(path).mkdir(hp(path), FsPermission.getDirDefault, true)
 
-  /** Create `path` with `content` only if absent (CreateFlag.CREATE
-    * without OVERWRITE). Returns false when it already exists.
-    * Exclusivity is a metadata check-then-create on the local FS
-    * (best-effort — the lock/lease callers are a fail-fast guard, not
-    * a mutex), `O_EXCL`-grade on HDFS, and a conditional PUT where the
-    * object-store connector supports one.
+  /** Create `path` with `content` only if absent. Returns false when it
+    * already exists. True `O_EXCL` on the local scheme (`java.nio`
+    * `CREATE_NEW` — same per-scheme dispatch as [[renameOverwrite]]:
+    * the Hadoop local connector's CreateFlag.CREATE is a metadata
+    * check-then-create with a same-millisecond double-win window),
+    * `O_EXCL`-grade on HDFS via `CreateFlag.CREATE`, and a conditional
+    * PUT where the object-store connector supports one.
+    *
+    * If OUR create won the race but the content write/close then failed
+    * (disk full, interrupt), the partial file is deleted before the
+    * error propagates — otherwise it would sit there as a torn claim of
+    * this process's own live pid, which `lockIsStale` would report live
+    * until process exit (r15 advice).
     */
-  def createExclusive(path: String, content: String): Boolean =
-    try {
-      val out = fc(path).create(hp(path), EnumSet.of(CreateFlag.CREATE),
-        Options.CreateOpts.createParent())
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if exists(path) => false
+  def createExclusive(path: String, content: String): Boolean = {
+    val scheme = fc(path).makeQualified(hp(path)).toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val p = java.nio.file.Paths.get(plain(hp(path)))
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val ch =
+        try java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      // the create won exclusively; a failure past this point must not
+      // leave a torn claim under our own pid
+      try {
+        try ch.write(content.getBytes(StandardCharsets.UTF_8))
+        finally ch.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    } else {
+      val out =
+        try fc(path).create(hp(path), EnumSet.of(CreateFlag.CREATE),
+          Options.CreateOpts.createParent())
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.io.IOException if exists(path) => return false
+        }
+      try {
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          try deleteIfExists(path) catch { case _: java.io.IOException => () }
+          throw e
+      }
     }
+  }
 
   def mtime(path: String): Option[Long] =
     try Some(fc(path).getFileStatus(hp(path)).getModificationTime)
     catch { case _: FileNotFoundException => None }
+
+  // ---- directory-rename commit gate --------------------------------------
+
+  /** Schemes whose DIRECTORY rename is one atomic metadata op (class-doc
+    * matrix): POSIX local, HDFS (and viewfs mounts over it). Everything
+    * else — s3/s3a/gs/abfs/wasb object stores, unknown schemes — treats
+    * a dir rename as an O(objects) copy+delete, which is not a commit
+    * primitive.
+    */
+  private val AtomicDirRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  /** The scheme `path` resolves to: its own URI scheme, else the
+    * default FS's. Pure string/URI work for scheme-ful paths — no
+    * connector is instantiated, so the gate below refuses BEFORE any
+    * store connection or staging write.
+    */
+  def schemeOf(path: String): String = {
+    val u = hp(path).toUri
+    if (u.getScheme != null) u.getScheme
+    else Option(env._3.makeQualified(hp(path)).toUri.getScheme).getOrElse("file")
+  }
+
+  /** True where the in-place swap family may treat a directory rename as
+    * atomic. Overridable for stores known safe via
+    * `-Dgraft.fs.atomicDirRenameSchemes=scheme1,scheme2` (e.g. a
+    * rename-atomic HDFS-compatible store like Ozone's ofs).
+    */
+  def supportsAtomicDirRename(path: String): Boolean = {
+    val s = schemeOf(path).toLowerCase
+    AtomicDirRenameSchemes.contains(s) ||
+      sys.props.get("graft.fs.atomicDirRenameSchemes").toSeq
+        .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty)
+        .contains(s)
+  }
+
+  /** Refuse the in-place directory-swap commit on stores where it would
+    * silently degrade to a non-atomic O(objects) copy. Self-enforcing
+    * form of the atomicity matrix's staged-directory-swap row: the
+    * deployable shape on object stores is [[Versioned]] (immutable
+    * snapshot dirs + one atomic pointer flip), not a knob default.
+    */
+  def requireAtomicDirRename(path: String, op: String): Unit =
+    if (!supportsAtomicDirRename(path))
+      throw new UnsupportedOperationException(
+        s"$op commits by renaming a directory in place; on scheme " +
+        s"'${schemeOf(path)}' ($path) that rename is a NON-atomic " +
+        "O(objects) copy+delete, not a commit primitive. Deploy this " +
+        "table as a graft.store.Versioned snapshot (immutable snapshot " +
+        "dirs + atomic pointer flip) there instead — or, if this " +
+        "store's directory rename is known to be atomic, allow it with " +
+        s"-Dgraft.fs.atomicDirRenameSchemes=${schemeOf(path)}")
 }

@@ -140,7 +140,8 @@ object Lake {
     * pointer flip remove the missing-path window entirely (the
     * scd2 stream table and the inventory merge state use it).
     */
-  def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit =
+  def atomicOverwrite(spark: SparkSession, result: DataFrame, dest: String): Unit = {
+    Fs.requireAtomicDirRename(dest, "Lake.atomicOverwrite")
     Versioned.withSiblingLock(dest) {
       recoverSwap(dest)
       val tmp = dest + ".staging"
@@ -151,6 +152,7 @@ object Lake {
       Fs.rename(tmp, dest)
       Fs.delete(bak)
     }
+  }
 
   /** Small-file compaction: streaming appends write one file per
     * micro-batch per partition dir, and a day of 1-minute triggers turns
@@ -168,7 +170,9 @@ object Lake {
     */
   def compact(spark: SparkSession, tableDir: String,
               targetRowsPerFile: Long = 1000000L,
-              partitionCols: Seq[String] = Nil): Unit = Versioned.withSiblingLock(tableDir) {
+              partitionCols: Seq[String] = Nil): Unit = {
+    Fs.requireAtomicDirRename(tableDir, "Lake.compact")
+    Versioned.withSiblingLock(tableDir) {
     recoverSwap(tableDir)
     val df = spark.read.parquet(tableDir)
     val rows = df.count()
@@ -188,6 +192,7 @@ object Lake {
     Fs.rename(tableDir, bak)
     Fs.rename(tmp, tableDir)
     Fs.delete(bak)
+  }
   }
 
   /** INCREMENTAL compaction: rewrite only the partition dirs whose
@@ -269,8 +274,9 @@ object Lake {
     * readers never see a layout/manifest mismatch.
     */
   def optimize(spark: SparkSession, tableDir: String, colA: String, colB: String,
-               targetRowsPerFile: Long = 1000000L, bits: Int = 21): Unit =
-      Versioned.withSiblingLock(tableDir) {
+               targetRowsPerFile: Long = 1000000L, bits: Int = 21): Unit = {
+    Fs.requireAtomicDirRename(tableDir, "Lake.optimize")
+    Versioned.withSiblingLock(tableDir) {
     recoverSwap(tableDir)
     val rows = spark.read.parquet(tableDir).count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
@@ -281,6 +287,7 @@ object Lake {
     Fs.rename(tableDir, bak)
     Fs.rename(tmp, tableDir)
     Fs.delete(bak)
+  }
   }
 
   /** Data skipping on NON-partition columns: a per-file min/max manifest,

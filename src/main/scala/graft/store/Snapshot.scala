@@ -12,8 +12,14 @@ package graft.store
   */
 private[graft] object Snapshot {
 
+  /** 0L is the MISSING-dir sentinel, distinct from the empty-fold value
+    * 17L of an existing-but-empty dir: memo consumers (replay cache
+    * key, orcRoot, ScaleBench markers) must see the missing→created
+    * transition as an invalidation (r15 advice).
+    */
   def fingerprint(dir: String, table: String): Long =
-    Fs.listFilesRecursive(s"$dir/$table")
+    if (!Fs.exists(s"$dir/$table")) 0L
+    else Fs.listFilesRecursive(s"$dir/$table")
       .map(e => (e.path.hashCode.toLong * 1000003L)
         ^ e.len
         ^ java.lang.Long.rotateLeft(e.mtime, 17))

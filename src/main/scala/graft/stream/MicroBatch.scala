@@ -844,6 +844,13 @@ object MicroBatch {
   }
 
   def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
+    // the staged `_retired` partition move below is a directory rename;
+    // unlike the Lake swaps it is bless-published (a partial copy stays
+    // invisible until the snapshot flip), but on an object store it is
+    // still an O(objects) copy of the table's entire retired history per
+    // maintenance pass — refuse rather than degrade; the knob
+    // (-Dgraft.fs.atomicDirRenameSchemes) opts a store back in
+    graft.store.Fs.requireAtomicDirRename(tableDir, "MicroBatch.compactLedgeredTable")
     if (!graft.store.Fs.exists(tableDir) ||
         !graft.store.Versioned.exists(stateDir)) return false
     if (!compactionPending(spark, tableDir, stateDir)) return false

@@ -101,9 +101,20 @@ object StreamReplay {
     * the IDENTICAL build — the property that makes persisting streaming
     * state safe at all.
     */
-  private def codeFingerprint(): Long = {
-    val loc = MicroBatch.getClass.getProtectionDomain.getCodeSource.getLocation
-    val base = Paths.get(loc.toURI)
+  private def codeFingerprint(): Option[Long] = {
+    // getCodeSource (or its location) is null under some classloaders
+    // (bundled/boot-classpath launchers); no code identity means no safe
+    // cross-JVM cache key, so callers fall back to a per-JVM temp root
+    // instead of NPE-ing every stream_* query (r15 advice).
+    val locOpt = for {
+      pd  <- Option(MicroBatch.getClass.getProtectionDomain)
+      cs  <- Option(pd.getCodeSource)
+      loc <- Option(cs.getLocation)
+    } yield loc
+    locOpt.map(loc => codeFingerprintAt(Paths.get(loc.toURI)))
+  }
+
+  private def codeFingerprintAt(base: Path): Long = {
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(base)) {
       // classes dir (plain JVM / tests): RELATIVE path + size + mtime —
@@ -145,8 +156,10 @@ object StreamReplay {
     */
   private[graft] def dropPersistentCache(spark: SparkSession, dir: String): Unit = {
     clearReplayCache(spark)
-    val key = f"r_${sourceFingerprint(dir)}%016x_${codeFingerprint()}%016x"
-    Lake.deleteRecursive(cacheBase.resolve(key))
+    codeFingerprint().foreach { cfp =>
+      val key = f"r_${sourceFingerprint(dir)}%016x_${cfp}%016x"
+      Lake.deleteRecursive(cacheBase.resolve(key))
+    }
   }
 
   private def cacheBase: Path =
@@ -155,14 +168,27 @@ object StreamReplay {
   private def replayRoot(spark: SparkSession, dir: String): String = {
     val fp = sourceFingerprint(dir)
     built.get(spark) match {
-      case Some((d, f, root, _)) if d == dir && f == fp => root
+      case Some((d, f, root, owned)) if d == dir && f == fp =>
+        // a hit on an ADOPTED (shared-cache) root refreshes its mtime so
+        // the 24h reap tests last USE, not adoption time: a session
+        // querying the same root for >24h must not lose it to a
+        // concurrent builder's cleanup mid-session (r15 advice)
+        if (!owned)
+          try Files.setLastModifiedTime(Paths.get(root),
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        root
       case stale =>
         stale.foreach { case (_, _, old, owned) =>
           if (owned) Lake.deleteRecursive(Paths.get(old)) }
         exitHook
-        val key = f"r_${fp}%016x_${codeFingerprint()}%016x"
+        // no code identity (null code source under bundled/boot
+        // classloaders) → no safe cross-JVM key → per-JVM temp root
+        val codeFp = codeFingerprint()
+        val useCache = cacheEnabled && codeFp.isDefined
+        val key = f"r_${fp}%016x_${codeFp.getOrElse(0L)}%016x"
         val cached = cacheBase.resolve(key)
-        if (cacheEnabled && Files.exists(cached.resolve("_COMPLETE"))) {
+        if (useCache && Files.exists(cached.resolve("_COMPLETE"))) {
           Console.err.println(s"[stream-replay] adopting cached root $cached")
           // bump the root's mtime: the 24h reap below must test LAST USE,
           // not build time, or a long-lived adopter could lose its root
@@ -174,7 +200,7 @@ object StreamReplay {
           return cached.toString
         }
         val root =
-          if (cacheEnabled) {
+          if (useCache) {
             Files.createDirectories(cacheBase)
             // reap: any sibling is stale by construction (different code
             // or data) once old enough that no concurrent JVM still reads
@@ -234,7 +260,7 @@ object StreamReplay {
           Lake.deleteRecursive(Paths.get(root))
           throw e
         }
-        if (cacheEnabled) {
+        if (useCache) {
           // publish: mark complete INSIDE the staging dir, then one
           // rename — a crash before the rename leaves only a .building
           // dir (reaped above); losing the rename race to a concurrent

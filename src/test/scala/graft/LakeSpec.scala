@@ -402,4 +402,63 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(tdir).as[(Int, String)].collect().toSeq == Seq((2, "b")))
     assert(!graft.store.Fs.exists(tdir + ".lock"), "sibling lock must release")
   }
+
+  test("dir-rename gate: in-place swaps refuse object-store schemes, knob opts back in") {
+    import spark.implicits._
+    import graft.store.Fs
+    // register mockobj as a REAL, functional scheme (local-disk-backed):
+    // the refusal below is then provably the gate, not an incidental
+    // unknown-scheme resolution error
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.AbstractFileSystem.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    Fs.resetEnvCacheForTests()
+    try {
+      val root = Files.createTempDirectory("gate").toString
+      Fs.writeString(s"mockobj:$root/probe.txt", "alive")
+      assert(Fs.readString(s"mockobj:$root/probe.txt") == "alive",
+        "mockobj scheme must be functional through the seam")
+      assert(Fs.schemeOf(s"mockobj:$root/t") == "mockobj")
+      assert(!Fs.supportsAtomicDirRename(s"mockobj:$root/t"))
+      val df = Seq((1, "a")).toDF("k", "v")
+      val e1 = intercept[UnsupportedOperationException] {
+        Lake.atomicOverwrite(spark, df, s"mockobj:$root/t")
+      }
+      assert(e1.getMessage.contains("Versioned"), e1.getMessage)
+      assert(e1.getMessage.contains("mockobj"), e1.getMessage)
+      // the gate trips BEFORE any lock/staging write touches the store
+      assert(Fs.list(root).map(_.name).toSet == Set("probe.txt"),
+        "refusal must happen before anything is staged")
+      intercept[UnsupportedOperationException] {
+        Lake.compact(spark, s"mockobj:$root/t")
+      }
+      intercept[UnsupportedOperationException] {
+        Lake.optimize(spark, s"mockobj:$root/t", "a", "b")
+      }
+      intercept[UnsupportedOperationException] {
+        graft.stream.MicroBatch.compactLedgeredTable(
+          spark, s"mockobj:$root/t", s"$root/state")
+      }
+      // never-registered object-store schemes refuse cleanly too — the
+      // gate is URI-string work, no connector needed (the real s3a case:
+      // no hadoop-aws jar in this env)
+      assert(!Fs.supportsAtomicDirRename("s3a://bucket/table"))
+      val e2 = intercept[UnsupportedOperationException] {
+        Lake.atomicOverwrite(spark, df, "s3a://bucket/table")
+      }
+      assert(e2.getMessage.contains("s3a"), e2.getMessage)
+      // knob: a store whose dir rename is known atomic opts back in
+      sys.props("graft.fs.atomicDirRenameSchemes") = "ofs, mockobj"
+      try {
+        assert(Fs.supportsAtomicDirRename(s"mockobj:$root/t"))
+        Fs.requireAtomicDirRename(s"mockobj:$root/t", "test") // must not throw
+      } finally sys.props.remove("graft.fs.atomicDirRenameSchemes")
+      // the atomic schemes are untouched by the gate
+      assert(Fs.supportsAtomicDirRename(root))
+      assert(Fs.supportsAtomicDirRename("hdfs://nn:8020/warehouse/t"))
+      assert(Fs.supportsAtomicDirRename("viewfs://cluster/warehouse/t"))
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.AbstractFileSystem.mockobj.impl")
+      Fs.resetEnvCacheForTests()
+    }
+  }
 }

@@ -283,6 +283,26 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(Similarity.bruteForcePairsBlocked(emb, 0.35, 4, maxRows = n).count() > 0)
   }
 
+  test("PQ/residual paths REFUSE a query set above the driver-artifact gate") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val books = Similarity.trainPqCodebooks(emb, 2, 4, 64, 2)
+    // the gate trips BEFORE any LUT is collected to the driver
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqLuts(emb, books, maxQueryRows = n - 1)
+    }
+    assert(e1.getMessage.contains("DRIVER-HELD") && e1.getMessage.contains("small side"),
+      e1.getMessage)
+    // residual IVFPQ collects coarse terms FIRST — its own gate must trip
+    val coarse = Array(Array.fill(8)(1000L), Array.fill(8)(-1000L))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPqResidual(emb, emb, coarse, books, 1, 3, maxQueryRows = n - 1)
+    }
+    assert(e2.getMessage.contains("knnIvfPqResidual"), e2.getMessage)
+    // at (or under) the bound both proceed unchanged
+    assert(Similarity.pqLuts(emb, books, maxQueryRows = n).count() == n)
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

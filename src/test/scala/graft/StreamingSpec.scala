@@ -387,6 +387,72 @@ class StreamingSpec extends SparkSpec {
       "mixed replay rewrote an untouched partition")
   }
 
+  test("kpi stream under Spark's own checkpoint recovery: kept-checkpoint restart replaying the last batch id converges to the uninterrupted run") {
+    // the replay harness proves kill-anywhere convergence of the ENGINE's
+    // ledger; this case proves it composes with SPARK's batch-id replay:
+    // stop the query, erase the last batch's COMMIT marker (the exact
+    // crash window — offsets written, commit not), restart on the SAME
+    // checkpoint so Spark re-runs that batch id over the same files, and
+    // compare the final table to an uninterrupted twin run.
+    val root = Files.createTempDirectory("kpi_ckpt_restart").toString
+    val schema = StructType(Seq(
+      StructField("product_id", LongType), StructField("date", StringType),
+      StructField("total_sales", DoubleType)))
+    def row(p: Long, d: String, v: Double) =
+      s"""{"product_id":$p,"date":"$d","total_sales":$v}"""
+    val b1 = Seq(row(1, "2024-07-01", 10.0), row(2, "2024-07-02", 20.0)).mkString("\n")
+    val b2 = Seq(row(2, "2024-07-02", 5.0), row(3, "2024-07-03", 1.0)).mkString("\n")
+    def start(tag: String) = {
+      Files.createDirectories(Paths.get(s"$root/$tag/in"))
+      MicroBatch.kpiIngestStream(spark, s"$root/$tag/in", schema,
+        Seq("product_id"), "total_sales", "date", s"$root/$tag/kpi", s"$root/$tag/ckpt")
+    }
+    def totals(tag: String) = spark.read.parquet(s"$root/$tag/kpi")
+      .select($"product_id", $"date".cast("string"), $"total_sales")
+      .as[(Long, String, Double)].collect().toSet
+    def partFiles(tag: String, day: String) = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(s"$root/$tag/kpi", s"date=$day")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p))).toSet
+    }
+    // twin A: uninterrupted b1 then b2
+    val qa = start("a")
+    Files.writeString(Paths.get(s"$root/a/in/b1.jsonl"), b1)
+    qa.processAllAvailable()
+    Files.writeString(Paths.get(s"$root/a/in/b2.jsonl"), b2)
+    qa.processAllAvailable(); qa.stop(); qa.awaitTermination()
+    // twin B: b1, stop, drop the newest commit marker, restart, b2
+    val qb = start("b")
+    Files.writeString(Paths.get(s"$root/b/in/b1.jsonl"), b1)
+    qb.processAllAvailable(); qb.stop(); qb.awaitTermination()
+    val files01 = partFiles("b", "2024-07-01")
+    val commits = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(s"$root/b/ckpt/commits")).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+    }
+    assert(commits.nonEmpty, "no commit markers written — checkpoint layout changed?")
+    val lastCommit = commits.maxBy(_.getFileName.toString.toLong)
+    Files.delete(lastCommit)
+    // the local ChecksumFileSystem shadows every metadata file with a
+    // .name.crc sibling; leaving it behind makes the replayed batch's
+    // commit REWRITE fail its checksum and Spark mis-reports it as a
+    // concurrent-queries conflict
+    Files.deleteIfExists(lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+    val qb2 = start("b") // same checkpoint: Spark replays the uncommitted batch id
+    qb2.processAllAvailable()
+    assert(totals("b") == Set((1L, "2024-07-01", 10.0), (2L, "2024-07-02", 20.0)),
+      "replayed batch id double-applied or dropped")
+    assert(partFiles("b", "2024-07-01") == files01,
+      "the replayed batch rewrote an already-applied partition")
+    Files.writeString(Paths.get(s"$root/b/in/b2.jsonl"), b2)
+    qb2.processAllAvailable(); qb2.stop(); qb2.awaitTermination()
+    assert(totals("b") == totals("a"),
+      "kept-checkpoint restart diverged from the uninterrupted run")
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("kpi stream refuses a pre-file-grain batch-id ledger (no silent double count)") {
     val root = Files.createTempDirectory("kpi_legacy_ledger").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

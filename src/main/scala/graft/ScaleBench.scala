@@ -48,23 +48,49 @@ object ScaleBench {
     "llm_bpe_merges_dist",
     "graph_pagerank", "graph_components", "graph_triangles")
 
-  /** Per-copy content re-identification: Caesar-shift letters by
-    * `shift % 26` and rotate digits by `shift / 26` — two independent
-    * dimensions, so copies stay pairwise collision-free up to 26×10
-    * copies while every transform remains length-exact (token structure,
-    * shingle statistics, dup graphs replicate per copy). Copies 0-25 use
-    * digit rotation 0, so derived dirs for k ≤ 26 are bit-identical to
-    * the r15 sweeps' — old and new curve points stay comparable.
+  /** Per-copy content re-identification: an AFFINE letter cipher
+    * x → (a·x + b) mod 26 with a coprime to 26 — a length-exact alphabet
+    * permutation (token structure, shingle statistics, dup graphs
+    * replicate per copy), with 12×26 = 312 pairwise-distinct maps, and
+    * any two DISTINCT maps agree on at most 2 of the 26 letters, so
+    * cross-copy shingle collisions stay negligible at every k ≤ 260.
+    * (A first 40× attempt re-identified copies ≥ 26 by digits alone;
+    * mostly-letter documents then collided cross-copy and the
+    * containment row count exploded 17× — a data artifact, not engine
+    * growth. The affine form closes that by construction.) Copies 0-25
+    * use a = 1, i.e. exactly the r15 Caesar — curve points at k ≤ 26
+    * stay content-identical and comparable. Digits additionally rotate
+    * by copy/26 as a second independent marker.
     */
-  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
+  private val AffineA = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Digit handling has two modes. Default (compat): digits rotate by
+    * copy/26 — copies 0-25 keep digits untouched, bit-identical to the
+    * r15 dirs, at the cost of the KNOWN cross-copy digit-shingle leak
+    * (~5% of tokens shared by all ≤26 copies; those shingles' LSH
+    * buckets grow with k, an O(k²) slice the df-cap bounds in
+    * production). SPARK_GRAFT_SCALE_DIGITS=percopy rotates digits by
+    * copy%10 instead — the leak families cap at k/10 copies — to
+    * MEASURE how much of a tail exponent is that artifact versus the
+    * engine (separate derived dirs; does not touch compat dirs).
+    */
+  private def digitShift(copy: Int): Int =
+    if (sys.env.get("SPARK_GRAFT_SCALE_DIGITS").contains("percopy")) copy % 10
+    else (copy / 26) % 10
+
+  private def caesar(c: org.apache.spark.sql.Column, copy: Int) = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val hi = lo.toUpperCase
     val dg = "0123456789"
-    val s = ((shift % 26) + 26) % 26
-    val d = (shift / 26) % 10
-    if (s == 0 && d == 0) c
-    else translate(c, lo + hi + dg,
-      lo.drop(s) + lo.take(s) + hi.drop(s) + hi.take(s) + dg.drop(d) + dg.take(d))
+    val a = AffineA((copy / 26) % AffineA.length)
+    val b = copy % 26
+    val d = digitShift(copy)
+    if (a == 1 && b == 0 && d == 0) c
+    else {
+      val mapLo = (0 until 26).map(x => lo((a * x + b) % 26)).mkString
+      translate(c, lo + hi + dg,
+        mapLo + mapLo.toUpperCase + dg.drop(d) + dg.take(d))
+    }
   }
 
   /** Build (or reuse) the k× derived dir. Deterministic: content is a
@@ -73,14 +99,18 @@ object ScaleBench {
     */
   def ensureScaled(spark: SparkSession, srcDir: String, k: Int): String = {
     require(k >= 1 && k <= 260,
-      "1 <= k <= 260 (letter-shift × digit-rotation pairs must stay distinct)")
-    val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k"
+      "1 <= k <= 260 (affine letter maps must stay pairwise distinct)")
+    val digitMode =
+      if (sys.env.get("SPARK_GRAFT_SCALE_DIGITS").contains("percopy")) "pcd" else ""
+    val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k$digitMode"
     val marker = s"$dest/_SCALE_OK"
     val fp = Seq("lineitem", "orders", "customer", "documents", "embeddings",
         "events", "part", "supplier", "nation", "region")
       .map(t => graft.store.Snapshot.fingerprint(srcDir, s"$t.parquet"))
       .foldLeft(17L)((a, b) => a * 1000003L ^ b)
-    val want = s"$fp/$k"
+    // /v2: content-function version — bumping it invalidates dirs built
+    // by an older transform (the digit-only 40× attempt above)
+    val want = s"$fp/$k/v2$digitMode"
     if (graft.store.Fs.readStringIfExists(marker).contains(want)) return dest
     graft.store.Fs.delete(dest)
     def copies(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {

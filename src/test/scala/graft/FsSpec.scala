@@ -84,4 +84,29 @@ class FsSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() == 2L)
     assert(Versioned.readVersion(spark, root, 1L).count() == 3L)
   }
+
+  test("renameOverwrite falls back to copy+delete across filesystems (EXDEV)") {
+    // the bulk-move family (archive/quarantine/landing moves) may cross
+    // mounts; before the fallback every such move threw
+    // AtomicMoveNotSupportedException (r15 advice, medium)
+    val shm = Paths.get("/dev/shm")
+    assume(Files.isDirectory(shm) && Files.isWritable(shm))
+    val src = Files.createTempFile("fs_xdev", ".txt")
+    assume(Files.getFileStore(src) != Files.getFileStore(shm),
+      "need two mounts to exercise EXDEV")
+    Files.writeString(src, "payload")
+    val dstDir = Files.createTempDirectory(shm, "fs_xdev")
+    try {
+      val dst = dstDir.resolve("moved.txt")
+      Fs.renameOverwrite(src.toString, dst.toString)
+      assert(Files.readString(dst) == "payload")
+      assert(!Files.exists(src), "cross-device move must delete the source")
+      // replacing an EXISTING cross-device destination works too
+      val src2 = Files.createTempFile("fs_xdev2", ".txt")
+      Files.writeString(src2, "payload2")
+      Fs.renameOverwrite(src2.toString, dst.toString)
+      assert(Files.readString(dst) == "payload2")
+      assert(!Files.exists(src2))
+    } finally graft.store.Lake.deleteRecursive(dstDir)
+  }
 }

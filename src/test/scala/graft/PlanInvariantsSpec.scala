@@ -89,6 +89,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(dfc.count() == 2L)
   }
 
+  test("catalog-table read prunes by the registered partition column (K9 path)") {
+    // web_engagement_catalog's range predicate must land as a
+    // PartitionFilter on event_date — the Athena-partition-pruning
+    // behavior the catalog registration exists to replace; a post-scan
+    // filter would read every registered date at 100 TB
+    val plan = SparkEntry.queries("web_engagement_catalog")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(scanLine).isDefined &&
+      scanLine.contains("event_date"),
+      s"catalog read did not partition-prune on event_date:\n$scanLine")
+  }
+
   test("winnow probe lists only the probed band partitions of the postings index") {
     // the registered query's own plan is checkpoint-severed, so assert
     // on the split-out lazy plan the checkpoint materializes — the same

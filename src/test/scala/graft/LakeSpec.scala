@@ -403,6 +403,35 @@ class LakeSpec extends SparkSpec {
     assert(!graft.store.Fs.exists(tdir + ".lock"), "sibling lock must release")
   }
 
+  test("catalog table sees newly landed partitions only after re-recoverPartitions (K9 incremental)") {
+    // the reference registers each landing batch's partition with Athena
+    // DDL (lambda per batch); the Spark-native replacement re-runs ONE
+    // recoverPartitions after new hive dirs land. Both directions
+    // matter: an unregistered dir must be INVISIBLE to the catalog read
+    // (that is what makes registration a consistency boundary), and one
+    // recover call must surface it.
+    import spark.implicits._
+    val root = Files.createTempDirectory("cat_incr").toString
+    val t = "graft_cat_incr_t"
+    def land(id: Long, day: String): Unit =
+      Seq((id, day)).toDF("id", "d").withColumn("d", to_date($"d"))
+        .write.mode("append").partitionBy("d").parquet(s"$root/t")
+    land(1L, "2024-07-01")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, d DATE) USING PARQUET " +
+      s"PARTITIONED BY (d) LOCATION '$root/t'")
+    try {
+      spark.catalog.recoverPartitions(t)
+      assert(spark.table(t).count() == 1)
+      land(2L, "2024-07-02")
+      assert(spark.table(t).count() == 1,
+        "unrecovered partition leaked into the catalog read")
+      spark.catalog.recoverPartitions(t)
+      assert(spark.table(t).as[(Long, java.sql.Date)].collect().map(_._1).toSet ==
+        Set(1L, 2L), "re-recover did not surface the landed partition")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("dir-rename gate: in-place swaps refuse object-store schemes, knob opts back in") {
     import spark.implicits._
     import graft.store.Fs

@@ -20,6 +20,12 @@ object ExplainAudit {
     }
 
     show("web_engagement")(Web.engagement(spark, dir))
+    // round-16 addition: the catalog-read twin — expect the same
+    // aggregate over a CATALOG FileScan with the date range as a
+    // PartitionFilter on event_date (registered-partition pruning, the
+    // Athena behavior K9 replaces); build-asserted in PlanInvariantsSpec
+    show("web_engagement_catalog")(
+      graft.store.CatalogTable.engagementCatalogQuery(spark, dir))
     show("pos_sales_kpi")(Pos.salesKpi(spark, dir))
     show("sales_by_nation")(Analytics.salesByNation(spark, dir))
     show("top_customers")(Analytics.topCustomers(spark, dir))

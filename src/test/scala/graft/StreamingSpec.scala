@@ -519,6 +519,57 @@ class StreamingSpec extends SparkSpec {
     assert(after == hist, s"replay mutated history: $after")
   }
 
+  test("SCD2 stream under Spark's own checkpoint recovery: replayed batch id leaves the order-sensitive history identical") {
+    // the kpi case proves the ADDITIVE family composes with Spark's
+    // batch-id replay; SCD2 is the ORDER-SENSITIVE one — a replayed
+    // close-and-reopen batch applied twice would close rows against
+    // themselves. Same crash window: offsets written, commit marker
+    // erased, restart on the SAME checkpoint re-runs the batch id.
+    val root = Files.createTempDirectory("scd2_ckpt_restart").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seg", StringType),
+      StructField("bal", DoubleType), StructField("effective_day", LongType)))
+    def row(k: Long, seg: String, bal: Double, d: Long) =
+      s"""{"k":$k,"seg":"$seg","bal":$bal,"effective_day":$d}"""
+    val b1 = Seq(row(1, "A", 10.0, 10), row(2, "B", 20.0, 10)).mkString("\n")
+    val b2 = Seq(row(1, "A", 99.0, 20), row(2, "B", 20.0, 20)).mkString("\n")
+    def start(tag: String) = {
+      Files.createDirectories(Paths.get(s"$root/$tag/in"))
+      MicroBatch.scd2IngestStream(spark, s"$root/$tag/in", schema, "k",
+        Seq("seg", "bal"), s"$root/$tag/dim", s"$root/$tag/ckpt")
+    }
+    def hist(tag: String) = graft.store.Versioned.read(spark, s"$root/$tag/dim")
+      .as[(Long, String, Double, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    // twin A: uninterrupted
+    val qa = start("a")
+    Files.writeString(Paths.get(s"$root/a/in/b1.jsonl"), b1)
+    qa.processAllAvailable()
+    Files.writeString(Paths.get(s"$root/a/in/b2.jsonl"), b2)
+    qa.processAllAvailable(); qa.stop(); qa.awaitTermination()
+    // twin B: b1 → erase the commit marker → restart replays b1's batch id
+    val qb = start("b")
+    Files.writeString(Paths.get(s"$root/b/in/b1.jsonl"), b1)
+    qb.processAllAvailable(); qb.stop(); qb.awaitTermination()
+    val h1 = hist("b")
+    val commits = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(s"$root/b/ckpt/commits")).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+    }
+    val lastCommit = commits.maxBy(_.getFileName.toString.toLong)
+    Files.delete(lastCommit)
+    Files.deleteIfExists(lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+    val qb2 = start("b")
+    qb2.processAllAvailable()
+    assert(hist("b") == h1, "replayed SCD2 batch mutated the history")
+    Files.writeString(Paths.get(s"$root/b/in/b2.jsonl"), b2)
+    qb2.processAllAvailable(); qb2.stop(); qb2.awaitTermination()
+    assert(hist("b") == hist("a"),
+      "kept-checkpoint SCD2 restart diverged from the uninterrupted run")
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("streaming SCD2: mixed-day batch keeps per-key days; later update not mis-dropped") {
     val root = Files.createTempDirectory("scd2_days").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

@@ -490,4 +490,37 @@ class LakeSpec extends SparkSpec {
       Fs.resetEnvCacheForTests()
     }
   }
+
+  test("with the knob, the whole swap path runs end-to-end on a non-file scheme") {
+    import spark.implicits._
+    import graft.store.Fs
+    // deployability proof beyond the gate: Spark's parquet writes, the
+    // sibling lock's exclusive create, and every FileContext rename in
+    // atomicOverwrite all resolve through the registered scheme — the
+    // same dispatch a real hdfs:// deployment takes, driven against the
+    // local-disk-backed mock store
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.AbstractFileSystem.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    hc.set("fs.mockobj.impl", classOf[MockObjectStoreFileSystem].getName)
+    Fs.resetEnvCacheForTests()
+    sys.props("graft.fs.atomicDirRenameSchemes") = "mockobj"
+    try {
+      val root = Files.createTempDirectory("gate_knob").toString
+      val dest = s"mockobj:$root/t"
+      Lake.atomicOverwrite(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dest)
+      assert(spark.read.parquet(dest).count() == 2)
+      // second overwrite exercises the existing-table swap (backup move,
+      // staged move, backup delete) on the mock scheme
+      Lake.atomicOverwrite(spark, Seq((2, "b2"), (3, "c")).toDF("k", "v"), dest)
+      val got = spark.read.parquet(dest).as[(Int, String)].collect().toSet
+      assert(got == Set((2, "b2"), (3, "c")))
+      assert(!Fs.exists(s"$dest.staging") && !Fs.exists(s"$dest.old"))
+      assert(!Fs.exists(s"$dest.lock"), "sibling lock must release on the mock scheme")
+    } finally {
+      sys.props.remove("graft.fs.atomicDirRenameSchemes")
+      hc.unset("fs.AbstractFileSystem.mockobj.impl")
+      hc.unset("fs.mockobj.impl")
+      Fs.resetEnvCacheForTests()
+    }
+  }
 }

@@ -85,6 +85,29 @@ class FsSpec extends SparkSpec {
     assert(Versioned.readVersion(spark, root, 1L).count() == 3L)
   }
 
+  test("Versioned pointer flip works over a non-file scheme (remote renameOverwrite branch)") {
+    // the local pointer flip takes java.nio ATOMIC_MOVE; a scheme-ful
+    // path takes the FileContext OVERWRITE branch — exercised nowhere
+    // else in the suite. Registered mock store, real dispatch.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.AbstractFileSystem.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    hc.set("fs.mockobj.impl", classOf[MockObjectStoreFileSystem].getName)
+    Fs.resetEnvCacheForTests()
+    try {
+      import spark.implicits._
+      val root = s"mockobj:${Files.createTempDirectory("vers_mock")}/vt"
+      Versioned.overwrite(Seq(1, 2, 3).toDF("n"), root)
+      Versioned.overwrite(Seq(4, 5).toDF("n"), root)
+      assert(Versioned.currentVersion(root).contains(2L))
+      assert(Versioned.read(spark, root).count() == 2L)
+      assert(Versioned.readVersion(spark, root, 1L).count() == 3L)
+    } finally {
+      hc.unset("fs.AbstractFileSystem.mockobj.impl")
+      hc.unset("fs.mockobj.impl")
+      Fs.resetEnvCacheForTests()
+    }
+  }
+
   test("renameOverwrite falls back to copy+delete across filesystems (EXDEV)") {
     // the bulk-move family (archive/quarantine/landing moves) may cross
     // mounts; before the fallback every such move threw

@@ -317,8 +317,31 @@ object Similarity {
     * ~100k queries × m×nlist longs ≈ low GBs of broadcast — already past
     * where a batched or corpus-side plan wins.
     */
+  /** Gate-count memo: the count behind [[requireQuerySide]] is a full
+    * Spark job, and an index's query set is probed MANY times per
+    * session (every PQ-family query gates on the same
+    * `embeddings.filter(vec_id < NumQueries)` plan, and warm bench
+    * iterations re-run each query), so the count is memoized per
+    * (session, canonicalized plan) — the same session-keyed cache
+    * discipline as the at-rest index roots above. Known bound: a
+    * same-plan source rewrite mid-session reuses the stale count; the
+    * gate is a safety bound on artifact size (results never read it),
+    * and that staleness window is accepted for not re-running a count
+    * job on every probe of an unchanged query set.
+    */
+  private val querySideCounts = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  private[graft] def clearQuerySideGateCache(spark: SparkSession): Unit =
+    querySideCounts.keys.filter(_._1 eq spark).foreach(querySideCounts.remove)
+
+  private[graft] def querySideGateMemoSize(spark: SparkSession): Int =
+    querySideCounts.keys.count(_._1 eq spark)
+
   private def requireQuerySide(queries: DataFrame, op: String, maxRows: Long): Unit = {
-    val n = queries.count()
+    if (querySideCounts.size > 64) querySideCounts.clear() // bound the memo, not the sessions
+    val key = (queries.sparkSession, queries.queryExecution.analyzed.canonicalized)
+    val n = querySideCounts.getOrElseUpdate(key, queries.count())
     require(n <= maxRows,
       s"$op builds DRIVER-HELD per-query artifacts (LUTs/coarse terms, " +
         s"broadcast to every probe); the query side is the small side by " +
@@ -338,6 +361,16 @@ object Similarity {
   def pqLuts(queries: DataFrame, codebooks: Array[Array[Array[Long]]],
              maxQueryRows: Long = 100000L): DataFrame = {
     requireQuerySide(queries, "Similarity.pqLuts", maxQueryRows)
+    pqLutsValidated(queries, codebooks)
+  }
+
+  /** LUT build AFTER the caller's own [[requireQuerySide]] has passed —
+    * each public entry point gates exactly once with ITS knob, so a
+    * caller-raised `maxQueryRows` provably reaches the collect (no inner
+    * default gate to re-refuse what the outer knob allowed).
+    */
+  private def pqLutsValidated(queries: DataFrame,
+                              codebooks: Array[Array[Array[Long]]]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -378,11 +411,14 @@ object Similarity {
     * point of PQ at scale.
     */
   def knnPq(corpus: DataFrame, nQueries: Int, m: Int, nlist: Int,
-            sampleSize: Int, iters: Int, k: Int): DataFrame = {
+            sampleSize: Int, iters: Int, k: Int,
+            maxQueryRows: Long = 100000L): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    requireQuerySide(queries, "Similarity.knnPq", maxQueryRows)
     val books = trainPqCodebooks(corpus, m, nlist, sampleSize, iters)
     val coded = pqEncode(corpus, books)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
-    val luts = pqLuts(corpus.filter(col("vec_id") < nQueries), books)
+    val luts = pqLutsValidated(queries, books)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     coded.join(broadcast(luts), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", VectorExprs.pqAdc(col("codes"), col("lut")))
@@ -406,7 +442,9 @@ object Similarity {
   def knnIvfPq(corpus: DataFrame, queries: DataFrame,
                coarseVecs: Array[Array[Double]],
                books: Array[Array[Array[Long]]],
-               nprobe: Int, k: Int): DataFrame = {
+               nprobe: Int, k: Int,
+               maxQueryRows: Long = 100000L): DataFrame = {
+    requireQuerySide(queries, "Similarity.knnIvfPq", maxQueryRows)
     val ids = coarseVecs.indices.toArray
     val assigned = corpus.select(
       col("vec_id"),
@@ -417,7 +455,7 @@ object Similarity {
         col("vec_id").as("query_id"),
         explode(VectorExprs.nearestCentroids(col("embedding"), ids, coarseVecs, nprobe))
           .as("centroid_id"))
-      .join(pqLuts(queries, books), "query_id")
+      .join(pqLutsValidated(queries, books), "query_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     assigned.join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -495,8 +533,9 @@ object Similarity {
                        books: Array[Array[Array[Long]]],
                        nprobe: Int, k: Int,
                        maxQueryRows: Long = 100000L): DataFrame = {
-    // gated HERE too (not just inside pqLuts below): the residual coarse
-    // terms are collected first, before pqLuts would get a chance to refuse
+    // gated ONCE, here: the residual coarse terms are collected first,
+    // and the LUT build below goes through the validated (ungated) path
+    // so this knob is the single bound on the whole query side
     requireQuerySide(queries, "Similarity.knnIvfPqResidual", maxQueryRows)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -533,7 +572,7 @@ object Similarity {
         explode(VectorExprs.nearestCentroids(col("embedding"), ids, coarseD, nprobe))
           .as("centroid_id"))
       .join(centLut, Seq("query_id", "centroid_id"))
-      .join(pqLuts(queries, books), "query_id")
+      .join(pqLutsValidated(queries, books), "query_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     assigned.join(broadcast(qSide), Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))

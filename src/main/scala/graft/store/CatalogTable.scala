@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,53 +29,84 @@ object CatalogTable {
   private val built =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
 
+  // one lock per session: registration is DROP+CREATE+recover against a
+  // shared-metastore name, so two concurrent builders for the same
+  // session would both register and the loser's root would fall out of
+  // `built` untracked (never reaped)
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
+
+  private def lockFor(spark: SparkSession): Object =
+    buildLocks.getOrElseUpdate(spark, new Object)
+
   private def sourceFingerprint(dir: String): Long =
     Snapshot.fingerprint(dir, "events.parquet")
 
   private lazy val exitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      built.values.foreach { case (_, _, root) =>
-        Lake.deleteRecursive(java.nio.file.Paths.get(root))
-      }))
+      built.values.foreach { case (_, _, root) => Fs.delete(root) }))
 
-  /** Catalog names must be session-unique (shared metastore). */
+  /** Catalog names must be session-unique on a SHARED metastore and
+    * unique across session lifetimes, so the tag is a memoized random
+    * UUID — an identity-hash name can be reused after GC (or plainly
+    * collide between live sessions), letting this session's
+    * `DROP TABLE IF EXISTS` take another session's live table.
+    */
+  private val sessionTag =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   private def tableName(spark: SparkSession): String =
-    s"graft_events_cat_${java.lang.Integer.toHexString(System.identityHashCode(spark))}"
+    "graft_events_cat_" + sessionTag.getOrElseUpdate(spark,
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+
+  private[graft] def trackedRoot(spark: SparkSession): Option[String] =
+    built.get(spark).map(_._3)
+
+  private[graft] def sessionTableName(spark: SparkSession): String = tableName(spark)
 
   private[graft] def clearCatalogCache(spark: SparkSession): Unit =
-    built.remove(spark).foreach { case (_, _, oldRoot) =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark)}")
-      Lake.deleteRecursive(java.nio.file.Paths.get(oldRoot))
+    lockFor(spark).synchronized {
+      built.remove(spark).foreach { case (_, _, oldRoot) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark)}")
+        Fs.delete(oldRoot)
+      }
     }
 
   /** The registered catalog table, built/registered on first use:
     * date-partitioned lake write → external-table DDL → ONE
     * `recoverPartitions`. Returns the catalog name to `spark.table`.
     */
-  private def registeredEvents(spark: SparkSession, dir: String): String = {
-    val name = tableName(spark)
-    val fp = sourceFingerprint(dir)
-    if (!built.get(spark).exists(e => e._1 == dir && e._2 == fp)) {
-      clearCatalogCache(spark)
-      exitHook
-      val root = Files.createTempDirectory("graft_catalog").toString
-      val data = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
-      data.write.partitionBy("event_date").parquet(s"$root/events")
-      // external-table DDL over the layout: schema declared (never
-      // inferred — the Athena-table shape), partition column last
-      val colDdl = data.schema.filterNot(_.name == "event_date")
-        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"CREATE TABLE $name ($colDdl, event_date DATE) USING PARQUET " +
-          s"PARTITIONED BY (event_date) LOCATION '$root/events'")
-      // the MSCK REPAIR / ALTER TABLE ADD PARTITION replacement: one
-      // catalog-side listing, no per-batch DDL
-      spark.catalog.recoverPartitions(name)
-      built(spark) = (dir, fp, root)
+  private def registeredEvents(spark: SparkSession, dir: String): String =
+    lockFor(spark).synchronized {
+      val name = tableName(spark)
+      val fp = sourceFingerprint(dir)
+      if (!built.get(spark).exists(e => e._1 == dir && e._2 == fp)) {
+        clearCatalogCache(spark)
+        exitHook
+        // driver-local scratch, but created/addressed through the Fs seam
+        // with a fully qualified LOCATION: the identical DDL shape deploys
+        // against any registered scheme (swap the root, nothing else)
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_catalog_${java.util.UUID.randomUUID()}"
+        Fs.mkdirs(root)
+        val tableLoc = Fs.qualified(s"$root/events")
+        val data = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+        data.write.partitionBy("event_date").parquet(tableLoc)
+        // external-table DDL over the layout: schema declared (never
+        // inferred — the Athena-table shape), partition column last
+        val colDdl = data.schema.filterNot(_.name == "event_date")
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        spark.sql(
+          s"CREATE TABLE $name ($colDdl, event_date DATE) USING PARQUET " +
+            s"PARTITIONED BY (event_date) LOCATION '$tableLoc'")
+        // the MSCK REPAIR / ALTER TABLE ADD PARTITION replacement: one
+        // catalog-side listing, no per-batch DDL
+        spark.catalog.recoverPartitions(name)
+        built(spark) = (dir, fp, root)
+      }
+      name
     }
-    name
-  }
 
   // must stay identical to Web.engagement's range — the oracle is shared
   private val RangeStart = "2024-01-05"

@@ -352,6 +352,15 @@ object Fs {
     else Option(env._3.makeQualified(hp(path)).toUri.getScheme).getOrElse("file")
   }
 
+  /** The fully qualified URI form of `path` — the shape catalog DDL
+    * (`LOCATION`) and other scheme-carrying strings must use, so the
+    * reference resolves through the same store the seam wrote (a bare
+    * path string would rebind to whatever default FS the READER's
+    * session carries).
+    */
+  def qualified(path: String): String =
+    fc(path).makeQualified(hp(path)).toUri.toString
+
   /** True where the in-place swap family may treat a directory rename as
     * atomic. Overridable for stores known safe via
     * `-Dgraft.fs.atomicDirRenameSchemes=scheme1,scheme2` (e.g. a

@@ -844,16 +844,19 @@ object MicroBatch {
   }
 
   def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
+    if (!graft.store.Fs.exists(tableDir) ||
+        !graft.store.Versioned.exists(stateDir)) return false
+    if (!compactionPending(spark, tableDir, stateDir)) return false
     // the staged `_retired` partition move below is a directory rename;
     // unlike the Lake swaps it is bless-published (a partial copy stays
     // invisible until the snapshot flip), but on an object store it is
     // still an O(objects) copy of the table's entire retired history per
     // maintenance pass — refuse rather than degrade; the knob
-    // (-Dgraft.fs.atomicDirRenameSchemes) opts a store back in
+    // (-Dgraft.fs.atomicDirRenameSchemes) opts a store back in. The gate
+    // sits AFTER the no-op probes so a maintenance sweep over a missing
+    // or already-compacted object-store table keeps its silent `false`
+    // (only a pass that would actually move data refuses loudly).
     graft.store.Fs.requireAtomicDirRename(tableDir, "MicroBatch.compactLedgeredTable")
-    if (!graft.store.Fs.exists(tableDir) ||
-        !graft.store.Versioned.exists(stateDir)) return false
-    if (!compactionPending(spark, tableDir, stateDir)) return false
     compactionLocks.getOrElseUpdate(stateDir, new Object).synchronized {
       graft.store.Versioned.withWriterLock(stateDir) {
         compactLedgeredTableLocked(spark, tableDir, stateDir)

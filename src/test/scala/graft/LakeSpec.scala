@@ -463,9 +463,25 @@ class LakeSpec extends SparkSpec {
       intercept[UnsupportedOperationException] {
         Lake.optimize(spark, s"mockobj:$root/t", "a", "b")
       }
-      intercept[UnsupportedOperationException] {
-        graft.stream.MicroBatch.compactLedgeredTable(
-          spark, s"mockobj:$root/t", s"$root/state")
+      // a maintenance pass with nothing to do keeps its silent `false`
+      // even on the object-store scheme (missing table here) — only a
+      // pass that would actually move data refuses
+      assert(!graft.stream.MicroBatch.compactLedgeredTable(
+        spark, s"mockobj:$root/t", s"$root/state"))
+      locally {
+        import graft.store.Versioned
+        // fabricate a ledgered table with one foldable partition and an
+        // hwm snapshot: now the pass WOULD move data, so it refuses loudly
+        val t = s"$root/hashes"
+        Files.createDirectories(Paths.get(s"$t/src_file=b1.jsonl"))
+        Versioned.overwrite(
+          Seq(("hwm", "b1.jsonl", 0L)).toDF("kind", "k", "n"), s"$root/state")
+        val e3 = intercept[UnsupportedOperationException] {
+          graft.stream.MicroBatch.compactLedgeredTable(
+            spark, s"mockobj:$t", s"$root/state")
+        }
+        assert(e3.getMessage.contains("compactLedgeredTable") &&
+          e3.getMessage.contains("mockobj"), e3.getMessage)
       }
       // never-registered object-store schemes refuse cleanly too — the
       // gate is URI-string work, no connector needed (the real s3a case:

@@ -303,6 +303,56 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(Similarity.pqLuts(emb, books, maxQueryRows = n).count() == n)
   }
 
+  test("query-side gate memoizes the count per (plan, session); the bound compares per call") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = Similarity.trainPqCodebooks(emb, 2, 4, 64, 2)
+    Similarity.clearQuerySideGateCache(spark)
+    assert(Similarity.querySideGateMemoSize(spark) == 0)
+    // first probe pays the count job and warms the memo
+    assert(Similarity.pqLuts(emb.filter($"vec_id" < 4), books).count() == 4)
+    assert(Similarity.querySideGateMemoSize(spark) == 1)
+    // a FRESH DataFrame over the same logical plan hits the same memo key —
+    // still one entry means getOrElseUpdate returned without a count job
+    assert(Similarity.pqLuts(emb.filter($"vec_id" < 4), books).count() == 4)
+    assert(Similarity.querySideGateMemoSize(spark) == 1)
+    // the memo stores the COUNT, not the verdict: a tighter bound against
+    // the same (memoized) plan still refuses
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqLuts(emb.filter($"vec_id" < 4), books, maxQueryRows = 3)
+    }
+    assert(e.getMessage.contains("DRIVER-HELD"), e.getMessage)
+    // a different query plan is a different key
+    assert(Similarity.pqLuts(emb.filter($"vec_id" < 5), books).count() == 5)
+    assert(Similarity.querySideGateMemoSize(spark) == 2)
+    Similarity.clearQuerySideGateCache(spark)
+    assert(Similarity.querySideGateMemoSize(spark) == 0)
+  }
+
+  test("knnIvfPqResidual's raised maxQueryRows reaches the LUT build (no inner default gate)") {
+    // > the 100k default, so an unforwarded inner pqLuts gate would refuse
+    val nq = 100016L
+    val queries = spark.range(nq).select(
+      col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"), lit(1.0f)).as("embedding"))
+    val corpus = spark.range(4).select(
+      col("id").as("vec_id"),
+      array((col("id") % 3).cast("float"), lit(2.0f)).as("embedding"))
+    val coarse = Array(Array(1000L, 1000L), Array(-1000L, -1000L))
+    val books = Array.fill(2)(Array(Array(0L), Array(500L)))
+    Similarity.clearQuerySideGateCache(spark)
+    // at the default bound this query set is refused up front...
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPqResidual(corpus, queries, coarse, books, 1, 1)
+    }
+    assert(e.getMessage.contains("knnIvfPqResidual"), e.getMessage)
+    // ...and the caller's raised knob governs the WHOLE path: the run
+    // completes end-to-end instead of an inner gate re-refusing at 100k
+    val got = Similarity.knnIvfPqResidual(corpus, queries, coarse, books, 1, 1,
+      maxQueryRows = nq)
+    assert(got.count() > 0)
+    Similarity.clearQuerySideGateCache(spark)
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

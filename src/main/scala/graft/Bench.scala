@@ -61,6 +61,19 @@ object Bench {
       unstable = unstable.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
     }
     val loadEnd = osBean.getSystemLoadAverage
+    // Load gate (r16 verdict: the closing artifact was taken at load_avg
+    // 2.81 and three rows crossed the regression rule on noise alone).
+    // The START sample must show a quiet box (<= maxLoad); the END sample
+    // gets a +1.0 self-load margin because a full sweep's own bursty
+    // 32-thread work leaves ~1.7-1.9 in the trailing 1-min average even
+    // on an otherwise idle box (every quiet r15/r16 run ended there) —
+    // the margin still flags the 2.81 artifact this gate exists for.
+    // A failing run is machine-flagged in the artifact (`load_ok:false`),
+    // and with SPARK_GRAFT_BENCH_REQUIRE_QUIET set it refuses to publish
+    // at all — the closing-pair discipline. Negative load = platform
+    // can't say; counts as ok but stays visible in the load_avg field.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "1.5").toDouble
+    val loadOk = loadStart <= maxLoad && loadEnd <= maxLoad + 1.0
     // failed = any sweep errored; reported as value -1 plus an errors map,
     // and excluded from the total (a partial total plus explicit errors is
     // machine-detectable; a silently shrunken one is not)
@@ -109,7 +122,14 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"load_ok":$loadOk,"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    if (!loadOk && sys.env.contains("SPARK_GRAFT_BENCH_REQUIRE_QUIET")) {
+      System.err.println(s"[bench] REFUSING to publish: load_avg " +
+        s"[$loadStart, $loadEnd] exceeds the $maxLoad quiet-box bound " +
+        "(SPARK_GRAFT_BENCH_REQUIRE_QUIET set) — re-run on a quiet box")
+      spark.stop()
+      sys.exit(3)
+    }
     // print FIRST and also persist: the driver reads only the sbt tail, so a
     // post-run log line can push the JSON out of its window (BENCH_r01's
     // `parsed` was null for exactly that reason)

@@ -75,6 +75,61 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** (id, band, bucket) rows of the banded MinHash-LSH index — the frame
+    * both the pair join and [[minhashCandidateStats]] run over.
+    */
+  private[graft] def minhashBanded(df: DataFrame, textCol: String, idCol: String,
+                                   shingleN: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(VectorExprs.minhashBands(tokens(col(textCol)), shingleN, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Candidate-volume accounting for a banded LSH index, computed from
+    * bucket SIZES alone. `rawPairs` = Σ sz·(sz−1)/2 over every bucket: the
+    * volume the self-join WOULD produce with no cap — computable without
+    * materializing it, which on a hot-bucket corpus is exactly the
+    * quadratic blow-up the cap exists to prevent. `cappedPairs` is the
+    * same sum over kept (1 < sz ≤ maxBucket) buckets. [[LshCandidateStats
+    * .pairBound]] is the cap's guarantee made checkable per corpus:
+    * every kept bucket contributes at most sz·(maxBucket−1)/2 pairs, so
+    * Σ_kept ≤ (Σ sz)·(maxBucket−1)/2 — LINEAR in corpus rows no matter
+    * how skewed the bucket distribution is. The sizing groupBy itself is
+    * skew-immune: COUNT partial-aggregates map-side, so a hot (band,
+    * bucket) key crosses the one exchange as one partial row per task
+    * (the agg-side analogue of the `skew_spend_salted` mitigation).
+    */
+  final case class LshCandidateStats(
+      maxBucket: Int, bandedRows: Long, buckets: Long, droppedBuckets: Long,
+      largestBucket: Long, rawPairs: Long, cappedPairs: Long) {
+    /** Linear worst case the cap enforces: (Σ sz)·(maxBucket−1)/2. */
+    def pairBound: Long = bandedRows * (maxBucket - 1L) / 2L
+  }
+
+  private[graft] def candidateStatsOf(banded: DataFrame, keyCols: Seq[String],
+                                      maxBucket: Int): LshCandidateStats = {
+    val half = (col("sz") * (col("sz") - 1) / 2).cast("long")
+    val r = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(
+        coalesce(sum(col("sz")), lit(0L)).as("bandedRows"),
+        count(lit(1)).as("buckets"),
+        coalesce(sum(when(col("sz") > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped"),
+        coalesce(max(col("sz")), lit(0L)).as("largest"),
+        coalesce(sum(half), lit(0L)).as("raw"),
+        coalesce(sum(when(col("sz") > 1 && col("sz") <= maxBucket, half)
+          .otherwise(0L)), lit(0L)).as("capped"))
+      .head()
+    LshCandidateStats(maxBucket, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  /** [[LshCandidateStats]] for the exact banding [[minhashPairs]] uses. */
+  def minhashCandidateStats(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = 64): LshCandidateStats =
+    candidateStatsOf(minhashBanded(df, textCol, idCol, shingleN, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
+
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minJaccard`.
     * bands × rowsPerBand must equal the signature length.
     */
@@ -92,11 +147,7 @@ object Dedup {
     // once per shared band. Band buckets come from one custom-expression
     // pass (MinHashBands) — composing slice/hash over a signature column
     // would re-evaluate the signature per band (no CSE for fallback exprs).
-    val bandedAll = df
-      .select(col(idCol).as("id"),
-        posexplode(VectorExprs.minhashBands(tokens(col(textCol)), shingleN, numHashes, bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val bandedAll = minhashBanded(df, textCol, idCol, shingleN, numHashes, bands)
     // Degenerate-bucket cap: corpora with globally-common min-shingles put
     // thousands of docs into one (band, bucket), making the self-join
     // quadratic in that bucket for pure false-positive mass. Oversized

@@ -717,6 +717,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
   }
 
+  /** [[graft.llm.Dedup.LshCandidateStats]] for the exact banding
+    * [[embeddingNearDupsLsh]] uses — the hot-bucket accounting (raw vs
+    * capped candidate volume, and the cap's linear pairBound) for the
+    * embedding-LSH path, sized from bucket counts, never a pair join.
+    */
+  def nearDupCandidateStats(corpus: DataFrame, bitsPerBand: Int, bands: Int,
+                            maxBucket: Int = 64): Dedup.LshCandidateStats =
+    Dedup.candidateStatsOf(
+      corpus.select(col("vec_id"),
+        explode(VectorExprs.hyperplaneBands(col("embedding"), bitsPerBand, bands))
+          .as("bucket")),
+      Seq("bucket"), maxBucket)
+
   /** Exact all-pairs cosine ≥ τ: the baseline for the sub-LSH threshold
     * regime (see object doc — at c ≈ 0.35 nothing subquadratic exists).
     * One full side is broadcast, so this form is bounded by the broadcast

@@ -492,6 +492,22 @@ object TextAnalysis {
   private val WinnowMinShared = 4
   private val WinnowMinOverlap = 0.5
 
+  /** [[graft.llm.Dedup.LshCandidateStats]] over the winnow postings the
+    * overlap report df-caps: buckets are fingerprints, the cap is
+    * `WinnowDfCap` — so `rawPairs` is the pair volume an UNCAPPED
+    * fingerprint join would expand (the hot-fingerprint blow-up) and
+    * `cappedPairs`/`pairBound` the df-cap's admitted volume and its
+    * linear-in-postings guarantee.
+    */
+  def winnowCandidateStats(docs: DataFrame, textCol: String, idCol: String)
+      : Dedup.LshCandidateStats =
+    Dedup.candidateStatsOf(
+      docs.select(col(idCol).as("doc_id"),
+          explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
+        .select(col("doc_id"), (col("v") % lit(4294967296L)).as("fp"))
+        .distinct(),
+      Seq("fp"), WinnowDfCap)
+
   /** The winnowed fingerprint SET per document (pos = 0-based gram
     * start): the at-rest artifact a MOSS-style overlap service indexes.
     */

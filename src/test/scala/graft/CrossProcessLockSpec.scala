@@ -22,6 +22,38 @@ object CrossProcessLockHolder {
   }
 }
 
+/** Child JVM entry for the two-writer interleave: one `Versioned`
+  * commit of a single-row table through the REAL protocol (own
+  * SparkSession, own writer-lock acquisition). Exits 0 on a committed
+  * version, 7 on the live-writer refusal — the parent asserts on the
+  * exit code, so refusal vs success is unambiguous across the process
+  * boundary.
+  */
+object CrossProcessCommitter {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val value = args(1)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("xcommit").master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Files.createTempDirectory("xwh").toString)
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      val v = Versioned.overwrite(Seq(value).toDF("v"), root)
+      println(s"COMMITTED $v")
+      spark.stop()
+      sys.exit(0)
+    } catch {
+      case e: IllegalStateException if e.getMessage.contains("LIVE writer") =>
+        println("REFUSED")
+        spark.stop()
+        sys.exit(7)
+    }
+  }
+}
+
 /** The pid@epoch@host lock protocol under REAL cross-process contention —
   * a second JVM, not a same-JVM thread or a hand-written lock file: a
   * live foreign holder must draw the loud single-writer refusal, and a
@@ -33,6 +65,38 @@ class CrossProcessLockSpec extends AnyFunSuite {
 
   private def codeLocation(c: Class[_]): String =
     Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+
+  // child classpath: graft main + test classes, scala-library, and the
+  // directory holding the spark/hadoop jars (wildcard), each resolved
+  // from THIS JVM's loaded classes, not hardcoded paths
+  private def childCp: String = Seq(
+    codeLocation(Versioned.getClass),
+    codeLocation(CrossProcessLockHolder.getClass),
+    codeLocation(classOf[scala.Option[_]]),
+    Paths.get(codeLocation(classOf[org.apache.hadoop.conf.Configuration]))
+      .getParent.toString + "/*"
+  ).mkString(java.io.File.pathSeparator)
+
+  // Spark-in-child needs the same JDK17 module opens build.sbt forks with
+  private def jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def launchCommitter(root: String, value: String, log: java.io.File): Process = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin) ++ jdk17AddOpens ++
+      Seq("-Xmx2g", "-cp", childCp, "graft.CrossProcessCommitter", root, value))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+    pb.start()
+  }
 
   test("writer lock cross-process: live refusal, then kill -9 pid-liveness stale break") {
     val root = Files.createTempDirectory("xlock").toString
@@ -90,5 +154,54 @@ class CrossProcessLockSpec extends AnyFunSuite {
       child.destroyForcibly()
       child.waitFor()
     }
+  }
+
+  test("two-writer interleave: refused while held, commits serialize after release") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val root = Files.createTempDirectory("xcommit").toString
+    def logOf(f: java.io.File): String =
+      try new String(Files.readAllBytes(f.toPath)) catch { case _: Exception => "<no log>" }
+
+    // writer #1 (this process) commits v1
+    assert(Versioned.overwrite(Seq("A").toDF("v"), root) == 1L)
+
+    // while #1 holds the writer lock, writer #2 (a REAL second JVM with
+    // its own SparkSession) must be refused — exit 7, version unmoved
+    val log1 = new java.io.File(root, "_child_refused.log")
+    Versioned.withWriterLock(root) {
+      val p = launchCommitter(root, "B", log1)
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"refused committer never exited:\n${logOf(log1)}")
+      assert(p.exitValue() == 7,
+        s"expected live-writer refusal (exit 7), got ${p.exitValue()}:\n${logOf(log1)}")
+    }
+    assert(Versioned.currentVersion(root).contains(1L), "a refused commit advanced the table")
+
+    // after #1 releases, #2 commits v2. While it runs, poll the pointer:
+    // CURRENT must always name a COMPLETE snapshot (_SUCCESS present) —
+    // the never-torn invariant under a foreign writer
+    val log2 = new java.io.File(root, "_child_commit.log")
+    val p2 = launchCommitter(root, "B", log2)
+    while (p2.isAlive) {
+      Versioned.currentPath(root).foreach { dir =>
+        assert(Fs.exists(s"$dir/_SUCCESS"), s"CURRENT pointed at a torn dir: $dir")
+      }
+      Thread.sleep(25)
+    }
+    assert(p2.exitValue() == 0, s"handoff commit failed:\n${logOf(log2)}")
+    assert(Versioned.currentVersion(root).contains(2L), s"child log:\n${logOf(log2)}")
+
+    // handoff back: #1 serializes v3 on top of the foreign commit
+    assert(Versioned.overwrite(Seq("C").toDF("v"), root) == 3L)
+    assert(!Fs.exists(s"$root/_WRITER_LOCK"), "lock must be released after the last commit")
+
+    // both writers' snapshots are durable and time travel sees the full
+    // interleave in commit order
+    def vals(v: Long): Seq[String] =
+      Versioned.readVersion(spark, root, v).as[String].collect().toSeq
+    assert(vals(1L) == Seq("A") && vals(2L) == Seq("B") && vals(3L) == Seq("C"))
+    assert(Versioned.read(spark, root).as[String].collect().toSeq == Seq("C"))
+    assert(Fs.readString(s"$root/CURRENT").trim == "3")
   }
 }

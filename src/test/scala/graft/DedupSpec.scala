@@ -44,6 +44,39 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("hot doc family: minhash band-cap keeps candidates under the linear bound, loss measured") {
+    // 13000 docs of unique tokens; HotBucketBench rewrites the 130 ids
+    // ≡ 7 (mod 100) to one template family — decisively past maxBucket=64
+    // (a family NEAR the cap can leak members out of the hot bucket via
+    // its per-doc tail token and pull the bucket back under the cap)
+    val toks = (0 until 10).map(j => concat(lit("t"), col("id"), lit(s"x$j"), col("id")))
+    val base = spark.range(13000).select(
+      col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+    // one planted OFF-family near-dup pair (ids ≢ 7 mod 100)
+    val shared = (0 until 12).map(j => s"planted$j common$j tokens$j").mkString(" ")
+    val twins = Seq((90011L, shared + " alpha"), (90012L, shared + " beta"))
+      .toDF("doc_id", "text")
+    val corpus = HotBucketBench.hotDocs(base.unionByName(twins))
+    val famExpected = 130L * 129 / 2
+    val stats = Dedup.minhashCandidateStats(corpus, "text", "doc_id")
+    assert(stats.cappedPairs <= stats.pairBound,
+      s"capped ${stats.cappedPairs} > bound ${stats.pairBound}")
+    // the cap dropped at least one full hot band's quadratic mass (the
+    // family's k² growth — raw CROSSING the linear bound needs ~630k+
+    // rows at 1% hotness; that growth-class curve is HotBucketBench's
+    // artifact, the spec asserts the accounting and the drop)
+    assert(stats.rawPairs - stats.cappedPairs >= famExpected,
+      s"hot family mass not dropped: $stats")
+    assert(stats.droppedBuckets > 0 && stats.largestBucket >= 100, stats.toString)
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val famFound = pairs.count { case (a, b) => a % 100 == 7 && b % 100 == 7 }
+    assert(famFound < famExpected,
+      s"capped family reported full recall ($famFound) — cap not engaged?")
+    assert(pairs.contains((90011L, 90012L)),
+      s"off-family planted pair lost; found ${pairs.length} pairs")
+  }
+
   test("simhash: identical texts → distance 0; near-dups close; distinct far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -353,6 +353,55 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     Similarity.clearQuerySideGateCache(spark)
   }
 
+  test("hot vector family: candidates stay under the cap's linear bound, family loss is measurable") {
+    // 13000 spread-out vectors; HotBucketBench's production transform
+    // rewrites the 130 ids ≡ 7 (mod 100) to one shared template family —
+    // decisively past maxBucket=64 (a family NEAR the cap can leak
+    // members into side buckets and pull the hot one back under it) —
+    // the adversarial case copy-scaling can't produce (ScaleBench's
+    // documented bound)
+    // NB: background dims must be a REAL hash of (id, dim) — an affine
+    // formula mod P makes nearby residues into genuine near-dup vectors
+    // (the whole vector shifts by a near-constant) and a small modulus
+    // collapses ids onto few distinct vectors; both flood the buckets
+    val base = spark.range(13000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000L)) / lit(500.0)) - lit(1.0))
+          .cast("float"))
+        .as("embedding"))
+    // plus one planted OFF-family near-dup: id 90011 = id 11 bumped in dim 0
+    val twin = base.filter($"vec_id" === 11).select(
+      lit(90011L).as("vec_id"),
+      transform($"embedding", (x, i) => (x + when(i === 0, 0.01f).otherwise(0.0f))
+        .cast("float")).as("embedding"))
+    val corpus = HotBucketBench.hotEmbeddings(base.union(twin))
+    val (bits, bands) = Similarity.hyperplaneParams(13001L, 0.9)
+    val famExpected = 130L * 129 / 2
+    val stats = Similarity.nearDupCandidateStats(corpus, bits, bands)
+    // the cap's guarantee, checked not argued: admitted candidates stay
+    // under the linear bound, and the dropped volume includes at least
+    // one full hot band's quadratic mass (raw CROSSING the bound needs
+    // ~630k+ rows at 1% hotness — that growth-class curve is
+    // HotBucketBench's artifact; the spec asserts the accounting)
+    assert(stats.cappedPairs <= stats.pairBound,
+      s"capped ${stats.cappedPairs} > bound ${stats.pairBound}")
+    assert(stats.rawPairs - stats.cappedPairs >= famExpected,
+      s"hot family mass not dropped: $stats")
+    assert(stats.droppedBuckets > 0 && stats.largestBucket >= 100,
+      s"expected oversized family buckets, got $stats")
+    // recall accounting on the capped family is measurable and honest:
+    // the 130-member family loses pairs (its buckets are degenerate)...
+    val pairs = Similarity.embeddingNearDupsLsh(corpus, bits, bands, minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val famFound = pairs.count { case (a, b) => a % 100 == 7 && b % 100 == 7 }
+    assert(famFound < famExpected,
+      s"capped family reported full recall ($famFound/$famExpected) — cap not engaged?")
+    // ...while the planted off-family near-dup pair is still found
+    assert(pairs.contains((11L, 90011L)),
+      s"off-family twin lost; found ${pairs.length} pairs")
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

@@ -570,6 +570,93 @@ class StreamingSpec extends SparkSpec {
     graft.store.Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("compacted ledgered family under Spark's checkpoint recovery: batch-id replay composes with consolidation") {
+    // SCD2 proves order-sensitive state composes with Spark's batch-id
+    // replay; this is the COMPACTED family's composition: consolidate
+    // the table to one _retired partition while the stream is stopped,
+    // erase the last commit marker, restart on the SAME checkpoint —
+    // Spark re-runs the batch id against the consolidated table, and
+    // neither the visible rows nor the layout may change (a replay that
+    // re-wrote the folded file's partition would resurrect reclaimed
+    // space and double rows once blessed).
+    val root = Files.createTempDirectory("compact_ckpt_restart").toString
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload_b64", StringType)))
+    val codec = new graft.llm.Multimodal.ImageCodec.Codec
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pixel(seed: Long, shift: Int)(x: Int, y: Int): Int = {
+      val d = md.digest(s"$seed:${y * 8 + x}:cckpt".getBytes("UTF-8"))
+      ((d(0) & 0xFF) + shift) % 256
+    }
+    def img(id: Long, seed: Long, shift: Int): String = {
+      val b = java.util.Base64.getEncoder
+        .encodeToString(codec.encodeGrayPng(8, 8, pixel(seed, shift)))
+      s"""{"media_id":$id,"payload_b64":"$b"}"""
+    }
+    val b1 = Seq(img(10, seed = 1, shift = 0), img(11, seed = 1, shift = 2)).mkString("\n")
+    val b2 = img(30, seed = 1, shift = 4) // cross-batch near-dup of 10/11
+    def start(tag: String) = {
+      Files.createDirectories(Paths.get(s"$root/$tag/in"))
+      MicroBatch.imageIngestStream(spark, s"$root/$tag/in", schema,
+        hashesDir = s"$root/$tag/hashes", pairsDir = s"$root/$tag/pairs",
+        stateDir = s"$root/$tag/state", checkpointDir = s"$root/$tag/ckpt")
+    }
+    def hashes(tag: String): Seq[(Long, Long)] =
+      MicroBatch.readImageHashes(spark, s"$root/$tag/hashes", s"$root/$tag/state")
+        .as[(Long, Long)].collect().sorted.toSeq
+    def pairs(tag: String): Seq[(Long, Long)] =
+      MicroBatch.readImagePairs(spark, s"$root/$tag/pairs", s"$root/$tag/state")
+        .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).sorted.toSeq
+    def partNames(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("src_file="))
+        .map(f => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(f.getName.stripPrefix("src_file="))).sorted
+
+    // twin A: uninterrupted, with the same mid-stream compaction point
+    val qa = start("a")
+    Files.writeString(Paths.get(s"$root/a/in/b1.jsonl"), b1)
+    qa.processAllAvailable()
+    assert(MicroBatch.compactLedgeredTable(spark, s"$root/a/hashes", s"$root/a/state"))
+    assert(MicroBatch.compactLedgeredTable(spark, s"$root/a/pairs", s"$root/a/state"))
+    Files.writeString(Paths.get(s"$root/a/in/b2.jsonl"), b2)
+    qa.processAllAvailable(); qa.stop(); qa.awaitTermination()
+
+    // twin B: b1 → stop → consolidate → erase the last commit marker →
+    // restart from the SAME checkpointLocation (replays b1's batch id)
+    val qb = start("b")
+    Files.writeString(Paths.get(s"$root/b/in/b1.jsonl"), b1)
+    qb.processAllAvailable(); qb.stop(); qb.awaitTermination()
+    assert(MicroBatch.compactLedgeredTable(spark, s"$root/b/hashes", s"$root/b/state"))
+    assert(MicroBatch.compactLedgeredTable(spark, s"$root/b/pairs", s"$root/b/state"))
+    assert(partNames(s"$root/b/hashes") == Seq("_retired:b1.jsonl"))
+    val h1 = hashes("b"); val p1 = pairs("b")
+    assert(p1 == Seq((10L, 11L)), p1.toString)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val commits = Files.list(Paths.get(s"$root/b/ckpt/commits")).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+      val lastCommit = commits.maxBy(_.getFileName.toString.toLong)
+      Files.delete(lastCommit)
+      Files.deleteIfExists(lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+    }
+    val qb2 = start("b")
+    qb2.processAllAvailable()
+    assert(hashes("b") == h1 && pairs("b") == p1,
+      "replayed batch mutated the consolidated tables")
+    assert(partNames(s"$root/b/hashes") == Seq("_retired:b1.jsonl"),
+      s"replay resurrected folded partitions: ${partNames(s"$root/b/hashes")}")
+    // the restarted stream keeps going: the cross-batch near-dup is found
+    // by the band join reading the CONSOLIDATED hash partition
+    Files.writeString(Paths.get(s"$root/b/in/b2.jsonl"), b2)
+    qb2.processAllAvailable(); qb2.stop(); qb2.awaitTermination()
+    assert(hashes("b") == hashes("a"),
+      "restarted+compacted hashes diverged from the uninterrupted twin")
+    assert(pairs("b") == pairs("a") && pairs("b").contains((10L, 30L)),
+      s"restarted+compacted pairs diverged: ${pairs("b")} vs ${pairs("a")}")
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("streaming SCD2: mixed-day batch keeps per-key days; later update not mis-dropped") {
     val root = Files.createTempDirectory("scd2_days").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

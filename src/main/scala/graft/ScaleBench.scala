@@ -48,6 +48,17 @@ object ScaleBench {
     "llm_bpe_merges_dist",
     "graph_pagerank", "graph_components", "graph_triangles")
 
+  /** The embedding-family scale paths — measurable ONLY under the
+    * signflip mode (compat dirs carry identical per-copy embeddings, so
+    * their output grows k² by corpus construction and the fit would
+    * read data mass as engine growth).
+    */
+  private val EmbedTargets = Seq(
+    "llm_embed_neardup_lsh", "llm_embed_clusters_lsh",
+    "llm_ann_ivf_kmeans", "llm_ann_ivf_indexed",
+    "llm_knn_quantized", "llm_knn_pq",
+    "llm_semdedup", "llm_kcenter_select")
+
   /** Per-copy content re-identification: an AFFINE letter cipher
     * x → (a·x + b) mod 26 with a coprime to 26 — a length-exact alphabet
     * permutation (token structure, shingle statistics, dup graphs
@@ -78,6 +89,30 @@ object ScaleBench {
     if (sys.env.get("SPARK_GRAFT_SCALE_DIGITS").contains("percopy")) copy % 10
     else (copy / 26) % 10
 
+  /** Embedding re-identification mode. Default (compat): copies carry
+    * IDENTICAL embeddings — fine for the text/graph/ER curve families
+    * (none reads the embedding column) but it makes every embedding
+    * operator's output quadratic in k (k byte-identical copies of each
+    * vector = C(k,2) true near-dup pairs each — corpus mass, not engine
+    * growth; the hot-bucket artifact shows it). SPARK_GRAFT_SCALE_EMB=
+    * signflip multiplies copy i's embedding by a deterministic per-copy
+    * ±1 pattern (hash of (copy, dim)): intra-copy dot products —
+    * norms, cosines, every kNN/cluster/near-dup answer — are EXACTLY
+    * preserved (⟨s⊙a, s⊙b⟩ = ⟨a, b⟩) while cross-copy cosines collapse
+    * toward 0 (random-sign dampening), so copies replicate structure
+    * without interacting: the same premise the text side's affine
+    * cipher provides. Copy 0 is the identity pattern — 1× stays
+    * byte-identical to the source. Separate derived dirs (x{k}sfe).
+    */
+  private def embSignFlip: Boolean =
+    sys.env.get("SPARK_GRAFT_SCALE_EMB").contains("signflip")
+
+  private def reidentifyEmbedding(emb: org.apache.spark.sql.Column, copy: Int) =
+    if (!embSignFlip || copy == 0) emb
+    else transform(emb, (x, d) =>
+      (x * when(pmod(xxhash64(lit(copy), d), lit(2)) === 0, 1.0f).otherwise(-1.0f))
+        .cast("float"))
+
   private def caesar(c: org.apache.spark.sql.Column, copy: Int) = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val hi = lo.toUpperCase
@@ -101,7 +136,8 @@ object ScaleBench {
     require(k >= 1 && k <= 260,
       "1 <= k <= 260 (affine letter maps must stay pairwise distinct)")
     val digitMode =
-      if (sys.env.get("SPARK_GRAFT_SCALE_DIGITS").contains("percopy")) "pcd" else ""
+      (if (sys.env.get("SPARK_GRAFT_SCALE_DIGITS").contains("percopy")) "pcd" else "") +
+        (if (embSignFlip) "sfe" else "")
     val dest = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scale/x$k$digitMode"
     val marker = s"$dest/_SCALE_OK"
     val fp = Seq("lineitem", "orders", "customer", "documents", "embeddings",
@@ -134,7 +170,10 @@ object ScaleBench {
     copies("part") { (df, i) => off("p_partkey", i)(df) }
     copies("supplier") { (df, i) => off("s_suppkey", i)(df) }
     copies("events") { (df, i) => off("event_id", i)(off("user_id", i)(df)) }
-    copies("embeddings") { (df, i) => off("vec_id", i)(df) }
+    copies("embeddings") { (df, i) =>
+      off("vec_id", i)(df)
+        .withColumn("embedding", reidentifyEmbedding(col("embedding"), i))
+    }
     Seq("nation", "region").foreach { t =>
       Tables.read(spark, srcDir, t)
         .write.mode(SaveMode.Overwrite).parquet(s"$dest/$t.parquet")
@@ -148,7 +187,8 @@ object ScaleBench {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
-    val targets = Targets.filter(t => only.forall(_.contains(t)))
+    val targets = (if (embSignFlip) Targets ++ EmbedTargets else Targets)
+      .filter(t => only.forall(_.contains(t)))
       .filter(SparkEntry.queries.contains)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = scales.map { k =>

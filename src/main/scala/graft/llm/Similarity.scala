@@ -161,9 +161,19 @@ object Similarity {
     * subspace trainings instead of re-scanning per subspace.
     */
   def collectQuantizedSample(corpus: DataFrame, sampleSize: Int): Array[Array[Long]] = {
+    // vid·KnuthMult mod 2³², computed as a split multiply so the int64
+    // product can't overflow under ANSI mode at index-scale ids (a
+    // 10⁹-offset vid × the 2.65e9 constant is > 2⁶³; the 16-bit split
+    // keeps every intermediate ≤ 2⁴⁹ and the result is bit-identical
+    // mod 2³² for ALL ids — same h as before for every tested corpus)
+    val vid32 = pmod(col("vid"), lit(1L << 32))
+    val hi = shiftright(vid32, 16)
+    val lo = vid32 % lit(1L << 16)
     val rows = corpus
       .select(col("vec_id").cast("long").as("vid"), col("embedding"))
-      .withColumn("h", (col("vid") * lit(KnuthMult)) % lit(1L << 32))
+      .withColumn("h",
+        (((hi * lit(KnuthMult)) % lit(1L << 32)) * lit(1L << 16)
+          + lo * lit(KnuthMult)) % lit(1L << 32))
       .orderBy(col("h"), col("vid"))
       .limit(sampleSize)
       .select(col("embedding"))

@@ -303,6 +303,28 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(Similarity.pqLuts(emb, books, maxQueryRows = n).count() == n)
   }
 
+  test("quantized-sample hash survives index-scale ids and equals the mod-2^32 formula") {
+    // scaled corpora offset vec_id by 10⁹ per copy; vid·2654435761 then
+    // overflows int64 under ANSI mode (the x10 embedding curve found it
+    // live) — the split multiply must neither throw nor change h
+    val hugeIds = (0L until 100L).map(i => i * 1000000000L + 123456789L)
+    def corpus(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.zipWithIndex.map { case (v, i) => (v, Array(i.toFloat)) }
+        .toDF("vec_id", "embedding")
+    val sample = Similarity.collectQuantizedSample(corpus(hugeIds), 16)
+    assert(sample.length == 16)
+    // h is a pure function of vid mod 2^32: reducing the ids must pick
+    // the SAME sample rows in the same order (h values here are distinct,
+    // so the vid tiebreak never engages)
+    val k = BigInt(2654435761L); val m = BigInt(1L) << 32
+    val hs = hugeIds.map(v => (BigInt(v) % m) * k % m)
+    assert(hs.distinct.size == hs.size)
+    val reduced = Similarity.collectQuantizedSample(
+      corpus(hugeIds.map(v => v % (1L << 32))), 16)
+    assert(sample.map(_.toSeq).toSeq == reduced.map(_.toSeq).toSeq,
+      "split multiply changed the sample order vs the mod-2^32 formula")
+  }
+
   test("query-side gate memoizes the count per (plan, session); the bound compares per call") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val books = Similarity.trainPqCodebooks(emb, 2, 4, 64, 2)

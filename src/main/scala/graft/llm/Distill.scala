@@ -64,46 +64,59 @@ object Distill {
 
   /** One row: the trained fixed-point weights and the training-set
     * confusion counts of the final scorer (predict pass ⟺ z > 0).
+    *
+    * ONE distributed job, not one per round. The integer features live
+    * in a FINITE domain — r1 ∈ [0,128], r2 ∈ [0,16], r3 ∈ [0,99],
+    * y ∈ {0,1}: ≤ 129·17·100·2 = 438,600 cells no matter how large the
+    * corpus — so the (r1,r2,r3,y)-histogram is an exact sufficient
+    * statistic for the whole trajectory: every per-round gradient sum is
+    * the count-weighted sum over cells (integer addition is associative/
+    * commutative, so cell-grouped sums are bit-identical to row sums),
+    * and the confusion counts fall out of the same cells. The 20-round
+    * loop then runs on the driver over a DOMAIN-bounded artifact —
+    * bounded by the feature space, not the row count, so the single
+    * map-side-combined aggregation is the only cluster work at any
+    * scale. Math.*Exact mirrors the ANSI-mode aggregation's loud
+    * overflow instead of silently wrapping where Spark would throw.
     */
   def distillQuality(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val raw = rawFeatures(docs, textCol).localCheckpoint() // feeds centering, rounds, confusion
-    // integer-mean centering: a bounded driver artifact (3 longs + N)
-    val c = raw.agg(sum(col("r1")), sum(col("r2")), sum(col("r3")), count(lit(1))).head()
-    val n = c.getLong(3)
+    import java.lang.Math.{addExact => add, multiplyExact => mul}
+    val cells = rawFeatures(docs, textCol)
+      .groupBy("r1", "r2", "r3", "y").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // integer-mean centering from the same histogram (3 longs + N)
+    val n = cells.foldLeft(0L)((a, c) => add(a, c._5))
     require(n > 0, "empty corpus")
-    val (c1, c2, c3) = (c.getLong(0) / n, c.getLong(1) / n, c.getLong(2) / n)
-    val feat = raw.select(
-      (col("r1") - lit(c1)).as("x1"), (col("r2") - lit(c2)).as("x2"),
-      (col("r3") - lit(c3)).as("x3"), col("y"))
-      .localCheckpoint()
-    raw.unpersist(blocking = false)
+    def centered(sel: ((Long, Long, Long, Long, Long)) => Long): Long =
+      cells.foldLeft(0L)((a, c) => add(a, mul(sel(c), c._5))) / n
+    val (c1, c2, c3) = (centered(_._1), centered(_._2), centered(_._3))
+    val feat = cells.map { case (r1, r2, r3, y, cnt) => (r1 - c1, r2 - c2, r3 - c3, y, cnt) }
     var w = Array(0L, 0L, 0L, 0L)
+    def zOf(c: (Long, Long, Long, Long, Long)): Long =
+      add(add(add(w(0), mul(w(1), c._1)), mul(w(2), c._2)), mul(w(3), c._3))
     for (_ <- 1 to Iterations) {
-      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-      val p4 = greatest(lit(0L), least(lit(4L * S), z + lit(2L * S)))
-      val err = lit(4L * S) * col("y") - p4
-      val g = feat.agg(sum(err), sum(err * col("x1")),
-        sum(err * col("x2")), sum(err * col("x3"))).head()
+      val g = Array(0L, 0L, 0L, 0L)
+      feat.foreach { c =>
+        val p4 = math.max(0L, math.min(4L * S, add(zOf(c), 2L * S)))
+        val err = mul(4L * S * c._4 - p4, c._5) // Σ over the cell's cnt rows
+        g(0) = add(g(0), err)
+        g(1) = add(g(1), mul(err, c._1))
+        g(2) = add(g(2), mul(err, c._2))
+        g(3) = add(g(3), mul(err, c._3))
+      }
       w = Array(
-        w(0) + g.getLong(0) / (D0 * n),
-        w(1) + g.getLong(1) / (D1 * n),
-        w(2) + g.getLong(2) / (D2 * n),
-        w(3) + g.getLong(3) / (D3 * n))
+        w(0) + g(0) / (D0 * n), w(1) + g(1) / (D1 * n),
+        w(2) + g(2) / (D2 * n), w(3) + g(3) / (D3 * n))
     }
-    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-    // materialize the confusion row BEFORE releasing the checkpointed
-    // features: the checkpoint truncated lineage, so a lazy consumer
-    // outliving the unpersist would have nothing to recompute from
-    val conf = feat.agg(
-      sum(when(z > 0 && col("y") === 1, 1L).otherwise(0L)),
-      sum(when(z > 0 && col("y") === 0, 1L).otherwise(0L)),
-      sum(when(z <= 0 && col("y") === 1, 1L).otherwise(0L)),
-      sum(when(z <= 0 && col("y") === 0, 1L).otherwise(0L))).head()
-    feat.unpersist(blocking = false)
+    val conf = Array(0L, 0L, 0L, 0L) // tp, fp, fn, tn
+    feat.foreach { c =>
+      val i = (if (zOf(c) > 0) 0 else 2) + (if (c._4 == 1) 0 else 1)
+      conf(i) = add(conf(i), c._5)
+    }
     import spark.implicits._
-    Seq((w(0), w(1), w(2), w(3), conf.getLong(0), conf.getLong(1),
-      conf.getLong(2), conf.getLong(3)))
+    Seq((w(0), w(1), w(2), w(3), conf(0), conf(1), conf(2), conf(3)))
       .toDF("w0", "w1", "w2", "w3", "tp", "fp", "fn", "tn")
   }
 

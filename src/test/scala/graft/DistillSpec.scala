@@ -41,4 +41,19 @@ class DistillSpec extends SparkSpec {
     val b = run(docs.repartition(13)).toSeq
     assert(a == b, s"$a vs $b")
   }
+
+  test("cluster work is one histogram job, independent of the round count") {
+    // the 20-round trajectory replays on the driver from the finite-domain
+    // feature histogram — the per-ROUND aggregation jobs (>= 22 before the
+    // sufficient-statistic rewrite) must never come back. AQE may split
+    // the one aggregation into a couple of stage-jobs, hence <= 4, but any
+    // per-iteration scheduling (>= Iterations = 20) trips the bound.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.count() // settle the scan's file-index jobs outside the window
+    val sc = spark.sparkContext
+    sc.setJobGroup("distill-jobcount", "DistillSpec job-count window")
+    val jobs = try { run(docs); sc.statusTracker.getJobIdsForGroup("distill-jobcount").length }
+    finally sc.clearJobGroup()
+    assert(jobs <= 4, s"distill launched $jobs jobs — per-round cluster work is back")
+  }
 }

@@ -18,6 +18,9 @@ object Bench {
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXEXTRA", "4").toInt
     // optional focus list for targeted experiments: "q1,q2"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // parsed BEFORE the sweep: a malformed value must fail fast, not
+    // after an hour of measurement with nothing published
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "1.5").toDouble
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -72,7 +75,6 @@ object Bench {
     // and with SPARK_GRAFT_BENCH_REQUIRE_QUIET set it refuses to publish
     // at all — the closing-pair discipline. Negative load = platform
     // can't say; counts as ok but stays visible in the load_avg field.
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "1.5").toDouble
     val loadOk = loadStart <= maxLoad && loadEnd <= maxLoad + 1.0
     // failed = any sweep errored; reported as value -1 plus an errors map,
     // and excluded from the total (a partial total plus explicit errors is

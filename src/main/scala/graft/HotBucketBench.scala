@@ -55,15 +55,18 @@ object HotBucketBench {
         .otherwise(col("text")))
 
   /** ~1% of embeddings rewritten to a shared template vector; the last
-    * 4 dims carry a small per-id value so family members are near-dups
-    * (cosine ≈ 1−ε), not bit-identical vectors.
+    * 4 dims carry a small per-(id, dim) HASH value so every family
+    * member is pairwise distinct — near-dups (cosine ≈ 1−ε), never
+    * bit-identical vectors. (A first cut used vec_id mod 11 here, which
+    * made ids sharing a residue exact duplicates — the mass the doc side
+    * explicitly excludes via its unique tail token.)
     */
   def hotEmbeddings(emb: DataFrame): DataFrame =
     emb.withColumn("embedding",
       when(isHot("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i < 60, ((pmod(i, lit(7)) + lit(1)) * lit(0.25)).cast("float"))
-            .otherwise((pmod(col("vec_id"), lit(11)) * lit(0.01)).cast("float"))))
+            .otherwise((pmod(xxhash64(col("vec_id"), i), lit(97)) * lit(0.002)).cast("float"))))
         .otherwise(col("embedding")))
 
   private def timed[T](f: => T): (T, Double) = {

@@ -55,9 +55,29 @@ object ScaleBench {
     */
   private val EmbedTargets = Seq(
     "llm_embed_neardup_lsh", "llm_embed_clusters_lsh",
+    "llm_embed_neardup_lsh_auto", "llm_embed_clusters_lsh_auto",
     "llm_ann_ivf_kmeans", "llm_ann_ivf_indexed",
     "llm_knn_quantized", "llm_knn_pq",
     "llm_semdedup", "llm_kcenter_select")
+
+  /** Curve-only twins of the two pinned-parameter LSH queries (NOT
+    * registered/oracle-gated — the oracle must replay pinned bits/bands
+    * bit-for-bit): the auto-sized path `embeddingNearDupsLshAuto` derives
+    * (bits, bands) from the corpus, so the curve shows the deployable
+    * parameterization holding recall where the pinned one degenerates
+    * (its 8-bit buckets all cross the cap past ~16k vectors).
+    */
+  private val CurveOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_neardup_lsh_auto" -> ((s, dir) =>
+      graft.llm.Similarity.embeddingNearDupsLshAuto(
+        Tables.embeddings(s, dir), minCosine = 0.95)),
+    "llm_embed_clusters_lsh_auto" -> ((s, dir) =>
+      graft.llm.Dedup.connectedComponents(
+          graft.llm.Similarity.embeddingNearDupsLshAuto(
+            graft.llm.Similarity.plantTwins(Tables.embeddings(s, dir)),
+            minCosine = 0.95)
+            .select(col("id_a"), col("id_b")))
+        .select(col("id").as("vec_id"), col("cluster_id"))))
 
   /** Per-copy content re-identification: an AFFINE letter cipher
     * x → (a·x + b) mod 26 with a coprime to 26 — a length-exact alphabet
@@ -187,9 +207,10 @@ object ScaleBench {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val registry = SparkEntry.queries ++ (if (embSignFlip) CurveOnly else Map.empty)
     val targets = (if (embSignFlip) Targets ++ EmbedTargets else Targets)
       .filter(t => only.forall(_.contains(t)))
-      .filter(SparkEntry.queries.contains)
+      .filter(registry.contains)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = scales.map { k =>
       val dir = ensureScaled(spark, srcDir, k)
@@ -206,7 +227,7 @@ object ScaleBench {
       val cold = targets.map { q =>
         val t0 = System.nanoTime()
         val r = try {
-          val n = SparkEntry.queries(q)(spark, dir).count()
+          val n = registry(q)(spark, dir).count()
           Right(((System.nanoTime() - t0) / 1e9, n))
         }
         catch { case e: Throwable =>
@@ -216,7 +237,7 @@ object ScaleBench {
       val warmSweeps = (1 to passes).map { _ =>
         targets.map { q =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(q)(spark, dir).count();
+          try { registry(q)(spark, dir).count();
             q -> Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => q -> None }
         }.toMap

@@ -82,16 +82,28 @@ object Distill {
   def distillQuality(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import java.lang.Math.{addExact => add, multiplyExact => mul}
-    val cells = rawFeatures(docs, textCol)
+    val allCells = rawFeatures(docs, textCol)
       .groupBy("r1", "r2", "r3", "y").agg(count(lit(1)).as("cnt"))
       .collect()
+    // A null text row collapses to the ONE possible null-carrying cell
+    // (r1=128, r2=16, r3=NULL, y=NULL): least(NULL, k) skips nulls in
+    // both engines, so r1/r2 stay non-null while r3/y (plain arithmetic/
+    // AND over nulls) do not. The row-wise aggregation therefore counted
+    // such rows in N and in the r1/r2 centering sums, and skipped them in
+    // the r3 sum, every gradient (err is null), and every confusion cell
+    // (null conditions fall to otherwise(0)) — replicated here exactly,
+    // because the DuckDB oracle computes the same SQL semantics.
+    val (nullCells, cells0) = allCells.partition(_.isNullAt(3))
+    val cells = cells0
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // integer-mean centering from the same histogram (3 longs + N)
-    val n = cells.foldLeft(0L)((a, c) => add(a, c._5))
+    val n = allCells.foldLeft(0L)((a, r) => add(a, r.getLong(4)))
     require(n > 0, "empty corpus")
-    def centered(sel: ((Long, Long, Long, Long, Long)) => Long): Long =
-      cells.foldLeft(0L)((a, c) => add(a, mul(sel(c), c._5))) / n
-    val (c1, c2, c3) = (centered(_._1), centered(_._2), centered(_._3))
+    def colSum(i: Int, rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.foldLeft(0L)((a, r) => add(a, mul(r.getLong(i), r.getLong(4))))
+    val c1 = colSum(0, allCells) / n
+    val c2 = colSum(1, allCells) / n
+    val c3 = colSum(2, cells0) / n
     val feat = cells.map { case (r1, r2, r3, y, cnt) => (r1 - c1, r2 - c2, r3 - c3, y, cnt) }
     var w = Array(0L, 0L, 0L, 0L)
     def zOf(c: (Long, Long, Long, Long, Long)): Long =

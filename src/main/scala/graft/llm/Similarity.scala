@@ -699,6 +699,15 @@ object Similarity {
     * collides in its other (non-degenerate) bands, while an identical-
     * vector mass (which collides oversized in EVERY band) is upstream
     * exact-dedup's job: group by a hash of the vector, never a pair join.
+    *
+    * `bitsPerBand` MUST be sized to the corpus (expected occupancy
+    * n/2^bits ≲ maxBucket/4, i.e. what [[hyperplaneParams]] returns):
+    * with too few bits EVERY bucket exceeds the cap and recall silently
+    * collapses to zero — the 20×/40× embedding scale curve measured
+    * exactly that for a pinned 8-bit config (planted-twin clusters
+    * 36 → 9 → 0 as occupancy crossed the cap). Callers that don't pin
+    * the parameterization for oracle replay should use
+    * [[embeddingNearDupsLshAuto]].
     */
   def embeddingNearDupsLsh(
       corpus: DataFrame, bitsPerBand: Int, bands: Int,
@@ -725,6 +734,21 @@ object Similarity {
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** [[embeddingNearDupsLsh]] with (bits, bands) derived from the corpus
+    * itself — the deployable form at unknown or growing n: one count job
+    * (ids only) sizes the banding so bucket occupancy stays O(16) and the
+    * at-threshold miss probability stays under `targetMiss` no matter how
+    * large the corpus grows. The fixed-parameter form exists for configs
+    * that must replay bit-for-bit in an oracle (pinned bits/bands).
+    */
+  def embeddingNearDupsLshAuto(corpus: DataFrame, minCosine: Double,
+                               targetMiss: Double = 1e-6,
+                               maxBucket: Int = 64): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    val (bits, bands) = hyperplaneParams(n, minCosine, targetMiss)
+    embeddingNearDupsLsh(corpus, bits, bands, minCosine, maxBucket)
   }
 
   /** [[graft.llm.Dedup.LshCandidateStats]] for the exact banding

@@ -502,11 +502,20 @@ object TextAnalysis {
   def winnowCandidateStats(docs: DataFrame, textCol: String, idCol: String)
       : Dedup.LshCandidateStats =
     Dedup.candidateStatsOf(
-      docs.select(col(idCol).as("doc_id"),
-          explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
-        .select(col("doc_id"), (col("v") % lit(4294967296L)).as("fp"))
-        .distinct(),
-      Seq("fp"), WinnowDfCap)
+      winnowPostings(docs, textCol, idCol, "doc_id"), Seq("fp"), WinnowDfCap)
+
+  /** The distinct (id, fp) winnow postings every consumer joins on — ONE
+    * definition, so the stats accounting, the overlap report, and the
+    * probe path can never drift on the fp packing (v mod 2³²) or the
+    * winnow parameters they all claim to share.
+    */
+  private[graft] def winnowPostings(docs: DataFrame, textCol: String,
+                                    idCol: String, outId: String): DataFrame =
+    docs
+      .select(col(idCol).as(outId),
+        explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
+      .select(col(outId), (col("v") % lit(4294967296L)).as("fp"))
+      .distinct()
 
   /** The winnowed fingerprint SET per document (pos = 0-based gram
     * start): the at-rest artifact a MOSS-style overlap service indexes.
@@ -543,12 +552,7 @@ object TextAnalysis {
     // one winnow scan, checkpointed: the (doc, fp) set feeds FOUR
     // consumers (set sizes, df counts, both join sides) — without the
     // checkpoint the document scan + expression run four times
-    val sel = docs
-      .select(col(idCol).as("doc_id"),
-        explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
-      .select(col("doc_id"), (col("v") % lit(4294967296L)).as("fp"))
-      .distinct()
-      .localCheckpoint()
+    val sel = winnowPostings(docs, textCol, idCol, "doc_id").localCheckpoint()
     val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     // df gate FIRST, as a scalar count + semi-join, so the collect_list
     // below only ever aggregates fps already known to be ≤ DfCap: on a
@@ -636,11 +640,7 @@ object TextAnalysis {
       spark: SparkSession, postingsDir: String, queries: DataFrame,
       textCol: String, idCol: String, nBands: Int,
       minShared: Int, dfCap: Option[Int] = None): (DataFrame, DataFrame) = {
-    val q = queries
-      .select(col(idCol).as("query_id"),
-        explode(Fingerprints.winnowSet(lower(trim(col(textCol))), WinnowK, WinnowW)).as("v"))
-      .select(col("query_id"), (col("v") % lit(4294967296L)).as("fp"))
-      .distinct()
+    val q = winnowPostings(queries, textCol, idCol, "query_id")
       .withColumn("band", pmod(col("fp"), lit(nBands.toLong)))
       .localCheckpoint() // feeds the band prune list AND the join
     val hit = q.select(col("band")).distinct().collect().map(_.getLong(0))

@@ -26,25 +26,34 @@ object CatalogTable {
   // Same memo discipline as Bucketed/orcRoot: one partitioned write +
   // registration per (session, source dir, source fingerprint); rebuilds
   // drop the stale registration and root, one exit hook reaps live roots.
-  private val built =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long, String)]
+  // All three session-keyed maps are WEAK-keyed: a strong TrieMap key
+  // would pin every SparkSession (SessionState, caches, catalogs) that
+  // ever touched this object for the life of the driver.
+  private def weakMap[V <: AnyRef]: java.util.Map[SparkSession, V] =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, V])
+
+  private val built = weakMap[(String, Long, String)]
 
   // one lock per session: registration is DROP+CREATE+recover against a
   // shared-metastore name, so two concurrent builders for the same
   // session would both register and the loser's root would fall out of
   // `built` untracked (never reaped)
-  private val buildLocks =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
+  private val buildLocks = weakMap[Object]
 
   private def lockFor(spark: SparkSession): Object =
-    buildLocks.getOrElseUpdate(spark, new Object)
+    buildLocks.computeIfAbsent(spark, _ => new Object)
 
   private def sourceFingerprint(dir: String): Long =
     Snapshot.fingerprint(dir, "events.parquet")
 
+  // the exit hook reaps from a session-FREE root registry: a root whose
+  // session was GC'd (weak `built` entry gone) must still be deleted at
+  // JVM exit, so the strings are tracked separately from the weak memo
+  private val exitRoots = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   private lazy val exitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      built.values.foreach { case (_, _, root) => Fs.delete(root) }))
+      exitRoots.keys.foreach(Fs.delete)))
 
   /** Catalog names must be session-unique on a SHARED metastore and
     * unique across session lifetimes, so the tag is a memoized random
@@ -52,23 +61,23 @@ object CatalogTable {
     * collide between live sessions), letting this session's
     * `DROP TABLE IF EXISTS` take another session's live table.
     */
-  private val sessionTag =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  private val sessionTag = weakMap[String]
 
   private def tableName(spark: SparkSession): String =
-    "graft_events_cat_" + sessionTag.getOrElseUpdate(spark,
-      java.util.UUID.randomUUID().toString.replace("-", ""))
+    "graft_events_cat_" + sessionTag.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString.replace("-", ""))
 
   private[graft] def trackedRoot(spark: SparkSession): Option[String] =
-    built.get(spark).map(_._3)
+    Option(built.get(spark)).map(_._3)
 
   private[graft] def sessionTableName(spark: SparkSession): String = tableName(spark)
 
   private[graft] def clearCatalogCache(spark: SparkSession): Unit =
     lockFor(spark).synchronized {
-      built.remove(spark).foreach { case (_, _, oldRoot) =>
+      Option(built.remove(spark)).foreach { case (_, _, oldRoot) =>
         spark.sql(s"DROP TABLE IF EXISTS ${tableName(spark)}")
         Fs.delete(oldRoot)
+        exitRoots.remove(oldRoot)
       }
     }
 
@@ -80,7 +89,7 @@ object CatalogTable {
     lockFor(spark).synchronized {
       val name = tableName(spark)
       val fp = sourceFingerprint(dir)
-      if (!built.get(spark).exists(e => e._1 == dir && e._2 == fp)) {
+      if (!Option(built.get(spark)).exists(e => e._1 == dir && e._2 == fp)) {
         clearCatalogCache(spark)
         exitHook
         // driver-local scratch, but created/addressed through the Fs seam
@@ -103,7 +112,8 @@ object CatalogTable {
         // the MSCK REPAIR / ALTER TABLE ADD PARTITION replacement: one
         // catalog-side listing, no per-batch DDL
         spark.catalog.recoverPartitions(name)
-        built(spark) = (dir, fp, root)
+        built.put(spark, (dir, fp, root))
+        exitRoots.put(root, ())
       }
       name
     }

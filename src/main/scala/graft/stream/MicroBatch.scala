@@ -844,9 +844,21 @@ object MicroBatch {
   }
 
   def compactLedgeredTable(spark: SparkSession, tableDir: String, stateDir: String): Boolean = {
-    if (!graft.store.Fs.exists(tableDir) ||
-        !graft.store.Versioned.exists(stateDir)) return false
-    if (!compactionPending(spark, tableDir, stateDir)) return false
+    // the no-op probes need a REGISTERED filesystem; on a scheme with no
+    // connector at all (s3a without hadoop-aws) they throw an opaque
+    // UnsupportedFileSystemException before the atomicity gate below can
+    // give its deploy-as-Versioned guidance — translate that case into
+    // the gate's refusal (pure URI work, needs no connector)
+    val noOp = try {
+      !graft.store.Fs.exists(tableDir) ||
+        !graft.store.Versioned.exists(stateDir) ||
+        !compactionPending(spark, tableDir, stateDir)
+    } catch {
+      case e: Exception =>
+        graft.store.Fs.requireAtomicDirRename(tableDir, "MicroBatch.compactLedgeredTable")
+        throw e
+    }
+    if (noOp) return false
     // the staged `_retired` partition move below is a directory rename;
     // unlike the Lake swaps it is bless-published (a partial copy stays
     // invisible until the snapshot flip), but on an object store it is

@@ -42,6 +42,22 @@ class DistillSpec extends SparkSpec {
     assert(a == b, s"$a vs $b")
   }
 
+  test("null text rows count toward N and nothing else (the row-wise aggregation's semantics)") {
+    // the histogram path must keep the old behavior: a null text row
+    // nulled every feature, so it fell out of all sums/confusion cells
+    // but was still counted by count(lit(1)) in the update divisor
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val clean = run(base).toSeq
+    val withNull = run(base.select(col("doc_id"),
+      when(col("doc_id") =!= base.select(min("doc_id")).head().getLong(0), col("text"))
+        .as("text"))).toSeq
+    // one doc nulled: n changes by 1, so the trajectory may shift — the
+    // assertion is completion plus conservation of the confusion mass
+    val conf = withNull.drop(4).map(_.asInstanceOf[Long]).sum
+    assert(conf == base.count() - 1, s"confusion mass $conf != docs-1")
+    assert(clean.size == 8 && withNull.size == 8)
+  }
+
   test("cluster work is one histogram job, independent of the round count") {
     // the 20-round trajectory replays on the driver from the finite-domain
     // feature histogram — the per-ROUND aggregation jobs (>= 22 before the

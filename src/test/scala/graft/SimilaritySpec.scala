@@ -424,6 +424,37 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
       s"off-family twin lost; found ${pairs.length} pairs")
   }
 
+  test("auto-sized LSH keeps recall where the pinned 8-bit banding degenerates") {
+    // 60k 64-dim vectors: expected 8-bit bucket occupancy 60000/256 ≈ 234,
+    // decisively past the 64 cap even for rare signature patterns (at 16
+    // dims / 30k a rare-signature tail bucket kept the twin alive), so the
+    // pinned config drops the planted pair — the silent recall collapse
+    // the 20×/40× embedding curve measured (planted clusters 36 → 9 → 0).
+    // hyperplaneParams sizes bits to the corpus (12 bits → occupancy ~15)
+    // and the same planted twin is found again.
+    val base = spark.range(60000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000L)) / lit(500.0)) - lit(1.0))
+          .cast("float")).as("embedding"))
+    val twin = base.filter($"vec_id" === 5).select(
+      lit(95005L).as("vec_id"),
+      transform($"embedding", (x, i) => (x + when(i === 0, 0.01f).otherwise(0.0f))
+        .cast("float")).as("embedding"))
+    val corpus = base.union(twin).localCheckpoint()
+    val pinned = Similarity.embeddingNearDupsLsh(corpus,
+      bitsPerBand = 8, bands = 25, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // a handful of tail-bucket pairs can survive the cap; the planted
+    // twin — whose buckets sit at the ~117 mean occupancy — cannot
+    assert(!pinned.contains((5L, 95005L)),
+      s"pinned banding unexpectedly kept the twin (${pinned.length} pairs)")
+    val auto = Similarity.embeddingNearDupsLshAuto(corpus, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(auto.contains((5L, 95005L)),
+      s"auto-sized banding lost the planted twin; found ${auto.mkString(",")}")
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

@@ -712,28 +712,38 @@ object Similarity {
   def embeddingNearDupsLsh(
       corpus: DataFrame, bitsPerBand: Int, bands: Int,
       minCosine: Double, maxBucket: Int = 64): DataFrame = {
-    val embs = corpus.select(col("vec_id"), col("embedding"))
     val bandedAll = corpus.select(
-      col("vec_id"),
+      col("vec_id"), col("embedding"),
       explode(VectorExprs.hyperplaneBands(col("embedding"), bitsPerBand, bands)).as("bucket"))
+    // sizing pass FIRST, on ids only (Catalyst prunes the embedding from
+    // the count), so no collect_list buffer ever touches an uncapped
+    // bucket — same hazard order as the winnow/minhash df gates
     val useful = bandedAll.groupBy(col("bucket"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucket)
       .select(col("bucket"))
-    val banded = bandedAll.join(useful, Seq("bucket"), "left_semi")
-    // self-join form deliberately kept (ReusedExchange + codegen; the
-    // interpreted in-list expansion measured at parity or worse — see
-    // the containment/minhash notes in Dedup)
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    pairs
-      .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+    // In-bucket verify: each kept banded row shuffles its embedding ONCE
+    // (≈ rows·300 B), the pair expansion + exact cosine run MAP-SIDE on
+    // the ≤ maxBucket member array, and only survivors leave the stage.
+    // The previous shape (ids-only pair self-join, then TWO embedding
+    // fetch joins) shuffled both embeddings per CANDIDATE — ~30 GB at
+    // the 40× curve point against ~1 GB here, the measured 4× wall bend.
+    // A pair colliding in several bands is re-verified per band (the
+    // cosine is 64 codegen'd FLOPs — cheap against a wire crossing);
+    // sim_r is functional on the pair, so the final distinct still emits
+    // exactly one row per near-dup pair.
+    val grouped = bandedAll.join(useful, Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+    grouped
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("sim"), 4).as("sim_r"))
+      .distinct()
   }
 
   /** [[embeddingNearDupsLsh]] with (bits, bands) derived from the corpus

@@ -24,6 +24,10 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // the start sample also settles first: sbt/JVM startup itself leaves
+    // ~1.6 in the 1-min average by the time main() runs on an idle box —
+    // a self-inflicted spike, same class as the end sample's final burst
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "90000").toLong * 2 / 3)
     val loadStart = osBean.getSystemLoadAverage
     // a sample is Right(sec) on success, Left(error) on failure — a
     // query that starts throwing must NOT silently improve the total
@@ -63,19 +67,27 @@ object Bench {
       extra += 1
       unstable = unstable.filter(n => errs.get(n).isEmpty && minGap(times(n)) > minGapPct)
     }
-    val loadEnd = osBean.getSystemLoadAverage
     // Load gate (r16 verdict: the closing artifact was taken at load_avg
     // 2.81 and three rows crossed the regression rule on noise alone).
-    // The START sample must show a quiet box (<= maxLoad); the END sample
-    // gets a +1.0 self-load margin because a full sweep's own bursty
-    // 32-thread work leaves ~1.7-1.9 in the trailing 1-min average even
-    // on an otherwise idle box (every quiet r15/r16 run ended there) —
-    // the margin still flags the 2.81 artifact this gate exists for.
-    // A failing run is machine-flagged in the artifact (`load_ok:false`),
-    // and with SPARK_GRAFT_BENCH_REQUIRE_QUIET set it refuses to publish
-    // at all — the closing-pair discipline. Negative load = platform
-    // can't say; counts as ok but stays visible in the load_avg field.
-    val loadOk = loadStart <= maxLoad && loadEnd <= maxLoad + 1.0
+    // The START sample must show a quiet box (<= maxLoad). The END sample
+    // is taken after a 90 s settle: sampled at the instant the sweep
+    // finishes, the 1-min average reads the sweep's OWN final burst — on
+    // this tree it lands 3.1-3.4 on a provably idle box (three r17 runs
+    // with quiet 0.6-1.0 starts and 0.5-2% min-gaps all "failed" an
+    // immediate-sample bound), indistinguishable from an externally
+    // loaded box. After 90 s the self-burst decays by e^-1.5 (~3.3 →
+    // ~0.7) while genuinely sustained external load keeps the average
+    // up, so the settled bound can be TIGHTER (+0.5, was +1.0) and still
+    // separate the two cases the immediate sample conflates; a transient
+    // external spike mid-run is the per-query min-gap corroboration's
+    // job either way. A failing run is machine-flagged in the artifact
+    // (`load_ok:false`), and with SPARK_GRAFT_BENCH_REQUIRE_QUIET set it
+    // refuses to publish — the closing-pair discipline (the refused
+    // measurement is still written to <out>.refused.json for audit).
+    // Negative load = platform can't say; counts as ok but stays visible.
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "90000").toLong)
+    val loadEnd = osBean.getSystemLoadAverage
+    val loadOk = loadStart <= maxLoad && loadEnd <= maxLoad + 0.5
     // failed = any sweep errored; reported as value -1 plus an errors map,
     // and excluded from the total (a partial total plus explicit errors is
     // machine-detectable; a silently shrunken one is not)
@@ -129,6 +141,14 @@ object Bench {
       System.err.println(s"[bench] REFUSING to publish: load_avg " +
         s"[$loadStart, $loadEnd] exceeds the $maxLoad quiet-box bound " +
         "(SPARK_GRAFT_BENCH_REQUIRE_QUIET set) — re-run on a quiet box")
+      // the refused measurement stays DIAGNOSABLE (which query stretch the
+      // load hit, whether per-query minima still corroborated) without
+      // touching the publish path — a refusal that destroys its own
+      // evidence can't be audited
+      val refusedOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json") +
+        ".refused.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(refusedOut), line + "\n")
+      catch { case _: Throwable => () }
       spark.stop()
       sys.exit(3)
     }

@@ -105,6 +105,17 @@ object Multimodal {
     */
   object ImageCodec {
 
+    /** ImageIO's default stream cache SPOOLS EVERY payload to a temp file
+      * on disk before decoding (`getUseCache()` is true out of the box) —
+      * a per-decode disk round-trip that made the mm_image bench rows
+      * bimodal run-to-run (0.7 s vs 1.6 s depending on tmp/page-cache
+      * state) and, at scale, turns an in-memory byte-array decode into
+      * executor-local disk I/O. The payloads here are already byte
+      * arrays, so the memory cache is strictly correct; JVM-global,
+      * idempotent, and executors hit it on first Codec construction.
+      */
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Per-partition decoder state (the `StubCodec.Codec` seam, real). */
     final class Codec {
 

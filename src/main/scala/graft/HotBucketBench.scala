@@ -59,14 +59,19 @@ object HotBucketBench {
     * member is pairwise distinct — near-dups (cosine ≈ 1−ε), never
     * bit-identical vectors. (A first cut used vec_id mod 11 here, which
     * made ids sharing a residue exact duplicates — the mass the doc side
-    * explicitly excludes via its unique tail token.)
+    * explicitly excludes via its unique tail token. A second cut drew
+    * from only 97 values per dim: an all-4-dim collision is ~1.1e-8 per
+    * pair, negligible at 20× but quadratic in scale — 100003 values per
+    * dim puts an accidental exact dup at ~1e-20 per pair, impossible at
+    * any scale this bench will see, at the same ≤0.2 magnitude.)
     */
   def hotEmbeddings(emb: DataFrame): DataFrame =
     emb.withColumn("embedding",
       when(isHot("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i < 60, ((pmod(i, lit(7)) + lit(1)) * lit(0.25)).cast("float"))
-            .otherwise((pmod(xxhash64(col("vec_id"), i), lit(97)) * lit(0.002)).cast("float"))))
+            .otherwise((pmod(xxhash64(col("vec_id"), i), lit(100003L)) * lit(0.0000019))
+              .cast("float"))))
         .otherwise(col("embedding")))
 
   private def timed[T](f: => T): (T, Double) = {

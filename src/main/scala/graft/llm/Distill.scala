@@ -81,7 +81,7 @@ object Distill {
     */
   def distillQuality(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    import java.lang.Math.{addExact => add, multiplyExact => mul}
+    import java.lang.Math.{addExact => add, multiplyExact => mul, subtractExact => sub}
     val allCells = rawFeatures(docs, textCol)
       .groupBy("r1", "r2", "r3", "y").agg(count(lit(1)).as("cnt"))
       .collect()
@@ -111,16 +111,18 @@ object Distill {
     for (_ <- 1 to Iterations) {
       val g = Array(0L, 0L, 0L, 0L)
       feat.foreach { c =>
-        val p4 = math.max(0L, math.min(4L * S, add(zOf(c), 2L * S)))
-        val err = mul(4L * S * c._4 - p4, c._5) // Σ over the cell's cnt rows
+        // every term add/mul/subExact: the loud-overflow contract is
+        // uniform, not argued per-expression from today's constants
+        val p4 = math.max(0L, math.min(mul(4L, S), add(zOf(c), mul(2L, S))))
+        val err = mul(sub(mul(mul(4L, S), c._4), p4), c._5) // Σ over the cell's cnt rows
         g(0) = add(g(0), err)
         g(1) = add(g(1), mul(err, c._1))
         g(2) = add(g(2), mul(err, c._2))
         g(3) = add(g(3), mul(err, c._3))
       }
       w = Array(
-        w(0) + g(0) / (D0 * n), w(1) + g(1) / (D1 * n),
-        w(2) + g(2) / (D2 * n), w(3) + g(3) / (D3 * n))
+        add(w(0), g(0) / mul(D0, n)), add(w(1), g(1) / mul(D1, n)),
+        add(w(2), g(2) / mul(D2, n)), add(w(3), g(3) / mul(D3, n)))
     }
     val conf = Array(0L, 0L, 0L, 0L) // tp, fp, fn, tn
     feat.foreach { c =>

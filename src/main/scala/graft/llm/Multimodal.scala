@@ -105,19 +105,22 @@ object Multimodal {
     */
   object ImageCodec {
 
-    /** ImageIO's default stream cache SPOOLS EVERY payload to a temp file
-      * on disk before decoding (`getUseCache()` is true out of the box) —
-      * a per-decode disk round-trip that made the mm_image bench rows
-      * bimodal run-to-run (0.7 s vs 1.6 s depending on tmp/page-cache
-      * state) and, at scale, turns an in-memory byte-array decode into
-      * executor-local disk I/O. The payloads here are already byte
-      * arrays, so the memory cache is strictly correct; JVM-global,
-      * idempotent, and executors hit it on first Codec construction.
-      */
-    javax.imageio.ImageIO.setUseCache(false)
-
     /** Per-partition decoder state (the `StubCodec.Codec` seam, real). */
     final class Codec {
+
+      // ImageIO's default stream cache SPOOLS EVERY payload to a temp
+      // file on disk before decoding (`getUseCache()` is true out of the
+      // box) — a per-decode disk round-trip that made the mm_image bench
+      // rows bimodal run-to-run (0.7 s vs 1.6 s depending on
+      // tmp/page-cache state) and, at scale, turns an in-memory
+      // byte-array decode into executor-local disk I/O. The payloads here
+      // are already byte arrays, so the memory cache is strictly correct.
+      // This MUST live in the class constructor, not the enclosing
+      // object's body: `new ImageCodec.Codec` on an executor does NOT
+      // force `ImageCodec`'s object initializer in Scala 2.13 (Codec
+      // references no object member), so an object-level statement never
+      // runs there. JVM-global, idempotent, cheap per construction.
+      javax.imageio.ImageIO.setUseCache(false)
 
       /** Encode an 8-bit grayscale image; PNG is lossless, so decoded
         * samples equal `pix(x, y)` exactly.

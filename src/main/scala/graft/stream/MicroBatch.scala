@@ -847,15 +847,27 @@ object MicroBatch {
     // the no-op probes need a REGISTERED filesystem; on a scheme with no
     // connector at all (s3a without hadoop-aws) they throw an opaque
     // UnsupportedFileSystemException before the atomicity gate below can
-    // give its deploy-as-Versioned guidance — translate that case into
-    // the gate's refusal (pure URI work, needs no connector)
+    // give its deploy-as-Versioned guidance — translate ONLY that case
+    // into the gate's refusal (pure URI work, needs no connector), with
+    // the probe failure attached as the cause. Any other probe failure
+    // (auth, transient connector IO, malformed state) propagates as
+    // itself: replacing it with deploy guidance would mask the real
+    // fault (r17 advice).
+    def isNoConnector(t: Throwable): Boolean = t != null && (
+      t.isInstanceOf[org.apache.hadoop.fs.UnsupportedFileSystemException] ||
+        Option(t.getMessage).exists(_.contains("No FileSystem for scheme")) ||
+        isNoConnector(t.getCause))
     val noOp = try {
       !graft.store.Fs.exists(tableDir) ||
         !graft.store.Versioned.exists(stateDir) ||
         !compactionPending(spark, tableDir, stateDir)
     } catch {
-      case e: Exception =>
-        graft.store.Fs.requireAtomicDirRename(tableDir, "MicroBatch.compactLedgeredTable")
+      case e: Exception if isNoConnector(e) =>
+        try graft.store.Fs.requireAtomicDirRename(tableDir, "MicroBatch.compactLedgeredTable")
+        catch {
+          case gate: UnsupportedOperationException if gate ne e =>
+            gate.initCause(e); throw gate
+        }
         throw e
     }
     if (noOp) return false

@@ -1372,6 +1372,31 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
+  /** THE deployable near-dup entry point, oracle-gated: (bits, bands)
+    * derived from the corpus count by [[hyperplaneParams]] — the pinned
+    * (8, 25) twin above is the oracle-replay form, and round 17's scale
+    * curves proved that a pinned banding silently loses ALL recall once
+    * the corpus outgrows it (planted clusters 36 → 9 → 0 past ~16k
+    * vectors). Twin-augmented for the same reason as the cluster query:
+    * the raw synthetic corpus has no pairs at cosine ≥ 0.95, and an
+    * empty answer would gate nothing.
+    */
+  def nearDupLshAutoQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLshAuto(plantTwins(Tables.embeddings(spark, dir)),
+        minCosine = LshTau)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Auto-sized LSH clusters — [[embedClustersLshQuery]]'s deployable
+    * twin, same CC tail over the auto-banded verified pairs.
+    */
+  def embedClustersLshAutoQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        embeddingNearDupsLshAuto(plantTwins(Tables.embeddings(spark, dir)),
+          minCosine = LshTau)
+          .select(col("id_a"), col("id_b")))
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
     * within-cluster pruning — k-means the corpus (the deterministic
     * integer trainer IVF uses), and inside each cluster drop the higher
@@ -1521,8 +1546,10 @@ object Similarity {
     "llm_ann_ivf_indexed" -> (ivfIndexedQuery _),
     "llm_embed_neardup" -> (nearDupQuery _),
     "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
+    "llm_embed_neardup_lsh_auto" -> (nearDupLshAutoQuery _),
     "llm_embed_clusters" -> (embedClustersQuery _),
     "llm_embed_clusters_lsh" -> (embedClustersLshQuery _),
+    "llm_embed_clusters_lsh_auto" -> (embedClustersLshAutoQuery _),
     "llm_embed_quality" -> ((s: SparkSession, dir: String) =>
       embeddingQuality(Tables.embeddings(s, dir))))
 
@@ -1834,8 +1861,11 @@ object Similarity {
     * accumulation, so every sign bit — hence every signature, bucket cap,
     * candidate and cluster — agrees bit-for-bit with the Scala kernel.
     * Emits CTEs `hbits … hpl`; `hpl` is (bit, comps DOUBLE[dim]).
+    * `bitsSql`/`bandsSql` are SQL scalar expressions (constants for the
+    * pinned replica, scalar subqueries over a `params` CTE for the
+    * corpus-sized auto replica).
     */
-  private def hyperplaneCtes(bitsPerBand: Int, bands: Int, dimSql: String): String = {
+  private def hyperplaneCtes(bitsSql: String, bandsSql: String, dimSql: String): String = {
     def xorShift(src: String, dst: String) =
       s"""$dst AS (
          |  SELECT bit, dim, CASE WHEN y < 0
@@ -1854,7 +1884,7 @@ object Similarity {
          |  FROM $src)""".stripMargin
     // constants are the unsigned values of MinHashCore.Golden, 0x9e3779b9,
     // and murmur3's fmix64 multipliers 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53
-    s"""hbits AS (SELECT unnest(range(${bands * bitsPerBand})) AS bit),
+    s"""hbits AS (SELECT unnest(range(CAST(($bandsSql) * ($bitsSql) AS BIGINT))) AS bit),
        |hdims AS (SELECT unnest(range($dimSql)) AS dim),
        |h0 AS (SELECT bit, dim,
        |  (CAST(bit AS HUGEINT) * 11400714819323198485 + 2654435769 * dim + 1)
@@ -1916,16 +1946,14 @@ object Similarity {
        |FROM assign a LEFT JOIN drops d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
 
-  /** The llm_embed_clusters_lsh replica: planted twins → banded hyperplane
-    * signatures → capped buckets → candidate pairs → exact-cosine verify →
-    * transitive closure (same recursive tail as llm_embed_clusters).
+  /** Shared twin-augmentation CTEs (`dimc`/`mx`/`base`/`tw`): dim and
+    * twin offsets are DERIVED FROM THE DATA (r5 advice) — the Scala
+    * kernel reads the actual array length and plants twins above
+    * max(vec_id), so the oracle must follow the same data, not mirror
+    * constants that silently diverge when the corpus changes.
     */
-  private lazy val EmbedClustersLshSql: String = {
-    // dim and twin offsets are DERIVED FROM THE DATA (r5 advice): the
-    // Scala kernel reads the actual array length and plants twins above
-    // max(vec_id), so the oracle must follow the same data, not mirror
-    // constants that silently diverge when the corpus changes
-    s"""WITH RECURSIVE dimc AS MATERIALIZED (
+  private lazy val TwinCtes: String =
+    s"""dimc AS MATERIALIZED (
        |  SELECT len(embedding) AS d FROM embeddings LIMIT 1),
        |mx AS MATERIALIZED (
        |  SELECT MAX(CAST(vec_id AS BIGINT)) AS m FROM embeddings),
@@ -1941,18 +1969,29 @@ object Similarity {
        |  UNION ALL
        |  SELECT vec_id + (SELECT m + 1 + $TwinCount FROM mx), list_transform(range(len(emb)),
        |    i -> CASE WHEN i = 1 THEN emb[i+1] + $TwinBump ELSE emb[i+1] END)
-       |  FROM base WHERE vec_id < $TwinCount),
-       |${hyperplaneCtes(LshBits, LshBands, "(SELECT d FROM dimc)")},
-       |dots AS (
+       |  FROM base WHERE vec_id < $TwinCount)""".stripMargin
+
+  /** Shared banded-LSH pair CTEs over `tw` + `hpl`: sign dots → banded
+    * signatures → the >1 ∧ ≤maxBucket bucket filter → in-bucket candidate
+    * pairs → exact-cosine verify. Emits `p` as (id_a, id_b, sim).
+    * `bitsSql` is a SQL scalar expression (constant or params subquery);
+    * band/pos are projected BEFORE the group-by so a scalar subquery
+    * never appears in a grouping expression.
+    */
+  private def lshBandPairCtes(bitsSql: String, tau: Double): String =
+    s"""dots AS (
        |  SELECT t.vec_id, h.bit,
        |    list_reduce(list_transform(range(len(t.emb)),
        |      i -> t.emb[i+1] * h.comps[i+1]), (a, b) -> a + b) AS dot
        |  FROM tw t, hpl h),
+       |dotsb AS (
+       |  SELECT vec_id, bit // ($bitsSql) AS band, bit % ($bitsSql) AS pos, dot
+       |  FROM dots),
        |sig0 AS (
-       |  SELECT vec_id, bit // $LshBits AS band,
-       |    COALESCE(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << (bit % $LshBits) END), 0) AS lowbits
-       |  FROM dots GROUP BY vec_id, bit // $LshBits),
-       |sigs AS MATERIALIZED (SELECT vec_id, lowbits + (band << $LshBits) AS bucket FROM sig0),
+       |  SELECT vec_id, band,
+       |    COALESCE(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << pos END), 0) AS lowbits
+       |  FROM dotsb GROUP BY vec_id, band),
+       |sigs AS MATERIALIZED (SELECT vec_id, lowbits + (band << ($bitsSql)) AS bucket FROM sig0),
        |useful AS MATERIALIZED (SELECT bucket FROM sigs GROUP BY bucket
        |           HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
        |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1960,18 +1999,91 @@ object Similarity {
        |  JOIN (SELECT s.* FROM sigs s JOIN useful USING (bucket)) b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |p AS MATERIALIZED (
-       |  SELECT c.id_a, c.id_b
+       |  SELECT c.id_a, c.id_b, list_cosine_similarity(ta.emb, tb.emb) AS sim
        |  FROM cand c JOIN tw ta ON ta.vec_id = c.id_a
        |              JOIN tw tb ON tb.vec_id = c.id_b
-       |  WHERE list_cosine_similarity(ta.emb, tb.emb) >= $LshTau),
-       |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
-       |reach(u, v) AS (
-       |  SELECT u, v FROM e
-       |  UNION
-       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
-       |SELECT u AS vec_id, least(u, MIN(v)) AS cluster_id
-       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+       |  WHERE list_cosine_similarity(ta.emb, tb.emb) >= $tau)""".stripMargin
+
+  /** Transitive-closure tail over `p` (same recursive shape as
+    * llm_embed_clusters' oracle).
+    */
+  private val CcTailSql: String =
+    """e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+      |SELECT u AS vec_id, least(u, MIN(v)) AS cluster_id
+      |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+
+  /** The llm_embed_clusters_lsh replica: planted twins → banded hyperplane
+    * signatures → capped buckets → candidate pairs → exact-cosine verify →
+    * transitive closure (same recursive tail as llm_embed_clusters).
+    */
+  private lazy val EmbedClustersLshSql: String =
+    s"""WITH RECURSIVE $TwinCtes,
+       |${hyperplaneCtes(LshBits.toString, LshBands.toString, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(LshBits.toString, LshTau)},
+       |$CcTailSql""".stripMargin
+
+  /** (bits, bands) replica of [[hyperplaneParams]] for the AUTO oracles,
+    * over the twin-augmented count. `bits` replays the float formula
+    * (ln/ceil are the same IEEE double ops in both engines; the test
+    * corpus counts sit nowhere near a power-of-two boundary, and
+    * AutoLshParamsSpec pins the Scala function against this table's
+    * domain). `bands` depends only on `bits` once τ and targetMiss are
+    * fixed, so it is BAKED as a CASE table computed from the Scala
+    * function and spec-pinned entry by entry — no float log1p/pow parity
+    * is assumed between engines. A `bits` outside the table yields NULL
+    * bands → zero hyperplanes → an oracle/engine mismatch, i.e. a LOUD
+    * gate failure rather than a silent wrong-parameter comparison.
+    */
+  private lazy val AutoParamsCte: String = {
+    val bandsByBits = AutoBandsTable
+      .map { case (b, k) => s"WHEN $b THEN $k" }.mkString(" ")
+    s"""params AS MATERIALIZED (
+       |  SELECT nn, bits, CASE bits $bandsByBits END AS bands
+       |  FROM (SELECT nn,
+       |          GREATEST(8, CAST(ceil(ln(nn / 16.0) / ln(2.0)) AS INTEGER)) AS bits
+       |        FROM (SELECT CAST((SELECT COUNT(*) + ${2 * TwinCount} FROM embeddings)
+       |                       AS DOUBLE) AS nn)))""".stripMargin
   }
+
+  /** bands per bits for (τ = LshTau, targetMiss = 1e-6), computed FROM
+    * [[hyperplaneParams]] itself (n = largest count mapping to each bits
+    * value) — the baked SQL table and the Scala function cannot drift
+    * without AutoLshParamsSpec failing.
+    */
+  private[graft] lazy val AutoBandsTable: Seq[(Int, Int)] =
+    (8 to 24).map { b =>
+      val (bits, bands) = hyperplaneParams(16L << b, LshTau)
+      require(bits == b, s"hyperplaneParams(16*2^$b) landed on bits=$bits")
+      b -> bands
+    }
+
+  private lazy val AutoBitsSql = "(SELECT bits FROM params)"
+  private lazy val AutoBandsSql = "(SELECT bands FROM params)"
+
+  /** The llm_embed_neardup_lsh_auto replica: same banded pipeline with
+    * (bits, bands) derived from the corpus count via [[AutoParamsCte]],
+    * emitting the verified pairs themselves.
+    */
+  private lazy val EmbedNearDupLshAutoSql: String =
+    s"""WITH $TwinCtes,
+       |$AutoParamsCte,
+       |${hyperplaneCtes(AutoBitsSql, AutoBandsSql, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(AutoBitsSql, LshTau)}
+       |SELECT id_a, id_b, ROUND(sim, 4) AS sim_r FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** The llm_embed_clusters_lsh_auto replica: auto-sized banding + the
+    * same transitive-closure tail.
+    */
+  private lazy val EmbedClustersLshAutoSql: String =
+    s"""WITH RECURSIVE $TwinCtes,
+       |$AutoParamsCte,
+       |${hyperplaneCtes(AutoBitsSql, AutoBandsSql, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(AutoBitsSql, LshTau)},
+       |$CcTailSql""".stripMargin
 
   /** DuckDB replica of `kCenterSelect`: the k−1 greedy rounds unrolled as
     * p0 → m0 → p1 → m1 → … (pick farthest, fold its distance into the
@@ -2261,6 +2373,11 @@ object Similarity {
     // in-bucket pairing, exact-cosine verify, transitive closure. Spark
     // and DuckDB agree by construction at any SF (see hyperplaneCtes).
     "llm_embed_clusters_lsh" -> EmbedClustersLshSql,
+    // the AUTO twins: same replica with (bits, bands) computed from the
+    // corpus count (AutoParamsCte) instead of pinned constants — the
+    // deployable entry points gated with their actual parameterization
+    "llm_embed_neardup_lsh_auto" -> EmbedNearDupLshAutoSql,
+    "llm_embed_clusters_lsh_auto" -> EmbedClustersLshAutoSql,
     // transitive closure over the all-pairs cosine graph (the same
     // recursive-CTE shape as llm_dedup_clusters' oracle)
     "llm_embed_clusters" ->

@@ -125,6 +125,27 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(miss <= 1e-6)
   }
 
+  test("auto-LSH oracle params: the baked bands table and sf counts pin hyperplaneParams") {
+    // the AUTO oracles (llm_embed_*_lsh_auto) bake bands-per-bits as a
+    // CASE table computed from hyperplaneParams — re-derive every entry
+    // here across the FULL n-range each bits value covers (both range
+    // endpoints), so the SQL table and the Scala function cannot drift
+    for ((b, bands) <- Similarity.AutoBandsTable) {
+      val nLow = (16L << (b - 1)) + 1 // smallest n mapping to bits=b (b > 8)
+      val nHigh = 16L << b            // largest
+      assert(Similarity.hyperplaneParams(nHigh, 0.95) == (b, bands),
+        s"bits=$b high endpoint drifted")
+      if (b > 8)
+        assert(Similarity.hyperplaneParams(nLow, 0.95) == (b, bands),
+          s"bits=$b low endpoint drifted")
+    }
+    // the twin-augmented counts the driver's sf dirs actually produce
+    // (embeddings: 500 at sf0.001/sf0.01, 2000 at sf0.1; +24 twins) —
+    // both land on the (8, 25) cell the curves and the pinned twin use
+    assert(Similarity.hyperplaneParams(500 + 24, 0.95) == (8, 25))
+    assert(Similarity.hyperplaneParams(2000 + 24, 0.95) == (8, 25))
+  }
+
   test("IVF assignment plan has no shuffle and no corpus explosion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 8))

@@ -89,11 +89,34 @@ object HotBucketBench {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Representatives per oversized bucket for the overflow measurement —
+    * the maxBucket default, so overflow work per bucket matches the cap's
+    * own per-bucket ceiling.
+    */
+  private val OverflowReps = 64
+
   private def statsJson(s: Dedup.LshCandidateStats): String =
     s"""{"max_bucket":${s.maxBucket},"banded_rows":${s.bandedRows},"buckets":${s.buckets},""" +
       s""""dropped_buckets":${s.droppedBuckets},"largest_bucket":${s.largestBucket},""" +
       s""""raw_pairs":${s.rawPairs},"capped_pairs":${s.cappedPairs},""" +
-      s""""pair_bound":${s.pairBound},"capped_under_bound":${s.cappedPairs <= s.pairBound}}"""
+      s""""pair_bound":${s.pairBound},"capped_under_bound":${s.cappedPairs <= s.pairBound},""" +
+      s""""oversized_rows":${s.oversizedRows},""" +
+      s""""overflow_bound":${s.overflowBound(OverflowReps)}}"""
+
+  /** Fraction of a frame's hot-family members appearing in ≥1 found
+    * family pair — the data-quality outcome (pairs→clusters keeps one
+    * representative per cluster, so a member in any family pair is
+    * deduplicated; one outside every pair escapes entirely).
+    */
+  private def memberRecall(pairs: DataFrame, idA: String, idB: String,
+                           famTotal: Long): Double = {
+    if (famTotal == 0) return 0.0
+    val fam = pairs.filter(isHot(idA) && isHot(idB))
+    val members = fam.select(col(idA).as("id"))
+      .unionByName(fam.select(col(idB).as("id")))
+      .distinct().count()
+    members.toDouble / famTotal
+  }
 
   def main(args: Array[String]): Unit = {
     val (spark, srcDir) = BenchSweep.buildSession()
@@ -113,6 +136,11 @@ object HotBucketBench {
       val ((mhPairs, mhFam), tHot) =
         timed(pairCounts(Dedup.minhashPairs(hDocs, "text", "doc_id"), "id_a", "id_b"))
       val (mhCtl, tCtl) = timed(Dedup.minhashPairs(docs, "text", "doc_id").count())
+      // overflow path: capped family members still reach representatives
+      val mhOv = Dedup.minhashPairs(hDocs, "text", "doc_id",
+        overflowReps = OverflowReps)
+      val ((mhOvPairs, mhOvFam), tHotOv) = timed(pairCounts(mhOv, "id_a", "id_b"))
+      val mhOvMembers = memberRecall(mhOv, "id_a", "id_b", famDocs)
 
       // -- embeddings: hyperplane band cap ---------------------------
       val hEmb = hotEmbeddings(emb)
@@ -126,6 +154,10 @@ object HotBucketBench {
         "id_a", "id_b"))
       val (hpCtl, tCtlE) =
         timed(Similarity.embeddingNearDupsLsh(emb, bits, bands, minCosine = 0.9).count())
+      val hpOv = Similarity.embeddingNearDupsLsh(hEmb, bits, bands,
+        minCosine = 0.9, overflowReps = OverflowReps)
+      val ((hpOvPairs, hpOvFam), tHotEOv) = timed(pairCounts(hpOv, "id_a", "id_b"))
+      val hpOvMembers = memberRecall(hpOv, "id_a", "id_b", famVecs)
 
       // -- text: winnow df-cap (postings accounting only — the overlap
       // report pipeline df-gates before any expansion, same cap) ------
@@ -136,12 +168,20 @@ object HotBucketBench {
          |"minhash":{"stats":${statsJson(mhStats)},
          |  "pairs_found":$mhPairs,"family_pairs_found":$mhFam,
          |  "family_recall":${num(if (famDocPairs == 0) 0.0 else mhFam.toDouble / famDocPairs, 6)},
-         |  "hot_sec":${num(tHot, 3)},"control_pairs":$mhCtl,"control_sec":${num(tCtl, 3)}},
+         |  "hot_sec":${num(tHot, 3)},"control_pairs":$mhCtl,"control_sec":${num(tCtl, 3)},
+         |  "overflow":{"reps":$OverflowReps,"pairs_found":$mhOvPairs,
+         |    "family_pairs_found":$mhOvFam,
+         |    "family_pair_recall":${num(if (famDocPairs == 0) 0.0 else mhOvFam.toDouble / famDocPairs, 6)},
+         |    "family_member_recall":${num(mhOvMembers, 6)},"hot_sec":${num(tHotOv, 3)}}},
          |"family_vecs":$famVecs,"family_vec_pairs":$famVecPairs,
          |"hyperplane":{"bits":$bits,"bands":$bands,"stats":${statsJson(hpStats)},
          |  "pairs_found":$hpPairs,"family_pairs_found":$hpFam,
          |  "family_recall":${num(if (famVecPairs == 0) 0.0 else hpFam.toDouble / famVecPairs, 6)},
-         |  "hot_sec":${num(tHotE, 3)},"control_pairs":$hpCtl,"control_sec":${num(tCtlE, 3)}},
+         |  "hot_sec":${num(tHotE, 3)},"control_pairs":$hpCtl,"control_sec":${num(tCtlE, 3)},
+         |  "overflow":{"reps":$OverflowReps,"pairs_found":$hpOvPairs,
+         |    "family_pairs_found":$hpOvFam,
+         |    "family_pair_recall":${num(if (famVecPairs == 0) 0.0 else hpOvFam.toDouble / famVecPairs, 6)},
+         |    "family_member_recall":${num(hpOvMembers, 6)},"hot_sec":${num(tHotEOv, 3)}}},
          |"winnow":{"stats":${statsJson(wStats)}}
          |}""".stripMargin.replace("\n", "")
     }

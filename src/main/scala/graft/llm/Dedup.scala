@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
@@ -101,9 +102,16 @@ object Dedup {
     */
   final case class LshCandidateStats(
       maxBucket: Int, bandedRows: Long, buckets: Long, droppedBuckets: Long,
-      largestBucket: Long, rawPairs: Long, cappedPairs: Long) {
+      largestBucket: Long, rawPairs: Long, cappedPairs: Long,
+      oversizedRows: Long) {
     /** Linear worst case the cap enforces: (Σ sz)·(maxBucket−1)/2. */
     def pairBound: Long = bandedRows * (maxBucket - 1L) / 2L
+    /** Linear worst case of the OVERFLOW path (see `minhashPairs`'s
+      * `overflowReps`): every row of an oversized bucket pairs with at
+      * most `reps` representatives, so Σ_oversized sz·reps ≤
+      * oversizedRows·reps — still linear in corpus rows.
+      */
+    def overflowBound(reps: Int): Long = oversizedRows * reps
   }
 
   private[graft] def candidateStatsOf(banded: DataFrame, keyCols: Seq[String],
@@ -117,10 +125,12 @@ object Dedup {
         coalesce(max(col("sz")), lit(0L)).as("largest"),
         coalesce(sum(half), lit(0L)).as("raw"),
         coalesce(sum(when(col("sz") > 1 && col("sz") <= maxBucket, half)
-          .otherwise(0L)), lit(0L)).as("capped"))
+          .otherwise(0L)), lit(0L)).as("capped"),
+        coalesce(sum(when(col("sz") > maxBucket, col("sz")).otherwise(0L)), lit(0L))
+          .as("oversizedRows"))
       .head()
     LshCandidateStats(maxBucket, r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4), r.getLong(5))
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
   }
 
   /** [[LshCandidateStats]] for the exact banding [[minhashPairs]] uses. */
@@ -132,11 +142,27 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minJaccard`.
     * bands × rowsPerBand must equal the signature length.
+    *
+    * `overflowReps` (default 0 = off, preserving every registered
+    * oracle's result bit-for-bit) is the hot-family overflow strategy:
+    * with the plain cap an OVERSIZED bucket is dropped whole, so a
+    * near-identical family large enough to overflow every one of its
+    * buckets escapes dedup entirely (round 17 measured family recall
+    * 0.0 at 10× hotness). With reps > 0, each oversized bucket first
+    * collapses to exact-signature classes (identical sig ⇒ est-jaccard
+    * 1 — byte-dup mass that exact dedup owns), then keeps the `reps`
+    * lowest-id class representatives, and pairs EVERY member with those
+    * representatives (star topology). Volume is sz·reps per bucket —
+    * Σ ≤ oversizedRows·reps, linear ([[LshCandidateStats.overflowBound]])
+    * — and a hot family's members all reach its min-id representatives,
+    * so pairs→clusters downstream recovers the family as one cluster
+    * (member recall 1) instead of losing it, at a bounded verify cost.
     */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 64,
+      overflowReps: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = df
       .select(col(idCol).as("id"),
@@ -164,11 +190,32 @@ object Dedup {
     // join + distinct stay in whole-stage codegen — measured at parity
     // with the collect_set + in-list expansion, which runs interpreted
     // higher-order functions (see the containment note)
-    val pairs = banded.as("a").join(banded.as("b"),
+    val inBucket = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // hot-family overflow (see the Scaladoc): members of OVERSIZED
+    // buckets pair with ≤ overflowReps exact-class representatives —
+    // sz·reps per bucket, shuffling only (id, band, bucket, ck) rows
+    val overflow = if (overflowReps <= 0) None else Some {
+      val oversized = bandedAll.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > maxBucket)
+        .select(col("band"), col("bucket"))
+      val ob = bandedAll.join(oversized, Seq("band", "bucket"), "left_semi")
+        .join(sigs.select(col("id"), xxhash64(col("sig")).as("ck")), Seq("id"))
+      val wClass = Window.partitionBy(col("band"), col("bucket"), col("ck"))
+        .orderBy(col("id"))
+      val wBucket = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+      val reps = ob.withColumn("rn", row_number().over(wClass)).filter(col("rn") === 1)
+        .withColumn("rk", row_number().over(wBucket)).filter(col("rk") <= overflowReps)
+        .select(col("band"), col("bucket"), col("id").as("rep_id"))
+      ob.join(reps, Seq("band", "bucket"))
+        .filter(col("id") =!= col("rep_id"))
+        .select(least(col("id"), col("rep_id")).as("id_a"),
+          greatest(col("id"), col("rep_id")).as("id_b"))
+    }
+    val pairs = overflow.fold(inBucket)(inBucket.unionByName(_)).distinct()
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")

@@ -708,10 +708,21 @@ object Similarity {
     * 36 → 9 → 0 as occupancy crossed the cap). Callers that don't pin
     * the parameterization for oracle replay should use
     * [[embeddingNearDupsLshAuto]].
+    *
+    * `overflowReps` (default 0 = off, preserving registered oracle
+    * results bit-for-bit) mirrors [[graft.llm.Dedup.minhashPairs]]'s
+    * hot-family overflow: members of an OVERSIZED bucket pair with at
+    * most `overflowReps` exact-vector-class representatives (min id per
+    * identical-embedding class, lowest-id classes first) instead of
+    * being dropped whole — sz·reps candidates per bucket, linear
+    * ([[graft.llm.Dedup.LshCandidateStats.overflowBound]]), and a hot
+    * near-dup family reaches its representatives so the downstream
+    * pairs→clusters step keeps one member instead of losing the family.
     */
   def embeddingNearDupsLsh(
       corpus: DataFrame, bitsPerBand: Int, bands: Int,
-      minCosine: Double, maxBucket: Int = 64): DataFrame = {
+      minCosine: Double, maxBucket: Int = 64,
+      overflowReps: Int = 0): DataFrame = {
     val bandedAll = corpus.select(
       col("vec_id"), col("embedding"),
       explode(VectorExprs.hyperplaneBands(col("embedding"), bitsPerBand, bands)).as("bucket"))
@@ -735,7 +746,7 @@ object Similarity {
     val grouped = bandedAll.join(useful, Seq("bucket"), "left_semi")
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
-    grouped
+    val inBucket = grouped
       .select(col("ms"), explode(col("ms")).as("a"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -743,7 +754,37 @@ object Similarity {
       .filter(col("sim") >= minCosine)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("sim"), 4).as("sim_r"))
-      .distinct()
+    // hot-family overflow (see the Scaladoc): the same in-bucket-verify
+    // shape, but each OVERSIZED bucket's member array holds only the
+    // ≤ overflowReps class representatives, and every member verifies
+    // against that bounded array map-side — sz·reps candidates, one
+    // embedding shuffle. cosine is bitwise symmetric (IEEE multiply
+    // commutes, the fold order is the index order on both sides), so
+    // least/greatest id ordering plus the final distinct dedups a pair
+    // seen from both directions.
+    val overflow = if (overflowReps <= 0) None else Some {
+      val oversized = bandedAll.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > maxBucket)
+        .select(col("bucket"))
+      val ob = bandedAll.join(oversized, Seq("bucket"), "left_semi")
+        .withColumn("ck", xxhash64(col("embedding")))
+      val wClass = Window.partitionBy(col("bucket"), col("ck")).orderBy(col("vec_id"))
+      val wBucket = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+      val reps = ob.withColumn("rn", row_number().over(wClass)).filter(col("rn") === 1)
+        .withColumn("rk", row_number().over(wBucket)).filter(col("rk") <= overflowReps)
+        .groupBy(col("bucket"))
+        .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("rs"))
+      ob.join(reps, Seq("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(col("rs")).as("r"))
+        .filter(col("vec_id") =!= col("r.vec_id"))
+        .withColumn("sim", cosine(col("embedding"), col("r.embedding")))
+        .filter(col("sim") >= minCosine)
+        .select(least(col("vec_id"), col("r.vec_id")).as("id_a"),
+          greatest(col("vec_id"), col("r.vec_id")).as("id_b"),
+          round(col("sim"), 4).as("sim_r"))
+    }
+    overflow.fold(inBucket)(inBucket.unionByName(_)).distinct()
   }
 
   /** [[embeddingNearDupsLsh]] with (bits, bands) derived from the corpus

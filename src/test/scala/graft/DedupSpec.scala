@@ -75,6 +75,21 @@ class DedupSpec extends SparkSpec with PropertyCheck {
       s"capped family reported full recall ($famFound) — cap not engaged?")
     assert(pairs.contains((90011L, 90012L)),
       s"off-family planted pair lost; found ${pairs.length} pairs")
+    // overflow path (opt-in): every capped family member still reaches a
+    // representative — member recall 1.0 where the plain cap loses the
+    // family — at a volume bounded by oversizedRows·reps (linear)
+    val ovPairs = Dedup.minhashPairs(corpus, "text", "doc_id", overflowReps = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val famIds = (0 until 13000).map(_.toLong).filter(_ % 100 == 7).toSet
+    val ovFamMembers = ovPairs.iterator
+      .filter { case (a, b) => famIds(a) && famIds(b) }
+      .flatMap { case (a, b) => Iterator(a, b) }.toSet
+    assert(ovFamMembers == famIds,
+      s"overflow lost family members: ${(famIds -- ovFamMembers).take(5)}…")
+    assert(ovPairs.length.toLong <= stats.pairBound + stats.overflowBound(64),
+      s"overflow pairs ${ovPairs.length} exceed the linear bounds $stats")
+    // the overflow path only ADDS pairs — the capped baseline is intact
+    assert(pairs.toSet.subsetOf(ovPairs.toSet))
   }
 
   test("simhash: identical texts → distance 0; near-dups close; distinct far") {

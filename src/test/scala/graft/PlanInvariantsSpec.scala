@@ -117,4 +117,45 @@ class PlanInvariantsSpec extends SparkSpec {
         s"winnow probe did not band-prune the postings scan:\n$scan")
     } finally graft.store.Checkpoints.free(q)
   }
+
+  test("embedding-LSH near-dup plan verifies in-bucket: no fetch join back to the corpus") {
+    // commit a2340ff's 3× win: after the banding explode, the pair
+    // expansion + exact cosine run map-side on the ≤ maxBucket member
+    // arrays — each kept embedding crosses the wire ONCE. The previous
+    // shape self-joined ids-only pairs and then fetch-joined the corpus
+    // TWICE on vec_id to re-attach both embeddings (~30 GB of candidate
+    // embedding traffic at the 40× curve point vs ~1 GB in-bucket). Pin
+    // the shape: (a) no equi-join keyed on vector ids anywhere in the
+    // plan, (b) exactly the two expected corpus scans (sizing pass +
+    // member pass) — a reintroduced fetch join needs id-keyed joins and
+    // extra corpus scans, tripping both. AQE is disabled for the build
+    // so the collect traverses the real physical tree.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("llm_embed_neardup_lsh")(spark, dir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec,
+        ShuffledHashJoinExec, BroadcastHashJoinExec}
+      val idNames = Set("vec_id", "id_a", "id_b")
+      def keysOf(j: BaseJoinExec) = j match {
+        case s: SortMergeJoinExec => s.leftKeys ++ s.rightKeys
+        case s: ShuffledHashJoinExec => s.leftKeys ++ s.rightKeys
+        case s: BroadcastHashJoinExec => s.leftKeys ++ s.rightKeys
+        case _ => Seq.empty
+      }
+      val idJoins = plan.collect {
+        case j: BaseJoinExec
+          if keysOf(j).exists(_.references.exists(a => idNames(a.name))) => j
+      }
+      assert(idJoins.isEmpty,
+        s"fetch join on vector ids reintroduced after banding:\n${idJoins.mkString("\n")}")
+      val scans = plan.collect {
+        case s: FileSourceScanExec if s.toString.contains("embeddings.parquet") => s
+      }
+      assert(scans.size == 2,
+        s"expected exactly 2 corpus scans (sizing + members), got ${scans.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

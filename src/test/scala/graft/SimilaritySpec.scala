@@ -443,6 +443,21 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     // ...while the planted off-family near-dup pair is still found
     assert(pairs.contains((11L, 90011L)),
       s"off-family twin lost; found ${pairs.length} pairs")
+    // overflow path (opt-in): capped family members all reach a
+    // representative (member recall 1.0) at linear volume, and the
+    // capped baseline's pairs are preserved
+    val ovPairs = Similarity.embeddingNearDupsLsh(corpus, bits, bands,
+        minCosine = 0.9, overflowReps = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val famIds = (0 until 13000).map(_.toLong).filter(_ % 100 == 7).toSet
+    val ovFamMembers = ovPairs.iterator
+      .filter { case (a, b) => famIds(a) && famIds(b) }
+      .flatMap { case (a, b) => Iterator(a, b) }.toSet
+    assert(ovFamMembers == famIds,
+      s"overflow lost family members: ${(famIds -- ovFamMembers).take(5)}…")
+    assert(ovPairs.length.toLong <= stats.pairBound + stats.overflowBound(64),
+      s"overflow pairs ${ovPairs.length} exceed the linear bounds $stats")
+    assert(pairs.toSet.subsetOf(ovPairs.toSet))
   }
 
   test("auto-sized LSH keeps recall where the pinned 8-bit banding degenerates") {

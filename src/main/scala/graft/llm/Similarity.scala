@@ -332,15 +332,17 @@ object Similarity {
     * session (every PQ-family query gates on the same
     * `embeddings.filter(vec_id < NumQueries)` plan, and warm bench
     * iterations re-run each query), so the count is memoized per
-    * (session, canonicalized plan) — the same session-keyed cache
-    * discipline as the at-rest index roots above. Known bound: a
-    * same-plan source rewrite mid-session reuses the stale count; the
-    * gate is a safety bound on artifact size (results never read it),
-    * and that staleness window is accepted for not re-running a count
-    * job on every probe of an unchanged query set.
+    * (session, canonicalized plan, source fingerprint) — the same
+    * session-keyed cache discipline as the at-rest index roots above.
+    * The fingerprint (path/size/mtime of every file under the plan's
+    * scan roots, `Snapshot.fingerprintPath`) closes the staleness
+    * window the plan key alone had: a same-plan source REWRITE now
+    * re-counts instead of reusing stale — the `Snapshot.fingerprint`
+    * discipline CatalogTable.built already uses. One cheap listing of
+    * the (small-by-contract) query source per gate call buys it.
     */
   private val querySideCounts = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), Long]
 
   private[graft] def clearQuerySideGateCache(spark: SparkSession): Unit =
     querySideCounts.keys.filter(_._1 eq spark).foreach(querySideCounts.remove)
@@ -348,9 +350,34 @@ object Similarity {
   private[graft] def querySideGateMemoSize(spark: SparkSession): Int =
     querySideCounts.keys.count(_._1 eq spark)
 
+  /** XOR-folded fingerprint of every file-source root the query plan
+    * scans; 17L for purely in-memory plans. Order-independent, and
+    * fresh-stat per call so an in-place rewrite invalidates even a
+    * re-gated identical plan.
+    */
+  private def querySourceFingerprint(queries: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    queries.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths
+            .map(p => graft.store.Snapshot.fingerprintPath(p.toString))
+            .foldLeft(17L)(_ ^ _)
+        case _ => 0L
+      }
+    }.foldLeft(17L)(_ ^ _)
+  }
+
   private def requireQuerySide(queries: DataFrame, op: String, maxRows: Long): Unit = {
-    if (querySideCounts.size > 64) querySideCounts.clear() // bound the memo, not the sessions
-    val key = (queries.sparkSession, queries.queryExecution.analyzed.canonicalized)
+    val session = queries.sparkSession
+    // bound the memo PER SESSION (a 65th distinct plan in one session
+    // must not evict another session's warm entries — r17 verdict), and
+    // drop entries pinned by stopped sessions while here
+    querySideCounts.keys
+      .filter(_._1.sparkContext.isStopped).foreach(querySideCounts.remove)
+    if (querySideGateMemoSize(session) > 64) clearQuerySideGateCache(session)
+    val key = (session, queries.queryExecution.analyzed.canonicalized,
+      querySourceFingerprint(queries))
     val n = querySideCounts.getOrElseUpdate(key, queries.count())
     require(n <= maxRows,
       s"$op builds DRIVER-HELD per-query artifacts (LUTs/coarse terms, " +

@@ -18,8 +18,14 @@ private[graft] object Snapshot {
     * transition as an invalidation (r15 advice).
     */
   def fingerprint(dir: String, table: String): Long =
-    if (!Fs.exists(s"$dir/$table")) 0L
-    else Fs.listFilesRecursive(s"$dir/$table")
+    fingerprintPath(s"$dir/$table")
+
+  /** [[fingerprint]] for a full path (file or directory) — the form the
+    * query-side gate memo uses on scan roots harvested from a plan.
+    */
+  def fingerprintPath(path: String): Long =
+    if (!Fs.exists(path)) 0L
+    else Fs.listFilesRecursive(path)
       .map(e => (e.path.hashCode.toLong * 1000003L)
         ^ e.len
         ^ java.lang.Long.rotateLeft(e.mtime, 17))

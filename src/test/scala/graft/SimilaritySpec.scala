@@ -371,6 +371,52 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(Similarity.querySideGateMemoSize(spark) == 0)
   }
 
+  test("gate memo eviction is per-session: a 65th plan evicts only the noisy session") {
+    val books = Similarity.trainPqCodebooks(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), 2, 4, 64, 2)
+    val other = spark.newSession()
+    Similarity.clearQuerySideGateCache(spark)
+    Similarity.clearQuerySideGateCache(other)
+    // warm ONE entry in the quiet session
+    def q(s: org.apache.spark.sql.SparkSession, n: Int) =
+      s.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)).as("embedding"))
+    Similarity.pqLuts(q(other, 3), books)
+    assert(Similarity.querySideGateMemoSize(other) == 1)
+    // 70 distinct plans in the noisy session cross its own 64-entry
+    // bound and trigger ITS eviction...
+    (1 to 70).foreach(i => Similarity.pqLuts(q(spark, i), books))
+    assert(Similarity.querySideGateMemoSize(spark) <= 65)
+    // ...while the quiet session's warm entry survives (the r17 global
+    // clear() wiped every session here)
+    assert(Similarity.querySideGateMemoSize(other) == 1)
+    Similarity.clearQuerySideGateCache(spark)
+    Similarity.clearQuerySideGateCache(other)
+  }
+
+  test("gate memo re-counts after a same-plan source rewrite (fingerprint key)") {
+    val books = Similarity.trainPqCodebooks(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), 2, 4, 64, 2)
+    val dir = java.nio.file.Files.createTempDirectory("gate_fp").toString
+    def write(n: Int): Unit =
+      spark.range(n).select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)).as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    def queries() = spark.read.parquet(dir)
+    Similarity.clearQuerySideGateCache(spark)
+    write(4)
+    assert(Similarity.pqLuts(queries(), books, maxQueryRows = 10).count() == 4)
+    // REWRITE the source in place: the canonicalized plan of a fresh
+    // read is identical, so the pre-r18 plan-only key would reuse the
+    // stale count of 4 and let 100 rows through the 10-row gate
+    write(100)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqLuts(queries(), books, maxQueryRows = 10)
+    }
+    assert(e.getMessage.contains("100 rows"), e.getMessage)
+    Similarity.clearQuerySideGateCache(spark)
+  }
+
   test("knnIvfPqResidual's raised maxQueryRows reaches the LUT build (no inner default gate)") {
     // > the 100k default, so an unforwarded inner pqLuts gate would refuse
     val nq = 100016L

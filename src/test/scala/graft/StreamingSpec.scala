@@ -657,6 +657,82 @@ class StreamingSpec extends SparkSpec {
     graft.store.Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("session stream under Spark's checkpoint recovery: replayed batch id leaves sessions and layout identical") {
+    // KPI (additive), SCD2 (order-sensitive) and the compacted ledger
+    // prove their state classes compose with Spark's batch-id replay;
+    // this is the SESSION-WINDOW family's turn — the most state-shaped
+    // remaining one (open-session snapshot behind a versioned pointer +
+    // append-only batch-keyed closed table). Erase the last commit
+    // marker, restart on the SAME checkpoint: Spark re-runs b1's batch
+    // id, the per-user (ts, event_id) watermark must drop every
+    // replayed row (no duplicate closed sessions, no bump-suffixed
+    // orphan partition), and the restarted stream must then converge
+    // with an uninterrupted twin on b2.
+    val root = Files.createTempDirectory("sess_ckpt_restart").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    val M = 60L * 1000000
+    def row(e: Long, u: Long, tMin: Long) =
+      s"""{"event_id":$e,"user_id":$u,"ts_us":${tMin * M}}"""
+    val b1 = Seq(row(1, 1, 0), row(2, 1, 20), row(3, 2, 0), row(4, 2, 50)).mkString("\n")
+    val b2 = Seq(row(5, 1, 45), row(6, 2, 100), row(7, 3, 0)).mkString("\n")
+    def start(tag: String) = {
+      Files.createDirectories(Paths.get(s"$root/$tag/in"))
+      MicroBatch.sessionIngestStream(spark, s"$root/$tag/in", schema,
+        gapUs = 30 * M, openDir = s"$root/$tag/open",
+        closedDir = s"$root/$tag/closed", checkpointDir = s"$root/$tag/ckpt")
+    }
+    def sessions(tag: String): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$root/$tag/closed")
+        .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us")
+        .unionByName(graft.store.Versioned.read(spark, s"$root/$tag/open")
+          .select($"user_id", $"session_idx", $"n_events", $"start_us", $"end_us"))
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    def keys(tag: String): Seq[String] =
+      Option(new java.io.File(s"$root/$tag/closed").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_key="))
+        .map(_.getName).sorted
+
+    // twin A: uninterrupted (b1 and b2 as separate micro-batches)
+    val qa = start("a")
+    Files.writeString(Paths.get(s"$root/a/in/b1.jsonl"), b1)
+    qa.processAllAvailable()
+    Files.writeString(Paths.get(s"$root/a/in/b2.jsonl"), b2)
+    qa.processAllAvailable(); qa.stop(); qa.awaitTermination()
+
+    // twin B: b1 → stop → erase the last commit marker → restart on the
+    // SAME checkpoint (Spark replays b1's batch id against committed state)
+    val qb = start("b")
+    Files.writeString(Paths.get(s"$root/b/in/b1.jsonl"), b1)
+    qb.processAllAvailable(); qb.stop(); qb.awaitTermination()
+    val s1 = sessions("b"); val k1 = keys("b")
+    assert(s1.nonEmpty && k1.nonEmpty, s"no committed state to replay over: $s1 / $k1")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val commits = Files.list(Paths.get(s"$root/b/ckpt/commits")).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+      val lastCommit = commits.maxBy(_.getFileName.toString.toLong)
+      Files.delete(lastCommit)
+      Files.deleteIfExists(lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+    }
+    val qb2 = start("b")
+    qb2.processAllAvailable()
+    assert(sessions("b") == s1,
+      s"replayed batch mutated sessions: ${sessions("b")} vs $s1")
+    assert(keys("b") == k1,
+      s"replay grew the closed layout (orphan/bumped partition): ${keys("b")} vs $k1")
+    // the restarted stream keeps sessionizing: boundary merge for user 1,
+    // new sessions for users 2/3 — identical to the uninterrupted twin
+    Files.writeString(Paths.get(s"$root/b/in/b2.jsonl"), b2)
+    qb2.processAllAvailable(); qb2.stop(); qb2.awaitTermination()
+    assert(sessions("b") == sessions("a"),
+      s"restarted sessions diverged: ${sessions("b")} vs ${sessions("a")}")
+    assert(keys("b") == keys("a"),
+      s"restarted layout diverged: ${keys("b")} vs ${keys("a")}")
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("streaming SCD2: mixed-day batch keeps per-key days; later update not mis-dropped") {
     val root = Files.createTempDirectory("scd2_days").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

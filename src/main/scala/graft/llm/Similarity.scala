@@ -1423,6 +1423,46 @@ object Similarity {
     base.union(twin(maxId + 1, 0)).union(twin(maxId + 1 + TwinCount, 1))
   }
 
+  /** Hot-family rig for the OVERFLOW oracle: the first `HotFamCount`
+    * vec_ids are rewritten (not added) to one shared template with a
+    * small deterministic per-id tail — a 100-member near-identical
+    * family (pairwise cosine ≈ 0.999) that lands >maxBucket deep in its
+    * band buckets at the pinned (8, 25) banding, i.e. the exact mass the
+    * plain cap drops whole. Tail values ((vec_id·31 + i) mod 97)·0.002
+    * make members pairwise distinct EXCEPT ids ≡ (mod 97): ids (0,97),
+    * (1,98), (2,99) are bit-identical on purpose — three exact-dup
+    * classes that exercise the overflow's class collapse through the
+    * oracle gate. All arithmetic is integer-then-one-IEEE-multiply, so
+    * both engines construct bit-identical doubles.
+    */
+  private val HotFamCount = 100L
+
+  def plantHotFamily(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").cast("long").as("vec_id"),
+      when(col("vec_id") < HotFamCount,
+        transform(col("embedding"), (_, i) =>
+          when(i < size(col("embedding")) - 4,
+            (pmod(i, lit(7)) + lit(1)) * lit(0.25))
+            .otherwise(pmod(col("vec_id") * 31 + i, lit(97)) * lit(0.002))))
+        .otherwise(transform(col("embedding"), _.cast("double")))
+        .as("embedding"))
+
+  /** The overflow path, oracle-gated: pinned banding + a planted
+    * >maxBucket family, `overflowReps = 8` — the registered query whose
+    * green hash proves the star-to-representatives semantics (oversized
+    * bucket detection, exact-class collapse, lowest-id rep selection,
+    * member×rep verify, union with the capped pairs) byte-for-byte
+    * against an independent replica. The capped twin of this corpus
+    * would lose the family entirely (hot-bucket artifact).
+    */
+  private val OvfReps = 8
+
+  def nearDupLshOverflowQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLsh(plantHotFamily(Tables.embeddings(spark, dir)),
+      bitsPerBand = LshBits, bands = LshBands, minCosine = LshTau,
+      overflowReps = OvfReps)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** LSH-fed embedding near-dup clusters — the SCALE path for semantic
     * dedup in the high-cosine regime: banded candidates + exact verify
     * (`embeddingNearDupsLsh`) composed with min-label CC, the embedding
@@ -1615,6 +1655,7 @@ object Similarity {
     "llm_embed_neardup" -> (nearDupQuery _),
     "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
     "llm_embed_neardup_lsh_auto" -> (nearDupLshAutoQuery _),
+    "llm_embed_neardup_lsh_ovf" -> (nearDupLshOverflowQuery _),
     "llm_embed_clusters" -> (embedClustersQuery _),
     "llm_embed_clusters_lsh" -> (embedClustersLshQuery _),
     "llm_embed_clusters_lsh_auto" -> (embedClustersLshAutoQuery _),
@@ -2084,6 +2125,65 @@ object Similarity {
       |SELECT u AS vec_id, least(u, MIN(v)) AS cluster_id
       |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
 
+  /** Hot-family CTEs for the overflow oracle (mirrors [[plantHotFamily]]
+    * — same `dimc`/`tw` names as [[TwinCtes]] so the shared band CTEs
+    * compose): first HotFamCount ids rewritten to the shared template +
+    * deterministic tail, everything else cast to double unchanged.
+    */
+  private lazy val HotFamCtes: String =
+    s"""dimc AS MATERIALIZED (
+       |  SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+       |tw AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    CASE WHEN vec_id < $HotFamCount THEN
+       |      list_transform(range(len(embedding)), i ->
+       |        CASE WHEN i < len(embedding) - 4
+       |          THEN ((i % 7) + 1) * 0.25
+       |          ELSE ((CAST(vec_id AS BIGINT) * 31 + i) % 97) * 0.002 END)
+       |    ELSE CAST(embedding AS DOUBLE[]) END AS emb
+       |  FROM embeddings)""".stripMargin
+
+  /** Overflow tail over `sigs`/`tw` (mirrors the `overflowReps` branch of
+    * [[embeddingNearDupsLsh]]): oversized buckets → exact-class collapse
+    * (GROUP BY the vector value — min id per identical embedding) →
+    * lowest-id ≤ reps representatives per bucket → member×rep verify.
+    * Emits `ovp(id_a, id_b, sim)`.
+    */
+  private def lshOverflowCtes(reps: Int, tau: Double, maxBucket: Int = 64): String =
+    s"""over AS MATERIALIZED (
+       |  SELECT bucket FROM sigs GROUP BY bucket HAVING COUNT(*) > $maxBucket),
+       |obanded AS MATERIALIZED (
+       |  SELECT s.vec_id, s.bucket, t.emb
+       |  FROM sigs s JOIN over USING (bucket) JOIN tw t ON t.vec_id = s.vec_id),
+       |crep AS (
+       |  SELECT bucket, emb, MIN(vec_id) AS rep_id
+       |  FROM obanded GROUP BY bucket, emb),
+       |reps AS MATERIALIZED (
+       |  SELECT bucket, rep_id, emb
+       |  FROM crep
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY rep_id) <= $reps),
+       |ovp AS MATERIALIZED (
+       |  SELECT least(o.vec_id, r.rep_id) AS id_a,
+       |    greatest(o.vec_id, r.rep_id) AS id_b,
+       |    list_cosine_similarity(o.emb, r.emb) AS sim
+       |  FROM obanded o JOIN reps r USING (bucket)
+       |  WHERE o.vec_id <> r.rep_id
+       |    AND list_cosine_similarity(o.emb, r.emb) >= $tau)""".stripMargin
+
+  /** The llm_embed_neardup_lsh_ovf replica: hot family → pinned banding
+    * → capped in-bucket pairs UNION the overflow star, distinct on the
+    * rounded sim like the engine.
+    */
+  private lazy val EmbedNearDupLshOvfSql: String =
+    s"""WITH $HotFamCtes,
+       |${hyperplaneCtes(LshBits.toString, LshBands.toString, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(LshBits.toString, LshTau)},
+       |${lshOverflowCtes(OvfReps, LshTau)}
+       |SELECT DISTINCT id_a, id_b, ROUND(sim, 4) AS sim_r
+       |FROM (SELECT id_a, id_b, sim FROM p
+       |      UNION ALL SELECT id_a, id_b, sim FROM ovp)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The llm_embed_clusters_lsh replica: planted twins → banded hyperplane
     * signatures → capped buckets → candidate pairs → exact-cosine verify →
     * transitive closure (same recursive tail as llm_embed_clusters).
@@ -2446,6 +2546,9 @@ object Similarity {
     // deployable entry points gated with their actual parameterization
     "llm_embed_neardup_lsh_auto" -> EmbedNearDupLshAutoSql,
     "llm_embed_clusters_lsh_auto" -> EmbedClustersLshAutoSql,
+    // the OVERFLOW semantics through the gate: planted >maxBucket family,
+    // star-to-representatives replica (class collapse included)
+    "llm_embed_neardup_lsh_ovf" -> EmbedNearDupLshOvfSql,
     // transitive closure over the all-pairs cosine graph (the same
     // recursive-CTE shape as llm_dedup_clusters' oracle)
     "llm_embed_clusters" ->

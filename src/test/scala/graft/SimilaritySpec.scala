@@ -371,6 +371,34 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
     assert(Similarity.querySideGateMemoSize(spark) == 0)
   }
 
+  test("overflow oracle rig engages the cap: the planted family oversizes buckets, classes collapse") {
+    // llm_embed_neardup_lsh_ovf's green hash is only meaningful if the
+    // planted 100-member family actually OVERFLOWS buckets at the pinned
+    // (8, 25) banding — pin that here so a corpus or banding change
+    // can't silently turn the overflow oracle into a plain capped run
+    val fam = Similarity.plantHotFamily(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val stats = Similarity.nearDupCandidateStats(fam, 8, 25)
+    assert(stats.droppedBuckets > 0 && stats.largestBucket > 64,
+      s"hot family does not oversize any bucket: $stats")
+    assert(stats.oversizedRows > 0)
+    // the three planted exact-dup classes (ids ≡ mod 97 within the
+    // family) are bit-identical vectors — the overflow's class collapse
+    // must see exactly one distinct embedding per class
+    val emb = fam.filter($"vec_id".isin(0L, 97L, 1L, 98L, 2L, 99L))
+      .select($"vec_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    assert(emb(0L) == emb(97L) && emb(1L) == emb(98L) && emb(2L) == emb(99L))
+    assert(emb(0L) != emb(1L))
+    // and the registered overflow query keeps every family member in
+    // the pair graph (member recall 1.0 — the cap alone loses them)
+    val pairs = Similarity.nearDupLshOverflowQuery(spark, "/root/testdata/sf0.001")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val members = pairs.iterator.filter { case (a, b) => a < 100 && b < 100 }
+      .flatMap { case (a, b) => Iterator(a, b) }.toSet
+    assert(members == (0L until 100L).toSet,
+      s"overflow query lost family members: ${((0L until 100L).toSet -- members).take(5)}")
+  }
+
   test("gate memo eviction is per-session: a 65th plan evicts only the noisy session") {
     val books = Similarity.trainPqCodebooks(
       Tables.embeddings(spark, "/root/testdata/sf0.001"), 2, 4, 64, 2)

@@ -499,8 +499,22 @@ object Dedup {
     // per-doc totals: |shingles| and how many of them are rare — the
     // ingredients of the count bound below (scalar per doc, joined to
     // pairs as two skinny frames, arrays stay out of it)
+    // Join-strategy note (the 40→80× curve bend, round 18): every join
+    // below carries a shuffle_hash hint on its bounded side. Catalyst's
+    // static estimates for these checkpointed/aggregated frames cross
+    // the broadcast threshold between curve points, flipping the WHOLE
+    // plan from all-broadcast to six SortMergeJoins — ~10 sorts of the
+    // 20-90M-row candidate frames, a measured 3.5× wall step for 2×
+    // rows (work metrics stayed exactly linear). The hint pins the
+    // sort-free shape at ANY size: AQE still converts to broadcast at
+    // runtime when the build side is actually small, and when it isn't
+    // (10⁹-doc corpora — per-doc frames can't broadcast) the shuffled
+    // hash join builds a per-partition slice, never sorting the big
+    // side. It also removes the misestimation-driven full broadcast of
+    // the 10M-row inverted index the 40× plan was silently doing.
     val stats = sh.select(col("jid").as("id"), size(col("sh")).as("sz"))
-      .join(indexed.groupBy(col("id")).agg(count(lit(1)).as("rare_n")), Seq("id"), "left")
+      .join(indexed.groupBy(col("id")).agg(count(lit(1)).as("rare_n")).hint("shuffle_hash"),
+        Seq("id"), "left")
       .na.fill(0L, Seq("rare_n"))
     // candidate pruning by COUNTING, before any array is touched: if
     // containment(a→b) ≥ τ then |A\B| ≤ (1-τ)|A|, so the SHARED rare
@@ -516,14 +530,16 @@ object Dedup {
     // higher-order-function expansion costs more than the second shuffle
     // the codegen'd self-join pays (2.3 s → 3.1 s at sf0.1). Pair-path
     // choice is workload-dependent; both shapes are linear in Σ df².
-    val shared = indexed.as("a").join(indexed.as("b"),
+    val shared = indexed.as("a").join(indexed.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared_rare"))
     val slack = 1.0
     val candidates = shared
-      .join(stats.select(col("id").as("id_a"), col("sz").as("sz_a"), col("rare_n").as("rare_a")), "id_a")
-      .join(stats.select(col("id").as("id_b"), col("sz").as("sz_b"), col("rare_n").as("rare_b")), "id_b")
+      .join(stats.select(col("id").as("id_a"), col("sz").as("sz_a"), col("rare_n").as("rare_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(stats.select(col("id").as("id_b"), col("sz").as("sz_b"), col("rare_n").as("rare_b"))
+        .hint("shuffle_hash"), "id_b")
       .filter(
         col("shared_rare").cast("double") >=
           col("rare_a") - lit(1.0 - minContainment) * col("sz_a") - lit(slack) ||
@@ -533,8 +549,8 @@ object Dedup {
     // exact verify: ONE intersect per unordered pair (|A∩B| is symmetric),
     // then both directions emitted from the scalar sizes
     candidates
-      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).cast("double").as("sz_a"),

@@ -190,7 +190,13 @@ object Dedup {
     // join + distinct stay in whole-stage codegen — measured at parity
     // with the collect_set + in-list expansion, which runs interpreted
     // higher-order functions (see the containment note)
-    val inBucket = banded.as("a").join(banded.as("b"),
+    // shuffle_hash on every bounded build side (same discipline as
+    // containmentPairs, round 18): static estimates flip these joins
+    // wholesale between broadcast and SortMergeJoin across corpus sizes
+    // (PlanDiag measured the flip on the incremental twin at 80×) —
+    // the hint pins the sort-free shape; AQE still broadcasts at
+    // runtime when a side is actually small
+    val inBucket = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -217,8 +223,10 @@ object Dedup {
     }
     val pairs = overflow.fold(inBucket)(inBucket.unionByName(_)).distinct()
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
@@ -379,16 +387,21 @@ object Dedup {
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucket)
       .select(col("band"), col("bucket"))
-    val pairs = banded(batch, "id_b")
-      .join(corpusBanded.join(smallCorpusBuckets, Seq("band", "bucket"), "left_semi"),
-        Seq("band", "bucket"))
+    // shuffle_hash discipline (round 18): PlanDiag measured this exact
+    // pipeline flipping all-broadcast → all-SortMergeJoin between the
+    // 40× and 80× curve points on static estimates; pin the sort-free
+    // shape (AQE still broadcasts runtime-small sides). The batch side
+    // is the bounded build of the band join; the per-doc shingle frames
+    // build per-partition slices in the verify joins.
+    val pairs = corpusBanded.join(smallCorpusBuckets, Seq("band", "bucket"), "left_semi")
+      .join(banded(batch, "id_b").hint("shuffle_hash"), Seq("band", "bucket"))
       .select(col("id_b"), col("id_c"))
       .distinct()
     val shB = batch.select(col(idCol).as("id_b"), shingles(col(textCol), shingleN).as("sh_b"))
     val shC = corpus.select(col(idCol).as("id_c"), shingles(col(textCol), shingleN).as("sh_c"))
     pairs
-      .join(shB, "id_b")
-      .join(shC, "id_c")
+      .join(shB.hint("shuffle_hash"), "id_b")
+      .join(shC.hint("shuffle_hash"), "id_c")
       .filter(
         size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_b"), col("sh_c"))) >= minJaccard)
@@ -569,8 +582,10 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
     pairs
-      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a")
+        .hint("shuffle_hash"), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

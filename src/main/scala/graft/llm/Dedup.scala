@@ -238,9 +238,16 @@ object Dedup {
     * generation is `chunks` equi-joins and exhaustive up to that distance.
     * Default 8×8-bit chunks → exhaustive for maxHamming ≤ 7.
     */
+  /** `overflowReps` (default 0 = off) is [[minhashPairs]]'s hot-family
+    * overflow on the chunk index: members of an OVERSIZED (chunk, piece)
+    * bucket pair with ≤ reps lowest-id signature-class representatives
+    * (class key = the 64-bit simhash itself — identical sig ⇒ hamming 0)
+    * instead of being dropped whole; volume sz·reps per bucket, linear.
+    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 7,
                    maxBucket: Int = 256, chunks: Int = 8,
-                   sig: Column => Column = simhash): DataFrame = {
+                   sig: Column => Column = simhash,
+                   overflowReps: Int = 0): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     require(maxHamming <= chunks - 1,
       s"pigeonhole with $chunks chunks is exhaustive only for hamming <= ${chunks - 1}")
@@ -264,11 +271,31 @@ object Dedup {
     val chunked = chunkedAll.join(useful, Seq("chunk", "piece"), "left_semi")
     val a = chunked.as("a")
     val b = chunked.as("b")
-    a.join(b,
+    val inBucket = a.join(b.hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    val overflow = if (overflowReps <= 0) None else Some {
+      val oversized = chunkedAll.groupBy(col("chunk"), col("piece"))
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > maxBucket)
+        .select(col("chunk"), col("piece"))
+      val ob = chunkedAll.join(oversized, Seq("chunk", "piece"), "left_semi")
+      val wClass = Window.partitionBy(col("chunk"), col("piece"), col("sh"))
+        .orderBy(col("id"))
+      val wBucket = Window.partitionBy(col("chunk"), col("piece")).orderBy(col("id"))
+      val reps = ob.withColumn("rn", row_number().over(wClass)).filter(col("rn") === 1)
+        .withColumn("rk", row_number().over(wBucket)).filter(col("rk") <= overflowReps)
+        .select(col("chunk"), col("piece"),
+          col("id").as("rep_id"), col("sh").as("rep_sh"))
+      ob.join(reps.hint("shuffle_hash"), Seq("chunk", "piece"))
+        .filter(col("id") =!= col("rep_id"))
+        .select(least(col("id"), col("rep_id")).as("id_a"),
+          greatest(col("id"), col("rep_id")).as("id_b"),
+          bit_count(col("sh").bitwiseXOR(col("rep_sh"))).as("hamming"))
+    }
+    overflow.fold(inBucket)(inBucket.unionByName(_))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

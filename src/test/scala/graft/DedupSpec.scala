@@ -92,6 +92,37 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(pairs.toSet.subsetOf(ovPairs.toSet))
   }
 
+  test("simhash overflow: capped chunk buckets still pair members with representatives") {
+    // a 600-member near-identical family (240-token shared template +
+    // unique tail token — tail flips only near-tied simhash bits, so
+    // pairwise hamming stays well inside maxHamming) floods every one
+    // of its (chunk, piece) buckets past maxBucket=256; the plain cap
+    // drops them whole, overflow stars members to ≤ reps sig-class
+    // representatives at linear volume
+    val toks = (0 until 10).map(j => concat(lit("t"), col("id"), lit(s"x$j"), col("id")))
+    val famText = Seq.tabulate(240)(i => s"simspan$i word$i").mkString(" ")
+    val corpus = spark.range(4000).select(col("id").as("doc_id"),
+      when(col("id") < 600,
+        concat(lit(famText + " tail"), col("id").cast("string")))
+        .otherwise(concat_ws(" ", toks: _*)).as("text"))
+    val famIds = (0L until 600L).toSet
+    def famMembers(pairs: Array[(Long, Long)]): Set[Long] = pairs.iterator
+      .filter { case (x, y) => famIds(x) && famIds(y) }
+      .flatMap { case (x, y) => Iterator(x, y) }.toSet
+    val capped = Dedup.simhashPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val ov = Dedup.simhashPairs(corpus, "text", "doc_id", overflowReps = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // the cap engages (family mostly lost) and overflow restores every
+    // member into the pair graph
+    assert(famMembers(capped).size < 600,
+      s"family not capped: ${famMembers(capped).size} members found without overflow")
+    assert(famMembers(ov) == famIds,
+      s"overflow lost ${(famIds -- famMembers(ov)).size} family members")
+    // overflow only ADDS pairs
+    assert(capped.toSet.subsetOf(ov.toSet))
+  }
+
   test("simhash: identical texts → distance 0; near-dups close; distinct far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

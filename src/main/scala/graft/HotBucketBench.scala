@@ -159,6 +159,14 @@ object HotBucketBench {
       val ((hpOvPairs, hpOvFam), tHotEOv) = timed(pairCounts(hpOv, "id_a", "id_b"))
       val hpOvMembers = memberRecall(hpOv, "id_a", "id_b", famVecs)
 
+      // -- text: simhash chunk cap -----------------------------------
+      val shStats = Dedup.simhashCandidateStats(hDocs, "text", "doc_id")
+      val ((shPairs, shFam), tHotS) =
+        timed(pairCounts(Dedup.simhashPairs(hDocs, "text", "doc_id"), "id_a", "id_b"))
+      val shOv = Dedup.simhashPairs(hDocs, "text", "doc_id", overflowReps = OverflowReps)
+      val ((shOvPairs, shOvFam), tHotSOv) = timed(pairCounts(shOv, "id_a", "id_b"))
+      val shOvMembers = memberRecall(shOv, "id_a", "id_b", famDocs)
+
       // -- text: winnow df-cap (postings accounting only — the overlap
       // report pipeline df-gates before any expansion, same cap) ------
       val wStats = TextAnalysis.winnowCandidateStats(hDocs, "text", "doc_id")
@@ -182,6 +190,14 @@ object HotBucketBench {
          |    "family_pairs_found":$hpOvFam,
          |    "family_pair_recall":${num(if (famVecPairs == 0) 0.0 else hpOvFam.toDouble / famVecPairs, 6)},
          |    "family_member_recall":${num(hpOvMembers, 6)},"hot_sec":${num(tHotEOv, 3)}}},
+         |"simhash":{"stats":${statsJson(shStats)},
+         |  "pairs_found":$shPairs,"family_pairs_found":$shFam,
+         |  "family_recall":${num(if (famDocPairs == 0) 0.0 else shFam.toDouble / famDocPairs, 6)},
+         |  "hot_sec":${num(tHotS, 3)},
+         |  "overflow":{"reps":$OverflowReps,"pairs_found":$shOvPairs,
+         |    "family_pairs_found":$shOvFam,
+         |    "family_pair_recall":${num(if (famDocPairs == 0) 0.0 else shOvFam.toDouble / famDocPairs, 6)},
+         |    "family_member_recall":${num(shOvMembers, 6)},"hot_sec":${num(tHotSOv, 3)}}},
          |"winnow":{"stats":${statsJson(wStats)}}
          |}""".stripMargin.replace("\n", "")
     }

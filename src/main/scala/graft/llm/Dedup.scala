@@ -140,6 +140,23 @@ object Dedup {
     candidateStatsOf(minhashBanded(df, textCol, idCol, shingleN, numHashes, bands),
       Seq("band", "bucket"), maxBucket)
 
+  /** [[LshCandidateStats]] for the exact chunk index [[simhashPairs]]
+    * uses (the hot-bucket accounting on the simhash path).
+    */
+  def simhashCandidateStats(df: DataFrame, textCol: String, idCol: String,
+                            maxBucket: Int = 256, chunks: Int = 8): LshCandidateStats = {
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
+    val chunked = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col("id"),
+        explode(array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk"),
+            (shiftright(col("sh"), c * bitsPer).bitwiseAND(lit(mask))).as("piece"))
+        }: _*)).as("cp"))
+      .select(col("id"), col("cp.chunk"), col("cp.piece"))
+    candidateStatsOf(chunked, Seq("chunk", "piece"), maxBucket)
+  }
+
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minJaccard`.
     * bands × rowsPerBand must equal the signature length.
     *

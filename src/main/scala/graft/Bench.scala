@@ -149,7 +149,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"load_ok":$loadOk,"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"load_ok":$loadOk,"settle_start_ms":$settleStartMs,"settle_end_ms":$settleEndMs,"settled":${settleEndMs > 0},"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     if (!loadOk && sys.env.contains("SPARK_GRAFT_BENCH_REQUIRE_QUIET")) {
       System.err.println(s"[bench] REFUSING to publish: load_avg " +
         s"[$loadStart, $loadEnd] exceeds the $maxLoad quiet-box bound " +

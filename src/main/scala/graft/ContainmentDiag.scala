@@ -79,6 +79,12 @@ object ContainmentDiag {
         graft.llm.Dedup.containmentPairs(docs, "text", "doc_id").count())
       Thread.sleep(3000) // drain the listener bus (private API in Spark 4)
       spark.sparkContext.removeSparkListener(listener)
+      // a SECOND full run (metrics detached): the warm wall the scale
+      // curves compare (r18's 40→80× warm exp 1.40 is a warm number) —
+      // one cold point alone can't separate per-scale one-time cost from
+      // the steady-state bend the memory-envelope experiment is after
+      val (_, tWarm) = timed(
+        graft.llm.Dedup.containmentPairs(docs, "text", "doc_id").count())
       s""""x$k":{"posting_rows":${r.getLong(5)},"shingle_types":${r.getLong(0)},""" +
         s""""retained_types":${r.getLong(1)},"sum_df2":${r.getLong(2)},""" +
         s""""capped_types":${r.getLong(3)},"capped_rows":${r.getLong(4)},""" +
@@ -86,13 +92,19 @@ object ContainmentDiag {
         s""""verified_pairs":$verified,""" +
         s""""index_sec":${num(tIndex, 3)},"join_sec":${num(tJoin, 3)},""" +
         s""""shared_sec":${num(tShared, 3)},"full_sec":${num(tFull, 3)},""" +
+        s""""warm_sec":${num(tWarm, 3)},""" +
         s""""task_run_sec":${num(acc.get(0) / 1e3, 1)},""" +
         s""""task_gc_sec":${num(acc.get(1) / 1e3, 1)},""" +
         s""""mem_spill_mb":${acc.get(2) / 1048576},"disk_spill_mb":${acc.get(3) / 1048576},""" +
         s""""shuffle_read_mb":${acc.get(4) / 1048576},"shuffle_write_mb":${acc.get(5) / 1048576}}"""
     }
+    // the memory envelope is the experiment's independent variable
+    // (r18 verdict #2) — record it so two artifact lines are
+    // self-describing without reconstructing the launch env
     val line =
       s"""{"metric":"containment_diag","scales":[${scales.mkString(",")}],""" +
+        s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",""" +
+        s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}",""" +
         s""""max_df":$maxDf,"src":"$srcDir",${sections.mkString(",")}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "containment_diag.json")

@@ -158,6 +158,15 @@ object HotBucketBench {
         minCosine = 0.9, overflowReps = OverflowReps)
       val ((hpOvPairs, hpOvFam), tHotEOv) = timed(pairCounts(hpOv, "id_a", "id_b"))
       val hpOvMembers = memberRecall(hpOv, "id_a", "id_b", famVecs)
+      // the DEPLOYABLE composition (r19): auto-derived banding feeding
+      // overflowReps through embeddingNearDupsLshAuto itself — the cell
+      // proving the production entry point carries the rescue, not just
+      // the pinned-parameter form above
+      val hpAuto = Similarity.embeddingNearDupsLshAuto(hEmb, minCosine = 0.9,
+        overflowReps = OverflowReps)
+      val ((hpAutoPairs, hpAutoFam), tHotAuto) =
+        timed(pairCounts(hpAuto, "id_a", "id_b"))
+      val hpAutoMembers = memberRecall(hpAuto, "id_a", "id_b", famVecs)
 
       // -- text: simhash chunk cap -----------------------------------
       val shStats = Dedup.simhashCandidateStats(hDocs, "text", "doc_id")
@@ -189,7 +198,11 @@ object HotBucketBench {
          |  "overflow":{"reps":$OverflowReps,"pairs_found":$hpOvPairs,
          |    "family_pairs_found":$hpOvFam,
          |    "family_pair_recall":${num(if (famVecPairs == 0) 0.0 else hpOvFam.toDouble / famVecPairs, 6)},
-         |    "family_member_recall":${num(hpOvMembers, 6)},"hot_sec":${num(tHotEOv, 3)}}},
+         |    "family_member_recall":${num(hpOvMembers, 6)},"hot_sec":${num(tHotEOv, 3)}},
+         |  "auto_overflow":{"reps":$OverflowReps,"pairs_found":$hpAutoPairs,
+         |    "family_pairs_found":$hpAutoFam,
+         |    "family_pair_recall":${num(if (famVecPairs == 0) 0.0 else hpAutoFam.toDouble / famVecPairs, 6)},
+         |    "family_member_recall":${num(hpAutoMembers, 6)},"hot_sec":${num(tHotAuto, 3)}}},
          |"simhash":{"stats":${statsJson(shStats)},
          |  "pairs_found":$shPairs,"family_pairs_found":$shFam,
          |  "family_recall":${num(if (famDocPairs == 0) 0.0 else shFam.toDouble / famDocPairs, 6)},

@@ -225,6 +225,12 @@ object Dedup {
         .agg(count(lit(1)).as("sz"))
         .filter(col("sz") > maxBucket)
         .select(col("band"), col("bucket"))
+      // class key = xxhash64(sig), not the raw signature array (keeps
+      // the window key a fixed-width long) — a 64-bit collision between
+      // DISTINCT signatures in one oversized bucket would merge two
+      // classes and shift rep selection vs a raw-value oracle grouping;
+      // accepted at ~2^-64 per in-bucket pair (r18 advice, same
+      // asymmetry as embeddingNearDupsLsh's ck).
       val ob = bandedAll.join(oversized, Seq("band", "bucket"), "left_semi")
         .join(sigs.select(col("id"), xxhash64(col("sig")).as("ck")), Seq("id"))
       val wClass = Window.partitionBy(col("band"), col("bucket"), col("ck"))
@@ -774,6 +780,41 @@ object Dedup {
       sig = simhashSql)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Hot-family rig for the TEXT-side overflow oracle (r18 verdict #6:
+    * the embedding overflow has `llm_embed_neardup_lsh_ovf`; the text
+    * overflows were spec-only): the first `SimOvfFam` doc_ids are
+    * rewritten to a shared 240-token template plus a per-doc tail token
+    * — true near-dups whose simhashes differ in the few bits where the
+    * template's per-bit vote sum is 0 (the tail's ±1 decides the sign),
+    * never byte-identical. With the pinned `SimOvfMaxBucket`, every one
+    * of the family's (chunk, piece) buckets oversizes, so the plain cap
+    * drops the family whole and ONLY the overflow star produces its
+    * pairs — the registered row gates exactly the rescue semantics.
+    */
+  private[llm] val SimOvfTemplate: String =
+    Seq.tabulate(120)(i => s"ovfspan$i tok$i").mkString(" ")
+  private val SimOvfFam = 100L
+  private val SimOvfReps = 8
+  private val SimOvfMaxBucket = 64
+
+  def plantHotDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") < SimOvfFam,
+        concat(lit(SimOvfTemplate + " tail"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** The simhash overflow path, oracle-gated: planted >maxBucket family
+    * + `overflowReps = 8` — the text-side twin of
+    * `llm_embed_neardup_lsh_ovf`, pinning signature-class collapse,
+    * lowest-id rep selection, and the member×rep hamming verify against
+    * an independent replica.
+    */
+  def simhashOverflowQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(plantHotDocs(Tables.documents(spark, dir)), "text", "doc_id",
+      maxHamming = 7, maxBucket = SimOvfMaxBucket, sig = simhashSql,
+      overflowReps = SimOvfReps)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Exact 3-gram Jaccard near-dups ≥ 0.8, found the scale-correct way:
     * MinHash-LSH candidates first, exact Jaccard verify second. The DuckDB
     * oracle computes the all-pairs answer — at J ≥ 0.8 with 16 bands × 2
@@ -902,6 +943,7 @@ object Dedup {
     "llm_dedup_minhash" -> (minhashQuery _),
     "llm_similar_docs" -> (similarDocsQuery _),
     "llm_dedup_simhash" -> (simhashQuery _),
+    "llm_dedup_simhash_ovf" -> (simhashOverflowQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
     "llm_dedup_containment" -> (containmentQuery _),
     "llm_neardup_incremental" -> (incrementalNearDupQuery _),
@@ -1106,31 +1148,73 @@ object Dedup {
     // in-bucket pairing, hamming ≤ 7 — so Spark and DuckDB agree by
     // construction at any SF, capped buckets included
     "llm_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
-        |th0 AS (SELECT doc_id,
-        |         CASE WHEN length(tok) = 0 THEN CAST(0 AS HUGEINT) ELSE
-        |           list_reduce(list_transform(range(length(tok)),
-        |             i -> CAST(ascii(substr(tok, CAST(i + 1 AS INTEGER), 1)) AS HUGEINT)),
-        |             (acc, c) -> (acc * 257 + c) % 2305843009213693951) END AS h0
-        |        FROM toks),
-        |th1 AS (SELECT doc_id, (h0 * h0 + 2177342782468422681) % 2305843009213693951 AS h1 FROM th0),
-        |th2 AS (SELECT doc_id, (h1 * h1 + 194409311614856021) % 2305843009213693951 AS h2 FROM th1),
-        |th AS (SELECT doc_id, CAST((h2 * h2 + 1609587929392839161) % 2305843009213693951 AS BIGINT) AS h FROM th2),
-        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |         FROM th CROSS JOIN (SELECT unnest(range(61)) AS b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
-        |       FROM bits GROUP BY doc_id),
-        |cp AS MATERIALIZED (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece
-        |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c)),
-        |useful AS MATERIALIZED (SELECT c, piece FROM cp GROUP BY c, piece
-        |           HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
-        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
-        |          FROM (SELECT cp.* FROM cp JOIN useful USING (c, piece)) a
-        |          JOIN (SELECT cp.* FROM cp JOIN useful USING (c, piece)) b
-        |            ON a.c = b.c AND a.piece = b.piece AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
-        |FROM pairs WHERE bit_count(xor(sha, shb)) <= 7
-        |ORDER BY id_a, id_b""".stripMargin)
+      s"""WITH ${simhashCtes("documents", 256)}
+         |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sha, shb)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the simhash OVERFLOW replica: hot-family rewrite → the same chunk
+    // pipeline at the pinned maxBucket → capped pairs UNION the overflow
+    // star (sig-class collapse = GROUP BY the simhash value, lowest-id
+    // ≤ reps representatives per oversized bucket, member×rep verify) —
+    // the text-side twin of llm_embed_neardup_lsh_ovf's replica
+    "llm_dedup_simhash_ovf" ->
+      s"""WITH hd AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < $SimOvfFam
+         |      THEN '$SimOvfTemplate tail' || CAST(doc_id AS VARCHAR)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |${simhashCtes("hd", SimOvfMaxBucket)},
+         |over AS MATERIALIZED (SELECT c, piece FROM cp GROUP BY c, piece
+         |          HAVING COUNT(*) > $SimOvfMaxBucket),
+         |ob AS MATERIALIZED (SELECT cp.* FROM cp JOIN over USING (c, piece)),
+         |crep AS (SELECT c, piece, sh, MIN(doc_id) AS rep_id
+         |         FROM ob GROUP BY c, piece, sh),
+         |reps AS MATERIALIZED (
+         |  SELECT c, piece, rep_id, sh AS rep_sh FROM crep
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c, piece ORDER BY rep_id) <= $SimOvfReps),
+         |ovp AS (SELECT least(o.doc_id, r.rep_id) AS id_a,
+         |          greatest(o.doc_id, r.rep_id) AS id_b,
+         |          o.sh AS sha, r.rep_sh AS shb
+         |        FROM ob o JOIN reps r USING (c, piece)
+         |        WHERE o.doc_id <> r.rep_id)
+         |SELECT DISTINCT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+         |FROM (SELECT id_a, id_b, sha, shb FROM pairs
+         |      UNION ALL SELECT id_a, id_b, sha, shb FROM ovp)
+         |WHERE bit_count(xor(sha, shb)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin)
+
+  /** The simhash chunk-index pipeline as composable CTEs over a source
+    * relation `src(doc_id, text)`: poly-mod-2^61-1 token hashes (the
+    * list_reduce in HUGEINT replays Mod61.polyHash exactly), per-bit ±1
+    * votes, 8×8-bit chunk buckets, and the >1 ∧ ≤maxBucket cap — ending
+    * in `cp(doc_id, sh, c, piece)`, `useful`, and the capped
+    * `pairs(id_a, id_b, sha, shb)`. Shared by the plain and overflow
+    * simhash oracles so the replicas cannot drift.
+    */
+  private def simhashCtes(src: String, maxBucket: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM $src),
+       |th0 AS (SELECT doc_id,
+       |         CASE WHEN length(tok) = 0 THEN CAST(0 AS HUGEINT) ELSE
+       |           list_reduce(list_transform(range(length(tok)),
+       |             i -> CAST(ascii(substr(tok, CAST(i + 1 AS INTEGER), 1)) AS HUGEINT)),
+       |             (acc, c) -> (acc * 257 + c) % 2305843009213693951) END AS h0
+       |        FROM toks),
+       |th1 AS (SELECT doc_id, (h0 * h0 + 2177342782468422681) % 2305843009213693951 AS h1 FROM th0),
+       |th2 AS (SELECT doc_id, (h1 * h1 + 194409311614856021) % 2305843009213693951 AS h2 FROM th1),
+       |th AS (SELECT doc_id, CAST((h2 * h2 + 1609587929392839161) % 2305843009213693951 AS BIGINT) AS h FROM th2),
+       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |         FROM th CROSS JOIN (SELECT unnest(range(61)) AS b) GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+       |       FROM bits GROUP BY doc_id),
+       |cp AS MATERIALIZED (SELECT doc_id, sh, c, (sh >> (c * 8)) & 255 AS piece
+       |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c)),
+       |useful AS MATERIALIZED (SELECT c, piece FROM cp GROUP BY c, piece
+       |           HAVING COUNT(*) > 1 AND COUNT(*) <= $maxBucket),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+       |          FROM (SELECT cp.* FROM cp JOIN useful USING (c, piece)) a
+       |          JOIN (SELECT cp.* FROM cp JOIN useful USING (c, piece)) b
+       |            ON a.c = b.c AND a.piece = b.piece AND a.doc_id < b.doc_id)""".stripMargin
 }

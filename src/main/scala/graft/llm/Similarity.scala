@@ -350,10 +350,16 @@ object Similarity {
   private[graft] def querySideGateMemoSize(spark: SparkSession): Int =
     querySideCounts.keys.count(_._1 eq spark)
 
-  /** XOR-folded fingerprint of every file-source root the query plan
-    * scans; 17L for purely in-memory plans. Order-independent, and
-    * fresh-stat per call so an in-place rewrite invalidates even a
-    * re-gated identical plan.
+  /** Summed-mix fingerprint of every file-source root the query plan
+    * scans; 17L for purely in-memory plans. Order-independent (Long
+    * addition commutes) but DUPLICATE-SENSITIVE: an XOR fold cancels
+    * pairwise, so a plan scanning the same root an even number of times
+    * (self-join, self-union) would fingerprint to the bare seed
+    * regardless of file state — reopening the same-plan source-rewrite
+    * staleness window this key exists to close (r18 advice). Each root
+    * fingerprint is avalanche-mixed first so the sum cannot be walked
+    * back by crafted path stats. Fresh-stat per call, so an in-place
+    * rewrite invalidates even a re-gated identical plan.
     */
   private def querySourceFingerprint(queries: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -361,11 +367,12 @@ object Similarity {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths
-            .map(p => graft.store.Snapshot.fingerprintPath(p.toString))
-            .foldLeft(17L)(_ ^ _)
+            .map(p => MinHashCore.fmix64(
+              graft.store.Snapshot.fingerprintPath(p.toString)))
+            .sum
         case _ => 0L
       }
-    }.foldLeft(17L)(_ ^ _)
+    }.sum + 17L
   }
 
   private def requireQuerySide(queries: DataFrame, op: String, maxRows: Long): Unit = {
@@ -794,6 +801,14 @@ object Similarity {
         .agg(count(lit(1)).as("sz"))
         .filter(col("sz") > maxBucket)
         .select(col("bucket"))
+      // class key ASYMMETRY vs the oracle (r18 advice): the engine
+      // collapses exact-vector classes on xxhash64(embedding) while the
+      // DuckDB replica groups by the raw vector value — a 64-bit
+      // collision between DISTINCT vectors in one oversized bucket would
+      // merge two classes here, shift representative selection, and fail
+      // the llm_embed_neardup_lsh_ovf gate spuriously. Accepted at
+      // ~2^-64 per in-bucket pair; if that gate ever mismatches on
+      // rep-selection rows, rule this out before suspecting the logic.
       val ob = bandedAll.join(oversized, Seq("bucket"), "left_semi")
         .withColumn("ck", xxhash64(col("embedding")))
       val wClass = Window.partitionBy(col("bucket"), col("ck")).orderBy(col("vec_id"))
@@ -820,13 +835,31 @@ object Similarity {
     * at-threshold miss probability stays under `targetMiss` no matter how
     * large the corpus grows. The fixed-parameter form exists for configs
     * that must replay bit-for-bit in an oracle (pinned bits/bands).
+    *
+    * `overflowReps` (default 0 = off, preserving the registered auto
+    * oracles' hashes bit-for-bit) threads [[embeddingNearDupsLsh]]'s
+    * hot-family overflow through the deployable path. Auto-sizing
+    * targets AVERAGE bucket occupancy (n/2^bits ≈ 16), so it cannot
+    * protect against a genuinely hot near-dup family — a family larger
+    * than `maxBucket` oversizes its buckets at ANY banding (the
+    * hot-bucket artifact measures exactly this: member recall 0.0 with
+    * the plain cap at every scale), and without the overflow the
+    * production caller silently loses that family whole. Production
+    * recommendation: `overflowReps = maxBucket` — overflow work per
+    * oversized bucket then matches the cap's own per-bucket pairing
+    * ceiling (sz·reps vs sz·(maxBucket−1)/2), keeps the candidate
+    * volume under `overflowBound = oversizedRows·reps` (linear), and
+    * restores family member recall to 1.0 (every member pairs with the
+    * family's lowest-id representatives, so pairs→clusters keeps one
+    * member instead of none).
     */
   def embeddingNearDupsLshAuto(corpus: DataFrame, minCosine: Double,
                                targetMiss: Double = 1e-6,
-                               maxBucket: Int = 64): DataFrame = {
+                               maxBucket: Int = 64,
+                               overflowReps: Int = 0): DataFrame = {
     val n = corpus.select(col("vec_id")).count()
     val (bits, bands) = hyperplaneParams(n, minCosine, targetMiss)
-    embeddingNearDupsLsh(corpus, bits, bands, minCosine, maxBucket)
+    embeddingNearDupsLsh(corpus, bits, bands, minCosine, maxBucket, overflowReps)
   }
 
   /** [[graft.llm.Dedup.LshCandidateStats]] for the exact banding
@@ -1364,17 +1397,23 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
 
   /** LSH threshold: the regime the banded detector is FOR (true vector
-    * near-dups, cosine ≥ 0.95). The synthetic corpus plants none, so the
-    * oracle-checked answer is empty here; recall is proven by the planted-
-    * pair spec (SimilaritySpec) and the miss bound in hyperplaneParams.
+    * near-dups, cosine ≥ 0.95).
     */
   private val LshTau = 0.95
   private val LshBits = 8
   private val LshBands = 25 // hyperplaneParams(500, 0.95) = (8, 25)
 
-  /** Banded-LSH near-dup pairs (scale path for the high-cosine regime). */
+  /** Banded-LSH near-dup pairs (scale path for the high-cosine regime),
+    * pinned banding, TWIN-AUGMENTED: the raw synthetic corpus plants no
+    * pairs at cosine ≥ 0.95, so until round 19 this row's green hash was
+    * a 0 = 0 match that gated nothing (r18 verdict). The planted twins
+    * give the gate real rows to verify, and the oracle is the full
+    * banded replica (signatures, bucket cap, in-bucket verify) — NOT the
+    * brute all-pairs scan — so Spark and DuckDB agree by construction
+    * even at corpus sizes where a pinned banding loses recall.
+    */
   def nearDupLshQuery(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupsLsh(Tables.embeddings(spark, dir),
+    embeddingNearDupsLsh(plantTwins(Tables.embeddings(spark, dir)),
       bitsPerBand = LshBits, bands = LshBands, minCosine = LshTau)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1492,6 +1531,23 @@ object Similarity {
   def nearDupLshAutoQuery(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsLshAuto(plantTwins(Tables.embeddings(spark, dir)),
         minCosine = LshTau)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The deployable path WITH the hot-family rescue, oracle-gated:
+    * auto-sized (bits, bands) over the planted >maxBucket family, with
+    * `overflowReps > 0` — the composition a production semantic-dedup
+    * run actually executes (r18 verdict #1: auto-sizing targets average
+    * occupancy, so a hot family oversizes its buckets at ANY banding,
+    * and before this row the production entry point could only drop it
+    * whole). The green hash proves auto parameter derivation AND the
+    * overflow star through one gate: the oracle replays the float
+    * sizing formula over the (row-count-preserving) hot-family corpus,
+    * then the same class-collapse/rep-selection/member×rep replica as
+    * the pinned overflow row.
+    */
+  def nearDupLshAutoOvfQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLshAuto(plantHotFamily(Tables.embeddings(spark, dir)),
+      minCosine = LshTau, overflowReps = OvfReps)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Auto-sized LSH clusters — [[embedClustersLshQuery]]'s deployable
@@ -1655,6 +1711,7 @@ object Similarity {
     "llm_embed_neardup" -> (nearDupQuery _),
     "llm_embed_neardup_lsh" -> (nearDupLshQuery _),
     "llm_embed_neardup_lsh_auto" -> (nearDupLshAutoQuery _),
+    "llm_embed_neardup_lsh_auto_ovf" -> (nearDupLshAutoOvfQuery _),
     "llm_embed_neardup_lsh_ovf" -> (nearDupLshOverflowQuery _),
     "llm_embed_clusters" -> (embedClustersQuery _),
     "llm_embed_clusters_lsh" -> (embedClustersLshQuery _),
@@ -2206,16 +2263,22 @@ object Similarity {
     * bands → zero hyperplanes → an oracle/engine mismatch, i.e. a LOUD
     * gate failure rather than a silent wrong-parameter comparison.
     */
-  private lazy val AutoParamsCte: String = {
+  private def autoParamsCte(extraRows: Int): String = {
     val bandsByBits = AutoBandsTable
       .map { case (b, k) => s"WHEN $b THEN $k" }.mkString(" ")
     s"""params AS MATERIALIZED (
        |  SELECT nn, bits, CASE bits $bandsByBits END AS bands
        |  FROM (SELECT nn,
        |          GREATEST(8, CAST(ceil(ln(nn / 16.0) / ln(2.0)) AS INTEGER)) AS bits
-       |        FROM (SELECT CAST((SELECT COUNT(*) + ${2 * TwinCount} FROM embeddings)
+       |        FROM (SELECT CAST((SELECT COUNT(*) + $extraRows FROM embeddings)
        |                       AS DOUBLE) AS nn)))""".stripMargin
   }
+
+  /** Auto params over the TWIN-augmented corpus (plantTwins adds
+    * 2·TwinCount rows; plantHotFamily rewrites in place, so its auto
+    * oracles use `autoParamsCte(0)`).
+    */
+  private lazy val AutoParamsCte: String = autoParamsCte(2 * TwinCount)
 
   /** bands per bits for (τ = LshTau, targetMiss = 1e-6), computed FROM
     * [[hyperplaneParams]] itself (n = largest count mapping to each bits
@@ -2242,6 +2305,32 @@ object Similarity {
        |${hyperplaneCtes(AutoBitsSql, AutoBandsSql, "(SELECT d FROM dimc)")},
        |${lshBandPairCtes(AutoBitsSql, LshTau)}
        |SELECT id_a, id_b, ROUND(sim, 4) AS sim_r FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** The llm_embed_neardup_lsh replica: planted twins → PINNED banding →
+    * capped in-bucket pairs (the auto replica with constants in place of
+    * the params CTE).
+    */
+  private lazy val EmbedNearDupLshSql: String =
+    s"""WITH $TwinCtes,
+       |${hyperplaneCtes(LshBits.toString, LshBands.toString, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(LshBits.toString, LshTau)}
+       |SELECT id_a, id_b, ROUND(sim, 4) AS sim_r FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** The llm_embed_neardup_lsh_auto_ovf replica: hot family (row-count
+    * preserving, so `autoParamsCte(0)`) → AUTO banding → capped
+    * in-bucket pairs UNION the overflow star — the pinned overflow
+    * replica re-parameterized with the derived (bits, bands).
+    */
+  private lazy val EmbedNearDupLshAutoOvfSql: String =
+    s"""WITH $HotFamCtes,
+       |${autoParamsCte(0)},
+       |${hyperplaneCtes(AutoBitsSql, AutoBandsSql, "(SELECT d FROM dimc)")},
+       |${lshBandPairCtes(AutoBitsSql, LshTau)},
+       |${lshOverflowCtes(OvfReps, LshTau)}
+       |SELECT DISTINCT id_a, id_b, ROUND(sim, 4) AS sim_r
+       |FROM (SELECT id_a, id_b, sim FROM p
+       |      UNION ALL SELECT id_a, id_b, sim FROM ovp)
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The llm_embed_clusters_lsh_auto replica: auto-sized banding + the
     * same transitive-closure tail.
@@ -2530,11 +2619,11 @@ object Similarity {
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $PairTau
          |ORDER BY id_a, id_b""".stripMargin,
-    "llm_embed_neardup_lsh" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND(${cosSql("a", "b")}, 4) AS sim_r
-         |FROM embeddings a, embeddings b
-         |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= $LshTau
-         |ORDER BY id_a, id_b""".stripMargin,
+    // the pinned-banding replica over planted twins (r18 verdict: the
+    // previous brute-force oracle only matched because both sides were
+    // empty — a 0 = 0 hash gates nothing). Full banded pipeline, so the
+    // row verifies real pairs at every SF.
+    "llm_embed_neardup_lsh" -> EmbedNearDupLshSql,
     // full replica of embedClustersLshQuery — the hyperplane-LSH twin of
     // the simhash oracle: planted twins, fmix64-derived hyperplane
     // components, banded sign signatures, the >1 ∧ ≤maxBucket filter,
@@ -2546,6 +2635,9 @@ object Similarity {
     // deployable entry points gated with their actual parameterization
     "llm_embed_neardup_lsh_auto" -> EmbedNearDupLshAutoSql,
     "llm_embed_clusters_lsh_auto" -> EmbedClustersLshAutoSql,
+    // the deployable composition: auto sizing + hot-family overflow
+    // through one gate (r18 verdict #1)
+    "llm_embed_neardup_lsh_auto_ovf" -> EmbedNearDupLshAutoOvfSql,
     // the OVERFLOW semantics through the gate: planted >maxBucket family,
     // star-to-representatives replica (class collapse included)
     "llm_embed_neardup_lsh_ovf" -> EmbedNearDupLshOvfSql,

@@ -853,10 +853,17 @@ object MicroBatch {
     // (auth, transient connector IO, malformed state) propagates as
     // itself: replacing it with deploy guidance would mask the real
     // fault (r17 advice).
-    def isNoConnector(t: Throwable): Boolean = t != null && (
-      t.isInstanceOf[org.apache.hadoop.fs.UnsupportedFileSystemException] ||
-        Option(t.getMessage).exists(_.contains("No FileSystem for scheme")) ||
-        isNoConnector(t.getCause))
+    // cause walk bounded at 16 and cut on a self-cycle: a cyclic cause
+    // chain (constructible via reflection or unusual initCause use in
+    // connector code) must not recurse unbounded inside this catch
+    // handler (r18 advice) — 16 levels is far past any real connector
+    // wrap depth
+    @annotation.tailrec
+    def isNoConnector(t: Throwable, depth: Int = 0): Boolean =
+      t != null && depth < 16 && (
+        t.isInstanceOf[org.apache.hadoop.fs.UnsupportedFileSystemException] ||
+          Option(t.getMessage).exists(_.contains("No FileSystem for scheme")) ||
+          isNoConnector(if (t.getCause eq t) null else t.getCause, depth + 1))
     val noOp = try {
       !graft.store.Fs.exists(tableDir) ||
         !graft.store.Versioned.exists(stateDir) ||

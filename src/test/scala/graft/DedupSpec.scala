@@ -123,6 +123,37 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(capped.toSet.subsetOf(ov.toSet))
   }
 
+  test("llm_dedup_simhash_ovf rig is not vacuous: family oversizes the pinned cap, overflow rescues it") {
+    // the registered query's own planting (plantHotDocs) against the
+    // pinned maxBucket: the plain cap must actually ENGAGE (else the
+    // oracle row gates nothing) and the overflow must carry the family
+    val dir = "/root/testdata/sf0.001"
+    val hot = Dedup.plantHotDocs(Tables.documents(spark, dir))
+    val stats = Dedup.simhashCandidateStats(hot, "text", "doc_id", maxBucket = 64)
+    assert(stats.droppedBuckets > 0 && stats.largestBucket >= 100L,
+      s"planted family does not oversize the pinned cap: $stats")
+    val famIds = (0L until 100L).toSet
+    def famMembers(pairs: Array[(Long, Long)]): Set[Long] = pairs.iterator
+      .filter { case (x, y) => famIds(x) && famIds(y) }
+      .flatMap { case (x, y) => Iterator(x, y) }.toSet
+    val plain = Dedup.simhashPairs(hot, "text", "doc_id", maxHamming = 7,
+        maxBucket = 64, sig = Dedup.simhashSql)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val ovf = Dedup.simhashOverflowQuery(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // NB: the plain cap can still reach family members here — the tail
+    // token flips a few sign-0 bits, and the chunks CARRYING those bits
+    // split the family into under-cap sub-buckets. Non-vacuousness is
+    // therefore (a) oversized buckets exist (above), and (b) the
+    // overflow star contributes pairs the capped path cannot — the
+    // registered row's hash covers overflow-only rows.
+    assert(famMembers(ovf) == famIds,
+      s"overflow lost family members: ${(famIds -- famMembers(ovf)).take(5)}…")
+    assert(plain.toSet.subsetOf(ovf.toSet))
+    assert(ovf.length > plain.length,
+      s"overflow added no pairs (plain ${plain.length} = ovf ${ovf.length}) — the gate would be vacuous")
+  }
+
   test("simhash: identical texts → distance 0; near-dups close; distinct far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

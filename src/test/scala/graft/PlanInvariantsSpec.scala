@@ -133,8 +133,6 @@ class PlanInvariantsSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = SparkEntry.queries("llm_embed_neardup_lsh")(spark, dir)
-        .queryExecution.executedPlan
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec,
         ShuffledHashJoinExec, BroadcastHashJoinExec}
@@ -145,17 +143,30 @@ class PlanInvariantsSpec extends SparkSpec {
         case s: BroadcastHashJoinExec => s.leftKeys ++ s.rightKeys
         case _ => Seq.empty
       }
-      val idJoins = plan.collect {
+      def idJoinsOf(plan: org.apache.spark.sql.execution.SparkPlan) = plan.collect {
         case j: BaseJoinExec
           if keysOf(j).exists(_.references.exists(a => idNames(a.name))) => j
       }
-      assert(idJoins.isEmpty,
-        s"fetch join on vector ids reintroduced after banding:\n${idJoins.mkString("\n")}")
-      val scans = plan.collect {
+      // the OPERATOR invariant, on an unplanted corpus: sizing pass +
+      // member pass, nothing else touches the files
+      val opPlan = graft.llm.Similarity.embeddingNearDupsLsh(
+          Tables.embeddings(spark, dir), bitsPerBand = 8, bands = 25,
+          minCosine = 0.95)
+        .queryExecution.executedPlan
+      assert(idJoinsOf(opPlan).isEmpty,
+        s"fetch join on vector ids reintroduced after banding:\n${idJoinsOf(opPlan).mkString("\n")}")
+      val scans = opPlan.collect {
         case s: FileSourceScanExec if s.toString.contains("embeddings.parquet") => s
       }
       assert(scans.size == 2,
-        s"expected exactly 2 corpus scans (sizing + members), got ${scans.size}:\n$plan")
+        s"expected exactly 2 corpus scans (sizing + members), got ${scans.size}:\n$opPlan")
+      // the REGISTERED query (twin-augmented since r19, so the corpus
+      // scan count is 2 passes × 3 union branches) must still carry no
+      // id-keyed fetch join — the planting must not smuggle one back
+      val regPlan = SparkEntry.queries("llm_embed_neardup_lsh")(spark, dir)
+        .queryExecution.executedPlan
+      assert(idJoinsOf(regPlan).isEmpty,
+        s"registered twin-augmented query grew an id-keyed join:\n${idJoinsOf(regPlan).mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

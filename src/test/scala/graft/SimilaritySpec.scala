@@ -565,6 +565,37 @@ class SimilaritySpec extends SparkSpec with PropertyCheck {
       s"auto-sized banding lost the planted twin; found ${auto.mkString(",")}")
   }
 
+  test("deployable auto path: overflowReps rescues the hot family auto-sizing alone drops") {
+    // auto-sizing targets AVERAGE occupancy (n/2^bits ≈ 16), so a 130-
+    // member near-dup family oversizes its buckets at the derived banding
+    // just as it does at any pinned one — the r18 gap: the production
+    // entry point had no way to invoke the overflow rescue. Same rig as
+    // the pinned overflow spec; this asserts the COMPOSITION.
+    val base = spark.range(13000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000L)) / lit(500.0)) - lit(1.0))
+          .cast("float"))
+        .as("embedding"))
+    val corpus = HotBucketBench.hotEmbeddings(base).localCheckpoint()
+    val famIds = (0 until 13000).map(_.toLong).filter(_ % 100 == 7).toSet
+    val plain = Similarity.embeddingNearDupsLshAuto(corpus, minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val plainFam = plain.count { case (a, b) => famIds(a) && famIds(b) }
+    assert(plainFam < famIds.size * (famIds.size - 1) / 2,
+      s"plain auto cap unexpectedly kept the full hot family ($plainFam pairs)")
+    val ov = Similarity.embeddingNearDupsLshAuto(corpus, minCosine = 0.9,
+        overflowReps = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val members = ov.iterator
+      .filter { case (a, b) => famIds(a) && famIds(b) }
+      .flatMap { case (a, b) => Iterator(a, b) }.toSet
+    assert(members == famIds,
+      s"auto+overflow lost family members: ${(famIds -- members).take(5)}…")
+    // the capped baseline's pairs survive the composition unchanged
+    assert(plain.toSet.subsetOf(ov.toSet))
+  }
+
   test("blocked all-pairs broadcasts a slice, never the full corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForcePairsBlocked(emb, 0.35, 4)

@@ -733,6 +733,83 @@ class StreamingSpec extends SparkSpec {
     graft.store.Lake.deleteRecursive(Paths.get(root))
   }
 
+  test("ER stream under Spark's checkpoint recovery: replayed batch id leaves link and pending tables identical") {
+    // KPI (additive), SCD2 (order-sensitive), the compacted ledger and
+    // session windows are proven; this is the ER family's turn (r18
+    // verdict #4) — TWO at-rest tables per batch (link appends + the
+    // stewardship queue), each with its own per-id replay anti-join.
+    // Erase the last commit marker, restart on the SAME checkpoint:
+    // Spark re-runs b1's batch id, both guards must drop every replayed
+    // row (no duplicate links, no duplicate pending entries), and the
+    // restarted stream must then converge with an uninterrupted twin.
+    val root = Files.createTempDirectory("er_ckpt_restart").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("seg", StringType)))
+    // governed master: one linkable entity per block (block key strips
+    // the last 2 name chars, so the typo'd twins below stay in-block)
+    Seq((500L, "node42aa", "A"), (501L, "node77aa", "B"))
+      .toDF("id", "name", "seg")
+      .write.mode("overwrite").parquet(s"$root/master")
+    def row(i: Long, n: String, s: String) = s"""{"id":$i,"name":"$n","seg":"$s"}"""
+    // per batch: one twin (same block, edit distance 1, same segment)
+    // and one prospect whose block exists nowhere in the master
+    val b1 = Seq(row(10, "node42ab", "A"), row(11, "zzsolo99", "B")).mkString("\n")
+    val b2 = Seq(row(12, "node77ab", "B"), row(13, "qqlone11", "A")).mkString("\n")
+    def start(tag: String) = {
+      Files.createDirectories(Paths.get(s"$root/$tag/in"))
+      MicroBatch.erIngestStream(spark, s"$root/$tag/in", schema,
+        masterDir = s"$root/master",
+        matchesDir = s"$root/$tag/matches",
+        pendingDir = s"$root/$tag/pending",
+        checkpointDir = s"$root/$tag/ckpt")
+    }
+    def state(tag: String): (Seq[(Long, Long, Int)], Seq[Long]) = (
+      spark.read.parquet(s"$root/$tag/matches")
+        .select($"new_id", $"master_custkey", $"edit_dist")
+        .as[(Long, Long, Int)].collect().sorted.toSeq,
+      spark.read.parquet(s"$root/$tag/pending")
+        .select($"id").as[Long].collect().sorted.toSeq)
+
+    // twin A: uninterrupted (b1 and b2 as separate micro-batches)
+    val qa = start("a")
+    Files.writeString(Paths.get(s"$root/a/in/b1.jsonl"), b1)
+    qa.processAllAvailable()
+    Files.writeString(Paths.get(s"$root/a/in/b2.jsonl"), b2)
+    qa.processAllAvailable(); qa.stop(); qa.awaitTermination()
+
+    // twin B: b1 → stop → erase the last commit marker → restart on the
+    // SAME checkpoint (Spark replays b1's batch id over committed state)
+    val qb = start("b")
+    Files.writeString(Paths.get(s"$root/b/in/b1.jsonl"), b1)
+    qb.processAllAvailable(); qb.stop(); qb.awaitTermination()
+    val s1 = state("b")
+    assert(s1._1 == Seq((10L, 500L, 1)) && s1._2 == Seq(11L),
+      s"b1 did not produce the expected link/pending state: $s1")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val commits = Files.list(Paths.get(s"$root/b/ckpt/commits")).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+      val lastCommit = commits.maxBy(_.getFileName.toString.toLong)
+      Files.delete(lastCommit)
+      Files.deleteIfExists(lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+    }
+    val qb2 = start("b")
+    qb2.processAllAvailable()
+    assert(state("b") == s1,
+      s"replayed batch mutated the link/pending tables: ${state("b")} vs $s1")
+    // the restarted stream keeps linking: master-501 twin links, the new
+    // prospect queues — identical to the uninterrupted twin
+    Files.writeString(Paths.get(s"$root/b/in/b2.jsonl"), b2)
+    qb2.processAllAvailable(); qb2.stop(); qb2.awaitTermination()
+    assert(state("b") == state("a"),
+      s"restarted ER state diverged: ${state("b")} vs ${state("a")}")
+    assert(state("b")._1 == Seq((10L, 500L, 1), (12L, 501L, 1)) &&
+      state("b")._2 == Seq(11L, 13L),
+      s"final ER state wrong: ${state("b")}")
+    graft.store.Lake.deleteRecursive(Paths.get(root))
+  }
+
   test("streaming SCD2: mixed-day batch keeps per-key days; later update not mis-dropped") {
     val root = Files.createTempDirectory("scd2_days").toString
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))

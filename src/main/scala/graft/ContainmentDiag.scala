@@ -79,12 +79,20 @@ object ContainmentDiag {
         graft.llm.Dedup.containmentPairs(docs, "text", "doc_id").count())
       Thread.sleep(3000) // drain the listener bus (private API in Spark 4)
       spark.sparkContext.removeSparkListener(listener)
-      // a SECOND full run (metrics detached): the warm wall the scale
-      // curves compare (r18's 40→80× warm exp 1.40 is a warm number) —
-      // one cold point alone can't separate per-scale one-time cost from
-      // the steady-state bend the memory-envelope experiment is after
-      val (_, tWarm) = timed(
-        graft.llm.Dedup.containmentPairs(docs, "text", "doc_id").count())
+      // WARM runs (metrics detached): the warm wall the scale curves
+      // compare (r18's 40→80× warm exp 1.40 is a warm number) — one
+      // cold point alone can't separate per-scale one-time cost from
+      // the steady-state bend the memory-envelope experiment is after.
+      // Multiple samples with a min, because this box shows ±40%
+      // contention noise plus ~10 s external stalls (PERF.md): a
+      // two-sample envelope comparison at 48 GB read 22.7 vs 47.7 s on
+      // IDENTICAL work — min-of-N inside one JVM is the only stable
+      // statistic here.
+      val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "1").toInt
+      val warms = (1 to warmRuns).map { _ =>
+        timed(graft.llm.Dedup.containmentPairs(docs, "text", "doc_id").count())._2
+      }
+      val tWarm = warms.min
       s""""x$k":{"posting_rows":${r.getLong(5)},"shingle_types":${r.getLong(0)},""" +
         s""""retained_types":${r.getLong(1)},"sum_df2":${r.getLong(2)},""" +
         s""""capped_types":${r.getLong(3)},"capped_rows":${r.getLong(4)},""" +
@@ -93,6 +101,7 @@ object ContainmentDiag {
         s""""index_sec":${num(tIndex, 3)},"join_sec":${num(tJoin, 3)},""" +
         s""""shared_sec":${num(tShared, 3)},"full_sec":${num(tFull, 3)},""" +
         s""""warm_sec":${num(tWarm, 3)},""" +
+        s""""warm_secs":[${warms.map(num(_, 3)).mkString(",")}],""" +
         s""""task_run_sec":${num(acc.get(0) / 1e3, 1)},""" +
         s""""task_gc_sec":${num(acc.get(1) / 1e3, 1)},""" +
         s""""mem_spill_mb":${acc.get(2) / 1048576},"disk_spill_mb":${acc.get(3) / 1048576},""" +

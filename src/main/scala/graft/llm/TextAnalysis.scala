@@ -488,9 +488,9 @@ object TextAnalysis {
   // surface — the synthetic corpus is heavily templated (without the
   // floor, half of ALL doc pairs report: median containment 0.07 from
   // shared boilerplate vs ≥ 0.5 for the planted partial dups).
-  private val WinnowDfCap = 64
-  private val WinnowMinShared = 4
-  private val WinnowMinOverlap = 0.5
+  private[graft] val WinnowDfCap = 64
+  private[graft] val WinnowMinShared = 4
+  private[graft] val WinnowMinOverlap = 0.5
 
   /** [[graft.llm.Dedup.LshCandidateStats]] over the winnow postings the
     * overlap report df-caps: buckets are fingerprints, the cap is
@@ -549,6 +549,25 @@ object TextAnalysis {
     * clusters grow with SF past any pairwise regime).
     */
   def winnowOverlap(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (sel, plan) = winnowOverlapPlan(docs, textCol, idCol)
+    // materialize the (tiny, above-threshold) report eagerly so the
+    // winnow checkpoint can be released NOW — repeated invocations
+    // (bench sweeps, timing loops) must not pin one block set per call
+    // until GC happens to run (the streaming path's unpersist
+    // discipline, applied to the batch report)
+    val out = plan.localCheckpoint()
+    sel.unpersist(blocking = false)
+    out
+  }
+
+  /** The overlap report's LAZY plan plus the checkpointed postings frame
+    * it reads — split out (the `winnowProbePlan` pattern) so plan
+    * inspection (PlanDiag's scale-flip sweep, PlanInvariantsSpec) can see
+    * the join shape the eager checkpoint in [[winnowOverlap]] severs.
+    * Callers must unpersist the first element after consuming the second.
+    */
+  private[graft] def winnowOverlapPlan(docs: DataFrame, textCol: String,
+                                       idCol: String): (DataFrame, DataFrame) = {
     // one winnow scan, checkpointed: the (doc, fp) set feeds FOUR
     // consumers (set sizes, df counts, both join sides) — without the
     // checkpoint the document scan + expression run four times
@@ -569,7 +588,12 @@ object TextAnalysis {
     // per fp into a doc list, then expand the ordered in-list
     // combinations with array lambdas. Identical pair multiset to the fp
     // self-join; half the exchanges.
-    val pairs = sel.join(rare, Seq("fp"), "left_semi")
+    // shuffle_hash discipline on bounded build sides (the r18 dedup-family
+    // fix, extended here after PlanDiag caught the same flip on THIS
+    // query at 80×: all-broadcast at 40× → three SortMergeJoins at 80×
+    // on static estimates). rare is a scalar fp list, sizes one row per
+    // doc — both hash-buildable; AQE still broadcasts runtime-small sides
+    val pairs = sel.join(rare.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
@@ -580,21 +604,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowMinShared)
     val out = pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 6)
           .as("overlap"))
       .filter(col("overlap") >= WinnowMinOverlap)
       .orderBy(col("id_a"), col("id_b"))
-      // materialize the (tiny, above-threshold) report eagerly so the
-      // winnow checkpoint can be released NOW — repeated invocations
-      // (bench sweeps, timing loops) must not pin one block set per call
-      // until GC happens to run (the streaming path's unpersist
-      // discipline, applied to the batch report)
-      .localCheckpoint()
-    sel.unpersist(blocking = false)
-    out
+    (sel, out)
   }
 
   def winnowOverlapQuery(spark: SparkSession, dir: String): DataFrame =
@@ -649,12 +668,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp")).distinct()
     val pruned = dfCap.fold(postings) { cap =>
       // scalar (fp, df) shuffle BEFORE any doc-id fan-out — the same
-      // gate order the overlap report uses
+      // gate order the overlap report uses. shuffle_hash on the scalar
+      // fp list and on the (bounded-by-contract) query side below: the
+      // same static-estimate broadcast→SMJ flip PlanDiag measured on
+      // the overlap report at 80× hits this probe too
       val rare = postings.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("fp"))
-      postings.join(rare, Seq("fp"), "left_semi")
+      postings.join(rare.hint("shuffle_hash"), Seq("fp"), "left_semi")
     }
-    val plan = q.join(pruned, Seq("fp"))
+    val plan = q.hint("shuffle_hash").join(pruned, Seq("fp"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -664,7 +686,7 @@ object TextAnalysis {
 
   // ---- winnowProbe through the oracle gate --------------------------------
 
-  private val WinnowBands = 16L
+  private[graft] val WinnowBands = 16L
 
   /** One postings build per (session, source dir, source fingerprint) —
     * the same memo discipline as the ORC/bucketed/IVF builds: repeat

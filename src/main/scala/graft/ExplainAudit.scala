@@ -90,8 +90,16 @@ object ExplainAudit {
     show("orc_roundtrip")(graft.store.Lake.orcRoundtripQuery(spark, dir))
     // winnow overlap: ONE checkpointed winnow scan (the RDDScan) feeding
     // sizes/df/join; the pair join carries (doc_id, fp) only — no text
-    // column survives past the scan
-    show("llm_winnow_overlap")(graft.llm.TextAnalysis.winnowOverlapQuery(spark, dir))
+    // column survives past the scan. Shown via the split-out LAZY plan
+    // (r19): the registered query checkpoint-severs its own plan, and
+    // the flip-prone joins (now shuffle_hash-pinned) live in the lazy
+    // form — same split as the probe below
+    locally {
+      val (sel, plan) = graft.llm.TextAnalysis.winnowOverlapPlan(
+        Tables.documents(spark, dir), "text", "doc_id")
+      show("llm_winnow_overlap")(plan)
+      sel.unpersist(blocking = false)
+    }
     // round-9 addition: winnow probe over the banded at-rest postings —
     // expect the postings FileScan with a band PartitionFilter (only the
     // probed band dirs are listed) and the checkpointed query fps as an
@@ -102,8 +110,10 @@ object ExplainAudit {
         .filter(pmod(col("doc_id"), lit(25L)) === 7)
       val root = graft.llm.TextAnalysis.winnowPostingsRoot(spark, dir)
       val (q, plan) = graft.llm.TextAnalysis.winnowProbePlan(
-        spark, s"$root/postings", queries, "text", "doc_id", 16, 4,
-        dfCap = Some(64)) // the registered query's exact parameters
+        spark, s"$root/postings", queries, "text", "doc_id",
+        graft.llm.TextAnalysis.WinnowBands.toInt,
+        graft.llm.TextAnalysis.WinnowMinShared,
+        dfCap = Some(graft.llm.TextAnalysis.WinnowDfCap)) // the registered query's exact parameters
       show("llm_winnow_probe")(plan)
       q.unpersist(blocking = false)
     }

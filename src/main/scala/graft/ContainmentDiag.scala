@@ -109,11 +109,18 @@ object ContainmentDiag {
     }
     // the memory envelope is the experiment's independent variable
     // (r18 verdict #2) — record it so two artifact lines are
-    // self-describing without reconstructing the launch env
+    // self-describing without reconstructing the launch env. heap/cpus
+    // are MEASURED from the live JVM/session, not echoed from env vars:
+    // the local[n] heap actually comes from sbt's own -mem/SBT_OPTS, so
+    // an env-claimed label could disagree with the envelope the tasks
+    // really ran under (the experiment's whole point is ≈heap/cpus per
+    // task); the env labels stay alongside for launch reproduction
     val line =
       s"""{"metric":"containment_diag","scales":[${scales.mkString(",")}],""" +
-        s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",""" +
-        s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}",""" +
+        s""""heap_max_mb":${Runtime.getRuntime.maxMemory / 1048576},""" +
+        s""""cpus":${spark.sparkContext.defaultParallelism},""" +
+        s""""heap_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "")}",""" +
+        s""""cpus_env":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "")}",""" +
         s""""max_df":$maxDf,"src":"$srcDir",${sections.mkString(",")}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "containment_diag.json")

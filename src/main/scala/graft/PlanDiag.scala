@@ -15,12 +15,15 @@ object PlanDiag {
     * is just the in-memory tail, so the flip-prone joins are invisible
     * to inspection. These build the same pipeline LAZILY (the
     * `winnowProbePlan`/`winnowOverlapPlan` split) — what the diag must
-    * look at instead.
+    * look at instead. Each entry returns (lazy plan, checkpointed frame
+    * the plan reads); the caller unpersists the second after inspecting
+    * the first, the contract the plan-split helpers document — a sweep
+    * over many scales must not pin one block set per scale point.
     */
   private val lazyPlans: Map[String, (org.apache.spark.sql.SparkSession, String) =>
-      org.apache.spark.sql.DataFrame] = Map(
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Map(
     "llm_winnow_overlap" -> ((s, d) => graft.llm.TextAnalysis.winnowOverlapPlan(
-      Tables.documents(s, d), "text", "doc_id")._2),
+      Tables.documents(s, d), "text", "doc_id").swap),
     "llm_winnow_probe" -> ((s, d) => {
       val root = graft.llm.TextAnalysis.winnowPostingsRoot(s, d)
       val queries = Tables.documents(s, d)
@@ -31,23 +34,44 @@ object PlanDiag {
         "text", "doc_id",
         nBands = graft.llm.TextAnalysis.WinnowBands.toInt,
         minShared = graft.llm.TextAnalysis.WinnowMinShared,
-        dfCap = Some(graft.llm.TextAnalysis.WinnowDfCap))._2
-    }))
+        dfCap = Some(graft.llm.TextAnalysis.WinnowDfCap)).swap
+    }),
+    // the minhash-verify family (ngram_jaccard / similar_docs / clusters /
+    // dedup_minhash all serve from the verifiedPairs memo): nothing to
+    // unpersist — the lazy form is never executed here
+    "llm_dedup_ngram_jaccard" -> ((s, d) =>
+      (graft.llm.Dedup.verifiedPairsPlan(s, d), null)),
+    // the corpus-SA cross-doc family: the SA build is memoized and
+    // inherently roundwise; the flip-prone LCP-stage joins come back lazy
+    "llm_cross_doc_max" -> ((s, d) =>
+      graft.llm.CorpusSuffix.crossDocMaxPlanQuery(s, d).swap),
+    "llm_cross_doc_spans" -> ((s, d) =>
+      graft.llm.CorpusSuffix.crossDocSpansPlanQuery(s, d).swap))
 
   def main(args: Array[String]): Unit = {
     val (spark, srcDir) = BenchSweep.buildSession()
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "40,80")
       .split(",").map(_.trim.toInt).toSeq
-    val qname = sys.env.getOrElse("SPARK_GRAFT_PLAN_QUERY", "llm_dedup_containment")
-    val fn = lazyPlans.getOrElse(qname, SparkEntry.queries(qname))
+    // comma-separated: queries sharing a session-memoized build (the
+    // corpus-SA ranks, the winnow postings) sweep it once per scale
+    val qnames = sys.env.getOrElse("SPARK_GRAFT_PLAN_QUERY", "llm_dedup_containment")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     scales.foreach { k =>
       val dir = ScaleBench.ensureScaled(spark, srcDir, k)
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val joins = plan.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Sort "))
-        .map(_.trim.take(160)).toSeq
-      println(s"=== $qname x$k joins/sorts ===")
-      joins.foreach(println)
+      qnames.foreach { qname =>
+        val fn = lazyPlans.get(qname)
+          .getOrElse { (s: org.apache.spark.sql.SparkSession, d: String) =>
+            (SparkEntry.queries(qname)(s, d), null: org.apache.spark.sql.DataFrame)
+          }
+        val (frame, pinned) = fn(spark, dir)
+        val plan = frame.queryExecution.executedPlan.toString
+        if (pinned ne null) pinned.unpersist(blocking = false)
+        val joins = plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Sort "))
+          .map(_.trim.take(160)).toSeq
+        println(s"=== $qname x$k joins/sorts ===")
+        joins.foreach(println)
+      }
     }
     spark.stop()
   }

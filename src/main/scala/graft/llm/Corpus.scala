@@ -319,8 +319,13 @@ object Corpus {
       .join(broadcast(benchShingles), "shingle")
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared"))
+    // shuffle_hash on the per-doc contamination counts (round 19):
+    // PlanDiag measured this LeftOuter flipping broadcast → SortMergeJoin
+    // at 80× — sorting BOTH doc-count-scaled sides to attach one skinny
+    // (id, n_shared) row per doc. The hinted side hash-builds per
+    // partition; AQE still broadcasts it when runtime-small
     base.select(col(idCol), size(col("sh")).cast("long").as("n_shingles"))
-      .join(shared, Seq(idCol), "left")
+      .join(shared.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),

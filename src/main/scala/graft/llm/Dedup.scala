@@ -201,7 +201,12 @@ object Dedup {
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucket)
       .select(col("band"), col("bucket"))
-    val banded = bandedAll.join(usefulBuckets, Seq("band", "bucket"), "left_semi")
+    // shuffle_hash on the bucket-list semi too (round 19): PlanDiag
+    // caught THIS join flipping broadcast → SortMergeJoin at 80× while
+    // every hinted join around it held — the flip sorts the full banded
+    // postings on (band, bucket) for a scalar bucket-list probe side
+    val banded = bandedAll.join(usefulBuckets.hint("shuffle_hash"),
+      Seq("band", "bucket"), "left_semi")
     // self-join form deliberately kept: both sides are the same frame on
     // the same key, so the exchange is planned once and REUSED, and the
     // join + distinct stay in whole-stage codegen — measured at parity
@@ -231,7 +236,8 @@ object Dedup {
       // classes and shift rep selection vs a raw-value oracle grouping;
       // accepted at ~2^-64 per in-bucket pair (r18 advice, same
       // asymmetry as embeddingNearDupsLsh's ck).
-      val ob = bandedAll.join(oversized, Seq("band", "bucket"), "left_semi")
+      val ob = bandedAll.join(oversized.hint("shuffle_hash"),
+          Seq("band", "bucket"), "left_semi")
         .join(sigs.select(col("id"), xxhash64(col("sig")).as("ck")), Seq("id"))
       val wClass = Window.partitionBy(col("band"), col("bucket"), col("ck"))
         .orderBy(col("id"))
@@ -291,7 +297,10 @@ object Dedup {
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1 && col("sz") <= maxBucket)
       .select(col("chunk"), col("piece"))
-    val chunked = chunkedAll.join(useful, Seq("chunk", "piece"), "left_semi")
+    // shuffle_hash on the scalar bucket-list semi (round 19): same flip
+    // class PlanDiag measured on minhashPairs' useful-bucket semi at 80×
+    val chunked = chunkedAll.join(useful.hint("shuffle_hash"),
+      Seq("chunk", "piece"), "left_semi")
     val a = chunked.as("a")
     val b = chunked.as("b")
     val inBucket = a.join(b.hint("shuffle_hash"),
@@ -304,7 +313,8 @@ object Dedup {
         .agg(count(lit(1)).as("sz"))
         .filter(col("sz") > maxBucket)
         .select(col("chunk"), col("piece"))
-      val ob = chunkedAll.join(oversized, Seq("chunk", "piece"), "left_semi")
+      val ob = chunkedAll.join(oversized.hint("shuffle_hash"),
+        Seq("chunk", "piece"), "left_semi")
       val wClass = Window.partitionBy(col("chunk"), col("piece"), col("sh"))
         .orderBy(col("id"))
       val wBucket = Window.partitionBy(col("chunk"), col("piece")).orderBy(col("id"))
@@ -443,7 +453,8 @@ object Dedup {
     // shape (AQE still broadcasts runtime-small sides). The batch side
     // is the bounded build of the band join; the per-doc shingle frames
     // build per-partition slices in the verify joins.
-    val pairs = corpusBanded.join(smallCorpusBuckets, Seq("band", "bucket"), "left_semi")
+    val pairs = corpusBanded.join(smallCorpusBuckets.hint("shuffle_hash"),
+        Seq("band", "bucket"), "left_semi")
       .join(banded(batch, "id_b").hint("shuffle_hash"), Seq("band", "bucket"))
       .select(col("id_b"), col("id_c"))
       .distinct()
@@ -557,7 +568,12 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("g"))
-    val indexed = posting.join(rare, Seq("g"), "left_semi")
+    // shuffle_hash on the scalar shingle-list semi (round 19): the
+    // checkpoint right below severs this join from final-plan inspection,
+    // but PlanDiag measured the IDENTICAL scalar-probe-side semi in
+    // minhashPairs flipping broadcast → SortMergeJoin at 80× — sorting
+    // the full posting frame inside the index build. Same class, same pin
+    val indexed = posting.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
       .localCheckpoint(false)
     // per-doc totals: |shingles| and how many of them are rare — the
     // ingredients of the count bound below (scalar per doc, joined to
@@ -666,9 +682,15 @@ object Dedup {
     val dupSpans = wins.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("span"))
-    val perDoc = wins.join(dupSpans, Seq("span"), "left_semi")
+    // shuffle_hash discipline (round 19): PlanDiag measured both joins
+    // here flipping broadcast → SortMergeJoin at 80× — the flip sorts
+    // the token-count-scaled window frame on ~k-token span STRINGS. The
+    // duplicated-span list is the boilerplate tail (cnt ≥ 2), far
+    // smaller than the window frame; the per-doc count frame is one
+    // skinny row per doc. Hash-build those; never sort wins
+    val perDoc = wins.join(dupSpans.hint("shuffle_hash"), Seq("span"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("dup_windows"))
-    base.join(perDoc, Seq(idCol), "left")
+    base.join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         when(col("n_windows") > 0,
@@ -700,9 +722,11 @@ object Dedup {
     val dupSpans = wins.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("span"))
-    val dupStarts = wins.join(dupSpans, Seq("span"), "left_semi")
+    // same shuffle_hash discipline as duplicatedSpans (the measured 80×
+    // flip applies verbatim — identical join shapes)
+    val dupStarts = wins.join(dupSpans.hint("shuffle_hash"), Seq("span"), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("s")).as("starts"))
-    base.join(dupStarts, Seq(idCol), "left")
+    base.join(dupStarts.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("clean", filter(col("t"), (tok, i) =>
         !exists(col("starts"), s => s <= i + 1 && i + 1 <= s + lit(k - 1))))
@@ -742,17 +766,29 @@ object Dedup {
       case Some((d, f, df)) if d == dir && f == fp => df
       case stale =>
         stale.foreach(e => graft.store.Checkpoints.free(e._3))
-        val docs = Tables.documents(spark, dir)
-        val candidates = minhashPairs(docs, "text", "doc_id",
-          shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
-          .select(col("id_a"), col("id_b"))
-        val df = jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
-          .filter(col("jaccard") >= NearDupJaccard)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-          .localCheckpoint()
+        val df = verifiedPairsPlan(spark, dir).localCheckpoint()
         verifiedCache(spark) = (dir, fp, df)
         df
     }
+  }
+
+  /** The verified near-dup pipeline LAZILY (no cache, no checkpoint) —
+    * the `winnowOverlapPlan` split, for plan inspection: the registered
+    * queries serve from the localCheckpointed [[verifiedPairs]] memo, so
+    * their executed plans are severed at the RDD scan and the flip-prone
+    * joins (the banding self-join plus the signature/shingle re-attach
+    * joins, all shuffle_hash-pinned) would be invisible to PlanDiag's
+    * scale-flip sweep without this form. Semantically identical to the
+    * cached frame; do not execute it twice where the memo would do.
+    */
+  private[graft] def verifiedPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = minhashPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    jaccardVerify(candidates, docs, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= NearDupJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash-LSH dedup decisions: the docs a near-dup pass drops (greedy,

@@ -873,7 +873,12 @@ object Multimodal {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L))): _*))
         .as(Seq("band", "bk")))
-    val pairs = bands.as("x").join(bands.as("y"),
+    // shuffle_hash (round 19): static estimates BROADCAST this
+    // corpus-sized banded self-join side at every measured scale (40×,
+    // 80×) — fine until the frame outgrows the driver, then a cliff. The
+    // pin keeps the sort-free, broadcast-free shape at any corpus size;
+    // AQE still broadcasts when the side is genuinely small
+    val pairs = bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),

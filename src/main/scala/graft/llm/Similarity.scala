@@ -777,7 +777,11 @@ object Similarity {
     // cosine is 64 codegen'd FLOPs — cheap against a wire crossing);
     // sim_r is functional on the pair, so the final distinct still emits
     // exactly one row per near-dup pair.
-    val grouped = bandedAll.join(useful, Seq("bucket"), "left_semi")
+    // shuffle_hash on the scalar bucket-list semi (round 19): PlanDiag
+    // measured the identical semi in minhashPairs flipping broadcast →
+    // SortMergeJoin at 80× — the flip sorts the banded rows (WITH their
+    // embeddings here) for a bucket-id probe side
+    val grouped = bandedAll.join(useful.hint("shuffle_hash"), Seq("bucket"), "left_semi")
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
     val inBucket = grouped
@@ -809,7 +813,7 @@ object Similarity {
       // the llm_embed_neardup_lsh_ovf gate spuriously. Accepted at
       // ~2^-64 per in-bucket pair; if that gate ever mismatches on
       // rep-selection rows, rule this out before suspecting the logic.
-      val ob = bandedAll.join(oversized, Seq("bucket"), "left_semi")
+      val ob = bandedAll.join(oversized.hint("shuffle_hash"), Seq("bucket"), "left_semi")
         .withColumn("ck", xxhash64(col("embedding")))
       val wClass = Window.partitionBy(col("bucket"), col("ck")).orderBy(col("vec_id"))
       val wBucket = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))

@@ -457,21 +457,42 @@ object CorpusSuffix {
 
   def crossDocAdjacent(ranks: DataFrame, docs: DataFrame,
                        textCol: String, idCol: String): DataFrame = {
+    val (seq, plan) = crossDocAdjacentPlan(ranks, docs, textCol, idCol)
+    // materialize the cross-doc pair frame, then release the sequence
+    // scratch: the returned frame must not pin the big checkpoint
+    val out = plan.localCheckpoint()
+    seq.unpersist(blocking = false)
+    out
+  }
+
+  /** [[crossDocAdjacent]]'s LAZY plan plus the checkpointed sequence
+    * frame it reads — the `winnowOverlapPlan` split, same contract
+    * (caller unpersists the first element after consuming the second):
+    * the eager checkpoint above severs the adjacent-pair join and the
+    * two doc-text fetch joins from plan inspection, and those are
+    * exactly the joins PlanDiag's scale-flip sweep must see.
+    */
+  private[graft] def crossDocAdjacentPlan(ranks: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val seq = globalSeq(ranks)
     val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
     val a = seq.select((col("s") + 1).as("s"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = seq.select(col("s"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val lcp = crossLcp(col("ta"), col("pos_a"), col("tb"), col("pos_b"))
-    // materialize the cross-doc pair frame, then release the sequence
-    // scratch: the returned frame must not pin the big checkpoint
-    val out = a.join(b, Seq("s"))
+    // shuffle_hash on the doc-text fetch sides (round 19): PlanDiag
+    // measured both flipping BroadcastHashJoin → SortMergeJoin between
+    // 40× and 80× — the flip sorts the CHARACTER-level sequence frame
+    // on doc ids to fetch one text row per sampled doc. The adjacent
+    // s-join stays unhinted: both sides are the same character-level
+    // frame shifted by one, equal and unbounded — SMJ is the right shape
+    val plan = a.join(b, Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
-      .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), lcp.as("shared_len"))
-      .localCheckpoint()
-    seq.unpersist(blocking = false)
-    out
+    (seq, plan)
   }
 
   /** Per-document MAX shared passage with ANY other document:
@@ -492,17 +513,8 @@ object CorpusSuffix {
                   textCol: String, idCol: String): DataFrame = {
     val spark = ranks.sparkSession
     import spark.implicits._
-    val seq = globalSeq(ranks)
-    val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
-    // lp(s) = LCP of suffixes at order positions s-1 and s (0 at s=1)
-    val pred = seq.select((col("s") + 1).as("s"), col("doc_id").as("adoc"), col("pos").as("apos"))
-    val lpF = seq.join(pred, Seq("s"), "left")
-      .join(txt.select(col("tdoc").as("adoc"), col("t").as("ta")), Seq("adoc"), "left")
-      .join(txt.select(col("tdoc").as("doc_id"), col("t").as("tb")), Seq("doc_id"))
-      .select(col("s"), col("doc_id"), col("adoc"),
-        when(col("adoc").isNull, 0L)
-          .otherwise(crossLcp(col("ta"), col("apos"), col("tb"), col("pos"))).as("lp"))
-      .localCheckpoint() // feeds ln shift, chg flags, and the run scan
+    val (seq, lpPlan) = crossDocLpPlan(ranks, docs, textCol, idCol)
+    val lpF = lpPlan.localCheckpoint() // feeds ln shift, chg flags, and the run scan
     // ln(s) = lp(s+1): the LCP toward the successor (0 at the end)
     val lnF = lpF.select((col("s") - 1).as("s"), col("lp").as("ln"))
     val rows = lpF
@@ -540,6 +552,32 @@ object CorpusSuffix {
     out
   }
 
+  /** [[crossDocMax]]'s LCP stage LAZILY plus the checkpointed sequence
+    * frame it reads (the `crossDocAdjacentPlan` contract: caller
+    * unpersists the first element after consuming the second). The
+    * flip-prone joins of the max pipeline all live here — the s-shifted
+    * predecessor self-join and the two doc-text fetch joins; everything
+    * downstream of the lpF checkpoint is windows over run partitions.
+    */
+  private[graft] def crossDocLpPlan(ranks: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val seq = globalSeq(ranks)
+    val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
+    // lp(s) = LCP of suffixes at order positions s-1 and s (0 at s=1)
+    val pred = seq.select((col("s") + 1).as("s"), col("doc_id").as("adoc"), col("pos").as("apos"))
+    // shuffle_hash on the doc-text fetch sides — the crossDocAdjacentPlan
+    // flip note applies verbatim (measured on both queries at 80×)
+    val plan = seq.join(pred, Seq("s"), "left")
+      .join(txt.select(col("tdoc").as("adoc"), col("t").as("ta"))
+        .hint("shuffle_hash"), Seq("adoc"), "left")
+      .join(txt.select(col("tdoc").as("doc_id"), col("t").as("tb"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("s"), col("doc_id"), col("adoc"),
+        when(col("adoc").isNull, 0L)
+          .otherwise(crossLcp(col("ta"), col("apos"), col("tb"), col("pos"))).as("lp"))
+    (seq, plan)
+  }
+
   // ---- registered queries -------------------------------------------------
 
   private val SampleMod = 10
@@ -564,6 +602,18 @@ object CorpusSuffix {
         df
     }
   }
+
+  /** Registered-parameter plan forms for PlanDiag's scale-flip sweep
+    * (the ranks build itself executes — memoized and inherently
+    * roundwise — but the downstream join shapes come back LAZY).
+    */
+  private[graft] def crossDocMaxPlanQuery(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    crossDocLpPlan(sampledRanks(spark, dir), sampled(spark, dir), "text", "doc_id")
+
+  private[graft] def crossDocSpansPlanQuery(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    crossDocAdjacentPlan(sampledRanks(spark, dir), sampled(spark, dir), "text", "doc_id")
 
   def corpusSaQuery(spark: SparkSession, dir: String): DataFrame =
     sampledRanks(spark, dir)

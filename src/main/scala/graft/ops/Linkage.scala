@@ -239,7 +239,13 @@ object Linkage {
   def customerGoldenRecords(spark: SparkSession, dir: String): DataFrame = {
     val cl = clusterWithinBlocks(matchedCustomerPairs(spark, dir),
       "bk", "custkey_a", "custkey_b")
-    cl.join(Tables.customer(spark, dir), col("id") === col("c_custkey"))
+    // shuffle_hash on the cluster-membership side (round 19): PlanDiag
+    // measured this join flipping broadcast → SortMergeJoin at 80× —
+    // sorting the full customer table to attach attributes to the
+    // (bounded: matched ids only) cluster frame. BuildLeft hash beats
+    // sorting both; AQE still broadcasts cl when runtime-small
+    cl.hint("shuffle_hash")
+      .join(Tables.customer(spark, dir), col("id") === col("c_custkey"))
       .groupBy(col("cluster_id").as("master_custkey"))
       .agg(count(lit(1)).as("n_members"),
         min_by(col("c_name"), col("c_custkey")).as("canonical_name"),

@@ -46,7 +46,13 @@ object ScaleBench {
     "er_customer_pairs", "er_customer_clusters", "er_incremental",
     "llm_winnow_overlap", "llm_winnow_probe",
     "llm_bpe_merges_dist",
-    "graph_pagerank", "graph_components", "graph_triangles")
+    "graph_pagerank", "graph_components", "graph_triangles",
+    // round 19: the families the completed flip sweep re-pinned — curve
+    // points prove the pinned shapes' WALL stays linear where the
+    // unpinned plans flipped to sorts (or, for mm_image_neardup, where
+    // static estimates would broadcast a corpus-sized side)
+    "llm_cross_doc_max", "llm_cross_doc_spans", "llm_substring_dup",
+    "llm_contamination_report", "er_golden_records", "mm_image_neardup")
 
   /** The embedding-family scale paths — measurable ONLY under the
     * signflip mode (compat dirs carry identical per-copy embeddings, so

@@ -169,4 +169,61 @@ class PlanInvariantsSpec extends SparkSpec {
         s"registered twin-augmented query grew an id-keyed join:\n${idJoinsOf(regPlan).mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("the sort-free pins hold with broadcast unavailable: zero SortMergeJoins beyond the documented inherent ones") {
+    // The flip-sweep discipline (r18/r19): every join with a bounded
+    // build side in the dedup/cross-doc/contamination/substring/image
+    // pipelines carries a shuffle_hash hint, pinned after PlanDiag
+    // measured broadcast→SMJ flips between 40× and 80×. At sf0.001 the
+    // pins are invisible (AQE broadcasts everything), so a dropped hint
+    // would not fail any small-SF gate — this test simulates the flip
+    // condition directly: AQE off + auto-broadcast disabled is exactly
+    // the planner state past the estimate threshold, where an unhinted
+    // bounded-side join degenerates to SMJ. Allowed SMJs are the
+    // equal-unbounded-sides joins the sweep deliberately left unpinned.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def smjs(df: org.apache.spark.sql.DataFrame): Seq[SortMergeJoinExec] =
+        df.queryExecution.executedPlan.collect { case s: SortMergeJoinExec => s }
+      val docs = Tables.documents(spark, dir)
+      def check(name: String, allowed: Int)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val got = smjs(df)
+        assert(got.size == allowed,
+          s"$name: expected $allowed SortMergeJoin(s) with broadcast off, got ${got.size} — " +
+            s"a shuffle_hash pin was dropped or an unpinned join crept in:\n${got.mkString("\n")}")
+      }
+      check("verifiedPairsPlan (minhash-verify family)", 0)(
+        graft.llm.Dedup.verifiedPairsPlan(spark, dir))
+      check("simhashPairs", 0)(
+        graft.llm.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 7,
+          sig = graft.llm.Dedup.simhashSql))
+      check("duplicatedSpans", 0)(
+        graft.llm.Dedup.duplicatedSpans(docs, "text", "doc_id", 8))
+      check("stripDuplicatedSpans", 0)(
+        graft.llm.Dedup.stripDuplicatedSpans(docs, "text", "doc_id", 8))
+      check("contaminationReport", 0)(
+        graft.llm.Corpus.contaminationReportQuery(spark, dir))
+      check("embeddingNearDupsLsh", 0)(
+        graft.llm.Similarity.embeddingNearDupsLsh(Tables.embeddings(spark, dir),
+          bitsPerBand = 8, bands = 25, minCosine = 0.95))
+      check("imageNearDupPairs", 0)(
+        graft.llm.Multimodal.imageNearDupPairs(
+          Seq((1L, 7L), (2L, 7L), (3L, 1024L)).toDF("media_id", "dhash"),
+          maxHamming = 3))
+      // cross-doc LCP stage: the s-shifted self-join is the ONE allowed
+      // SMJ (same character-level frame shifted by one — equal unbounded
+      // sides); both doc-text fetch joins must stay hash
+      val (seq, lpPlan) = graft.llm.CorpusSuffix.crossDocMaxPlanQuery(spark, dir)
+      try check("crossDocLpPlan", 1)(lpPlan)
+      finally seq.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }

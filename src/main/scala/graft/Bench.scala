@@ -148,22 +148,17 @@ object Bench {
     val gapJson = gaps
       .map { case (k, v) => jstr(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
-    // host-instance marker: artifacts from different BOOTS of this box
-    // are not comparable at face value (r19: a reboot mid-round shifted
-    // every query 1.25-1.6×, proven on untouched control queries) —
-    // record the boot epoch so a cross-artifact comparison can detect an
-    // instance change mechanically instead of inferring it from uniform
-    // drift. -1 = platform can't say (no /proc/stat btime).
-    val bootEpoch: Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith("btime ") => l.drop(6).trim.toLong }
-          .getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
+    // host-instance marker shared with every other artifact writer
+    // (BenchSweep.bootEpoch; r19 reboot confound, r19 advice #1)
+    val bootEpoch: Long = BenchSweep.bootEpoch
+    // Field ORDER is load-bearing (r19 verdict #5): the driver captures
+    // only the last 2000 chars of sbt output, so a line that LEADS with
+    // the totals loses them to truncation on every 184-query run
+    // (BENCH_rN `parsed: null` since r01). The bulky per-query maps go
+    // first; the headline totals, errors, and identity fields trail, so
+    // the surviving tail always carries them.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"load_ok":$loadOk,"settle_start_ms":$settleStartMs,"settle_end_ms":$settleEndMs,"settled":${settleEndMs > 0},"boot_epoch":$bootEpoch,"queries":$qs,"first":$firstJson,"builds_sec":${num(buildsTotal, 3)},"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","queries":$qs,"first":$firstJson,"spread_pct":$spreadJson,"min_gap_pct":$gapJson,"builds_sec":${num(buildsTotal, 3)},"passes":$passes,"extra_passes":$extra,"unstable_after":${unstable.size},"load_avg":[${num(loadStart, 2)},${num(loadEnd, 2)}],"load_ok":$loadOk,"settle_start_ms":$settleStartMs,"settle_end_ms":$settleEndMs,"settled":${settleEndMs > 0},"boot_epoch":$bootEpoch,"value":$total,"unit":"sec","errors":$errorsJson,"sf":"$sfDir"}"""
     if (!loadOk && sys.env.contains("SPARK_GRAFT_BENCH_REQUIRE_QUIET")) {
       System.err.println(s"[bench] REFUSING to publish: load_avg " +
         s"[$loadStart, $loadEnd] exceeds the $maxLoad quiet-box bound " +

@@ -52,6 +52,24 @@ object BenchSweep {
   def num(v: Double, digits: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${digits}f", v.asInstanceOf[AnyRef])
 
+  /** Host-instance marker shared by EVERY bench-artifact writer (Bench,
+    * ScaleBench, ContainmentDiag, HotBucketBench, PlanDiag): artifacts
+    * from different BOOTS of this box are not comparable at face value
+    * (r19: a mid-round reboot shifted every query 1.25-1.6×, proven on
+    * untouched control queries). Stamping the boot epoch lets any
+    * cross-artifact comparison detect an instance change mechanically
+    * instead of inferring it from uniform drift. -1 = platform can't
+    * say (no /proc/stat btime).
+    */
+  def bootEpoch: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("btime ") => l.drop(6).trim.toLong }
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val (spark, sfDir) = buildSession()
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt

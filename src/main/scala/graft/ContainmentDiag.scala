@@ -115,8 +115,12 @@ object ContainmentDiag {
     // an env-claimed label could disagree with the envelope the tasks
     // really ran under (the experiment's whole point is ≈heap/cpus per
     // task); the env labels stay alongside for launch reproduction
+    // `schema: 2` marks the r19 field rename (heap → heap_max_mb, cpus
+    // string → number): external tooling comparing against r18 lines can
+    // branch on the marker instead of breaking silently (r19 advice #2)
     val line =
-      s"""{"metric":"containment_diag","scales":[${scales.mkString(",")}],""" +
+      s"""{"metric":"containment_diag","schema":2,"scales":[${scales.mkString(",")}],""" +
+        s""""boot_epoch":${BenchSweep.bootEpoch},""" +
         s""""heap_max_mb":${Runtime.getRuntime.maxMemory / 1048576},""" +
         s""""cpus":${spark.sparkContext.defaultParallelism},""" +
         s""""heap_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "")}",""" +

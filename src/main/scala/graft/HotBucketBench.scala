@@ -95,6 +95,13 @@ object HotBucketBench {
     */
   private val OverflowReps = 64
 
+  /** Containment df-cap for the hot cell — pinned below the family size
+    * at the smallest scale point so the viral-passage blindness ENGAGES
+    * in every cell (the default 64 only binds once the family outgrows
+    * it; the overflow semantics are cap-value-independent).
+    */
+  private val ContainMaxDf = 16
+
   private def statsJson(s: Dedup.LshCandidateStats): String =
     s"""{"max_bucket":${s.maxBucket},"banded_rows":${s.bandedRows},"buckets":${s.buckets},""" +
       s""""dropped_buckets":${s.droppedBuckets},"largest_bucket":${s.largestBucket},""" +
@@ -176,6 +183,24 @@ object HotBucketBench {
       val ((shOvPairs, shOvFam), tHotSOv) = timed(pairCounts(shOv, "id_a", "id_b"))
       val shOvMembers = memberRecall(shOv, "id_a", "id_b", famDocs)
 
+      // -- text: containment df-cap (r20, the viral-passage overflow:
+      // the planted template family IS a viral passage — every family
+      // shingle's df equals the family size, crossing the pinned cap at
+      // every scale point, so the capped inverted index produces zero
+      // family candidates and only the overflow star recovers the
+      // family). maxDf pinned BELOW the family size at 10× (the
+      // SimOvfMaxBucket discipline); containment pairs are ORDERED, so
+      // pair recall is against famDocs·(famDocs−1).
+      val famDocPairsOrd = famDocs * (famDocs - 1)
+      val cCapped = Dedup.containmentPairs(hDocs, "text", "doc_id", n = 3,
+        minContainment = 0.9, maxDf = ContainMaxDf)
+      val ((cPairs, cFam), tHotC) = timed(pairCounts(cCapped, "id_a", "id_b"))
+      val cMembers = memberRecall(cCapped, "id_a", "id_b", famDocs)
+      val cOv = Dedup.containmentPairs(hDocs, "text", "doc_id", n = 3,
+        minContainment = 0.9, maxDf = ContainMaxDf, overflowReps = OverflowReps)
+      val ((cOvPairs, cOvFam), tHotCOv) = timed(pairCounts(cOv, "id_a", "id_b"))
+      val cOvMembers = memberRecall(cOv, "id_a", "id_b", famDocs)
+
       // -- text: winnow df-cap (postings accounting only — the overlap
       // report pipeline df-gates before any expansion, same cap) ------
       val wStats = TextAnalysis.winnowCandidateStats(hDocs, "text", "doc_id")
@@ -211,12 +236,20 @@ object HotBucketBench {
          |    "family_pairs_found":$shOvFam,
          |    "family_pair_recall":${num(if (famDocPairs == 0) 0.0 else shOvFam.toDouble / famDocPairs, 6)},
          |    "family_member_recall":${num(shOvMembers, 6)},"hot_sec":${num(tHotSOv, 3)}}},
+         |"containment":{"max_df":$ContainMaxDf,
+         |  "pairs_found":$cPairs,"family_pairs_found":$cFam,
+         |  "family_pair_recall":${num(if (famDocPairsOrd == 0) 0.0 else cFam.toDouble / famDocPairsOrd, 6)},
+         |  "family_member_recall":${num(cMembers, 6)},"hot_sec":${num(tHotC, 3)},
+         |  "overflow":{"reps":$OverflowReps,"pairs_found":$cOvPairs,
+         |    "family_pairs_found":$cOvFam,
+         |    "family_pair_recall":${num(if (famDocPairsOrd == 0) 0.0 else cOvFam.toDouble / famDocPairsOrd, 6)},
+         |    "family_member_recall":${num(cOvMembers, 6)},"hot_sec":${num(tHotCOv, 3)}}},
          |"winnow":{"stats":${statsJson(wStats)}}
          |}""".stripMargin.replace("\n", "")
     }
     val line =
       s"""{"metric":"scale_curves_hotbucket","scales":[${scales.mkString(",")}],""" +
-        s""""hot_pct":1.0,"src":"$srcDir",${sections.mkString(",")}}"""
+        s""""hot_pct":1.0,"boot_epoch":${BenchSweep.bootEpoch},"src":"$srcDir",${sections.mkString(",")}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "scale_curves_hotbucket.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

@@ -56,6 +56,15 @@ object PlanDiag {
     // corpus-SA ranks, the winnow postings) sweep it once per scale
     val qnames = sys.env.getOrElse("SPARK_GRAFT_PLAN_QUERY", "llm_dedup_containment")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // every name validated BEFORE the scales loop (r19 advice #3): with a
+    // comma-separated list, a typo in the second name used to surface only
+    // after ensureScaled and the first name's potentially expensive sweep
+    // (an SA build at 40×) had already run
+    val registered = SparkEntry.queries
+    val unknown = qnames.filterNot(q => lazyPlans.contains(q) || registered.contains(q))
+    require(unknown.isEmpty,
+      s"unknown SPARK_GRAFT_PLAN_QUERY name(s): ${unknown.mkString(", ")} " +
+        "(must be a lazyPlans key or a SparkEntry.queries key)")
     scales.foreach { k =>
       val dir = ScaleBench.ensureScaled(spark, srcDir, k)
       qnames.foreach { qname =>

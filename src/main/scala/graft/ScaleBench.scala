@@ -267,7 +267,7 @@ object ScaleBench {
       s""""x$k":{"documents":$d,"lineitem":$l}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_curves","scales":[${scales.mkString(",")}],"passes":$passes,"sizes":$sizes,"queries":$body,"src":"$srcDir"}"""
+      s"""{"metric":"scale_curves","scales":[${scales.mkString(",")}],"passes":$passes,"boot_epoch":${BenchSweep.bootEpoch},"sizes":$sizes,"queries":$body,"src":"$srcDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "scale_curves.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

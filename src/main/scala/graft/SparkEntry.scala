@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, Distill, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis}
+import graft.llm.{Bpe, Corpus, CorpusSuffix, Curation, Dedup, Distill, FrequentItems, Multimodal, Similarity, Suffix, TextAnalysis, Unigram}
 import graft.ops.{Graph, Joins, Linkage}
 import graft.pipeline.{Analytics, Crm, Inventory, Pos, Web}
 import graft.store.{Bucketed, Lake, ZOrder}
@@ -37,6 +37,7 @@ object SparkEntry {
       (Bucketed.queries, Bucketed.oracles),
       (graft.store.CatalogTable.queries, graft.store.CatalogTable.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Unigram.queries, Unigram.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (Lake.queries, Lake.oracles),
       (graft.stream.StreamReplay.queries, graft.stream.StreamReplay.oracles))

@@ -553,9 +553,39 @@ object Dedup {
     * Exact containment is then verified per unique candidate pair, ids
     * only through the join, shingle arrays attached once per pair.
     */
+  /** `overflowReps` (default 0 = off, preserving the registered oracle's
+    * result bit-for-bit) closes the VIRAL-PASSAGE blindness (r19 verdict
+    * #1): the df cap drops over-cap shingles WHOLE, so a passage quoted
+    * in more docs than `maxDf` contributes zero candidates and a doc
+    * that consists of that passage escapes containment detection
+    * entirely — the same hot-family class the LSH/simhash overflow
+    * fixed, on the inverted-index operator. With reps > 0, each hot
+    * shingle (df > maxDf) first collapses its posting list to exact
+    * shingle-SET classes (identical set ⇒ containment 1 both ways —
+    * byte-dup mass exact dedup owns; collapsing spends reps on distinct
+    * content), then keeps the `reps` lowest-id class representatives,
+    * and pairs EVERY posting member with those representatives (star
+    * topology). Volume is df·reps per hot shingle — Σ ≤ hot posting
+    * rows · reps, linear — and every doc quoting the viral passage
+    * reaches the passage's min-id representatives, so pairs→clusters
+    * downstream recovers the quote family (member recall 1) instead of
+    * losing it. Candidates only: the exact per-pair verify below is
+    * unchanged, so overflow adds no false positives.
+    */
+  /** Target candidate rows per autoscaled containment exchange
+    * partition. Calibrated against ContainmentDiag's measured envelope:
+    * at 32 partitions × ~3.2M candidate rows/task the 80× corpus
+    * spilled 18.4 GB inside ~0.3 GB/task execution memory — i.e. the
+    * join-output + partial-agg footprint of 3.2M rows outruns ~0.9 GB.
+    * 750k rows/task keeps that footprint ≈ 0.2 GB, inside even the
+    * tightest measured envelope, while the bench-SF estimate (1.27M at
+    * sf0.1) stays ≤ the session default so gate plans are unchanged.
+    */
+  private val CandRowsPerPartition = 750000L
+
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, minContainment: Double = 0.9,
-                       maxDf: Int = 64): DataFrame = {
+                       maxDf: Int = 64, overflowReps: Int = 0): DataFrame = {
     // the shingle subtree (regex tokenization + n-gram assembly) feeds SIX
     // plan branches (self-join sides, per-doc stats, two verify sides);
     // without a materialization point each branch re-tokenizes the corpus.
@@ -568,6 +598,29 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("g"))
+    // Shuffle-partition autoscaling (r19 verdict #2): ContainmentDiag
+    // proved the 40→80× wall bend inside a FIXED 16 GB envelope is pure
+    // shuffle SPILL — candidate volume grows with Σ df² while the
+    // session partition count stays put, so per-task input crosses the
+    // ~0.6 GB line and the same sweep at ~0.9 GB/task spills zero. The
+    // candidate row count is computable EXACTLY from the df table
+    // (Σ df·(df−1)/2 over retained shingles) before any wide stage
+    // runs, so the self-join and the pair aggregate below size their
+    // exchanges to it (~`CandRowsPerPartition` rows ≈ tens of MB per
+    // task) instead of inheriting the session default. One small agg
+    // job over the checkpointed postings, only when the estimate says
+    // the default is too coarse; at oracle/bench SF the estimate stays
+    // under one partition's budget and the plan is byte-identical to
+    // the unscaled form.
+    val sessionP = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // NB: SQL `/` is floating division — df·(df−1) is even and ≤ maxDf²,
+    // so the per-shingle term is exact and the cast back to long is too
+    val candRowsEst: Long = posting.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(when(col("df") > 1 && col("df") <= maxDf,
+        (col("df").cast("long") * (col("df") - 1) / 2).cast("long"))), lit(0L)))
+      .head().getLong(0)
+    val autoP = math.min(4096L, candRowsEst / CandRowsPerPartition + 1).toInt
     // shuffle_hash on the scalar shingle-list semi (round 19): the
     // checkpoint right below severs this join from final-plan inspection,
     // but PlanDiag measured the IDENTICAL scalar-probe-side semi in
@@ -609,9 +662,24 @@ object Dedup {
     // higher-order-function expansion costs more than the second shuffle
     // the codegen'd self-join pays (2.3 s → 3.1 s at sf0.1). Pair-path
     // choice is workload-dependent; both shapes are linear in Σ df².
-    val shared = indexed.as("a").join(indexed.as("b").hint("shuffle_hash"),
+    // the autoscaled exchanges: an explicit repartition on the join key
+    // (reused by both self-join sides — one exchange, planned once) and
+    // one on the pair key before the aggregate. Partial aggregation
+    // loses nothing to the explicit pair-key exchange: a pair's rows are
+    // spread across the g-partitions of its shared shingles (one row per
+    // shingle, different g each), so map-side combine finds ~no
+    // duplicates either way, and with the distribution already satisfied
+    // the partial and final HashAggregates run back-to-back in one stage.
+    val indexedJ =
+      if (autoP > sessionP) indexed.repartition(autoP, col("g")) else indexed
+    val sharedRows = indexedJ.as("a").join(indexedJ.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sharedPre =
+      if (autoP > sessionP) sharedRows.repartition(autoP, col("id_a"), col("id_b"))
+      else sharedRows
+    val shared = sharedPre
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_rare"))
     val slack = 1.0
     val candidates = shared
@@ -625,9 +693,43 @@ object Dedup {
         col("shared_rare").cast("double") >=
           col("rare_b") - lit(1.0 - minContainment) * col("sz_b") - lit(slack))
       .select(col("id_a"), col("id_b"))
+    // hot-shingle overflow (see the Scaladoc): members of OVER-CAP
+    // posting lists pair with ≤ overflowReps shingle-set-class
+    // representatives — df·reps rows per hot shingle, ids only through
+    // the joins. The per-hot-shingle windows sort that shingle's
+    // postings in one task — bounded by the largest posting list, the
+    // same accepted skew class as the LSH overflow's in-bucket window
+    // (a two-phase salted top-k is the escape hatch if a single
+    // posting list ever outgrows a task).
+    val overflow = if (overflowReps <= 0) None else Some {
+      val hot = posting.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("g"))
+      // class key = xxhash64(shingle set), not the raw array (fixed-width
+      // window key; a 64-bit collision between DISTINCT sets would merge
+      // two classes and shift rep selection vs the oracle's raw-set
+      // grouping — accepted at ~2^-64 per in-shingle pair, the same
+      // asymmetry as the simhash/LSH overflow class keys)
+      val hotPost = posting.join(hot.hint("shuffle_hash"), Seq("g"), "left_semi")
+        .join(sh.select(col("jid").as("id"), xxhash64(col("sh")).as("ck"))
+          .hint("shuffle_hash"), Seq("id"))
+      val wClass = Window.partitionBy(col("g"), col("ck")).orderBy(col("id"))
+      val wG = Window.partitionBy(col("g")).orderBy(col("id"))
+      val reps = hotPost.withColumn("rn", row_number().over(wClass)).filter(col("rn") === 1)
+        .withColumn("rk", row_number().over(wG)).filter(col("rk") <= overflowReps)
+        .select(col("g"), col("id").as("rep_id"))
+      hotPost.join(reps, Seq("g"))
+        .filter(col("id") =!= col("rep_id"))
+        .select(least(col("id"), col("rep_id")).as("id_a"),
+          greatest(col("id"), col("rep_id")).as("id_b"))
+    }
+    // reps = 0 keeps the exact pre-overflow plan (candidates are already
+    // unique out of the aggregate — no distinct needed)
+    val candAll = overflow.fold(candidates)(o => candidates.unionByName(o).distinct())
     // exact verify: ONE intersect per unordered pair (|A∩B| is symmetric),
     // then both directions emitted from the scalar sizes
-    candidates
+    candAll
       .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "id_a")
       .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -927,6 +1029,38 @@ object Dedup {
         n = 3, minContainment = MinContainment)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Viral-passage rig for the containment OVERFLOW oracle (r19 verdict
+    * #1): the first `ContOvfFam` doc_ids are rewritten to a shared
+    * 120-token passage plus a per-doc tail token — every passage shingle
+    * lands df = `ContOvfFam` > `maxDf`, so the capped inverted index
+    * drops them whole, the docs' only other shingles are df-1 tails
+    * (excluded by df > 1), and the family produces ZERO capped
+    * candidates: the registered row gates exactly the rescue semantics
+    * (only the overflow star finds the family's pairs, at containment
+    * ≈ 117/119, above the 0.9 gate both ways).
+    */
+  private[llm] val ContOvfTemplate: String =
+    Seq.tabulate(60)(i => s"viralspan$i vtok$i").mkString(" ")
+  private val ContOvfFam = 100L
+  private val ContOvfReps = 8
+
+  def plantViralDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") < ContOvfFam,
+        concat(lit(ContOvfTemplate + " vtail"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** The containment overflow path, oracle-gated: planted >maxDf viral
+    * passage + `overflowReps = 8` — the inverted-index twin of
+    * `llm_dedup_simhash_ovf`/`llm_embed_neardup_lsh_ovf`, pinning
+    * shingle-set-class collapse, lowest-id rep selection, and the
+    * member×rep exact containment verify against an independent replica.
+    */
+  def containmentOverflowQuery(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(plantViralDocs(Tables.documents(spark, dir)), "text", "doc_id",
+        n = 3, minContainment = MinContainment, overflowReps = ContOvfReps)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Span length for the registered substring-dedup query: 8 tokens —
     * long enough that chance collisions are impossible on the synthetic
     * vocabulary's entropy, short enough that real duplicated passages
@@ -982,6 +1116,7 @@ object Dedup {
     "llm_dedup_simhash_ovf" -> (simhashOverflowQuery _),
     "llm_dedup_ngram_jaccard" -> (ngramJaccardQuery _),
     "llm_dedup_containment" -> (containmentQuery _),
+    "llm_dedup_containment_ovf" -> (containmentOverflowQuery _),
     "llm_neardup_incremental" -> (incrementalNearDupQuery _),
     "llm_substring_dup" -> (substringDupQuery _),
     "llm_substring_strip" -> (substringStripQuery _),
@@ -1166,6 +1301,67 @@ object Dedup {
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
          |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= $MinContainment
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the containment OVERFLOW replica: viral-passage rewrite → the FULL
+    // inverted-index pipeline replayed (df table, the >1 ∧ ≤64 retention
+    // band, share-a-retained-shingle candidates) UNION the overflow star
+    // (shingle-set-class collapse = GROUP BY the set itself, lowest-id
+    // ≤ reps representatives per hot shingle, member×rep) → the same
+    // exact both-directions verify. Unlike the plain containment oracle
+    // (prefix-filtered all-pairs, valid where no shingle crosses the
+    // cap), this one replays the cap EXPLICITLY — the planted family is
+    // over-cap by construction, so the agreement gates the rescue
+    // semantics, not a no-hot-shingle corpus property. The capped arm
+    // skips replaying the count-bound prune: the prune is sound for
+    // true pairs (slack argument at containmentPairs) and the verify is
+    // exact, so both engines emit exactly the true pairs reachable via
+    // ≥1 retained shared shingle.
+    "llm_dedup_containment_ovf" ->
+      s"""WITH hd AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < $ContOvfFam
+         |      THEN '$ContOvfTemplate vtail' || CAST(doc_id AS VARCHAR)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+         |    i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+         |         string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS s
+         |  FROM hd),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM sh),
+         |dfreq AS MATERIALIZED (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+         |rarep AS MATERIALIZED (
+         |  SELECT tok.doc_id, tok.t FROM tok JOIN dfreq USING (t)
+         |  WHERE df > 1 AND df <= 64),
+         |cand0 AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rarep a JOIN rarep b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |hotp AS MATERIALIZED (
+         |  SELECT tok.doc_id, tok.t, sh.s FROM tok
+         |  JOIN dfreq USING (t) JOIN sh USING (doc_id)
+         |  WHERE df > 64),
+         |crep AS (SELECT t, s, MIN(doc_id) AS rep_id FROM hotp GROUP BY t, s),
+         |reps AS MATERIALIZED (
+         |  SELECT t, rep_id FROM crep
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY t ORDER BY rep_id) <= $ContOvfReps),
+         |ovp AS (
+         |  SELECT DISTINCT least(h.doc_id, r.rep_id) AS id_a,
+         |    greatest(h.doc_id, r.rep_id) AS id_b
+         |  FROM hotp h JOIN reps r ON h.t = r.t WHERE h.doc_id <> r.rep_id),
+         |cand AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM cand0 UNION SELECT id_a, id_b FROM ovp),
+         |dirs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |  UNION ALL
+         |  SELECT c.id_b, c.id_a,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, containment FROM dirs
+         |WHERE containment >= $MinContainment
          |ORDER BY id_a, id_b""".stripMargin,
     // transitive closure over the all-pairs >=0.8 graph: cluster id = min
     // reachable id (same shingle CTE as the pair oracles)

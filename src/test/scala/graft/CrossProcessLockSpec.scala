@@ -54,6 +54,38 @@ object CrossProcessCommitter {
   }
 }
 
+/** Child JVM entry for the mid-flip crash test (r19 verdict #8):
+  * through the REAL writer protocol — own SparkSession, real lock
+  * acquisition, real parquet staging — acquire the lock, STAGE the next
+  * version dir fully, then signal `_MIDFLIP` and hold. The parent
+  * kill -9s at the marker, leaving exactly the crash state
+  * [[Versioned.overwrite]]'s contract describes: a complete
+  * staged-but-unreferenced version dir plus a dead holder's lock. The
+  * staging layout (v_%08d) is replicated deliberately — the vname
+  * helper is private, and the point is to die BETWEEN the two real
+  * steps, which no public entry point survives long enough to expose.
+  */
+object CrossProcessCrashWriter {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val value = args(1)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("xcrash").master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Files.createTempDirectory("xwh").toString)
+      .getOrCreate()
+    import spark.implicits._
+    Versioned.withWriterLock(root) {
+      val next = Versioned.currentVersion(root).getOrElse(0L) + 1L
+      val target = f"$root/v_$next%08d"
+      Seq(value).toDF("v").write.mode("overwrite").parquet(target)
+      Files.write(Paths.get(root, "_MIDFLIP"), Array.emptyByteArray)
+      Thread.sleep(600000L)
+    }
+  }
+}
+
 /** The pid@epoch@host lock protocol under REAL cross-process contention —
   * a second JVM, not a same-JVM thread or a hand-written lock file: a
   * live foreign holder must draw the loud single-writer refusal, and a
@@ -88,15 +120,19 @@ class CrossProcessLockSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def launchCommitter(root: String, value: String, log: java.io.File): Process = {
+  private def launchChild(main: String, root: String, value: String,
+                          log: java.io.File): Process = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cmd = (Seq(javaBin) ++ jdk17AddOpens ++
-      Seq("-Xmx2g", "-cp", childCp, "graft.CrossProcessCommitter", root, value))
+      Seq("-Xmx2g", "-cp", childCp, main, root, value))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.to(log))
     pb.start()
   }
+
+  private def launchCommitter(root: String, value: String, log: java.io.File): Process =
+    launchChild("graft.CrossProcessCommitter", root, value, log)
 
   test("writer lock cross-process: live refusal, then kill -9 pid-liveness stale break") {
     val root = Files.createTempDirectory("xlock").toString
@@ -203,5 +239,56 @@ class CrossProcessLockSpec extends AnyFunSuite {
     assert(vals(1L) == Seq("A") && vals(2L) == Seq("B") && vals(3L) == Seq("C"))
     assert(Versioned.read(spark, root).as[String].collect().toSeq == Seq("C"))
     assert(Fs.readString(s"$root/CURRENT").trim == "3")
+  }
+
+  test("mid-flip kill in a foreign writer JVM: readers never torn, orphan invisible, next writer recovers") {
+    // the forced mid-flip crash (r19 verdict #8): a SECOND JVM stages
+    // v2 through the real protocol and is kill -9'd between staging and
+    // the pointer flip — the exact window Versioned's crash contract
+    // reasons about, now exercised across a process boundary instead of
+    // simulated by hand-creating an orphan dir (VersionedSpec's
+    // in-process variant)
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val root = Files.createTempDirectory("xcrash").toString
+    def logOf(f: java.io.File): String =
+      try new String(Files.readAllBytes(f.toPath)) catch { case _: Exception => "<no log>" }
+    assert(Versioned.overwrite(Seq("A").toDF("v"), root) == 1L)
+    val log = new java.io.File(root, "_crash.log")
+    val p = launchChild("graft.CrossProcessCrashWriter", root, "B", log)
+    try {
+      val mid = Paths.get(root, "_MIDFLIP")
+      val deadline = System.currentTimeMillis() + 180000L
+      while (!Files.exists(mid) && System.currentTimeMillis() < deadline) {
+        assert(p.isAlive, s"crash writer died before staging:\n${logOf(log)}")
+        // reader invariant WHILE the foreign writer stages: the pointer
+        // only ever names the complete old snapshot
+        assert(Versioned.read(spark, root).as[String].collect().toSeq == Seq("A"))
+        Thread.sleep(25)
+      }
+      assert(Files.exists(mid), s"crash writer never staged:\n${logOf(log)}")
+      p.destroyForcibly()
+      assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS), "crash writer did not die")
+      // the crash state: a fully staged v2 on disk that CURRENT never
+      // references, plus the dead pid's lock
+      assert(Fs.exists(s"$root/v_00000002"), "fixture broken: nothing was staged")
+      assert(Fs.exists(s"$root/_WRITER_LOCK"), "fixture broken: dead writer left no lock")
+      assert(Versioned.currentVersion(root).contains(1L), "a killed writer moved the pointer")
+      assert(Versioned.read(spark, root).as[String].collect().toSeq == Seq("A"))
+      // the orphan is INVISIBLE to time travel (never offered)
+      assert(Versioned.listVersions(root) == Seq(1L),
+        s"orphan offered to readers: ${Versioned.listVersions(root)}")
+      // the next writer: breaks the dead pid's lock by liveness, deletes
+      // and rewrites the orphan dir, commits v2 — full recovery with no
+      // manual intervention
+      assert(Versioned.overwrite(Seq("C").toDF("v"), root) == 2L)
+      assert(Versioned.read(spark, root).as[String].collect().toSeq == Seq("C"))
+      assert(Versioned.readVersion(spark, root, 2L).as[String].collect().toSeq == Seq("C"),
+        "recovered v2 must carry the RECOVERING writer's rows, not the dead one's")
+      assert(!Fs.exists(s"$root/_WRITER_LOCK"), "recovery must release the lock")
+    } finally {
+      p.destroyForcibly()
+      p.waitFor()
+    }
   }
 }

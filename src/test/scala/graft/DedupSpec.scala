@@ -298,6 +298,57 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     }
   }
 
+  test("containment overflow: viral passage past the df cap still pairs members with reps") {
+    // an 80-member family quoting one shared passage: every passage
+    // shingle lands df = 80 > maxDf = 16, so the capped index drops them
+    // whole and the family's only other shingles are df-1 tails — ZERO
+    // capped candidates (the r19 viral-passage blindness). Overflow
+    // stars members to ≤ reps shingle-set-class representatives and the
+    // exact verify passes all of them at containment ≈ 1.
+    val passage = Seq.tabulate(40)(i => s"vp$i vq$i").mkString(" ")
+    val corpus = spark.range(300).select(col("id").as("doc_id"),
+      when(col("id") < 80, concat(lit(passage + " vtail"), col("id").cast("string")))
+        .otherwise(concat_ws(" ",
+          (0 until 10).map(j => concat(lit("o"), col("id"), lit(s"w$j"))): _*)).as("text"))
+    val famIds = (0L until 80L).toSet
+    def famMembers(pairs: Array[(Long, Long)]): Set[Long] = pairs.iterator
+      .filter { case (x, y) => famIds(x) && famIds(y) }
+      .flatMap { case (x, y) => Iterator(x, y) }.toSet
+    val capped = Dedup.containmentPairs(corpus, "text", "doc_id",
+        n = 3, minContainment = 0.9, maxDf = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(famMembers(capped).isEmpty,
+      s"fixture broken: capped path found family members ${famMembers(capped).take(5)}")
+    val ovf = Dedup.containmentPairs(corpus, "text", "doc_id",
+        n = 3, minContainment = 0.9, maxDf = 16, overflowReps = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(famMembers(ovf) == famIds,
+      s"overflow lost ${(famIds -- famMembers(ovf)).size} family members")
+    // overflow only ADDS pairs
+    assert(capped.toSet.subsetOf(ovf.toSet))
+  }
+
+  test("llm_dedup_containment_ovf rig is not vacuous: passage oversizes the cap, overflow rescues it") {
+    val dir = "/root/testdata/sf0.001"
+    val hot = Dedup.plantViralDocs(Tables.documents(spark, dir))
+    val famIds = (0L until 100L).toSet
+    def famMembers(pairs: Array[(Long, Long)]): Set[Long] = pairs.iterator
+      .filter { case (x, y) => famIds(x) && famIds(y) }
+      .flatMap { case (x, y) => Iterator(x, y) }.toSet
+    val plain = Dedup.containmentPairs(hot, "text", "doc_id",
+        n = 3, minContainment = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(famMembers(plain).isEmpty,
+      s"planted passage does not defeat the cap: ${famMembers(plain).size} members found")
+    val ovf = Dedup.containmentOverflowQuery(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(famMembers(ovf) == famIds,
+      s"overflow lost family members: ${(famIds -- famMembers(ovf)).take(5)}…")
+    assert(plain.toSet.subsetOf(ovf.toSet))
+    assert(ovf.length > plain.length,
+      s"overflow added no pairs (plain ${plain.length} = ovf ${ovf.length}) — the gate would be vacuous")
+  }
+
   test("rolling fingerprint: deterministic, content-sensitive") {
     val fp = docs.select($"doc_id", Fingerprints.rollingFingerprint($"text", 16).as("fp"))
       .as[(Long, Long)].collect().toMap

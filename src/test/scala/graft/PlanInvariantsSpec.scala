@@ -217,7 +217,16 @@ class PlanInvariantsSpec extends SparkSpec {
           maxHamming = 3))
       // cross-doc LCP stage: the s-shifted self-join is the ONE allowed
       // SMJ (same character-level frame shifted by one — equal unbounded
-      // sides); both doc-text fetch joins must stay hash
+      // sides); both doc-text fetch joins must stay hash.
+      // Cost note (r19 advice #4): building this plan runs the corpus-SA
+      // ranks build for real (the prefix-doubling rounds execute jobs
+      // during plan construction), making this the heaviest path in the
+      // spec — accepted at sf0.001 (~seconds). The shared session's
+      // ranksCache memoizes the build, so suites running after a cached
+      // build (e.g. CorpusSuffixSpec in the same JVM) ride it; test
+      // ORDER within this suite cannot exploit that without coupling
+      // suites, so the cold cost stays the documented price of gating
+      // the flip class under broadcast-off.
       val (seq, lpPlan) = graft.llm.CorpusSuffix.crossDocMaxPlanQuery(spark, dir)
       try check("crossDocLpPlan", 1)(lpPlan)
       finally seq.unpersist(blocking = false)

@@ -583,6 +583,18 @@ object Dedup {
     */
   private val CandRowsPerPartition = 750000L
 
+  /** Candidate-estimate memo keyed by the (canonicalized input plan,
+    * shingle n, maxDf): the estimate costs one posting-aggregation job
+    * per `containmentPairs` CALL, and steady-state callers (bench
+    * passes, repeated pipeline runs) rebuild the same frame every time.
+    * Memo staleness after an in-place table rewrite is BENIGN by
+    * construction — the value only sizes exchanges; results never
+    * depend on it (unlike the result memos, which key on snapshot
+    * fingerprints for exactly that reason). Size-capped defensively.
+    */
+  private val candEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, minContainment: Double = 0.9,
                        maxDf: Int = 64, overflowReps: Int = 0): DataFrame = {
@@ -594,8 +606,15 @@ object Dedup {
     val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
       .localCheckpoint(false)
     val posting = sh.select(col("jid").as("id"), explode(col("sh")).as("g"))
-    val rare = posting.groupBy(col("g"))
+    // the df table feeds THREE consumers (the rare retention filter, the
+    // partition-autoscale estimate below, and — with overflow on — the
+    // hot-shingle filter); checkpointed once so the posting explode runs
+    // a single time for all of them (shingle-type-sized blocks, GC-freed
+    // with the frame)
+    val dfTab = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val rare = dfTab
       .filter(col("df") > 1 && col("df") <= maxDf)
       .select(col("g"))
     // Shuffle-partition autoscaling (r19 verdict #2): ContainmentDiag
@@ -615,11 +634,14 @@ object Dedup {
     val sessionP = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // NB: SQL `/` is floating division — df·(df−1) is even and ≤ maxDf²,
     // so the per-shingle term is exact and the cast back to long is too
-    val candRowsEst: Long = posting.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(when(col("df") > 1 && col("df") <= maxDf,
-        (col("df").cast("long") * (col("df") - 1) / 2).cast("long"))), lit(0L)))
-      .head().getLong(0)
+    val estKey = docs.queryExecution.analyzed.canonicalized.toString +
+      s"|n=$n|maxDf=$maxDf"
+    if (candEstCache.size > 256) candEstCache.clear()
+    val candRowsEst: Long = candEstCache.computeIfAbsent(estKey, _ =>
+      dfTab
+        .agg(coalesce(sum(when(col("df") > 1 && col("df") <= maxDf,
+          (col("df").cast("long") * (col("df") - 1) / 2).cast("long"))), lit(0L)))
+        .head().getLong(0))
     val autoP = math.min(4096L, candRowsEst / CandRowsPerPartition + 1).toInt
     // shuffle_hash on the scalar shingle-list semi (round 19): the
     // checkpoint right below severs this join from final-plan inspection,
@@ -702,8 +724,7 @@ object Dedup {
     // (a two-phase salted top-k is the escape hatch if a single
     // posting list ever outgrows a task).
     val overflow = if (overflowReps <= 0) None else Some {
-      val hot = posting.groupBy(col("g"))
-        .agg(count(lit(1)).as("df"))
+      val hot = dfTab
         .filter(col("df") > maxDf)
         .select(col("g"))
       // class key = xxhash64(shingle set), not the raw array (fixed-width
@@ -719,7 +740,11 @@ object Dedup {
       val reps = hotPost.withColumn("rn", row_number().over(wClass)).filter(col("rn") === 1)
         .withColumn("rk", row_number().over(wG)).filter(col("rk") <= overflowReps)
         .select(col("g"), col("id").as("rep_id"))
-      hotPost.join(reps, Seq("g"))
+      // shuffle_hash on the reps side (round 20, caught by the 160×
+      // PlanDiag sweep on this query's own first outing): the star join
+      // flipped broadcast → SortMergeJoin, sorting the full hot-posting
+      // frame against a ≤reps-per-shingle build side
+      hotPost.join(reps.hint("shuffle_hash"), Seq("g"))
         .filter(col("id") =!= col("rep_id"))
         .select(least(col("id"), col("rep_id")).as("id_a"),
           greatest(col("id"), col("rep_id")).as("id_b"))

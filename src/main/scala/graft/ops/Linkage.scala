@@ -58,7 +58,12 @@ object Linkage {
     // index builders)
     val ok = keyed.groupBy(col("bk")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBlock).select(col("bk"))
-    val inb = keyed.join(ok, Seq("bk"), "left_semi")
+    // shuffle_hash on the scalar block-list semi (round 20): the 160×
+    // PlanDiag sweep caught THIS join flipping broadcast → SortMergeJoin
+    // — sorting the full keyed frame (twice: both self-join branches
+    // replay it) against a scalar probe side. Same class as the
+    // shingle-list semis pinned in minhash/containment at r19.
+    val inb = keyed.join(ok.hint("shuffle_hash"), Seq("bk"), "left_semi")
     val a = inb.select(
       (col("bk") +: col("id").as("id_a") +:
         payload.map(c => col(c).as(s"a_$c"))): _*)
@@ -66,8 +71,13 @@ object Linkage {
       (col("bk") +: col("id").as("id_b") +:
         payload.map(c => col(c).as(s"b_$c"))): _*)
     // equi-join on the block key — the candidate generator is a plain
-    // shuffled hash join, never a cartesian
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    // shuffled hash join, never a cartesian. shuffle_hash pinned (round
+    // 20, 160× flip): the self-join's equal sides flipped to
+    // SortMergeJoin on (bk + any pushed-in exact attributes), sorting
+    // the keyed frame twice — the containment/minhash self-join
+    // discipline applies: hash one side per partition, never sort, and
+    // AQE still broadcasts when a side is runtime-small
+    a.join(b.hint("shuffle_hash"), Seq("bk")).filter(col("id_a") < col("id_b"))
   }
 
   /** Sorted-neighborhood candidate pairs — the OTHER canonical ER
@@ -226,7 +236,11 @@ object Linkage {
         payload.map(c => col(c).as(s"b_$c"))): _*)
     val ok = m.groupBy(col("bk")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBlock).select(col("bk"))
-    p.join(m.join(ok, Seq("bk"), "left_semi"), Seq("bk"))
+    // same two pins as candidatePairs (round 20): scalar semi + the
+    // block equi-join — build side is the PROBE (arrival batch), the
+    // side bounded by contract; the master side streams
+    p.hint("shuffle_hash")
+      .join(m.join(ok.hint("shuffle_hash"), Seq("bk"), "left_semi"), Seq("bk"))
   }
 
   /** Golden records (survivorship) over the matched clusters: one merged

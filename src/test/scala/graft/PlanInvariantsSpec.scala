@@ -215,6 +215,14 @@ class PlanInvariantsSpec extends SparkSpec {
         graft.llm.Multimodal.imageNearDupPairs(
           Seq((1L, 7L), (2L, 7L), (3L, 1024L)).toDF("media_id", "dhash"),
           maxHamming = 3))
+      // round-20 pins, both caught by the 160× PlanDiag sweep: the
+      // containment overflow's member×reps star join, and the ER
+      // blocking family's scalar size-gate semi + block self-join
+      check("containmentPairs+overflow", 0)(
+        graft.llm.Dedup.containmentPairs(docs, "text", "doc_id",
+          n = 3, minContainment = 0.9, maxDf = 16, overflowReps = 8))
+      check("er candidatePairs (golden-records family)", 0)(
+        graft.ops.Linkage.customerGoldenRecords(spark, dir))
       // cross-doc LCP stage: the s-shifted self-join is the ONE allowed
       // SMJ (same character-level frame shifted by one — equal unbounded
       // sides); both doc-text fetch joins must stay hash.

@@ -1,0 +1,34 @@
+package graft
+
+/** Writes `.explain("formatted")` output for registered queries to files —
+  * the round-20 plan-evidence deliverable (`plans/r20/<query>_<tag>.txt`).
+  * Usage: SPARK_GRAFT_PLAN_QUERY=q1,q2 SPARK_GRAFT_PLAN_TAG=before \
+  *        SPARK_GRAFT_PLAN_OUT=plans/r20 sbt "runMain graft.PlanDump"
+  * Unlike PlanDiag (scaled-dir join-flip sweeps) this dumps the FULL
+  * formatted plan at the bench SF, one file per query, for judge review.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir) = BenchSweep.buildSession()
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "plans/r20")
+    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
+    val qnames = sys.env.getOrElse("SPARK_GRAFT_PLAN_QUERY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val registered = SparkEntry.queries
+    val unknown = qnames.filterNot(registered.contains)
+    require(qnames.nonEmpty && unknown.isEmpty,
+      s"SPARK_GRAFT_PLAN_QUERY must list registered queries; unknown: ${unknown.mkString(", ")}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    qnames.foreach { q =>
+      val df = registered(q)(spark, sfDir)
+      // "formatted" via the same API explain("formatted") prints through,
+      // captured instead of printed
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${q}_$tag.txt"), txt)
+      println(s"[plandump] wrote $outDir/${q}_$tag.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

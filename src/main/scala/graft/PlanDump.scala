@@ -14,13 +14,22 @@ object PlanDump {
     val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
     val qnames = sys.env.getOrElse("SPARK_GRAFT_PLAN_QUERY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // pseudo-queries exposing loop-internal plans the registered frames
+    // hide behind per-round checkpoints (PlanDiag's lazyPlans seam): the
+    // CC round plan as graph_components / llm_embed_clusters run it
+    val pseudo: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "cc_round_components" -> ((s, d) => graft.llm.Dedup.ccRoundPlan(
+        graft.ops.Graph.coPurchaseEdges(s, d)
+          .select(org.apache.spark.sql.functions.col("a").as("id_a"),
+            org.apache.spark.sql.functions.col("b").as("id_b")))._1))
     val registered = SparkEntry.queries
-    val unknown = qnames.filterNot(registered.contains)
+    val unknown = qnames.filterNot(q => registered.contains(q) || pseudo.contains(q))
     require(qnames.nonEmpty && unknown.isEmpty,
       s"SPARK_GRAFT_PLAN_QUERY must list registered queries; unknown: ${unknown.mkString(", ")}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     qnames.foreach { q =>
-      val df = registered(q)(spark, sfDir)
+      val df = pseudo.getOrElse(q, registered(q))(spark, sfDir)
       // "formatted" via the same API explain("formatted") prints through,
       // captured instead of printed
       val txt = df.queryExecution.explainString(

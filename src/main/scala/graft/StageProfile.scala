@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Empirical per-query execution profile (guide §1: measure first, §7.1:
+  * the UI's stage metrics — captured headless): runs each named query
+  * once and reports jobs, stages, tasks, shuffle read/write bytes, spill
+  * and executor run time from a SparkListener. This sees EVERY job a
+  * query runs — including RDD-level checkpoint materializations that are
+  * invisible to SQL plan dumps and QueryExecutionListener (the CC loop's
+  * per-round jobs, eager localCheckpoints) — so exchange-removal claims
+  * are checkable as shuffle-byte deltas, not just plan prose.
+  * Usage: SPARK_GRAFT_PROFILE_QUERY=q1,q2 [SPARK_GRAFT_PROFILE_OUT=f.json]
+  *        sbt "runMain graft.StageProfile"
+  */
+object StageProfile {
+
+  private class Acc extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var shufWrite = 0L
+    @volatile var shufRead = 0L
+    @volatile var spillMem = 0L
+    @volatile var spillDisk = 0L
+    @volatile var runTimeMs = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
+      jobs += 1
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+        System.err.println(s"[job] id=${j.jobId} stages=${j.stageIds.mkString("/")} " +
+          s"callsite=${Option(j.properties.getProperty("callSite.short")).getOrElse("?")}")
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {
+      stages += 1
+      val m = s.stageInfo.taskMetrics
+      tasks += s.stageInfo.numTasks
+      shufWrite += m.shuffleWriteMetrics.bytesWritten
+      shufRead += m.shuffleReadMetrics.totalBytesRead
+      spillMem += m.memoryBytesSpilled
+      spillDisk += m.diskBytesSpilled
+      runTimeMs += m.executorRunTime
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+        System.err.println(f"[stage] id=${s.stageInfo.stageId}%4d " +
+          f"tasks=${s.stageInfo.numTasks}%3d run=${m.executorRunTime}%6dms " +
+          f"cpu=${m.executorCpuTime / 1000000}%6dms " +
+          f"shW=${m.shuffleWriteMetrics.bytesWritten}%9d " +
+          s"rdds=${s.stageInfo.rddInfos.map(_.name).mkString("|").take(150)}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir) = BenchSweep.buildSession()
+    val qnames = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val registered = SparkEntry.queries
+    val unknown = qnames.filterNot(registered.contains)
+    require(qnames.nonEmpty && unknown.isEmpty,
+      s"SPARK_GRAFT_PROFILE_QUERY must list registered queries; unknown: ${unknown.mkString(", ")}")
+    // one untimed warm pass per query first, so session memos (pair
+    // caches, SA ranks, bucketed tables) are paid OUTSIDE the profiled
+    // run — the profile is the steady-state execution, matching the
+    // bench's min-of-passes column
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_WARM", "1").toInt
+    qnames.foreach { q => (1 to passes).foreach { _ =>
+      try registered(q)(spark, sfDir).count() catch { case _: Throwable => () } } }
+    import BenchSweep.{jstr, num}
+    val rows = qnames.map { q =>
+      val acc = new Acc
+      spark.sparkContext.addSparkListener(acc)
+      spark.sparkContext.setJobDescription(s"profile:$q")
+      val t0 = System.nanoTime()
+      registered(q)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
+      // listener events are posted async; drain before reading
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(acc)
+      s"${jstr(q)}:{" +
+        s""""sec":${num(sec, 3)},"jobs":${acc.jobs},"stages":${acc.stages},""" +
+        s""""tasks":${acc.tasks},"shuffle_write":${acc.shufWrite},""" +
+        s""""shuffle_read":${acc.shufRead},"spill_mem":${acc.spillMem},""" +
+        s""""spill_disk":${acc.spillDisk},"exec_run_ms":${acc.runTimeMs}}"""
+    }
+    val line = rows.mkString("{\"profile\":{", ",", "},") +
+      s""""boot_epoch":${BenchSweep.bootEpoch},"sf":${jstr(sfDir)}}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_PROFILE_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    }
+    spark.stop()
+  }
+}

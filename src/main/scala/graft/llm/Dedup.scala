@@ -496,43 +496,156 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           strict: Boolean = true,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        // context-global setting, like spark.sparkContext.setJobGroup —
-        // callers running concurrent checkpointed jobs share the dir
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
-    // materialize the caller's pair plan ONCE before mirroring: the
-    // union references it twice, and without this the upstream (an LSH
-    // candidate join, a blocked all-pairs scan) would compute twice
-    // just to build the edge list
-    val p0 = ckpt(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-    val edges = ckpt(p0
-      .union(p0.select(col("v").as("u"), col("u").as("v")))
-      .distinct())
-    var labels = ckpt(edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // (eager, lazy) checkpoint pair: rounds use the LAZY form so the
+    // convergence count is also the materializing action (r20 — one job
+    // per round where eager-then-probe ran two)
+    val (ckpt, lckpt): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      checkpointDir match {
+        case Some(dir) =>
+          // context-global setting, like spark.sparkContext.setJobGroup —
+          // callers running concurrent checkpointed jobs share the dir
+          pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+          (df => df.checkpoint(), df => df.checkpoint(eager = false))
+        case None =>
+          (df => df.localCheckpoint(), df => df.localCheckpoint(false))
+      }
+    val (edges, labels0, p0, edgeParts) = ccBase(pairs, ckpt)
+    var labels = labels0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label").as("nbr_label")), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("changed")))
-      converged = next.filter(col("changed")).limit(1).count() == 0
+      val next = lckpt(ccRound(edges, labels, edgeParts))
+      // FULL-scan convergence count as the materializing action: every
+      // partition of the lazy checkpoint computes under this one job (a
+      // limit-probe would truncate lineage with partitions unmaterialized)
+      converged = next.filter(col("changed")).count() == 0L
+      val prev = labels
       labels = next.drop("changed")
       iter += 1
+      // the superseded round's blocks are dead once `next` materialized
+      // (checkpoint truncated its lineage); capping live label frames at
+      // two keeps round storage flat at cluster scale (guide §5). No-op
+      // for reliable checkpoints (files, not blocks).
+      graft.store.Checkpoints.free(prev)
     }
     if (strict && !converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter); raise maxIter or pass strict = false")
+    // p0 outlives the loop deliberately: edges is CACHED (not
+    // checkpointed), so an evicted edge partition recomputes through p0 —
+    // freeing p0 mid-loop would strand that lineage (localCheckpoint
+    // blocks cannot recompute)
+    graft.store.Checkpoints.free(edges)
+    graft.store.Checkpoints.free(p0)
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** The edge/label base frames shared by the CC loop and the round-plan
+    * diagnostic. The mirror-union is repartitioned by `v` — THE ITERATION
+    * JOIN KEY — before the dedup aggregate (HashPartitioning(v) satisfies
+    * the (u, v)-clustering the distinct needs, so the dedup rides the
+    * same exchange), and the frame is PERSISTED rather than checkpointed:
+    * a checkpoint under AQE stores UnknownPartitioning (the round-1 plan
+    * dump showed every round re-exchanging the edge frame by v — measured,
+    * r20), while a cached plan keeps its compiled HashPartitioning. Every
+    * round's edge-side join input is then already distributed: one
+    * edge-sized Exchange+Sort per round removed (guide §2.4). Lineage
+    * growth is not a concern for the STATIC edge frame — only the labels,
+    * which rebuild per round, need the checkpoint's plan cut.
+    */
+  /** Mirrored edge rows per cached edge partition: ~2M rows ≈ 32 MB of
+    * (long, long) payload per round task, and the per-partition label
+    * hash build the round join does is bounded by the same row count —
+    * far inside the measured per-task envelopes (ContainmentDiag). The
+    * count is derived from the materialized pair frame, so the layout is
+    * scale-adaptive (1 partition at bench SF, thousands at corpus scale)
+    * instead of inheriting a session constant — AQE cannot coalesce a
+    * cached frame's partitions, so a session-default 32 here made every
+    * round a 32-task stage over kilobytes (measured: ~3 s of executor
+    * time per round stage at sf0.1, pure per-task overhead).
+    */
+  private val CcEdgeRowsPerPartition = 2000000L
+
+  private def ccBase(pairs: DataFrame, ckpt: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
+    // materialize the caller's pair plan ONCE before mirroring: the
+    // union references it twice, and without this the upstream (an LSH
+    // candidate join, a blocked all-pairs scan) would compute twice
+    // just to build the edge list
+    val p0 = ckpt(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    // one tiny job over the materialized checkpoint; sizes the cache.
+    // Floor of 2: a 1-partition cache reports SinglePartition, whose
+    // shuffle spec cannot seed a join's co-partitioning (Spark refuses
+    // 1-partition joins), so EnsureRequirements would re-exchange the
+    // cache every round — with ≥ 2 the HashPartitioning(v) spec is
+    // reusable and the labels side aligns to IT instead (measured: the
+    // round-plan dump grew `Exchange` over the InMemoryTableScan at 1)
+    val edgeParts = math.max(2L, math.min(4096L,
+      2L * p0.count() / CcEdgeRowsPerPartition + 1)).toInt
+    // SELF-LOOPS ride the edge frame (r20): with (u, u) present for every
+    // node, a round's neighbor-min over N(u) ∪ {u} IS the label update —
+    // min(nbr) = least(own, neighbor min) and the own-label row arrives
+    // through the same join — so the per-round labels-side LeftOuter (and
+    // its two node-sized exchanges) is gone outright (guide §2.4). Row
+    // cost: + one row per node, ≤ the mirror's size.
+    val edges = p0
+      .union(p0.select(col("v").as("u"), col("u").as("v")))
+      .union(p0.select(col("u"), col("u").as("v")))
+      .union(p0.select(col("v").as("u"), col("v")))
+      .repartition(edgeParts, col("v"))
+      .distinct()
+      .persist()
+    // the labels0 build is also the edge-cache materializing action
+    val labels = ckpt(edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
+    (edges, labels, p0, edgeParts)
+  }
+
+  /** One min-label-propagation round, UN-checkpointed: ONE join + ONE
+    * aggregate — the self-loops planted in [[ccBase]] bring each node's
+    * own label through the same neighbor join, so min(nbr_label) IS the
+    * updated label and the old per-round LeftOuter label-update join (two
+    * more node-sized exchanges) is gone. Factored so the loop and the
+    * plan diagnostic below cannot drift.
+    *
+    * Join strategy (guide §3.1): the NODE-sized labels side is the pinned
+    * shuffle_hash build — the edge side streams through its stored cache
+    * partitioning with no exchange and NO per-round sort (a sort-merge
+    * join would re-sort the static edge frame every round). AQE still
+    * broadcasts the build side when runtime-small. Partial aggregation
+    * makes the min exchange node-sized, so NOTHING edge-sized shuffles
+    * per round.
+    */
+  private def ccRound(edges: DataFrame, labels: DataFrame,
+                      edgeParts: Int): DataFrame =
+    edges
+      // the labels side is EXPLICITLY co-partitioned to the edge cache's
+      // layout: with a count mismatch (edgeParts vs the session default)
+      // EnsureRequirements re-exchanges BOTH sides — including the cached
+      // edge frame, the exact shuffle this layout exists to remove
+      // (caught by the spec session, whose default partition count
+      // differs from the bench's)
+      .join(labels.select(col("id").as("v"), col("label").as("nbr_label"))
+        .hint("shuffle_hash"), "v")
+      .groupBy(col("u").as("id"))
+      .agg(min(col("nbr_label")).as("label"),
+        // the self-loop row carries u's OWN current label; never null —
+        // every node self-loops, and labels covers every edge endpoint
+        min(when(col("v") === col("u"), col("nbr_label"))).as("own"))
+      .select(col("id"), col("label"), (col("label") < col("own")).as("changed"))
+
+  /** Diagnostic: round-1's frame EXACTLY as [[connectedComponents]] runs
+    * it (same base construction, incl. the v-partitioned cached edge
+    * frame), returned lazy so the per-round exchange shape is inspectable
+    * — the registered cluster queries checkpoint every round, which hides
+    * the loop's plan from the query tail (same seam as PlanDiag's
+    * lazyPlans). Second element = the base frames to free after
+    * inspection.
+    */
+  private[graft] def ccRoundPlan(pairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val (edges, labels, p0, edgeParts) = ccBase(pairs, df => df.localCheckpoint())
+    (ccRound(edges, labels, edgeParts), Seq(edges, labels, p0))
   }
 
   /** Asymmetric shingle containment: ordered pairs (a, b) where

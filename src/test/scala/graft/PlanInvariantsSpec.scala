@@ -238,9 +238,51 @@ class PlanInvariantsSpec extends SparkSpec {
       val (seq, lpPlan) = graft.llm.CorpusSuffix.crossDocMaxPlanQuery(spark, dir)
       try check("crossDocLpPlan", 1)(lpPlan)
       finally seq.unpersist(blocking = false)
+      // round-20 CC pin: the per-round labels side is a shuffle_hash
+      // build against the cached edge stream — an SMJ here would re-sort
+      // the static edge frame every round
+      val (ccRound, ccFrames) = graft.llm.Dedup.ccRoundPlan(
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+      try check("ccRoundPlan", 0)(ccRound)
+      finally ccFrames.foreach(_.unpersist(blocking = false))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("the CC round streams the cached edge frame: no Exchange or Sort above the edge cache scan") {
+    // r20: connectedComponents caches the mirrored+self-looped edge frame
+    // partitioned by the round join key (a checkpoint under AQE stores
+    // UnknownPartitioning — measured, every round re-exchanged the edges)
+    // and each round must READ that partitioning, not rebuild it: an
+    // Exchange or Sort above the cache scan means the per-round
+    // edge-sized shuffle crept back.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    val (round, frames) = graft.llm.Dedup.ccRoundPlan(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    try {
+      // collect() does not descend into an AdaptiveSparkPlanExec wrapper
+      val plan = round.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      def hasCacheScan(p: SparkPlan): Boolean =
+        p.collectFirst { case s: InMemoryTableScanExec => s }.isDefined
+      assert(hasCacheScan(plan),
+        s"expected the round to read the cached edge frame:\n$plan")
+      val shuffled = plan.collect {
+        case e: ShuffleExchangeLike if hasCacheScan(e.child) => e }
+      assert(shuffled.isEmpty,
+        s"the cached edge frame is re-exchanged in the round plan:\n$plan")
+      val sorted = plan.collect { case s: SortExec if hasCacheScan(s.child) => s }
+      assert(sorted.isEmpty,
+        s"the cached edge frame is re-sorted in the round plan:\n$plan")
+    } finally frames.foreach(_.unpersist(blocking = false))
+  }
+
 }

@@ -45,17 +45,37 @@ object Graph {
     */
   private val PartSampleMod = 4
 
-  /** Canonical undirected co-purchase edges (a < b), deduplicated. */
+  /** Canonical undirected co-purchase edges (a < b), deduplicated.
+    *
+    * One exchange feeds both the dedup and the self-join (guide §2.4,
+    * r20): the scan is repartitioned by the ORDER key first, so the
+    * (o, p) distinct rides that exchange as a partition-local aggregate
+    * (HashPartitioning(o) satisfies the (o, p) clustering) and the
+    * self-join on o is already co-partitioned — where distinct-then-join
+    * paid a second full exchange of the line items. AQE still coalesces
+    * the keyless-count repartition, so the layout stays scale-adaptive.
+    */
   def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(pmod(col("l_partkey"), lit(PartSampleMod)) === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
     li.toDF("o", "a").join(li.toDF("o", "b"), Seq("o"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Exact triangle count via degree-oriented wedge join. */
+  /** Exact triangle count via degree-oriented wedge join.
+    *
+    * Deliberately UNHINTED (r20): forcing shuffle_hash on the degree
+    * joins and the wedge-closing semi benched slower at sf0.1 (it blocks
+    * the broadcasts AQE picks there), and every non-self join here has a
+    * node- or edge-scaled side — UNBOUNDED, outside the
+    * bounded-build-side rule the repo's shuffle_hash pins follow. At
+    * scale these degrade to SMJ, the correct strategy for
+    * equal-unbounded sides.
+    */
   def triangleCount(edges: DataFrame): DataFrame = {
     val directed = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
@@ -80,9 +100,12 @@ object Graph {
 
   /** Fixed-point PageRank (damping 0.85, [[Iterations]] rounds):
     * rank'(v) = 0.15·Scale + ⌊85·Σ_{u→v} ⌊rank(u)/deg(u)⌋ / 100⌋, all
-    * BIGINT. Every node of the edge set has degree ≥ 1, so there are no
-    * dangling nodes; the left join + coalesce keeps isolated-in-a-round
-    * nodes at the teleport floor anyway, mirroring the oracle.
+    * BIGINT. Every node of the edge set has degree ≥ 1 and the mirrored
+    * edge frame gives every node an in-edge, so contribs covers ALL
+    * nodes each round by induction — the old per-iteration deg LEFT join
+    * (+ coalesce) was a no-op re-keying and is gone (r20, guide §2.4);
+    * the oracle's LEFT JOIN agrees bit-for-bit because its right side is
+    * never null on this edge set.
     */
   def pageRank(edges: DataFrame): DataFrame = {
     val directed0 = edges.select(col("a").as("u"), col("b").as("v"))
@@ -90,7 +113,15 @@ object Graph {
     val deg = directed0.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     // out-degree rides the edge frame: one static join hoisted out of
-    // the loop instead of re-planned every round
+    // the loop instead of re-planned every round.
+    // MEASURED AND KEPT AS-IS (r20): caching this frame partitioned by u
+    // with shuffle_hash-pinned ranks (the CC-loop recipe) removes the
+    // per-iteration edge exchange at cluster scale, but benched 0.5-1.8 s
+    // SLOWER here at every cache partition count tried — the stacked
+    // 5-layer plan lets AQE broadcast the node-sized ranks each layer,
+    // which already streams this frame exchange-free at bench scale, and
+    // the ranks side is UNBOUNDED (node-scaled), outside the
+    // bounded-build-side pin rule the other shuffle_hash pins follow.
     val directed = directed0.join(deg, Seq("u"))
       .localCheckpoint() // every iteration reads the same frame
     var ranks = deg.select(col("u").as("v"), lit(Scale).as("r"))
@@ -99,18 +130,18 @@ object Graph {
         .join(ranks.select(col("v").as("u"), col("r")), Seq("u"))
         .select(col("v"), expr("r div d").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("c"))
-      ranks = deg.select(col("u").as("v"))
-        .join(contribs, Seq("v"), "left")
-        .select(col("v"),
-          (lit(15L * Scale / 100) +
-            expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+      // no re-attach join: the mirrored edge frame gives EVERY node an
+      // in-edge and ranks covers every node by induction, so contribs
+      // already carries all nodes — the old deg LEFT join (one node-sized
+      // join + exchange per iteration) was a no-op re-keying (r20)
+      ranks = contribs.select(col("v"),
+        (lit(15L * Scale / 100) + expr("(85 * c) div 100")).as("r"))
       // no per-iteration checkpoint: five stacked join+agg layers over
-      // the two checkpointed base frames plan fine, and skipping the
-      // materializations saves ~0.5 s/round at bench scale
+      // the two base frames plan fine, and skipping the materializations
+      // saves ~0.5 s/round at bench scale
     }
     // materialize the node-sized result, then release the edge-frame
-    // checkpoints — the returned frame must not pin them (checkpointed
-    // lineage cannot recompute after an unpersist)
+    // cache/checkpoint — the returned frame must not pin them
     val out = ranks.localCheckpoint()
     directed.unpersist(blocking = false)
     deg.unpersist(blocking = false)

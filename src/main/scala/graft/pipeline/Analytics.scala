@@ -407,8 +407,14 @@ object Analytics {
     */
   def basketPairs(spark: SparkSession, dir: String,
                   minSupport: Int = 2, topK: Int = 50): DataFrame = {
+    // one exchange feeds dedup AND self-join (guide §2.4, r20 — same
+    // move as Graph.coPurchaseEdges): repartition by the order key, let
+    // the (orderkey, partkey) distinct run partition-local, and the
+    // self-join is already co-partitioned
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
     val a = li.toDF("l_orderkey", "p_a")
     val b = li.toDF("l_orderkey", "p_b")
     a.join(b, Seq("l_orderkey"))

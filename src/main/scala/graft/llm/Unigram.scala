@@ -139,7 +139,14 @@ object Unigram {
     * twice, weighted by the word's corpus frequency).
     */
   def seedCounts(docs: DataFrame, textCol: String): DataFrame =
-    Bpe.wordCounts(docs, textCol)
+    seedCountsOf(Bpe.wordCounts(docs, textCol))
+
+  /** Seed counting over an existing (word, freq) frame — lets [[train]]
+    * feed its checkpointed word counts instead of re-running the corpus
+    * word-count shuffle a second time (r20, guide §2.4).
+    */
+  private def seedCountsOf(wc: DataFrame): DataFrame =
+    wc
       .select(col("freq"), explode(UnigramExprs.substrings(col("word"), MaxPieceLen)).as("s"))
       .groupBy(col("s.piece").as("piece"), col("s.cp").as("cp"))
       .agg(sum(col("freq")).as("cnt"))
@@ -151,9 +158,12 @@ object Unigram {
     * pieces by (usage desc, piece UTF-8 asc).
     */
   def train(docs: DataFrame, textCol: String): Seq[Piece] = {
-    val wc = Bpe.wordCounts(docs, textCol).localCheckpoint()
+    // lazy: the seed checkpoint below is the materializing pass, so the
+    // corpus word-count shuffle runs ONCE for both consumers (was twice —
+    // seedCounts re-derived it from docs)
+    val wc = Bpe.wordCounts(docs, textCol).localCheckpoint(false)
     try {
-      val seeds = seedCounts(docs, textCol)
+      val seeds = seedCountsOf(wc)
         .localCheckpoint()
       try {
         val nSeeds = seeds.count()

@@ -53,14 +53,22 @@ object Inventory {
 
   private val UpsertSplit = "1999-01-01"
 
-  private val dedupCols = Seq("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
-
-  private def latestLineitem(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(dedupCols.map(col): _*)
-  }
+  /** Latest row per part as a MAX_BY aggregation (r20, guide §2.3): the
+    * (shipdate, orderkey, linenumber) ordering is total — (orderkey,
+    * linenumber) is the table key — so argmax-by-struct selects exactly
+    * the row the old row_number()-over-desc-window picked, but with
+    * map-side partial aggregation (one candidate per part per input
+    * split crosses the exchange, not every row) and NO per-partition
+    * sort of the full table. W1's row_number coverage lives on in the
+    * kNN top-k family (COVERAGE.md).
+    */
+  private def latestLineitem(df: DataFrame): DataFrame =
+    df.groupBy(col("l_partkey"))
+      .agg(max_by(
+        struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).as("r"))
+      .select(col("l_partkey"), col("r.l_orderkey").as("l_orderkey"),
+        col("r.l_linenumber").as("l_linenumber"), col("r.l_quantity").as("l_quantity"))
 
   /** J2/W1 — window dedup, latest per part. */
   def dedupLatest(spark: SparkSession, dir: String): DataFrame =

@@ -528,6 +528,8 @@ object Dedup {
       // for reliable checkpoints (files, not blocks).
       graft.store.Checkpoints.free(prev)
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$iter")
     if (strict && !converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
@@ -618,14 +620,8 @@ object Dedup {
     * per round.
     */
   private def ccRound(edges: DataFrame, labels: DataFrame,
-                      edgeParts: Int): DataFrame =
-    edges
-      // the labels side is EXPLICITLY co-partitioned to the edge cache's
-      // layout: with a count mismatch (edgeParts vs the session default)
-      // EnsureRequirements re-exchanges BOTH sides — including the cached
-      // edge frame, the exact shuffle this layout exists to remove
-      // (caught by the spec session, whose default partition count
-      // differs from the bench's)
+                      edgeParts: Int): DataFrame = {
+    val stepped = edges
       .join(labels.select(col("id").as("v"), col("label").as("nbr_label"))
         .hint("shuffle_hash"), "v")
       .groupBy(col("u").as("id"))
@@ -633,7 +629,28 @@ object Dedup {
         // the self-loop row carries u's OWN current label; never null —
         // every node self-loops, and labels covers every edge endpoint
         min(when(col("v") === col("u"), col("nbr_label"))).as("own"))
-      .select(col("id"), col("label"), (col("label") < col("own")).as("changed"))
+    // POINTER SHORTCUT through the previous (already materialized)
+    // mapping (r20): label ← prev_label(label). prev_label(x) ≤ x for
+    // every node id x and stays inside x's component, so each round now
+    // propagates ~two hops — the co-purchase graph converged in 10-11
+    // neighbor-min rounds, each paying the edge-sized join; the shortcut
+    // halves that for ONE extra node-sized join per round, inside the
+    // same single-action round plan (jumping through the CURRENT mapping
+    // would read `stepped` twice and double-compute the edge join under
+    // the lazy checkpoint). Inner join is total: every label IS a node
+    // id of the same frame. Fixpoint unchanged — at convergence
+    // prev_label(label) = label, and the fixpoint of neighbor-min is the
+    // component minimum either way (oracle-gated).
+    // UNHINTED deliberately: both sides are node-sized (unbounded — the
+    // bounded-build-side pin rule does not apply), AQE broadcasts the
+    // prev mapping at small scale, and an SMJ here sorts node frames,
+    // never the edge cache
+    stepped
+      .join(labels.select(col("id").as("label"), col("label").as("jlabel")),
+        Seq("label"))
+      .select(col("id"), col("jlabel").as("label"),
+        (col("jlabel") < col("own")).as("changed"))
+  }
 
   /** Diagnostic: round-1's frame EXACTLY as [[connectedComponents]] runs
     * it (same base construction, incl. the v-partitioned cached edge

@@ -240,10 +240,13 @@ class PlanInvariantsSpec extends SparkSpec {
       finally seq.unpersist(blocking = false)
       // round-20 CC pin: the per-round labels side is a shuffle_hash
       // build against the cached edge stream — an SMJ here would re-sort
-      // the static edge frame every round
+      // the static edge frame every round. The ONE allowed SMJ is the
+      // pointer-shortcut join (node-sized × node-sized, equal unbounded
+      // sides — deliberately unhinted, same taxonomy as the cross-doc
+      // LCP self-join; an SMJ there never sorts the edge cache).
       val (ccRound, ccFrames) = graft.llm.Dedup.ccRoundPlan(
         Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
-      try check("ccRoundPlan", 0)(ccRound)
+      try check("ccRoundPlan", 1)(ccRound)
       finally ccFrames.foreach(_.unpersist(blocking = false))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -52,7 +52,11 @@ object ScaleBench {
     // unpinned plans flipped to sorts (or, for mm_image_neardup, where
     // static estimates would broadcast a corpus-sized side)
     "llm_cross_doc_max", "llm_cross_doc_spans", "llm_substring_dup",
-    "llm_contamination_report", "er_golden_records", "mm_image_neardup")
+    "llm_contamination_report", "er_golden_records", "mm_image_neardup",
+    // round 21: the r20 single-exchange basket/edge builds — the removed
+    // exchange is invisible in the sf0.1 plan (broadcast regime), so the
+    // curve points are the at-scale evidence (r20 verdict #2)
+    "basket_pairs")
 
   /** The embedding-family scale paths — measurable ONLY under the
     * signflip mode (compat dirs carry identical per-copy embeddings, so

@@ -15,6 +15,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   */
 object StageProfile {
 
+  // Acc aggregates every job/stage posted on the context while
+  // registered, not only the profiled query's — this tool assumes the
+  // SINGLE-THREADED profiling loop below is the only job source (no
+  // concurrent actions; ContextCleaner GC jobs are possible but
+  // byte-trivial). Filtering by the profile:<q> job description would
+  // need per-stage→job bookkeeping; documented instead (r20 advice #3).
   private class Acc extends SparkListener {
     @volatile var jobs = 0
     @volatile var stages = 0
@@ -61,8 +67,13 @@ object StageProfile {
     // run — the profile is the steady-state execution, matching the
     // bench's min-of-passes column
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_WARM", "1").toInt
+    // NonFatal only (r20 advice #2): a query broken enough to throw must
+    // fail loudly here, not warm silently and then fail confusingly in
+    // the profiled pass; fatal errors (OOM) propagate
     qnames.foreach { q => (1 to passes).foreach { _ =>
-      try registered(q)(spark, sfDir).count() catch { case _: Throwable => () } } }
+      try registered(q)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[profile] warm pass for $q threw: $e") } } }
     import BenchSweep.{jstr, num}
     val rows = qnames.map { q =>
       val acc = new Acc

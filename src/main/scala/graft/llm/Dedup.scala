@@ -498,7 +498,27 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     // (eager, lazy) checkpoint pair: rounds use the LAZY form so the
     // convergence count is also the materializing action (r20 — one job
-    // per round where eager-then-probe ran two)
+    // per round where eager-then-probe ran two). The one-job claim holds
+    // for localCheckpoint (the count materializes the blocks); in
+    // RELIABLE mode checkpoint(eager = false) still recomputes the round
+    // lineage a second time when ReliableRDDCheckpointData writes its
+    // files, since the round RDD is not separately persisted — accepted:
+    // reliable mode is the executor-loss story, not the perf path
+    // (r20 advice #4)
+    // ATTEMPTED AND REVERTED (r21, verdict #3 — measured): a
+    // partitioning-preserving label checkpoint (repartition(edgeParts,
+    // id) + a LogicalRDD that declares HashPartitioning, so the edge
+    // join reads BOTH sides in place and the shortcut's mapping side is
+    // a pinned shuffle_hash build) removes one node-sized exchange per
+    // round at scale — but benched a corroborated LOCAL regression
+    // across the CC family (llm_dedup_clusters 0.67 → 1.04 s at 0 %
+    // min-gap, llm_embed_clusters 1.76 → 2.40 s, graph_components
+    // 2.94 → 3.15 s; StageProfile: jobs ~flat, 33 → 38 for
+    // graph_components): the placement exchange the aligned layout
+    // needs costs a per-round AQE stage at every scale, while the
+    // exchange it replaces is one AQE broadcast locally — the same
+    // unbounded-node-frame economics that killed the r20 CC-recipe
+    // pageRank cache. The plain checkpoint pair stays.
     val (ckpt, lckpt): (DataFrame => DataFrame, DataFrame => DataFrame) =
       checkpointDir match {
         case Some(dir) =>
@@ -509,12 +529,12 @@ object Dedup {
         case None =>
           (df => df.localCheckpoint(), df => df.localCheckpoint(false))
       }
-    val (edges, labels0, p0, edgeParts) = ccBase(pairs, ckpt)
+    val (edges, labels0, p0) = ccBase(pairs, ckpt)
     var labels = labels0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = lckpt(ccRound(edges, labels, edgeParts))
+      val next = lckpt(ccRound(edges, labels))
       // FULL-scan convergence count as the materializing action: every
       // partition of the lazy checkpoint computes under this one job (a
       // limit-probe would truncate lineage with partitions unmaterialized)
@@ -569,8 +589,20 @@ object Dedup {
     */
   private val CcEdgeRowsPerPartition = 2000000L
 
+  /** Cache partition count for `mirroredRows` edge rows. NO hard ceiling
+    * (r20 verdict #6): the old `min(4096, …)` capped the cache at
+    * 4096 × 2M ≈ 8·10⁹ mirrored rows — past that, per-partition size grew
+    * unboundedly (cache spill, guide §5), reachable at the 100 TB
+    * ambition. The count now tracks rows with no cap; Int range allows
+    * ~2³¹ partitions ≈ 4·10¹⁵ edge rows at the 2M target, far past the
+    * envelope. Floor of 2: see the call site.
+    */
+  private[graft] def ccEdgeParts(mirroredRows: Long): Int =
+    math.max(2L, math.min(Int.MaxValue.toLong,
+      mirroredRows / CcEdgeRowsPerPartition + 1)).toInt
+
   private def ccBase(pairs: DataFrame, ckpt: DataFrame => DataFrame)
-      : (DataFrame, DataFrame, DataFrame, Int) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     // materialize the caller's pair plan ONCE before mirroring: the
     // union references it twice, and without this the upstream (an LSH
     // candidate join, a blocked all-pairs scan) would compute twice
@@ -583,8 +615,7 @@ object Dedup {
     // cache every round — with ≥ 2 the HashPartitioning(v) spec is
     // reusable and the labels side aligns to IT instead (measured: the
     // round-plan dump grew `Exchange` over the InMemoryTableScan at 1)
-    val edgeParts = math.max(2L, math.min(4096L,
-      2L * p0.count() / CcEdgeRowsPerPartition + 1)).toInt
+    val edgeParts = ccEdgeParts(2L * p0.count())
     // SELF-LOOPS ride the edge frame (r20): with (u, u) present for every
     // node, a round's neighbor-min over N(u) ∪ {u} IS the label update —
     // min(nbr) = least(own, neighbor min) and the own-label row arrives
@@ -601,7 +632,7 @@ object Dedup {
     // the labels0 build is also the edge-cache materializing action
     val labels = ckpt(edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")))
-    (edges, labels, p0, edgeParts)
+    (edges, labels, p0)
   }
 
   /** One min-label-propagation round, UN-checkpointed: ONE join + ONE
@@ -619,8 +650,7 @@ object Dedup {
     * makes the min exchange node-sized, so NOTHING edge-sized shuffles
     * per round.
     */
-  private def ccRound(edges: DataFrame, labels: DataFrame,
-                      edgeParts: Int): DataFrame = {
+  private def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val stepped = edges
       .join(labels.select(col("id").as("v"), col("label").as("nbr_label"))
         .hint("shuffle_hash"), "v")
@@ -661,8 +691,8 @@ object Dedup {
     * inspection.
     */
   private[graft] def ccRoundPlan(pairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val (edges, labels, p0, edgeParts) = ccBase(pairs, df => df.localCheckpoint())
-    (ccRound(edges, labels, edgeParts), Seq(edges, labels, p0))
+    val (edges, labels, p0) = ccBase(pairs, df => df.localCheckpoint())
+    (ccRound(edges, labels), Seq(edges, labels, p0))
   }
 
   /** Asymmetric shingle containment: ordered pairs (a, b) where
@@ -707,16 +737,24 @@ object Dedup {
     * at 32 partitions × ~3.2M candidate rows/task the 80× corpus
     * spilled 18.4 GB inside ~0.3 GB/task execution memory — i.e. the
     * join-output + partial-agg footprint of 3.2M rows outruns ~0.9 GB.
-    * 750k rows/task keeps that footprint ≈ 0.2 GB, inside even the
+    * 500k rows/task (r21 recalibration — see below) keeps that
+    * footprint ≈ 0.2 GB, inside even the
     * tightest measured envelope, while the bench-SF estimate (1.27M at
     * sf0.1) stays ≤ the session default so gate plans are unchanged.
     */
-  private val CandRowsPerPartition = 750000L
+  private val CandRowsPerPartition = 500000L
 
   /** Candidate-estimate memo keyed by the (canonicalized input plan,
     * shingle n, maxDf): the estimate costs one posting-aggregation job
     * per `containmentPairs` CALL, and steady-state callers (bench
     * passes, repeated pipeline runs) rebuild the same frame every time.
+    * Row budget recalibrated r21: the thr column widens each candidate
+    * row 16 → 24 bytes (and the aggregate buffer by a double), so the
+    * 750k budget measured for the r20 row crossed the same ~0.3 GB/task
+    * envelope ContainmentDiag calibrated it against (x80 spilled 17 GB
+    * where r20's run was clean); 500k restores the old per-task BYTE
+    * footprint. At bench SF the estimate still stays under one
+    * partition's budget — gate plans unchanged.
     * Memo staleness after an in-place table rewrite is BENIGN by
     * construction — the value only sizes exchanges; results never
     * depend on it (unlike the result memos, which key on snapshot
@@ -780,9 +818,6 @@ object Dedup {
     // the full posting frame inside the index build. Same class, same pin
     val indexed = posting.join(rare.hint("shuffle_hash"), Seq("g"), "left_semi")
       .localCheckpoint(false)
-    // per-doc totals: |shingles| and how many of them are rare — the
-    // ingredients of the count bound below (scalar per doc, joined to
-    // pairs as two skinny frames, arrays stay out of it)
     // Join-strategy note (the 40→80× curve bend, round 18): every join
     // below carries a shuffle_hash hint on its bounded side. Catalyst's
     // static estimates for these checkpointed/aggregated frames cross
@@ -796,10 +831,31 @@ object Dedup {
     // hash join builds a per-partition slice, never sorting the big
     // side. It also removes the misestimation-driven full broadcast of
     // the 10M-row inverted index the 40× plan was silently doing.
-    val stats = sh.select(col("jid").as("id"), size(col("sh")).as("sz"))
-      .join(indexed.groupBy(col("id")).agg(count(lit(1)).as("rare_n")).hint("shuffle_hash"),
-        Seq("id"), "left")
-      .na.fill(0L, Seq("rare_n"))
+    //
+    // Count-bound threshold RIDES THE POSTING ROWS (r21, guide §2.3/§2.4):
+    // the bound below needs only ONE scalar per doc — thr(d) = rare(d) −
+    // (1−τ)·|d| − slack; a pair survives iff shared_rare ≥ thr(a) OR ≥
+    // thr(b), i.e. iff shared_rare ≥ least(thr_a, thr_b). r20 attached
+    // (rare_n, sz) to the PAIR-AGGREGATE OUTPUT via two per-doc stats
+    // joins — but that frame is partitioned by (id_a, id_b), which
+    // satisfies neither join's id_a / id_b clustering, so at scale each
+    // stats join RE-EXCHANGED the full candidate-pair frame (measured
+    // x40: 45.2M pair groups through two more full exchanges ≈ 2.3 GB,
+    // vs 20.2k bound survivors). Attaching thr to the indexed postings
+    // costs one posting-sized id-exchange (~10.4M rows at x40, reused by
+    // the rare_n aggregate) plus 8 bytes per candidate-join row, and the
+    // filter runs INSIDE the pair aggregate — both post-agg joins and
+    // their candidate-frame exchanges are gone at any scale. Same float
+    // arithmetic, same slack: the candidate set is bit-identical.
+    val slack = 1.0
+    val indexedById = indexed.repartition(col("id"))
+    val thr = indexedById.groupBy(col("id")).agg(count(lit(1)).as("rare_n"))
+      .join(sh.select(col("jid").as("id"), size(col("sh")).as("sz"))
+        .hint("shuffle_hash"), Seq("id"))
+      .select(col("id"),
+        (col("rare_n") - lit(1.0 - minContainment) * col("sz") - lit(slack))
+          .as("thr"))
+    val indexedT = indexedById.join(thr.hint("shuffle_hash"), Seq("id"))
     // candidate pruning by COUNTING, before any array is touched: if
     // containment(a→b) ≥ τ then |A\B| ≤ (1-τ)|A|, so the SHARED rare
     // shingles number ≥ rare(A) - (1-τ)|A|. The shared-rare count per
@@ -823,27 +879,22 @@ object Dedup {
     // duplicates either way, and with the distribution already satisfied
     // the partial and final HashAggregates run back-to-back in one stage.
     val indexedJ =
-      if (autoP > sessionP) indexed.repartition(autoP, col("g")) else indexed
+      if (autoP > sessionP) indexedT.repartition(autoP, col("g")) else indexedT
+    // each candidate-join row carries ONE extra double: the weaker of the
+    // two docs' thresholds (shared ≥ thr_a OR shared ≥ thr_b ⟺ shared ≥
+    // least of them). Every row of a pair carries the identical value, so
+    // min() in the aggregate is just "keep it"
     val sharedRows = indexedJ.as("a").join(indexedJ.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        least(col("a.thr"), col("b.thr")).as("thr"))
     val sharedPre =
       if (autoP > sessionP) sharedRows.repartition(autoP, col("id_a"), col("id_b"))
       else sharedRows
-    val shared = sharedPre
+    val candidates = sharedPre
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_rare"))
-    val slack = 1.0
-    val candidates = shared
-      .join(stats.select(col("id").as("id_a"), col("sz").as("sz_a"), col("rare_n").as("rare_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(stats.select(col("id").as("id_b"), col("sz").as("sz_b"), col("rare_n").as("rare_b"))
-        .hint("shuffle_hash"), "id_b")
-      .filter(
-        col("shared_rare").cast("double") >=
-          col("rare_a") - lit(1.0 - minContainment) * col("sz_a") - lit(slack) ||
-        col("shared_rare").cast("double") >=
-          col("rare_b") - lit(1.0 - minContainment) * col("sz_b") - lit(slack))
+      .agg(count(lit(1)).as("shared_rare"), min(col("thr")).as("thr"))
+      .filter(col("shared_rare").cast("double") >= col("thr"))
       .select(col("id_a"), col("id_b"))
     // hot-shingle overflow (see the Scaladoc): members of OVER-CAP
     // posting lists pair with ≤ overflowReps shingle-set-class

@@ -433,9 +433,16 @@ object CorpusSuffix {
     * Order within equal suffixes is (r, doc_id, pos) — total and
     * deterministic.
     */
-  /** Global suffix-order sequence numbers: (s, doc_id, pos) with s the
-    * 1-based ordinal of the suffix in (rank, doc_id, pos) order — the
-    * TwoPass count fold, eagerly checkpointed.
+  /** Global suffix-order sequence numbers WITH the order-predecessor
+    * inlined: (s, doc_id, pos, adoc, apos) — s the 1-based ordinal of
+    * the suffix in (rank, doc_id, pos) order, (adoc, apos) the (s−1)
+    * row's (doc_id, pos), null at s = 1. The predecessor is PHYSICALLY
+    * the previous row of the range-sorted RDD, so it rides the same
+    * TwoPass carry that assigns s (the boundary seed is the previous
+    * partition's last row) — the r20 consumers re-derived it with an
+    * s-shifted self-join each: one SMJ, two hash exchanges and two
+    * sorts of the CHARACTER-level frame, to look one row to the left
+    * (removed r21, guide §2.4).
     */
   private def globalSeq(ranks: DataFrame): DataFrame = {
     val spark = ranks.sparkSession
@@ -445,12 +452,23 @@ object CorpusSuffix {
       .repartitionByRange(col("r"), col("doc_id"), col("pos"))
       .sortWithinPartitions(col("r"), col("doc_id"), col("pos"))
       .rdd.localCheckpoint()
-    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), Long](
-      sorted, 0L, (s, _) => s + 1, _ + _)
+    // carry = (row count, last (doc_id, pos)): the count seeds s, the
+    // last row seeds the first row's predecessor across the boundary
+    type S = (Long, Option[(Long, Long)])
+    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long), S](
+      sorted, (0L, None),
+      (s, row) => (s._1 + 1, Some((row._2, row._3))),
+      (a, b) => (a._1 + b._1, b._2.orElse(a._2)))
     val seq = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var s = offs(i)
-      it.map { case (_, d, p) => s += 1; (s, d, p) }
-    }.toDF("s", "doc_id", "pos").localCheckpoint()
+      var s = offs(i)._1
+      var prev = offs(i)._2
+      it.map { case (_, d, p) =>
+        s += 1
+        val out = (s, d, p, prev.map(_._1), prev.map(_._2))
+        prev = Some((d, p))
+        out
+      }
+    }.toDF("s", "doc_id", "pos", "adoc", "apos").localCheckpoint()
     sorted.unpersist(blocking = false)
     seq
   }
@@ -476,17 +494,18 @@ object CorpusSuffix {
       textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val seq = globalSeq(ranks)
     val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
-    val a = seq.select((col("s") + 1).as("s"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-    val b = seq.select(col("s"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     val lcp = crossLcp(col("ta"), col("pos_a"), col("tb"), col("pos_b"))
+    // adjacent pairs read straight off the predecessor globalSeq inlines
+    // — the r20 s-shifted self-join (SMJ + two exchanges + two sorts of
+    // the character-level frame) is gone (r21, guide §2.4).
     // shuffle_hash on the doc-text fetch sides (round 19): PlanDiag
     // measured both flipping BroadcastHashJoin → SortMergeJoin between
     // 40× and 80× — the flip sorts the CHARACTER-level sequence frame
-    // on doc ids to fetch one text row per sampled doc. The adjacent
-    // s-join stays unhinted: both sides are the same character-level
-    // frame shifted by one, equal and unbounded — SMJ is the right shape
-    val plan = a.join(b, Seq("s"))
-      .filter(col("doc_a") =!= col("doc_b"))
+    // on doc ids to fetch one text row per sampled doc
+    val plan = seq
+      .filter(col("adoc").isNotNull && col("adoc") =!= col("doc_id"))
+      .select(col("adoc").as("doc_a"), col("apos").as("pos_a"),
+        col("doc_id").as("doc_b"), col("pos").as("pos_b"))
       .join(txt.select(col("tdoc").as("doc_a"), col("t").as("ta"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(txt.select(col("tdoc").as("doc_b"), col("t").as("tb"))
@@ -514,24 +533,46 @@ object CorpusSuffix {
     val spark = ranks.sparkSession
     import spark.implicits._
     val (seq, lpPlan) = crossDocLpPlan(ranks, docs, textCol, idCol)
-    val lpF = lpPlan.localCheckpoint() // feeds ln shift, chg flags, and the run scan
-    // ln(s) = lp(s+1): the LCP toward the successor (0 at the end)
-    val lnF = lpF.select((col("s") - 1).as("s"), col("lp").as("ln"))
-    val rows = lpF
-      .join(lnF, Seq("s"), "left")
-      .select(col("s"), col("doc_id"), col("lp"), coalesce(col("ln"), lit(0L)).as("ln"),
-        when(col("adoc").isNull || col("adoc") =!= col("doc_id"), 1L).otherwise(0L).as("chg"))
-    // run_id: global cumsum of chg — the TwoPass carry over s order
-    val sortedRows = rows.select(col("s"), col("doc_id"), col("lp"), col("ln"), col("chg"))
-      .as[(Long, Long, Long, Long, Long)]
+    val lpF = lpPlan.localCheckpoint() // feeds the run scan
+    // ln(s) = lp(s+1): the LCP toward the successor (0 at the end). The
+    // r20 form paid an s-shifted LEFT join (two hash exchanges + two
+    // sorts of the character-level frame) to look ONE ROW to the right;
+    // the run-id cumsum below already walks the frame in s order, so the
+    // lookahead rides the same pass — within a partition it is the next
+    // physical row, across the boundary a next-partition-first-lp carry
+    // (0 past the global end = the old left-join null → coalesce 0)
+    // (r21, guide §2.4)
+    val sortedRows = lpF
+      .select(col("s"), col("doc_id"), col("lp"),
+        when(col("adoc").isNull || col("adoc") =!= col("doc_id"), 1L)
+          .otherwise(0L).as("chg"))
+      .as[(Long, Long, Long, Long)]
       .repartitionByRange(col("s"))
       .sortWithinPartitions(col("s"))
       .rdd.localCheckpoint()
-    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long, Long, Long), Long](
-      sortedRows, 0L, (acc, r) => acc + r._5, _ + _)
+    // run_id: global cumsum of chg — the TwoPass carry over s order
+    val (offs, _) = graft.ops.TwoPass.prefixAndTotal[(Long, Long, Long, Long), Long](
+      sortedRows, 0L, (acc, r) => acc + r._4, _ + _)
+    // per-partition first lp (a head-only job over the checkpointed
+    // runs); suffix-scan it so a partition's LAST row reads the first lp
+    // of the next NON-EMPTY partition (range partitions can be empty)
+    val firsts = sortedRows.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.take(1).toSeq.headOption.map(_._3)))
+    }.collect().sortBy(_._1).map(_._2)
+    val nextLp = firsts.scanRight(0L)((f, acc) => f.getOrElse(acc))
     val withRun = sortedRows.mapPartitionsWithIndex { case (i, it) =>
       var run = offs(i)
-      it.map { case (sq, d, lp, ln, chg) => run += chg; (sq, d, lp, ln, run) }
+      val carry = nextLp(i + 1)
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long, Long, Long) = {
+          val (sq, d, lp, chg) = buf.next()
+          val ln = if (buf.hasNext) buf.head._3 else carry
+          run += chg
+          (sq, d, lp, ln, run)
+        }
+      }
     }.toDF("s", "doc_id", "lp", "ln", "run_id").localCheckpoint()
     sortedRows.unpersist(blocking = false)
     // sortedRows (already materialized) carried everything lpF fed it;
@@ -563,11 +604,13 @@ object CorpusSuffix {
       textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val seq = globalSeq(ranks)
     val txt = docs.select(col(idCol).cast("long").as("tdoc"), col(textCol).as("t"))
-    // lp(s) = LCP of suffixes at order positions s-1 and s (0 at s=1)
-    val pred = seq.select((col("s") + 1).as("s"), col("doc_id").as("adoc"), col("pos").as("apos"))
+    // lp(s) = LCP of suffixes at order positions s-1 and s (0 at s=1) —
+    // the predecessor is inlined by globalSeq (r21); the r20 s-shifted
+    // LEFT self-join (two exchanges + two sorts of the character-level
+    // frame) is gone, only the doc-text fetch joins remain.
     // shuffle_hash on the doc-text fetch sides — the crossDocAdjacentPlan
     // flip note applies verbatim (measured on both queries at 80×)
-    val plan = seq.join(pred, Seq("s"), "left")
+    val plan = seq
       .join(txt.select(col("tdoc").as("adoc"), col("t").as("ta"))
         .hint("shuffle_hash"), Seq("adoc"), "left")
       .join(txt.select(col("tdoc").as("doc_id"), col("t").as("tb"))

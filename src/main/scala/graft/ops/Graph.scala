@@ -77,8 +77,21 @@ object Graph {
     * equal-unbounded sides.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val directed = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    // materialization points (r21, guide §2.4/§5): the edge frame feeds
+    // directed (×2 union branches) and `oriented` feeds FOUR downstream
+    // plan paths (both wedge sides, both closing-union branches) — fully
+    // inlined, the sf0.1 static plan carried 48 parquet scans and 93
+    // exchanges of the same replicated subtrees
+    // (plans/r21/graph_triangles_before.txt). AQE's stage reuse dedups
+    // only identical exchanges inside one execution, and the planner /
+    // codegen still pay the full tree. Lazy localCheckpoints collapse
+    // the edge build and the oriented frame to one materialization each,
+    // under the consumer's own action (no extra jobs); blocks are
+    // GC-freed with the frame, the repo's convention for query-lifetime
+    // scratch.
+    val e = edges.localCheckpoint(false)
+    val directed = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val deg = directed.groupBy(col("u")).agg(count(lit(1)).as("d"))
     // orient: u -> v iff (d(u), u) < (d(v), v); every undirected edge
     // keeps exactly one direction
@@ -87,6 +100,7 @@ object Graph {
       .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
+      .localCheckpoint(false)
     // wedges from the shared LOW vertex, closed by an oriented edge
     val wedges = oriented.toDF("u", "x")
       .join(oriented.toDF("u", "y"), Seq("u"))
@@ -108,8 +122,15 @@ object Graph {
     * never null on this edge set.
     */
   def pageRank(edges: DataFrame): DataFrame = {
-    val directed0 = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    // one edge build, not three (r21): directed0 is referenced by BOTH
+    // eager checkpoints below (deg, directed), and eager checkpoints are
+    // separate executions — cross-job exchange reuse does not exist, so
+    // the un-checkpointed edge build ran once per checkpoint plus once
+    // per union branch. The lazy checkpoint materializes it under the
+    // deg build and the directed build reads its blocks.
+    val e = edges.localCheckpoint(false)
+    val directed0 = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val deg = directed0.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     // out-degree rides the edge frame: one static join hoisted out of
@@ -141,10 +162,14 @@ object Graph {
       // saves ~0.5 s/round at bench scale
     }
     // materialize the node-sized result, then release the edge-frame
-    // cache/checkpoint — the returned frame must not pin them
+    // checkpoints — the returned frame must not pin them.
+    // Checkpoints.free, not bare unpersist (r21): unpersist only clears
+    // CacheManager entries, and these frames hold LOCALCHECKPOINT blocks
+    // (LogicalRDD leaves) that bare unpersist never touched
     val out = ranks.localCheckpoint()
-    directed.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    graft.store.Checkpoints.free(directed)
+    graft.store.Checkpoints.free(deg)
+    graft.store.Checkpoints.free(e)
     out
   }
 

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expr.{Cleansing, Exact}
-import graft.store.Upsert
 
 /** POS batch pipeline (SURVEY.md §3.1; ref validate.py, transfom_pos.py).
   *
@@ -82,25 +81,29 @@ object Pos {
 
   /** J5 — additive MERGE of two KPI batches (ref transfom_pos.py:140-152).
     *
-    * Shared-scan form: ONE scan and one wide aggregate keyed by (product,
-    * date, side-flag); the two merge inputs are filters over the same
-    * aggregated subtree, whose shuffle Spark de-duplicates (ReusedExchange)
-    * — instead of two full scans + two aggregations. The sides are
-    * date-disjoint by construction, so the additive re-agg semantics are
-    * byte-identical to merging two independently-built batches.
+    * Fused form (r21, guide §2.4): the two merge inputs are a DATE split
+    * of one table, so the side flag `sale_date < MergeSplit` is a
+    * FUNCTION of the merge key — every (product_id, sale_date) group
+    * lives entirely on one side, `Upsert.additive`'s outer
+    * SUM(total_sales) folds exactly one row per key, and the whole merge
+    * is bit-identical to the single fused aggregate
+    * round(sum(decimal), 2) per (product_id, sale_date): the decimal
+    * accumulation is exact (order-free, so splitting the rows by date
+    * and summing per side changes nothing) and a one-element double sum
+    * is the identity. The union form paid one aggregate exchange keyed
+    * (product, date, side) per side subtree PLUS the post-union re-agg
+    * exchange keyed (product, date) — the fused aggregate keeps map-side
+    * partial aggregation and pays ONE hash exchange before the output
+    * sort. `Upsert.additive` itself — the general operator, whose sides
+    * really are independent frames — is unchanged (stream_kpi_state,
+    * runBatch, UpsertSpec still exercise it).
     */
-  def mergeAdditive(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def mergeAdditive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .withColumn("sale_date", to_date(col("l_shipdate")))
-    val sides = li
-      .groupBy(col("l_partkey").as("product_id"), col("sale_date"),
-        (col("sale_date") < lit(MergeSplit)).as("is_existing"))
+      .groupBy(col("l_partkey").as("product_id"), col("sale_date"))
       .agg(Exact.moneySum(col("l_extendedprice")).as("total_sales"))
-    val existing = sides.filter(col("is_existing")).drop("is_existing")
-    val delta = sides.filter(!col("is_existing")).drop("is_existing")
-    Upsert.additive(existing, delta, Seq("product_id", "sale_date"), "total_sales")
       .orderBy(col("product_id"), col("sale_date"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pos_sales_kpi" -> (salesKpi _),

@@ -482,6 +482,20 @@ class DedupSpec extends SparkSpec with PropertyCheck {
     assert(g2(1)._3 == 0)
   }
 
+  test("ccEdgeParts: uncapped — partition count keeps tracking rows past the old 4096 ceiling") {
+    // floor of 2 (SinglePartition cannot seed a join's co-partitioning)
+    assert(Dedup.ccEdgeParts(0L) == 2)
+    assert(Dedup.ccEdgeParts(1000L) == 2)
+    // at the 2M rows/partition target: 10^10 mirrored rows needs 5001
+    // partitions — the r20 code clamped this to 4096, growing partitions
+    // unboundedly past 8·10^9 rows (r20 verdict #6)
+    assert(Dedup.ccEdgeParts(10000000000L) == 5001)
+    // far past the old cap: still linear, no ceiling
+    assert(Dedup.ccEdgeParts(1000000000000L) == 500001)
+    // Int saturation guard only at the absurd end
+    assert(Dedup.ccEdgeParts(Long.MaxValue) == Int.MaxValue)
+  }
+
   test("duplicatedSpans counts a span repeated WITHIN one doc as duplicated") {
     val d = Seq(
       (0L, "m n o p q m n o p q"), // "m n o p" occurs at positions 1 and 6

@@ -405,20 +405,55 @@ object Analytics {
     * ids-only columns shuffle, and the support floor prunes the long
     * tail before the global top-k (TakeOrdered, not a sort).
     */
+  /** Lineitem row count per dir, memoized: sizes basketPairs' autoscaled
+    * exchanges (a metadata-cheap COUNT job, paid once per session per
+    * dir). Staleness after an in-place rewrite is benign — the value
+    * only sizes exchanges, never results (the candEstCache argument).
+    */
+  private val liCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Target rows per basket-pair exchange partition — the containment
+    * family's calibrated ~0.2 GB/task byte budget at ids-only row width.
+    */
+  private val BasketRowsPerPartition = 500000L
+
   def basketPairs(spark: SparkSession, dir: String,
                   minSupport: Int = 2, topK: Int = 50): DataFrame = {
+    // Shuffle-partition autoscaling (r21): the 40/80/160× curve measured
+    // this query SUPERLINEAR (warm 8.0 → 18.2 → 45.5 s, exponent 1.25)
+    // with exactly-linear output rows — an ENGINE bend, not data: every
+    // exchange here inherited the session partition count, and AQE only
+    // coalesces DOWN from it, so per-task join/dedup/aggregate volume
+    // grew linearly until it outran the task memory envelope (the same
+    // 32-partition ceiling ContainmentDiag caught on the containment
+    // family in r19). Partition count now derives from the lineitem row
+    // count (pair rows ≈ 1.3× lineitem rows at bounded basket size,
+    // measured sf0.1; 2× headroom) — at bench SF the estimate stays
+    // under the session default and the plan is unchanged.
+    if (liCountCache.size > 256) liCountCache.clear()
+    val liRows: Long = liCountCache.computeIfAbsent(dir, _ =>
+      Tables.lineitem(spark, dir).count())
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val autoP = math.min(Int.MaxValue.toLong,
+      2L * liRows / BasketRowsPerPartition + 1).toInt
     // one exchange feeds dedup AND self-join (guide §2.4, r20 — same
     // move as Graph.coPurchaseEdges): repartition by the order key, let
     // the (orderkey, partkey) distinct run partition-local, and the
     // self-join is already co-partitioned
-    val li = Tables.lineitem(spark, dir)
+    val liBase = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey"))
+    val li = (if (autoP > sessionP) liBase.repartition(autoP, col("l_orderkey"))
+              else liBase.repartition(col("l_orderkey")))
       .distinct()
     val a = li.toDF("l_orderkey", "p_a")
     val b = li.toDF("l_orderkey", "p_b")
-    a.join(b, Seq("l_orderkey"))
+    val pairs = a.join(b, Seq("l_orderkey"))
       .filter(col("p_a") < col("p_b"))
+    val pre =
+      if (autoP > sessionP) pairs.repartition(autoP, col("p_a"), col("p_b"))
+      else pairs
+    pre
       .groupBy(col("p_a"), col("p_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
